@@ -1,0 +1,416 @@
+"""Declared correctness queries (SURVEY.md §2.10) + registry.
+
+Each entry pairs an idiomatic-PySpark implementation with the ANSI-SQL oracle
+string DuckDB runs on the same parquet tables. The driver compares row count,
+schema, and an order-insensitive value hash — so every computed column is
+aliased identically on both sides, doubles that get aggregated are rounded and
+cast to DECIMAL per the §2.10 convention, and ordering clauses are kept for
+human debuggability even though the hash ignores them.
+
+Scale notes (100 TB):
+- Every query is a single declarative plan — Catalyst pushes filters/projections
+  into the parquet scan (verify via .explain: PushedFilters/ReadSchema).
+- Joins against dimension tables (nation/region) are explicitly broadcast.
+- Aggregations rely on partial (map-side) aggregation; no driver-side loops.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+from dataclasses import dataclass
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.window import Window
+
+DEC182 = "decimal(18,2)"
+
+
+def trunc_hour_ntz(col: str):
+    """Hour-truncate a TIMESTAMP_NTZ column without leaving the NTZ domain.
+
+    Spark's ``date_trunc`` coerces NTZ input to TIMESTAMP_LTZ via the session
+    timezone, which silently shifts naive values when the session isn't UTC;
+    rebuilding from datetime fields is timezone-independent and matches
+    DuckDB's naive-timestamp date_trunc semantics.
+    """
+    return F.expr(
+        f"make_timestamp_ntz(year({col}), month({col}), day({col}), hour({col}), 0, 0)"
+    )
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one synthetic table (TESTDATA.md).
+
+    ``events.ts`` is nanosecond parquet, which Spark 4 refuses by default;
+    we read it as raw nanos (legacy conf) and rebuild a TIMESTAMP_NTZ with
+    pure interval arithmetic so the result is session-timezone-independent.
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn(
+                "ts",
+                F.expr(
+                    "timestampadd(MICROSECOND, ts DIV 1000,"
+                    " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+                ),
+            )
+        return df
+    return spark.read.parquet(path)
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # None -> driver runs weaker rows-only check
+    doc: str = ""
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None, doc: str = ""):
+    def deco(fn):
+        REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle, doc=doc)
+        return fn
+
+    return deco
+
+
+# --------------------------------------------------------------------------
+# Q1-Q7: scans, projections, partition predicates, ordering, counts
+# (reference: client/CopyInfo.cs:24-68, client/SmartBulkCopy.cs:296-339)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q01_scan_project",
+    "SELECT l_orderkey, l_partkey, l_quantity FROM lineitem"
+    " ORDER BY l_orderkey, l_linenumber",
+    doc="S1+P1 full scan with explicit column projection",
+)
+def q01(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    return li.orderBy("l_orderkey", "l_linenumber").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+
+
+@register(
+    "q02_logical_partition_bucket",
+    "SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_orderkey % 9 = 3"
+    " ORDER BY l_orderkey, l_linenumber",
+    doc="S3+P2 modulo-hash logical partition predicate"
+    " (reference: client/CopyInfo.cs:58-68)",
+)
+def q02(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.filter((F.col("l_orderkey") % 9) == 3)
+        .select("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+@register(
+    "q03_range_partition_predicate",
+    "SELECT count(*) AS c FROM lineitem"
+    " WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'"
+    " AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'",
+    doc="S2+P3 range/partition-function predicate"
+    " (reference: client/CopyInfo.cs:47-56)",
+)
+def q03(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    lo = F.lit("1994-01-01 00:00:00").cast("timestamp_ntz")
+    hi = F.lit("1995-01-01 00:00:00").cast("timestamp_ntz")
+    return li.filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)).agg(
+        F.count("*").alias("c")
+    )
+
+
+@register(
+    "q04_ordered_scan_desc",
+    "SELECT o_orderkey, o_custkey FROM orders ORDER BY o_orderdate DESC, o_orderkey",
+    doc="S6+O1 ordered load with DESC key (reference: client/SmartBulkCopy.cs:429-437)",
+)
+def q04(spark, sf_dir):
+    return (
+        table(spark, sf_dir, "orders")
+        .orderBy(F.col("o_orderdate").desc(), F.col("o_orderkey"))
+        .select("o_orderkey", "o_custkey")
+    )
+
+
+@register(
+    "q05_rowcount",
+    "SELECT count(*) AS row_count FROM lineitem",
+    doc="A1 row-count reconciliation (reference: client/SmartBulkCopy.cs:296-339)",
+)
+def q05(spark, sf_dir):
+    return table(spark, sf_dir, "lineitem").agg(F.count("*").alias("row_count"))
+
+
+@register(
+    "q06_bucket_counts",
+    "SELECT l_orderkey % 9 AS bucket, count(*) AS c FROM lineitem"
+    " GROUP BY bucket ORDER BY bucket",
+    doc="A1+P2 disjoint/exhaustive bucket verification",
+)
+def q06(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy((F.col("l_orderkey") % 9).alias("bucket"))
+        .agg(F.count("*").alias("c"))
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "q07_ident_current",
+    "SELECT max(o_orderkey) AS ident_current FROM orders",
+    doc="A4 identity seed sync (reference: client/SmartBulkCopy.cs:341-389)",
+)
+def q07(spark, sf_dir):
+    return table(spark, sf_dir, "orders").agg(
+        F.max("o_orderkey").alias("ident_current")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q8-Q13: aggregates, joins, set ops (catalog-layer semantics J1-J5, U1-U2)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q08_table_size_agg",
+    "SELECT count(*) AS row_count,"
+    " CAST(ROUND(sum(l_quantity), 2) AS DECIMAL(18,2)) AS total_qty FROM lineitem",
+    doc="A2 table-size aggregate (reference: client/TableInfoCollector.cs:370-389)",
+)
+def q08(spark, sf_dir):
+    return table(spark, sf_dir, "lineitem").agg(
+        F.count("*").alias("row_count"),
+        F.round(F.sum("l_quantity"), 2).cast(DEC182).alias("total_qty"),
+    )
+
+
+@register(
+    "q09_inner_join_agg",
+    "SELECT n.n_name, count(*) AS c FROM customer c"
+    " JOIN nation n ON c.c_nationkey = n.n_nationkey"
+    " GROUP BY n.n_name ORDER BY n.n_name",
+    doc="J1+J2 catalog-style inner equi-join; nation is broadcast",
+)
+def q09(spark, sf_dir):
+    cust = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    return (
+        cust.join(
+            F.broadcast(nation), cust.c_nationkey == nation.n_nationkey, "inner"
+        )
+        .groupBy("n_name")
+        .agg(F.count("*").alias("c"))
+        .orderBy("n_name")
+    )
+
+
+@register(
+    "q10_left_join_agg",
+    "SELECT r.r_name, count(n.n_nationkey) AS c FROM region r"
+    " LEFT JOIN nation n ON n.n_regionkey = r.r_regionkey"
+    " GROUP BY r.r_name ORDER BY r.r_name",
+    doc="J5 left join keeping unmatched rows"
+    " (reference: client/TableInfoCollector.cs:268-287)",
+)
+def q10(spark, sf_dir):
+    region = table(spark, sf_dir, "region")
+    nation = table(spark, sf_dir, "nation")
+    return (
+        region.join(
+            F.broadcast(nation), nation.n_regionkey == region.r_regionkey, "left"
+        )
+        .groupBy("r_name")
+        .agg(F.count("n_nationkey").alias("c"))
+        .orderBy("r_name")
+    )
+
+
+@register(
+    "q11_semi_join",
+    "SELECT c_custkey FROM customer"
+    " WHERE c_custkey IN (SELECT o_custkey FROM orders) ORDER BY c_custkey",
+    doc="P4 existence predicate as left-semi join",
+)
+def q11(spark, sf_dir):
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+        .select("c_custkey")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "q12_except",
+    "SELECT c_custkey FROM customer EXCEPT SELECT o_custkey FROM orders"
+    " ORDER BY c_custkey",
+    doc="U2 include-minus-exclude set semantics"
+    " (reference: client/SmartBulkCopy.cs:819-827)",
+)
+def q12(spark, sf_dir):
+    cust = table(spark, sf_dir, "customer").select("c_custkey")
+    orders = table(spark, sf_dir, "orders").select("o_custkey")
+    return cust.subtract(orders.toDF("c_custkey")).orderBy("c_custkey")
+
+
+@register(
+    "q13_union_distinct",
+    "SELECT n_regionkey AS k FROM nation UNION SELECT r_regionkey AS k FROM region"
+    " ORDER BY k",
+    doc="U1 deduplicating UNION (reference: client/TableInfoCollector.cs:333-348)",
+)
+def q13(spark, sf_dir):
+    nation = table(spark, sf_dir, "nation").select(F.col("n_regionkey").alias("k"))
+    region = table(spark, sf_dir, "region").select(F.col("r_regionkey").alias("k"))
+    return nation.unionByName(region).distinct().orderBy("k")
+
+
+# --------------------------------------------------------------------------
+# Q14-Q17: top-k, scalar functions, the TPC-H-Q1-shaped agg sweep
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q14_topk",
+    "SELECT o_orderpriority, c FROM (SELECT o_orderpriority, count(*) AS c"
+    " FROM orders GROUP BY o_orderpriority) t ORDER BY c DESC, o_orderpriority LIMIT 1",
+    doc="O3 TOP(1) pick (reference: client/TableInfoCollector.cs:310-350)",
+)
+def q14(spark, sf_dir):
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), F.col("o_orderpriority"))
+        .limit(1)
+    )
+
+
+@register(
+    "q15_case_when",
+    "SELECT o_orderkey, CASE WHEN o_totalprice > 150000 THEN 'big' ELSE 'small' END"
+    " AS sz FROM orders ORDER BY o_orderkey",
+    doc="CASE WHEN scalar (reference: client/TableInfoCollector.cs:421-432)",
+)
+def q15(spark, sf_dir):
+    return (
+        table(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            F.when(F.col("o_totalprice") > 150000, F.lit("big"))
+            .otherwise(F.lit("small"))
+            .alias("sz"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "q16_quotename",
+    "SELECT '[' || r_name || ']' AS quoted FROM region ORDER BY r_name",
+    doc="QUOTENAME-style identifier quoting"
+    " (reference: client/SmartBulkCopy.cs:836,851)",
+)
+def q16(spark, sf_dir):
+    return (
+        table(spark, sf_dir, "region")
+        .orderBy("r_name")
+        .select(F.concat(F.lit("["), F.col("r_name"), F.lit("]")).alias("quoted"))
+    )
+
+
+@register(
+    "q17_agg_sweep",
+    "SELECT l_returnflag, l_linestatus,"
+    " CAST(ROUND(sum(l_quantity),2) AS DECIMAL(18,2)) AS sum_qty,"
+    " CAST(ROUND(sum(l_extendedprice*(1-l_discount)),2) AS DECIMAL(18,2)) AS revenue,"
+    " count(*) AS cnt FROM lineitem GROUP BY l_returnflag, l_linestatus"
+    " ORDER BY l_returnflag, l_linestatus",
+    doc="TPC-H Q1 shape over the reference's LINEITEM benchmark table"
+    " (reference: README.md:159)",
+)
+def q17(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).cast(DEC182).alias("sum_qty"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))), 2
+            )
+            .cast(DEC182)
+            .alias("revenue"),
+            F.count("*").alias("cnt"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q18-Q19: windowed time aggregation (streaming batch-equivalent) + lag
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q18_tumbling_window",
+    "SELECT date_trunc('hour', ts) AS w, event_type, count(*) AS c,"
+    " CAST(ROUND(sum(value),2) AS DECIMAL(18,2)) AS total FROM events"
+    " GROUP BY w, event_type ORDER BY w, event_type",
+    doc="§2.9 tumbling-window agg; the streaming path must converge to this",
+)
+def q18(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(trunc_hour_ntz("ts").alias("w"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("c"),
+            F.round(F.sum("value"), 2).cast(DEC182).alias("total"),
+        )
+        .orderBy("w", "event_type")
+    )
+
+
+@register(
+    "q19_rate_delta_lag",
+    "SELECT w, c, c - lag(c) OVER (ORDER BY w) AS delta FROM"
+    " (SELECT date_trunc('hour', ts) AS w, count(*) AS c FROM events GROUP BY w) t"
+    " ORDER BY w",
+    doc="A5 monitor rate delta as lag() window"
+    " (reference: client/SmartBulkCopy.cs:723-731)",
+)
+def q19(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    hourly = ev.groupBy(trunc_hour_ntz("ts").alias("w")).agg(
+        F.count("*").alias("c")
+    )
+    w = Window.orderBy("w")
+    return hourly.select(
+        "w", "c", (F.col("c") - F.lag("c").over(w)).alias("delta")
+    ).orderBy("w")
+
+
+def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec.fn for name, spec in REGISTRY.items()}
+
+
+def oracle_queries() -> dict[str, str]:
+    return {
+        name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None
+    }

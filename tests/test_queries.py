@@ -1,0 +1,31 @@
+"""Every registered query with an oracle must hash-match DuckDB on the same
+parquet (mirrors the driver's CORRECTNESS gate, SURVEY §2.10)."""
+
+from __future__ import annotations
+
+import pytest
+
+from smartbulkcopy_spark.queries import REGISTRY
+
+from .util import assert_matches_oracle
+
+ORACLED = [name for name, spec in REGISTRY.items() if spec.oracle is not None]
+
+
+@pytest.mark.parametrize("name", ORACLED)
+def test_query_matches_oracle(spark, duck, sf_dir, name):
+    spec = REGISTRY[name]
+    df = spec.fn(spark, sf_dir)
+    assert_matches_oracle(df, duck, spec.oracle, name=name)
+
+
+def test_registry_nonempty():
+    assert len(REGISTRY) >= 19
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
+    assert set(e.queries()).issuperset(set(e.oracle_sql()))
