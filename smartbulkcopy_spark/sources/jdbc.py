@@ -1,0 +1,135 @@
+"""JDBC source/sink: partition-predicated parallel reads and batch-controlled
+writes, with an idempotent staging commit protocol for retry safety.
+
+This is the direct Spark expression of the reference's data plane
+(reference: client/SmartBulkCopy.cs:398-663). No live database exists in
+the build container, so these functions are exercised by unit tests only
+at the SQL/plumbing level; the parquet path covers end-to-end behavior.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from smartbulkcopy_spark.config import COLUMNSTORE_MIN_BATCH, EngineConfig
+from smartbulkcopy_spark.model import IndexKind, TableInfo
+from smartbulkcopy_spark.planner import CopyTask
+
+
+def jdbc_predicates(tasks: list[CopyTask]) -> list[str]:
+    """One predicate string per plan node -> one Spark task per partition
+    (reference generates one SELECT per work item,
+    client/SmartBulkCopy.cs:424-428)."""
+    preds = []
+    for t in tasks:
+        p = t.predicate_sql()
+        preds.append(p if p else "1=1")
+    return preds
+
+
+def read_jdbc_partitioned(
+    spark: SparkSession,
+    url: str,
+    tasks: list[CopyTask],
+    properties: dict[str, str] | None = None,
+) -> DataFrame:
+    """Partition-parallel JDBC read: each planner predicate becomes one
+    Spark partition (SURVEY §2.1 S2/S3)."""
+    head = tasks[0]
+    table = head.source.location or head.source.name
+    df = spark.read.jdbc(
+        url=url,
+        table=table,
+        predicates=jdbc_predicates(tasks),
+        properties=properties or {},
+    )
+    return df.select(*head.select_columns())
+
+
+def effective_batch_size(config: EngineConfig, destination: TableInfo) -> int:
+    """Columnstore destinations force >=102,400-row batches so rowgroups
+    compress straight to columnar segments without delta-store churn
+    (reference: client/SmartBulkCopy.cs:511-516, README.md:80-82)."""
+    if destination.primary_index.kind is IndexKind.COLUMNSTORE_CLUSTERED:
+        return max(config.batch_size, COLUMNSTORE_MIN_BATCH)
+    return config.batch_size
+
+
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    config: EngineConfig,
+    destination: TableInfo,
+    properties: dict[str, str] | None = None,
+) -> None:
+    """Append write with batch control; truncate-then-load maps to
+    mode=overwrite + truncate=true (SURVEY §2.1 S4/S5)."""
+    writer = (
+        df.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("batchsize", effective_batch_size(config, destination))
+        .option("isolationLevel", "READ_COMMITTED")
+    )
+    for k, v in (properties or {}).items():
+        writer = writer.option(k, v)
+    if config.truncate_tables:
+        writer = writer.mode("overwrite").option("truncate", "true")
+    else:
+        writer = writer.mode("append")
+    writer.save()
+
+
+# ---------------------------------------------------------------------------
+# Idempotent commit protocol (SURVEY §7.4 known-hard #1).
+#
+# Plain JDBC appends are not idempotent under Spark task retry: a task that
+# dies mid-batch leaves partial rows. The reference wraps each partition in
+# an explicit transaction with rollback + retry
+# (reference: client/SmartBulkCopy.cs:450-607). The Spark-native equivalent
+# is stage-then-publish: every attempt writes to a staging table keyed by
+# (job, partition, attempt), and publication is a single INSERT...SELECTที่
+# the driver executes exactly once per partition after the write succeeds.
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class StagingPlan:
+    target_table: str
+    staging_table: str
+
+    @property
+    def create_sql(self) -> str:
+        return (
+            f"SELECT * INTO {self.staging_table} FROM {self.target_table}"
+            " WHERE 1 = 0"
+        )
+
+    @property
+    def publish_sql(self) -> str:
+        return (
+            f"INSERT INTO {self.target_table} WITH (TABLOCK)"
+            f" SELECT * FROM {self.staging_table}"
+        )
+
+    @property
+    def cleanup_sql(self) -> str:
+        return f"DROP TABLE IF EXISTS {self.staging_table}"
+
+
+def staging_plan(target_table: str, job_id: str, partition_number: int) -> StagingPlan:
+    safe = target_table.replace("[", "").replace("]", "").replace(".", "_")
+    return StagingPlan(
+        target_table=target_table,
+        staging_table=f"stage_{safe}_{job_id}_{partition_number}",
+    )
+
+
+# Transient error numbers the retry loop treats as retryable
+# (reference: client/SmartBulkCopy.cs:21-33).
+TRANSIENT_SQLSERVER_ERRORS = frozenset(
+    {0, 53, 121, 258, 1205, 4060, 4221, 10054, 10928, 10929, 40143, 40197, 40501, 40613, 49918, 49919, 49920}
+)
