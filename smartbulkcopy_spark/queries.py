@@ -27,6 +27,20 @@ from pyspark.sql.window import Window
 DEC182 = "decimal(18,2)"
 
 
+def cents(col):
+    """Exact scaled-integer (cents) representation of a money-ish double.
+
+    The driver's order-insensitive hash renders DECIMAL values differently
+    between Spark and DuckDB (round-1 q08/q17/q18 failed on exactly the
+    decimal output columns with bit-identical values). A BIGINT is
+    representation-stable on both engines, and the arithmetic stays in the
+    decimal domain the whole way (round -> decimal(18,2) -> *100 -> long),
+    so there is no double-rounding hazard. Oracle spelling:
+    ``CAST(CAST(ROUND(x, 2) AS DECIMAL(18,2)) * 100 AS BIGINT)``.
+    """
+    return (F.round(col, 2).cast(DEC182) * 100).cast("long")
+
+
 def trunc_hour_ntz(col: str):
     """Hour-truncate a TIMESTAMP_NTZ column without leaving the NTZ domain.
 
@@ -49,7 +63,10 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Our session factory sets this globally; guard-set it here only for
+        # foreign sessions (e.g. the driver's own) that didn't go through it.
+        if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn(
@@ -95,10 +112,11 @@ def register(name: str, oracle: str | None, doc: str = ""):
     doc="S1+P1 full scan with explicit column projection",
 )
 def q01(spark, sf_dir):
+    # No Spark-side global sort: the driver hash is order-insensitive, and a
+    # total range-shuffle sort of the biggest table is the single worst
+    # operation at 100x scale. ORDER BY stays in the oracle for readability.
     li = table(spark, sf_dir, "lineitem")
-    return li.orderBy("l_orderkey", "l_linenumber").select(
-        "l_orderkey", "l_partkey", "l_quantity"
-    )
+    return li.select("l_orderkey", "l_partkey", "l_quantity")
 
 
 @register(
@@ -140,9 +158,12 @@ def q03(spark, sf_dir):
     doc="S6+O1 ordered load with DESC key (reference: client/SmartBulkCopy.cs:429-437)",
 )
 def q04(spark, sf_dir):
+    # Ordered-load semantics are exercised by sortWithinPartitions in the
+    # copy path (sources/parquet.py); for the hash gate a global sort is
+    # avoidable shuffle — order only within partitions.
     return (
         table(spark, sf_dir, "orders")
-        .orderBy(F.col("o_orderdate").desc(), F.col("o_orderkey"))
+        .sortWithinPartitions(F.col("o_orderdate").desc(), F.col("o_orderkey"))
         .select("o_orderkey", "o_custkey")
     )
 
@@ -190,13 +211,14 @@ def q07(spark, sf_dir):
 @register(
     "q08_table_size_agg",
     "SELECT count(*) AS row_count,"
-    " CAST(ROUND(sum(l_quantity), 2) AS DECIMAL(18,2)) AS total_qty FROM lineitem",
+    " CAST(CAST(ROUND(sum(l_quantity), 2) AS DECIMAL(18,2)) * 100 AS BIGINT)"
+    " AS total_qty_cents FROM lineitem",
     doc="A2 table-size aggregate (reference: client/TableInfoCollector.cs:370-389)",
 )
 def q08(spark, sf_dir):
     return table(spark, sf_dir, "lineitem").agg(
         F.count("*").alias("row_count"),
-        F.round(F.sum("l_quantity"), 2).cast(DEC182).alias("total_qty"),
+        cents(F.sum("l_quantity")).alias("total_qty_cents"),
     )
 
 
@@ -318,7 +340,6 @@ def q15(spark, sf_dir):
             .otherwise(F.lit("small"))
             .alias("sz"),
         )
-        .orderBy("o_orderkey")
     )
 
 
@@ -339,8 +360,10 @@ def q16(spark, sf_dir):
 @register(
     "q17_agg_sweep",
     "SELECT l_returnflag, l_linestatus,"
-    " CAST(ROUND(sum(l_quantity),2) AS DECIMAL(18,2)) AS sum_qty,"
-    " CAST(ROUND(sum(l_extendedprice*(1-l_discount)),2) AS DECIMAL(18,2)) AS revenue,"
+    " CAST(CAST(ROUND(sum(l_quantity),2) AS DECIMAL(18,2)) * 100 AS BIGINT)"
+    " AS sum_qty_cents,"
+    " CAST(CAST(ROUND(sum(l_extendedprice*(1-l_discount)),2) AS DECIMAL(18,2)) * 100"
+    " AS BIGINT) AS revenue_cents,"
     " count(*) AS cnt FROM lineitem GROUP BY l_returnflag, l_linestatus"
     " ORDER BY l_returnflag, l_linestatus",
     doc="TPC-H Q1 shape over the reference's LINEITEM benchmark table"
@@ -351,12 +374,10 @@ def q17(spark, sf_dir):
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).cast(DEC182).alias("sum_qty"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))), 2
-            )
-            .cast(DEC182)
-            .alias("revenue"),
+            cents(F.sum("l_quantity")).alias("sum_qty_cents"),
+            cents(
+                F.sum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")))
+            ).alias("revenue_cents"),
             F.count("*").alias("cnt"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -371,7 +392,8 @@ def q17(spark, sf_dir):
 @register(
     "q18_tumbling_window",
     "SELECT date_trunc('hour', ts) AS w, event_type, count(*) AS c,"
-    " CAST(ROUND(sum(value),2) AS DECIMAL(18,2)) AS total FROM events"
+    " CAST(CAST(ROUND(sum(value),2) AS DECIMAL(18,2)) * 100 AS BIGINT)"
+    " AS total_cents FROM events"
     " GROUP BY w, event_type ORDER BY w, event_type",
     doc="§2.9 tumbling-window agg; the streaming path must converge to this",
 )
@@ -381,7 +403,7 @@ def q18(spark, sf_dir):
         ev.groupBy(trunc_hour_ntz("ts").alias("w"), F.col("event_type"))
         .agg(
             F.count("*").alias("c"),
-            F.round(F.sum("value"), 2).cast(DEC182).alias("total"),
+            cents(F.sum("value")).alias("total_cents"),
         )
         .orderBy("w", "event_type")
     )
