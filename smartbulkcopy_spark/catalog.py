@@ -92,9 +92,19 @@ class ParquetCatalog:
         if not path.exists():
             return TableInfo(name=name, exists=False)
 
+        import pyarrow as pa
+
         meta = pq.read_metadata(path)
         size_bytes = os.path.getsize(path)
         layout = self.layouts.get(name, LayoutSpec())
+        schema = pq.read_schema(path)
+        numeric = [
+            f.name
+            for f in schema
+            if pa.types.is_integer(f.type)
+            or pa.types.is_floating(f.type)
+            or pa.types.is_decimal(f.type)
+        ]
 
         index = layout.to_index()
         info = TableInfo(
@@ -103,7 +113,8 @@ class ParquetCatalog:
             primary_index=index,
             secondary_indexes=layout.secondary_indexes,
             foreign_keys=layout.foreign_keys,
-            columns=list(pq.read_schema(path).names),
+            columns=list(schema.names),
+            numeric_columns=numeric,
             size=TableSize(
                 row_count=meta.num_rows, size_gb=size_bytes // (1 << 30)
             ),
@@ -214,16 +225,25 @@ class JdbcCatalog:
             self.url, f"({sql}) AS q", properties=self.properties
         )
 
+    @staticmethod
+    def _fmt(sql: str, name: str) -> str:
+        """Interpolate a table name into a SQL string literal safely: the
+        reference passes @tableName as a parameter; here the name rides
+        inside '...' literals, so embedded quotes must be doubled or a
+        name like ``O'Brien.t`` breaks the query (injection surface,
+        round-1 advice)."""
+        return sql.format(table=name.replace("'", "''"))
+
     def collect(self, name: str) -> TableInfo:
-        exists = self._query(SQL_TABLE_EXISTS.format(table=name)).first()["n"] > 0
+        exists = self._query(self._fmt(SQL_TABLE_EXISTS, name)).first()["n"] > 0
         if not exists:
             return TableInfo(name=name, exists=False)
 
         cols = [
             r["column_name"]
-            for r in self._query(SQL_COPYABLE_COLUMNS.format(table=name)).collect()
+            for r in self._query(self._fmt(SQL_COPYABLE_COLUMNS, name)).collect()
         ]
-        idx_rows = self._query(SQL_PRIMARY_INDEX.format(table=name)).collect()
+        idx_rows = self._query(self._fmt(SQL_PRIMARY_INDEX, name)).collect()
         kind = IndexKind.HEAP
         if idx_rows:
             t = idx_rows[0]["index_type"]
@@ -245,11 +265,11 @@ class JdbcCatalog:
                 for r in idx_rows
             ],
         )
-        size_row = self._query(SQL_TABLE_SIZE.format(table=name)).first()
-        sec = self._query(SQL_SECONDARY_INDEX_COUNT.format(table=name)).first()["n"]
-        fks = self._query(SQL_FOREIGN_KEY_COUNT.format(table=name)).first()["n"]
-        part = self._query(SQL_PARTITION_INFO.format(table=name)).collect()
-        temporal = self._query(SQL_TEMPORAL_TYPE.format(table=name)).first()
+        size_row = self._query(self._fmt(SQL_TABLE_SIZE, name)).first()
+        sec = self._query(self._fmt(SQL_SECONDARY_INDEX_COUNT, name)).first()["n"]
+        fks = self._query(self._fmt(SQL_FOREIGN_KEY_COUNT, name)).first()["n"]
+        part = self._query(self._fmt(SQL_PARTITION_INFO, name)).collect()
+        temporal = self._query(self._fmt(SQL_TEMPORAL_TYPE, name)).first()
 
         return TableInfo(
             name=name,

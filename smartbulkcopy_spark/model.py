@@ -106,6 +106,10 @@ class TableInfo:
     secondary_indexes: int = 0
     foreign_keys: int = 0
     columns: list[str] = field(default_factory=list)
+    # Columns safely castable to BIGINT for logical bucketing. Empty means
+    # "unknown" (e.g. a JDBC catalog that didn't fetch types) — the planner
+    # then trusts the clustered key like the reference trusts %%PhysLoc%%.
+    numeric_columns: list[str] = field(default_factory=list)
     size: TableSize = field(default_factory=TableSize)
     table_type: TableType = TableType.REGULAR
     history_info: HistoryInfo | None = None

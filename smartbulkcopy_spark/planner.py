@@ -103,13 +103,26 @@ class LogicalPartitionCopyTask(CopyTask):
     n_partitions: int = 1
     bucket_column: str | None = None
 
-    def predicate_sql(self) -> str | None:
+    def bucket_sql_expr(self) -> str | None:
+        """THE canonical bucketing expression. Every spelling — the JDBC
+        predicate, the Catalyst repartition expression, the per-bucket
+        retry filter — derives from this one string, so a row lands in the
+        same bucket no matter which path evaluates it (round-1 advice: the
+        two paths disagreed). NULL or non-castable keys deterministically
+        land in bucket 0 (the reference's %%PhysLoc%% can never be NULL;
+        a key column can)."""
         if self.n_partitions <= 1 or not self.bucket_column:
             return None
         return (
-            f"ABS(CAST({self.bucket_column} AS BIGINT))"
-            f" % {self.n_partitions} = {self.partition_number - 1}"
+            f"COALESCE(ABS(CAST({self.bucket_column} AS BIGINT))"
+            f" % {self.n_partitions}, 0)"
         )
+
+    def predicate_sql(self) -> str | None:
+        expr = self.bucket_sql_expr()
+        if expr is None:
+            return None
+        return f"{expr} = {self.partition_number - 1}"
 
 
 @dataclass
@@ -173,17 +186,35 @@ def logical_partition_count(config: EngineConfig, row_count: int, size_gb: int) 
 
 
 def _pick_bucket_column(src: TableInfo) -> str | None:
-    """Stable numeric-ish key for logical bucketing: first clustered-key
-    column if any, else the first copyable column."""
+    """Stable BIGINT-castable key for logical bucketing: first clustered-key
+    column, else the first copyable column — validated against the
+    catalog's numeric-column list when it is known. Returns None when no
+    safe column exists; the caller falls back to a single-stream copy
+    (round-1 advice: a text bucket column silently put every row in one
+    bucket)."""
+    numeric = set(src.numeric_columns)
+
+    def ok(col: str) -> bool:
+        return not numeric or col in numeric
+
     order = src.primary_index.order_by_spec()
-    if order:
+    if order and ok(order[0][0]):
         return order[0][0]
     if src.columns:
-        return src.columns[0]
+        if ok(src.columns[0]):
+            return src.columns[0]
+        for c in src.columns:
+            if c in numeric:
+                return c
     return None
 
 
 def _expand_logical(src: TableInfo, dst: TableInfo, hint: OrderHint, n: int):
+    bucket_col = _pick_bucket_column(src)
+    if bucket_col is None:
+        # No safe bucket key -> one full stream rather than N overlapping
+        # full scans (each predicate would be vacuous).
+        return [FullCopyTask(source=src, destination=dst, order_hint=hint)]
     return [
         LogicalPartitionCopyTask(
             source=src,
@@ -191,7 +222,7 @@ def _expand_logical(src: TableInfo, dst: TableInfo, hint: OrderHint, n: int):
             order_hint=hint,
             partition_number=i,
             n_partitions=n,
-            bucket_column=_pick_bucket_column(src),
+            bucket_column=bucket_col,
         )
         for i in range(1, n + 1)
     ]

@@ -428,6 +428,67 @@ def q19(spark, sf_dir):
     ).orderBy("w")
 
 
+# --------------------------------------------------------------------------
+# Q20: the copy-fidelity round trip — the reference's entire reason to exist
+# (reference: client/SmartBulkCopy.cs:296-339 CheckResults), strengthened
+# from row-count equality to a content fingerprint.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q20_copy_roundtrip",
+    "SELECT count(*) AS src_rows, count(*) AS dst_rows,"
+    " TRUE AS content_match FROM lineitem",
+    doc="SURVEY §2.10 Q20: plan a 9-way logical-partition copy of lineitem,"
+    " execute it parquet-to-parquet, re-read the destination, and verify"
+    " count + order-insensitive content fingerprint"
+    " (reference: client/SmartBulkCopy.cs:296-339)",
+)
+def q20(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    from smartbulkcopy_spark.catalog import ParquetCatalog
+    from smartbulkcopy_spark.config import EngineConfig, LogicalPartitioningStrategy
+    from smartbulkcopy_spark.planner import Outcome, analyze
+    from smartbulkcopy_spark.sources.parquet import copy_table
+    from smartbulkcopy_spark.verify import check_copy
+
+    src_info = ParquetCatalog(sf_dir).collect("lineitem")
+    # Destination "exists" as an empty heap (the reference requires
+    # pre-created destination objects, docs/FAQ.md:10-16).
+    import dataclasses
+
+    # The planner pairs source/destination by table name; the destination
+    # "exists" as an empty heap with identical layout.
+    dst_info = dataclasses.replace(src_info)
+    config = EngineConfig(
+        logical_partitioning_strategy=LogicalPartitioningStrategy.COUNT,
+        logical_partitions=9,
+        # Below the reference's size gate every fixture would fall back to
+        # a single stream; 1k keeps the 9-way family at every test SF.
+        batch_size=1000,
+    )
+    plan = analyze(["lineitem"], [src_info], [dst_info], config)
+    assert plan.outcome is Outcome.SUCCESS, plan.outcome
+
+    dest = tempfile.mkdtemp(prefix="sbc_q20_")
+    try:
+        copy_table(spark, plan.tasks, dest, truncate=True)
+        check = check_copy(
+            spark.read.parquet(src_info.location),
+            spark.read.parquet(dest),
+            "lineitem",
+        )
+    finally:
+        shutil.rmtree(dest, ignore_errors=True)
+
+    return spark.createDataFrame(
+        [(check.source_rows, check.destination_rows, check.content_match)],
+        "src_rows bigint, dst_rows bigint, content_match boolean",
+    )
+
+
 def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 

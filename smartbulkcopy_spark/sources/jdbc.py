@@ -15,17 +15,34 @@ from pyspark.sql import DataFrame, SparkSession
 
 from smartbulkcopy_spark.config import COLUMNSTORE_MIN_BATCH, EngineConfig
 from smartbulkcopy_spark.model import IndexKind, TableInfo
-from smartbulkcopy_spark.planner import CopyTask
+from smartbulkcopy_spark.planner import CopyTask, PhysicalPartitionCopyTask
 
 
 def jdbc_predicates(tasks: list[CopyTask]) -> list[str]:
     """One predicate string per plan node -> one Spark task per partition
     (reference generates one SELECT per work item,
-    client/SmartBulkCopy.cs:424-428)."""
+    client/SmartBulkCopy.cs:424-428).
+
+    A physical-partition task without range boundaries (SQL Server source
+    whose catalog didn't surface sys.partition_range_values) falls back to
+    the native ``$partition.fn(col) = n`` spelling — without this, every
+    predicate degenerated to ``1=1`` and an N-task family read the whole
+    table N times (round-1 advice)."""
     preds = []
     for t in tasks:
         p = t.predicate_sql()
+        if (
+            p is None
+            and isinstance(t, PhysicalPartitionCopyTask)
+            and t.partition_function
+        ):
+            p = t.mssql_predicate()
         preds.append(p if p else "1=1")
+    if len(preds) > 1 and any(p == "1=1" for p in preds):
+        raise ValueError(
+            "multi-task family contains a vacuous predicate — this would"
+            f" copy the table {len(preds)} times: {preds}"
+        )
     return preds
 
 
@@ -91,8 +108,8 @@ def write_jdbc(
 # an explicit transaction with rollback + retry
 # (reference: client/SmartBulkCopy.cs:450-607). The Spark-native equivalent
 # is stage-then-publish: every attempt writes to a staging table keyed by
-# (job, partition, attempt), and publication is a single INSERT...SELECTที่
-# the driver executes exactly once per partition after the write succeeds.
+# (job, partition), and publication is a single INSERT...SELECT that the
+# driver executes exactly once per partition after the write succeeds.
 # ---------------------------------------------------------------------------
 
 

@@ -46,11 +46,11 @@ def read_for_tasks(spark: SparkSession, tasks: list[CopyTask]) -> DataFrame:
     df = spark.read.parquet(head.source.location).select(*head.select_columns())
 
     if isinstance(head, LogicalPartitionCopyTask) and head.n_partitions > 1:
-        # Deterministic disjoint buckets; same distribution contract as the
-        # reference's ABS(...) % N (reference: client/CopyInfo.cs:61-67),
-        # but hash-based so any key type works and skew is bounded.
-        bucket = F.pmod(F.xxhash64(F.col(head.bucket_column)), head.n_partitions)
-        df = df.repartition(head.n_partitions, bucket)
+        # Same canonical bucket expression as the JDBC predicate string
+        # (planner.bucket_sql_expr) so a bucket re-copied/verified on either
+        # path selects exactly the same rows (reference contract:
+        # client/CopyInfo.cs:61-67).
+        df = df.repartition(head.n_partitions, F.expr(head.bucket_sql_expr()))
     elif isinstance(head, PhysicalPartitionCopyTask):
         n = max(len(tasks), 1)
         df = df.repartitionByRange(n, F.col(head.partition_column))
@@ -66,13 +66,11 @@ def read_for_tasks(spark: SparkSession, tasks: list[CopyTask]) -> DataFrame:
 
 
 def bucket_filter(task: LogicalPartitionCopyTask):
-    """Per-bucket Catalyst predicate — the file-side analog of the JDBC
-    predicate string, used when a single bucket must be re-copied
-    (retry/backfill) without touching the others."""
-    return (
-        F.pmod(F.xxhash64(F.col(task.bucket_column)), task.n_partitions)
-        == task.partition_number - 1
-    )
+    """Per-bucket Catalyst predicate — literally the JDBC predicate string
+    parsed by Catalyst, used when a single bucket must be re-copied
+    (retry/backfill) without touching the others. One expression, two
+    spellings, zero drift."""
+    return F.expr(task.predicate_sql())
 
 
 def write_table(df: DataFrame, dest_path: str, truncate: bool) -> None:

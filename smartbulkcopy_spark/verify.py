@@ -3,9 +3,15 @@ reference: client/SmartBulkCopy.cs:296-339) plus a strictly stronger
 order-insensitive content hash (SURVEY Q20).
 
 The hash is computed entirely JVM-side: xxhash64 across all columns per
-row, combined with the commutative/associative BIT_XOR aggregate — one
-map-side-combinable aggregation, no shuffle of data rows, no collect of
-anything but a single row. At 100 TB this runs at scan speed.
+row, combined with a commutative/associative SUM (wrapped to 64 bits) —
+one map-side-combinable aggregation, no shuffle of data rows, no collect
+of anything but a single row. At 100 TB this runs at scan speed.
+
+SUM, not XOR: XOR cancels rows that occur an even number of times, so a
+destination that dropped two copies of row A and gained two of row C
+would pass (round-1 advice). Under SUM duplicates accumulate; the
+collision class shrinks to deliberate hash forgery, which a copy tool
+doesn't defend against.
 """
 
 from __future__ import annotations
@@ -17,14 +23,16 @@ from pyspark.sql import DataFrame
 
 
 def content_fingerprint(df: DataFrame) -> tuple[int, int]:
-    """(row_count, xor-of-row-hashes). Column order is normalized so two
-    DataFrames with the same set-of-rows fingerprint identically."""
+    """(row_count, sum-of-row-hashes mod 2^64). Column order is normalized
+    so two DataFrames with the same multiset-of-rows fingerprint
+    identically. The sum runs in the decimal(38,0) domain (exact for up to
+    ~1e19 rows) because a raw BIGINT sum would overflow under ANSI mode;
+    the wrap to 64 bits happens once, driver-side."""
     cols = sorted(df.columns)
-    hashed = df.select(F.xxhash64(*cols).alias("h"))
-    row = hashed.agg(
-        F.count("*").alias("c"), F.expr("bit_xor(h)").alias("x")
-    ).first()
-    return int(row["c"]), int(row["x"] if row["x"] is not None else 0)
+    hashed = df.select(F.xxhash64(*cols).cast("decimal(38,0)").alias("h"))
+    row = hashed.agg(F.count("*").alias("c"), F.sum("h").alias("s")).first()
+    total = int(row["s"]) if row["s"] is not None else 0
+    return int(row["c"]), total % (1 << 64)
 
 
 @dataclass

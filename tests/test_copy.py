@@ -1,0 +1,145 @@
+"""Copy-path invariants: bucket disjointness/exhaustiveness across both
+spellings of the canonical bucket expression, fingerprint duplicate
+sensitivity, and the vacuous-predicate guard (round-1 verdict/advice)."""
+
+from __future__ import annotations
+
+import dataclasses
+
+import pytest
+
+from smartbulkcopy_spark.catalog import ParquetCatalog
+from smartbulkcopy_spark.config import EngineConfig, LogicalPartitioningStrategy
+from smartbulkcopy_spark.model import TableInfo, TableSize
+from smartbulkcopy_spark.planner import (
+    FullCopyTask,
+    LogicalPartitionCopyTask,
+    Outcome,
+    PhysicalPartitionCopyTask,
+    analyze,
+)
+from smartbulkcopy_spark.sources.jdbc import jdbc_predicates
+from smartbulkcopy_spark.sources.parquet import bucket_filter
+from smartbulkcopy_spark.verify import content_fingerprint
+
+
+def _nine_way(sf_dir):
+    src = ParquetCatalog(sf_dir).collect("lineitem")
+    dst = dataclasses.replace(src)
+    config = EngineConfig(
+        logical_partitioning_strategy=LogicalPartitioningStrategy.COUNT,
+        logical_partitions=9,
+        batch_size=1000,
+    )
+    plan = analyze(["lineitem"], [src], [dst], config)
+    assert plan.outcome is Outcome.SUCCESS
+    assert len(plan.tasks) == 9
+    assert all(isinstance(t, LogicalPartitionCopyTask) for t in plan.tasks)
+    return plan.tasks
+
+
+def test_buckets_disjoint_exhaustive_both_spellings(spark, sf_dir):
+    """Every row lands in exactly one bucket whether the predicate is the
+    JDBC SQL string (parsed by Catalyst here) or the Catalyst filter —
+    they are the same expression by construction."""
+    tasks = _nine_way(sf_dir)
+    li = spark.read.parquet(tasks[0].source.location)
+    total = li.count()
+    from pyspark.sql import functions as F
+
+    per_bucket_sql = [
+        li.filter(F.expr(t.predicate_sql())).count() for t in tasks
+    ]
+    per_bucket_catalyst = [li.filter(bucket_filter(t)).count() for t in tasks]
+    assert per_bucket_sql == per_bucket_catalyst
+    assert sum(per_bucket_sql) == total
+    assert all(c > 0 for c in per_bucket_sql)  # no empty bucket at 6k rows
+
+
+def test_null_bucket_keys_route_to_bucket_zero(spark):
+    """NULL (or non-castable) keys deterministically land in bucket 0
+    instead of vanishing from every bucket (round-1 advice)."""
+    from pyspark.sql import functions as F
+
+    task = LogicalPartitionCopyTask(
+        source=TableInfo(name="t"),
+        destination=TableInfo(name="t"),
+        partition_number=1,
+        n_partitions=3,
+        bucket_column="k",
+    )
+    df = spark.createDataFrame(
+        [(None,), (0,), (1,), (2,), (3,)], "k int"
+    )
+    matched = sum(
+        df.filter(
+            F.expr(
+                dataclasses.replace(task, partition_number=i).predicate_sql()
+            )
+        ).count()
+        for i in range(1, 4)
+    )
+    assert matched == 5  # NULL row included exactly once, nothing dropped
+    # bucket 0 holds k=0, k=3, and the NULL row
+    assert df.filter(F.expr(task.predicate_sql())).count() == 3
+
+
+def test_text_only_table_falls_back_to_full_copy():
+    """A table with no BIGINT-castable column cannot be modulo-bucketed;
+    the planner must emit one full stream, not N vacuous scans."""
+    src = TableInfo(
+        name="t",
+        columns=["a", "b"],
+        numeric_columns=[],  # empty = unknown -> trusts first column
+        size=TableSize(row_count=10_000, size_gb=0),
+    )
+    # Explicitly known-non-numeric columns:
+    src = dataclasses.replace(src, numeric_columns=["__none__"])
+    dst = dataclasses.replace(src)
+    config = EngineConfig(
+        logical_partitioning_strategy=LogicalPartitioningStrategy.COUNT,
+        logical_partitions=9,
+        batch_size=1000,
+    )
+    plan = analyze(["t"], [src], [dst], config)
+    assert plan.outcome is Outcome.SUCCESS
+    assert len(plan.tasks) == 1
+    assert isinstance(plan.tasks[0], FullCopyTask)
+
+
+def test_jdbc_predicates_reject_vacuous_families():
+    t = TableInfo(name="t", columns=["a"])
+    tasks = [
+        LogicalPartitionCopyTask(
+            source=t, destination=t, partition_number=i, n_partitions=3,
+            bucket_column=None,
+        )
+        for i in range(1, 4)
+    ]
+    with pytest.raises(ValueError, match="vacuous"):
+        jdbc_predicates(tasks)
+
+
+def test_jdbc_physical_fallback_uses_dollar_partition():
+    t = TableInfo(name="t", columns=["a"])
+    task = PhysicalPartitionCopyTask(
+        source=t, destination=t, partition_number=4,
+        partition_column="a", partition_function="pf",
+    )
+    assert jdbc_predicates([task]) == ["$partition.pf(a) = 4"]
+
+
+def test_fingerprint_detects_duplicate_swap(spark):
+    """{A,A,B} vs {A,B,B} must not fingerprint-collide (XOR did)."""
+    a = spark.createDataFrame([(1,), (1,), (2,)], "x int")
+    b = spark.createDataFrame([(1,), (2,), (2,)], "x int")
+    ca, ha = content_fingerprint(a)
+    cb, hb = content_fingerprint(b)
+    assert ca == cb == 3
+    assert ha != hb
+
+
+def test_fingerprint_order_and_column_order_insensitive(spark):
+    a = spark.createDataFrame([(1, "x"), (2, "y")], "i int, s string")
+    b = spark.createDataFrame([("y", 2), ("x", 1)], "s string, i int")
+    assert content_fingerprint(a) == content_fingerprint(b.select("s", "i"))
