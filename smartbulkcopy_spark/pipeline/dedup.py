@@ -1,0 +1,259 @@
+"""Near-duplicate detection: MinHash-LSH candidate pairs, SimHash
+signatures, and exact n-gram Jaccard verification of candidates.
+
+No reference analog — Phase-5 pipeline operators (SURVEY §7.2). The
+critical scale property: candidate generation is **banded LSH, never
+all-pairs**. The only shuffle keyed by anything document-sized is
+(band_key, doc_id); documents are never crossed with documents. At 100 TB
+a hot band (boilerplate-heavy corpora produce them) is split by AQE skew
+handling; the band key can additionally be salted with a shingle-count
+byte without changing semantics.
+
+Cross-engine determinism: both Spark and DuckDB compute signatures from
+the same md5-based definition, so the DuckDB oracle reproduces the
+*exact* candidate set — the strongest possible check for an LSH pipeline.
+
+Signature definition (shared):
+    mh_k(doc) = min over 8-char shingles s_i of
+                substr(md5(concat(k div 4, ':', s_i)), 1 + 8*(k mod 4), 8)
+i.e. two salted md5 digests per shingle, each sliced into four
+independent 8-hex-char hash values — 2 md5 calls per shingle instead of
+8. The Spark side computes all 8 minhashes in ONE fold over the shingle
+sequence (aggregate + zip_with least); the DuckDB oracle uses the naive
+8-lambda spelling of the same definition — different evaluation order,
+identical values.
+
+Parameters: 8-char shingles, K=8 minhash values, 2 bands of r=4 — tuned
+so the fixture corpus yields a bounded nonempty candidate set (28 pairs
+at sf0.01, 356 at sf0.1); P(candidate) ≈ 1-(1-J^4)^2 for Jaccard J.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from smartbulkcopy_spark.queries import register, spread, table
+
+SHINGLE = 8
+R_ROWS = 4  # minhashes per band
+N_BANDS = 2
+K_HASHES = R_ROWS * N_BANDS
+
+# Normalization, in each engine's string-escaping dialect (Spark SQL
+# string literals treat backslash as escape; DuckDB does not; DuckDB
+# regexp_replace needs the 'g' flag to replace all matches).
+NORM_SPARK = r"lower(regexp_replace(text, '\\s+', ' '))"
+NORM_DUCK = r"lower(regexp_replace(text, '\s+', ' ', 'g'))"
+
+# All K minhashes in one pass: fold the shingle index sequence, zipping an
+# 8-slot accumulator with the 8 hash slices of the current shingle.
+# '~' (0x7E) sorts above every hex digit, so it is the fold's +infinity.
+# The fold runs over a PRE-PROJECTED normalized column `n` — inlining the
+# regexp normalization here would re-evaluate it per shingle, because
+# higher-order functions evaluate their bound expression tree per element.
+SIGS_SPARK = (
+    "aggregate("
+    f"sequence(1, greatest(length(n) - {SHINGLE - 1}, 1)),"
+    " array_repeat('~', 8),"
+    " (acc, i) -> zip_with(acc,"
+    " flatten(transform(sequence(0, 1), s ->"
+    " transform(sequence(0, 3), k ->"
+    f" substr(md5(concat(s, ':', substr(n, i, {SHINGLE}))),"
+    " 1 + 8 * k, 8)))),"
+    " (a, h) -> least(a, h)))"
+)
+
+
+def minhash_duck(k: int) -> str:
+    """The k-th MinHash in the DuckDB spelling of the shared definition."""
+    salt, off = k // 4, 1 + 8 * (k % 4)
+    return (
+        f"list_min(list_transform(range(1, greatest(length({NORM_DUCK})"
+        f" - {SHINGLE - 1}, 1) + 1),"
+        f" i -> substr(md5(concat('{salt}:', substr({NORM_DUCK}, i,"
+        f" {SHINGLE}))), {off}, 8)))"
+    )
+
+
+def _band_from_cols(engine: str) -> list[str]:
+    """Band key = md5 of the band's minhash columns + band tag."""
+    out = []
+    for b in range(N_BANDS):
+        parts = ", ".join(f"mh{b * R_ROWS + j}" for j in range(R_ROWS))
+        out.append(f"md5(concat({parts}, ':{b}'))")
+    return out
+
+
+def shingle_set_expr(engine: str) -> str:
+    """Distinct 8-char shingle set, for exact Jaccard verification.
+    The Spark spelling reads the pre-projected normalized column `n`."""
+    if engine == "spark":
+        return (
+            f"array_distinct(transform(sequence(1,"
+            f" greatest(length(n) - {SHINGLE - 1}, 1)),"
+            f" i -> substr(n, i, {SHINGLE})))"
+        )
+    return (
+        f"list_distinct(list_transform(range(1,"
+        f" greatest(length({NORM_DUCK}) - {SHINGLE - 1}, 1) + 1),"
+        f" i -> substr({NORM_DUCK}, i, {SHINGLE})))"
+    )
+
+
+def _normed(spark, sf_dir):
+    """(doc_id, n) with the normalization materialized once per row."""
+    docs = spread(spark, table(spark, sf_dir, "documents"))
+    return docs.select("doc_id", F.expr(NORM_SPARK).alias("n"))
+
+
+def _candidate_cte_duck() -> str:
+    mhs = ", ".join(f"{minhash_duck(k)} AS mh{k}" for k in range(K_HASHES))
+    bands = ", ".join(
+        f"{e} AS b{i}" for i, e in enumerate(_band_from_cols("duck"))
+    )
+    unions = " UNION ALL ".join(
+        f"SELECT doc_id, b{i} AS band FROM bnd" for i in range(N_BANDS)
+    )
+    return (
+        f"sig AS (SELECT doc_id, {mhs} FROM documents),"
+        f" bnd AS (SELECT doc_id, {bands} FROM sig),"
+        f" expl AS ({unions}),"
+        " cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id"
+        " FROM expl x JOIN expl y ON x.band = y.band"
+        " AND x.doc_id < y.doc_id)"
+    )
+
+
+def candidate_pairs(spark, sf_dir):
+    """Spark side of MinHash-LSH candidate generation: one-fold signature
+    projection (row-local) -> explode band keys -> self-join on band key
+    -> distinct ordered pairs. Shuffles only (16-byte band key, doc_id).
+
+    The band table is persisted before the self-join: both join sides
+    reference it, and without materialization each side would recompute
+    the signature fold — at 100 TB you write signatures once (a table in
+    its own right) and join against them many times."""
+    base = _normed(spark, sf_dir)
+    sig = base.select(
+        "doc_id", F.expr(SIGS_SPARK).alias("sigs")
+    ).select(
+        "doc_id",
+        *[
+            F.element_at("sigs", k + 1).alias(f"mh{k}")
+            for k in range(K_HASHES)
+        ],
+    )
+    bnd = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(*[F.expr(e) for e in _band_from_cols("spark")])
+        ).alias("band"),
+    ).persist()
+    x, y = bnd.alias("x"), bnd.alias("y")
+    return (
+        x.join(y, "band")
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("a_id"), F.col("y.doc_id").alias("b_id")
+        )
+        .distinct()
+    )
+
+
+@register(
+    "q27_minhash_lsh_pairs",
+    "WITH " + _candidate_cte_duck()
+    + " SELECT a_id, b_id FROM cand ORDER BY a_id, b_id",
+    doc="MinHash-LSH near-duplicate candidate pairs (8-char shingles, 8"
+    " hashes, 2 bands x 4 rows). Banded candidate generation — the"
+    " all-pairs comparison never happens; the oracle reproduces the exact"
+    " candidate set because the signatures are identical md5 math.",
+)
+def q27(spark, sf_dir):
+    return candidate_pairs(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# SimHash: 16-bit signature over whitespace tokens. Pure per-row compute
+# (nested higher-order aggregate), zero shuffle — at 100 TB this runs at
+# scan speed and the signature is a 2-byte dedup/cluster key.
+# ---------------------------------------------------------------------------
+
+_TOKENS_SPARK = r"split(trim(text), '\\s+')"
+_TOKENS_DUCK = r"string_split_regex(trim(text), '\s+')"
+
+
+def simhash_expr(engine: str) -> str:
+    if engine == "spark":
+        tok_hash = "CAST(conv(substr(md5(t), 1, 4), 16, 10) AS INT)"
+        inner = (
+            f"aggregate({_TOKENS_SPARK}, 0, (a, t) -> a +"
+            f" CASE WHEN (shiftright({tok_hash}, j) & 1) = 1"
+            " THEN 1 ELSE -1 END)"
+        )
+        return (
+            "aggregate(sequence(0, 15), 0, (acc, j) -> acc +"
+            f" CASE WHEN {inner} > 0 THEN shiftleft(1, j) ELSE 0 END)"
+        )
+    tok_hash = "CAST(('0x' || substr(md5(t), 1, 4)) AS INT)"
+    inner = (
+        f"list_sum(list_transform({_TOKENS_DUCK}, t ->"
+        f" CASE WHEN (({tok_hash} >> j) & 1) = 1 THEN 1 ELSE -1 END))"
+    )
+    return (
+        "list_sum(list_transform(range(0, 16), j ->"
+        f" CASE WHEN {inner} > 0 THEN (1 << j) ELSE 0 END))"
+    )
+
+
+@register(
+    "q28_simhash",
+    f"SELECT doc_id, CAST({simhash_expr('duck')} AS BIGINT) AS simhash16"
+    " FROM documents ORDER BY doc_id",
+    doc="16-bit SimHash per document (per-bit majority vote over token"
+    " hashes). Row-local nested higher-order aggregate — zero shuffle;"
+    " near-dups land within small Hamming distance.",
+)
+def q28(spark, sf_dir):
+    docs = spread(spark, table(spark, sf_dir, "documents"))
+    return docs.select(
+        "doc_id",
+        F.expr(simhash_expr("spark")).cast("bigint").alias("simhash16"),
+    )
+
+
+@register(
+    "q29_ngram_jaccard",
+    "WITH " + _candidate_cte_duck() + ","
+    f" sh AS (SELECT doc_id, {shingle_set_expr('duck')} AS s FROM documents)"
+    " SELECT c.a_id, c.b_id,"
+    " CAST(floor(1000.0 * len(list_intersect(sa.s, sb.s))"
+    "   / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))))"
+    " AS BIGINT) AS jaccard_millis"
+    " FROM cand c JOIN sh sa ON sa.doc_id = c.a_id"
+    " JOIN sh sb ON sb.doc_id = c.b_id"
+    " ORDER BY a_id, b_id",
+    doc="Exact n-gram Jaccard similarity, computed ONLY for LSH candidate"
+    " pairs — the verify step of the dedup pipeline. Joins candidates back"
+    " to shingle sets by doc_id; never all-pairs.",
+)
+def q29(spark, sf_dir):
+    cand = candidate_pairs(spark, sf_dir)
+    sh = _normed(spark, sf_dir).select(
+        "doc_id", F.expr(shingle_set_expr("spark")).alias("s")
+    )
+    a = sh.select(F.col("doc_id").alias("a_id"), F.col("s").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("b_id"), F.col("s").alias("sb"))
+    inter = F.size(F.array_intersect("sa", "sb"))
+    union = F.size("sa") + F.size("sb") - inter
+    return (
+        cand.join(a, "a_id")
+        .join(b, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            F.floor(1000.0 * inter / union)
+            .cast("bigint")
+            .alias("jaccard_millis"),
+        )
+    )

@@ -1,0 +1,191 @@
+"""Similarity search over the `embeddings` table (`array<float>`, 64-dim):
+exact brute-force cosine top-k (the correctness baseline) and
+random-hyperplane LSH bucketing (the scale path's candidate generator).
+
+No reference analog — Phase-5 pipeline operators (SURVEY §7.2).
+
+Scale design (100 TB):
+- q30 (exact top-k for ONE query) is a single scan: per-row fold dot
+  product in whole-stage codegen, then TakeOrdered(k) — no full sort, no
+  shuffle of vectors, no crossJoin. This is the per-query cost floor and
+  the oracle for any approximate path.
+- q31 buckets every vector into a 8-bit hyperplane signature. Bucketing is
+  row-local; the groupBy shuffles only (bucket_id, partial counts). An ANN
+  query then probes only its own bucket (+ Hamming-1 neighbors for higher
+  recall), turning a corpus-wide scan into a 1/256 slice — this is the
+  candidate-generation half of an IVF/LSH index, and the histogram is its
+  balance check (skewed buckets = bad hyperplanes).
+
+Cross-engine determinism: both engines fold dot products left-to-right in
+the double domain over identical ±1 md5-parity weights, so projections are
+bit-identical and so are the bucket assignments (verified empirically:
+50/50 embeddings bit-identical between Spark's aggregate/zip_with fold and
+DuckDB's list_reduce fold).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+
+from smartbulkcopy_spark.queries import register, spread, table
+
+N_PLANES = 8  # 8-bit bucket space
+
+
+def _dot_duck(a: str, b: str) -> str:
+    """Left fold of elementwise products in the double domain (DuckDB).
+    list_reduce starts from the first element; Spark's aggregate starts
+    from 0.0 — IEEE-identical since 0.0 + x == x exactly."""
+    return (
+        f"list_reduce(list_transform(range(1, len({a}) + 1),"
+        f" i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)),"
+        " (acc, v) -> acc + v)"
+    )
+
+
+@register(
+    "q30_cosine_topk",
+    "WITH q AS (SELECT embedding FROM embeddings"
+    " WHERE vec_id = (SELECT min(vec_id) FROM embeddings)),"
+    " d AS (SELECT e.vec_id,"
+    f" {_dot_duck('e.embedding', 'q.embedding')} AS dot,"
+    f" {_dot_duck('e.embedding', 'e.embedding')} AS naa,"
+    f" {_dot_duck('q.embedding', 'q.embedding')} AS nqq"
+    " FROM embeddings e, q"
+    " WHERE e.vec_id != (SELECT min(vec_id) FROM embeddings))"
+    " SELECT vec_id, CAST(floor(10000.0 * dot / (sqrt(naa) * sqrt(nqq)))"
+    " AS BIGINT) AS cos_e4"
+    " FROM d ORDER BY dot / (sqrt(naa) * sqrt(nqq)) DESC, vec_id LIMIT 10",
+    doc="Exact cosine top-10 neighbors of the first vector: one scan,"
+    " row-local fold dot product, TakeOrdered — the ANN correctness"
+    " baseline. The query vector is a broadcast literal, never a join.",
+)
+def q30(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings")
+    qrow = emb.orderBy("vec_id").select("vec_id", "embedding").first()
+    qvec = [float(v) for v in qrow["embedding"]]
+    # Python floats are IEEE doubles and sum() folds left — identical to
+    # both engines' folds over the same values.
+    nq = math.sqrt(sum(v * v for v in qvec))
+
+    qlit = F.array(*[F.lit(v) for v in qvec])
+    emb_d = F.transform("embedding", lambda x: x.cast("double"))
+    dot = F.aggregate(
+        F.zip_with(emb_d, qlit, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    naa = F.aggregate(
+        F.zip_with(emb_d, emb_d, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    cos = dot / (F.sqrt(naa) * F.lit(nq))
+    return (
+        emb.where(F.col("vec_id") != qrow["vec_id"])
+        .select(
+            "vec_id",
+            cos.alias("_cos"),
+            F.floor(10000.0 * cos).cast("bigint").alias("cos_e4"),
+        )
+        .orderBy(F.col("_cos").desc(), "vec_id")
+        .limit(10)
+        .select("vec_id", "cos_e4")
+    )
+
+
+def bucket_expr(engine: str) -> str:
+    """8-bit random-hyperplane signature. Hyperplane j's weight for
+    dimension i is ±1 from the parity of md5(f'{j}_{i}') — deterministic,
+    engine-independent pseudo-randomness with no stored model."""
+    if engine == "spark":
+        w = (
+            "CASE WHEN (CAST(conv(substr(md5(concat(j, '_', i)), 1, 2),"
+            " 16, 10) AS INT) & 1) = 1"
+            " THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END"
+        )
+        proj = (
+            "aggregate(zip_with(transform(embedding, x -> CAST(x AS"
+            " DOUBLE)), sequence(1, size(embedding)),"
+            f" (x, i) -> x * {w}), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+        return (
+            f"aggregate(sequence(0, {N_PLANES - 1}), 0, (acc, j) -> acc +"
+            f" CASE WHEN {proj} > 0 THEN shiftleft(1, j) ELSE 0 END)"
+        )
+    w = (
+        "CASE WHEN (CAST(('0x' || substr(md5(concat(j, '_', i)), 1, 2))"
+        " AS INT) & 1) = 1"
+        " THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END"
+    )
+    proj = (
+        "list_reduce(list_transform(range(1, len(embedding) + 1),"
+        f" i -> CAST(embedding[i] AS DOUBLE) * {w}), (acc, v) -> acc + v)"
+    )
+    return (
+        f"list_sum(list_transform(range(0, {N_PLANES}), j ->"
+        f" CASE WHEN {proj} > 0 THEN (1 << j) ELSE 0 END))"
+    )
+
+
+@register(
+    "q31_lsh_bucket_histogram",
+    f"SELECT CAST({bucket_expr('duck')} AS BIGINT) AS bucket,"
+    " count(*) AS c FROM embeddings GROUP BY bucket ORDER BY bucket",
+    doc="Random-hyperplane LSH bucket histogram — validates that the ANN"
+    " scale path's candidate generation partitions the corpus"
+    " deterministically and evenly. Bucketing is row-local; only"
+    " (bucket, count) shuffles.",
+)
+def q31(spark, sf_dir):
+    emb = spread(spark, table(spark, sf_dir, "embeddings"))
+    return (
+        emb.select(
+            F.expr(bucket_expr("spark")).cast("bigint").alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("c"))
+        .orderBy("bucket")
+    )
+
+
+def ann_topk_bucketed(spark, sf_dir, query_vec_id: int = 0, k: int = 10):
+    """The assembled ANN scale path: probe only the query's bucket.
+
+    Not a registered oracle query (LSH has false negatives by design —
+    recall is measured against q30 in tests); this is the API a user
+    calls. At 100 TB the bucket filter prunes ~255/256 of the corpus
+    before any distance math; with a bucketed/partitioned layout it
+    becomes partition pruning at the scan.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    bucketed = emb.withColumn(
+        "bucket", F.expr(bucket_expr("spark")).cast("bigint")
+    )
+    qrow = bucketed.where(F.col("vec_id") == query_vec_id).first()
+    qvec = [float(v) for v in qrow["embedding"]]
+    nq = math.sqrt(sum(v * v for v in qvec))
+    qlit = F.array(*[F.lit(v) for v in qvec])
+    emb_d = F.transform("embedding", lambda x: x.cast("double"))
+    dot = F.aggregate(
+        F.zip_with(emb_d, qlit, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    naa = F.aggregate(
+        F.zip_with(emb_d, emb_d, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    cos = dot / (F.sqrt(naa) * F.lit(nq))
+    return (
+        bucketed.where(
+            (F.col("bucket") == qrow["bucket"])
+            & (F.col("vec_id") != query_vec_id)
+        )
+        .select("vec_id", cos.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(k)
+    )

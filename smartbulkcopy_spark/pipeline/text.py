@@ -1,0 +1,203 @@
+"""Text-analysis operators over the `documents` table: exact dedup,
+corpus stats, token counting, language-ID heuristic, quality scoring,
+content fingerprinting.
+
+No reference analog (the reference copies bytes, it never reads text) —
+these are the Phase-5 pipeline operators (SURVEY §7.2). All expressions
+are JVM-side `pyspark.sql.functions`; the only shuffles are the final
+aggregations, which are partial-aggregate (map-side combine) by
+construction.
+
+Scale notes (100 TB):
+- exact dedup groups by a 128-bit content hash, NOT the text itself — the
+  shuffle carries (16-byte hash, doc_id), not document bodies.
+- per-doc scores (tokens, quality, fingerprint) are pure row-local
+  projections: zero shuffle, pipelined into whatever consumes them.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from smartbulkcopy_spark.queries import register, spread, table
+
+# Canonical normalization: lowercase, collapse whitespace runs. The DuckDB
+# spelling (note the 'g' flag — DuckDB replaces first-match by default,
+# Spark replaces all):
+NORM_SQL_DUCK = "lower(regexp_replace(text, '\\s+', ' ', 'g'))"
+
+
+def norm_text(col="text"):
+    return F.lower(F.regexp_replace(F.col(col), r"\s+", " "))
+
+
+def token_count(col="text"):
+    """Whitespace token count; empty/blank text counts 0 tokens."""
+    trimmed = F.trim(F.col(col))
+    return F.when(trimmed == "", F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    )
+
+
+TOKENS_SQL_DUCK = (
+    "CASE WHEN trim(text) = '' THEN 0"
+    " ELSE len(string_split_regex(trim(text), '\\s+')) END"
+)
+
+
+@register(
+    "q21_exact_dedup",
+    "SELECT md5(" + NORM_SQL_DUCK + ") AS content_hash,"
+    " min(doc_id) AS keep_doc_id, count(*) AS dup_count"
+    " FROM documents GROUP BY content_hash ORDER BY keep_doc_id",
+    doc="Exact deduplication by normalized-content hash, keep-first"
+    " semantics. Groups on the 128-bit md5, not the text, so the shuffle"
+    " carries 16-byte keys at any corpus size.",
+)
+def q21(spark, sf_dir):
+    docs = spread(spark, table(spark, sf_dir, "documents"))
+    return docs.groupBy(F.md5(norm_text()).alias("content_hash")).agg(
+        F.min("doc_id").alias("keep_doc_id"),
+        F.count("*").alias("dup_count"),
+    )
+
+
+@register(
+    "q22_text_stats",
+    "SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS total_chars,"
+    " min(n_chars) AS min_chars, max(n_chars) AS max_chars"
+    " FROM documents GROUP BY lang, source ORDER BY lang, source",
+    doc="Corpus composition stats per (lang, source) — the first question"
+    " anyone asks of a training corpus. Plain partial-aggregable groupBy.",
+)
+def q22(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+@register(
+    "q23_token_counts",
+    "SELECT lang, count(*) AS n_docs,"
+    " sum(" + TOKENS_SQL_DUCK + ") AS total_tokens,"
+    " max(" + TOKENS_SQL_DUCK + ") AS max_tokens"
+    " FROM documents GROUP BY lang ORDER BY lang",
+    doc="Whitespace token counting (the BPE-precursor budget metric),"
+    " aggregated per language. Token count is a row-local expression;"
+    " only (lang, partial sums) shuffle.",
+)
+def q23(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("n_tokens", token_count())
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+# Stopword-marker language guesser. The fixture text is synthetic word
+# salad, so accuracy against the label is irrelevant — what the oracle
+# checks is that the classification EXPRESSION is deterministic and
+# identical across engines (the honest form of an n-gram heuristic).
+_LANG_MARKERS = [
+    ("de", [" der ", " und ", " nicht "]),
+    ("fr", [" le ", " les ", " est "]),
+    ("es", [" el ", " que ", " los "]),
+    ("en", [" the ", " and ", " of "]),
+]
+
+
+def _guess_lang_spark():
+    padded = F.concat(F.lit(" "), norm_text(), F.lit(" "))
+    expr = F.lit("und")
+    for lang, markers in reversed(_LANG_MARKERS):
+        cond = None
+        for m in markers:
+            c = padded.contains(m)
+            cond = c if cond is None else (cond | c)
+        expr = F.when(cond, F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def _guess_lang_duck() -> str:
+    padded = "(' ' || " + NORM_SQL_DUCK + " || ' ')"
+    cases = []
+    for lang, markers in _LANG_MARKERS:
+        conds = " OR ".join(
+            f"{padded} LIKE '%{m}%'" for m in markers
+        )
+        cases.append(f"WHEN {conds} THEN '{lang}'")
+    return "CASE " + " ".join(cases) + " ELSE 'und' END"
+
+
+@register(
+    "q24_lang_id_confusion",
+    "SELECT lang AS labeled, " + _guess_lang_duck() + " AS guessed,"
+    " count(*) AS c FROM documents GROUP BY labeled, guessed"
+    " ORDER BY labeled, guessed",
+    doc="Marker-word language-ID heuristic with a labeled-vs-guessed"
+    " confusion matrix. Row-local classify, tiny shuffle.",
+)
+def q24(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.col("lang").alias("labeled"),
+            _guess_lang_spark().alias("guessed"),
+        )
+        .groupBy("labeled", "guessed")
+        .agg(F.count("*").alias("c"))
+        .orderBy("labeled", "guessed")
+    )
+
+
+@register(
+    "q25_quality_score",
+    "SELECT doc_id,"
+    " CAST(floor(100.0 * length(regexp_replace(text, '[^A-Za-z]', '', 'g'))"
+    "   / greatest(length(text), 1)) AS BIGINT) AS alpha_pct,"
+    " CAST(floor(100.0 * (length(text) - length(replace(text, ' ', '')))"
+    "   / greatest(length(text), 1)) AS BIGINT) AS space_pct,"
+    " " + TOKENS_SQL_DUCK + " AS n_tokens"
+    " FROM documents ORDER BY doc_id",
+    doc="Per-document quality signals: alphabetic ratio, whitespace ratio,"
+    " token count — the standard cheap filters before expensive model"
+    " scoring. Pure projection, zero shuffle.",
+)
+def q25(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    n = F.greatest(F.length("text"), F.lit(1))
+    alpha = F.length(F.regexp_replace(F.col("text"), "[^A-Za-z]", ""))
+    spaces = F.length("text") - F.length(F.regexp_replace(F.col("text"), " ", ""))
+    return docs.select(
+        "doc_id",
+        F.floor(100.0 * alpha / n).alias("alpha_pct"),
+        F.floor(100.0 * spaces / n).alias("space_pct"),
+        token_count().alias("n_tokens"),
+    )
+
+
+@register(
+    "q26_doc_fingerprint",
+    "SELECT doc_id, md5(" + NORM_SQL_DUCK + ") AS fingerprint"
+    " FROM documents ORDER BY doc_id",
+    doc="Stable 128-bit content fingerprint of the normalized document —"
+    " the join key for cross-corpus dedup and provenance tracking."
+    " Row-local, zero shuffle.",
+)
+def q26(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    return docs.select("doc_id", F.md5(norm_text()).alias("fingerprint"))

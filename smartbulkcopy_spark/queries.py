@@ -80,6 +80,19 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def spread(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Fan a narrow input out across cores before row-local heavy compute.
+
+    Small test files arrive as ONE split, serializing md5/fold-heavy
+    expressions onto a single core. On a real cluster a 100 TB input has
+    thousands of splits and this must NOT add a shuffle — so it only
+    repartitions when the scan is materially under-parallel."""
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() * 2 <= target:
+        return df.repartition(target)
+    return df
+
+
 @dataclass(frozen=True)
 class QuerySpec:
     name: str
@@ -487,6 +500,13 @@ def q20(spark, sf_dir):
         [(check.source_rows, check.destination_rows, check.content_match)],
         "src_rows bigint, dst_rows bigint, content_match boolean",
     )
+
+
+# Phase-5 pipeline operators (q21+) register themselves on import. The
+# import sits at the bottom because pipeline modules import `register`/
+# `table` from this module (deliberate one-way late binding, not a cycle
+# at call time).
+from smartbulkcopy_spark import pipeline as _pipeline  # noqa: E402,F401
 
 
 def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
