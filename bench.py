@@ -25,6 +25,71 @@ def run_one(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def copy_benchmarks(spark, sf_dir: str) -> dict[str, float]:
+    """Time `copy_table` of lineitem under the reference's three headline
+    layouts (BASELINE.md: heap 135s / heap-partitioned 111s / clustered
+    rowstore 505s at TPC-H sf10; the ordered single stream is 4.5x the
+    partitioned copy there).
+
+    Two caveats when reading these numbers against the baseline shape:
+    - at local sf0.1 the fixed per-job cost (~1.5s) dominates, so layout
+      deltas are in the noise; the layout spread only opens up at scale;
+    - the reference's ordered load is a SINGLE stream because SqlBulkCopy
+      feeds a clustered index serially; our ordered write is a parallel
+      range-sort (global order preserved across ordered output files), so
+      the reference's 4.5x ordered-load penalty is designed out rather
+      than reproduced."""
+    import datetime as dt
+    import shutil
+    import tempfile
+
+    from smartbulkcopy_spark.catalog import LayoutSpec, ParquetCatalog
+    from smartbulkcopy_spark.config import (
+        EngineConfig,
+        LogicalPartitioningStrategy,
+    )
+    from smartbulkcopy_spark.model import IndexKind
+    from smartbulkcopy_spark.planner import Outcome, analyze
+    from smartbulkcopy_spark.sources.parquet import copy_table
+
+    layouts = {
+        "heap": LayoutSpec(),
+        "heap_partitioned": LayoutSpec(
+            partition_column="l_shipdate",
+            partition_function="pf_year",
+            partition_boundaries=[
+                dt.datetime(y, 1, 1) for y in range(1993, 1999)
+            ],
+        ),
+        "ordered_rowstore": LayoutSpec(
+            kind=IndexKind.ROWSTORE_CLUSTERED,
+            key_columns=[("l_orderkey", False), ("l_linenumber", False)],
+        ),
+    }
+    config = EngineConfig(
+        logical_partitioning_strategy=LogicalPartitioningStrategy.COUNT,
+        logical_partitions=9,
+        batch_size=1000,
+    )
+    out: dict[str, float] = {}
+    for name, layout in layouts.items():
+        cat = ParquetCatalog(sf_dir, {"lineitem": layout})
+        src = cat.collect("lineitem")
+        import dataclasses
+
+        dst = dataclasses.replace(src)
+        plan = analyze(["lineitem"], [src], [dst], config)
+        assert plan.outcome is Outcome.SUCCESS, (name, plan.outcome)
+        dest = tempfile.mkdtemp(prefix=f"sbc_bench_{name}_")
+        try:
+            t0 = time.perf_counter()
+            copy_table(spark, plan.tasks, dest, truncate=True)
+            out[name] = round(time.perf_counter() - t0, 4)
+        finally:
+            shutil.rmtree(dest, ignore_errors=True)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -46,6 +111,8 @@ def main() -> None:
         run_one(spec.fn(spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 4)
 
+    copies = copy_benchmarks(spark, sf_dir)
+
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(
@@ -54,6 +121,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "copy": copies,
                 "sf": sf,
             }
         )

@@ -150,3 +150,45 @@ def staging_plan(target_table: str, job_id: str, partition_number: int) -> Stagi
 TRANSIENT_SQLSERVER_ERRORS = frozenset(
     {0, 53, 121, 258, 1205, 4060, 4221, 10054, 10928, 10929, 40143, 40197, 40501, 40613, 49918, 49919, 49920}
 )
+
+
+class StagingProtocol:
+    """Execute the stage-then-publish commit protocol over a DB-API-style
+    connection (anything with ``execute(sql)``).
+
+    Guarantees, mirroring the reference's per-partition transaction
+    (reference: client/SmartBulkCopy.cs:450-607, rollback at 576-591):
+
+    - every WRITE attempt starts from an empty staging table (truncate
+      before each try), so a mid-write death never leaks partial rows;
+    - PUBLISH is a single ``INSERT...SELECT`` statement — one transaction
+      on the server, retried only on transient failure (a failed attempt
+      was rolled back by the server, so the retry is exactly-once);
+    - CLEANUP always runs, dropping the staging table on success and
+      failure alike.
+    """
+
+    def __init__(self, connection, config: EngineConfig, log=None):
+        self.connection = connection
+        self.config = config
+        self.log = log or (lambda *_: None)
+
+    def run(self, plan: StagingPlan, write_fn) -> None:
+        from smartbulkcopy_spark.retry import with_retry
+
+        conn = self.connection
+        conn.execute(plan.cleanup_sql)  # drop leftovers from a dead run
+        conn.execute(plan.create_sql)
+        try:
+            def attempt():
+                conn.execute(f"TRUNCATE TABLE {plan.staging_table}")
+                write_fn(plan.staging_table)
+
+            with_retry(attempt, self.config, log=self.log)
+            with_retry(
+                lambda: conn.execute(plan.publish_sql),
+                self.config,
+                log=self.log,
+            )
+        finally:
+            conn.execute(plan.cleanup_sql)
