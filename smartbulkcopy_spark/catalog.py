@@ -205,6 +205,25 @@ SQL_TEMPORAL_TYPE = """
 SELECT temporal_type FROM sys.tables WHERE object_id = OBJECT_ID('{table}')
 """  # reference: client/TableInfoCollector.cs:421-459
 
+SQL_HISTORY_INFO = """
+SELECT QUOTENAME(SCHEMA_NAME(h.schema_id)) + '.' + QUOTENAME(h.name)
+         AS history_table,
+       (SELECT c.name FROM sys.columns c
+         WHERE c.object_id = t.object_id
+           AND c.generated_always_type = 1) AS period_start_column,
+       (SELECT c.name FROM sys.columns c
+         WHERE c.object_id = t.object_id
+           AND c.generated_always_type = 2) AS period_end_column,
+       CASE WHEN t.history_retention_period IS NULL THEN 'INFINITE'
+            ELSE CONCAT(t.history_retention_period, ' ',
+                        t.history_retention_period_unit_desc)
+       END AS retention_period
+FROM sys.tables t
+LEFT JOIN sys.tables h ON t.history_table_id = h.object_id
+WHERE t.object_id = OBJECT_ID('{table}')
+"""  # J4 correlated subqueries on sys.columns for the temporal period
+#    columns (reference: client/TableInfoCollector.cs:438-459)
+
 
 class JdbcCatalog:
     """Collect TableInfo over JDBC using the catalog queries above.
@@ -270,6 +289,17 @@ class JdbcCatalog:
         fks = self._query(self._fmt(SQL_FOREIGN_KEY_COUNT, name)).first()["n"]
         part = self._query(self._fmt(SQL_PARTITION_INFO, name)).collect()
         temporal = self._query(self._fmt(SQL_TEMPORAL_TYPE, name)).first()
+        ttype = TableType(temporal["temporal_type"] if temporal else 0)
+        history = None
+        if ttype is TableType.SYSTEM_VERSIONED_TEMPORAL:
+            h = self._query(self._fmt(SQL_HISTORY_INFO, name)).first()
+            if h is not None:
+                history = HistoryInfo(
+                    history_table=h["history_table"] or "",
+                    period_start_column=h["period_start_column"] or "",
+                    period_end_column=h["period_end_column"] or "",
+                    retention_period=h["retention_period"] or "INFINITE",
+                )
 
         return TableInfo(
             name=name,
@@ -282,7 +312,8 @@ class JdbcCatalog:
                 row_count=size_row["row_count"] or 0,
                 size_gb=size_row["size_gb"] or 0,
             ),
-            table_type=TableType(temporal["temporal_type"] if temporal else 0),
+            table_type=ttype,
+            history_info=history,
             partition_count=part[0]["partition_count"] if part else 0,
             partition_column=part[0]["partition_column"] if part else None,
             partition_function=part[0]["partition_function"] if part else None,

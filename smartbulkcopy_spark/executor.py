@@ -35,6 +35,7 @@ from pyspark.sql import SparkSession
 
 from smartbulkcopy_spark.catalog import LayoutSpec, ParquetCatalog
 from smartbulkcopy_spark.config import EngineConfig, SafeCheck
+from smartbulkcopy_spark.ddl import hooks_for
 from smartbulkcopy_spark.model import TableInfo
 from smartbulkcopy_spark.monitor import CopyMonitor
 from smartbulkcopy_spark.planner import Outcome, analyze
@@ -57,6 +58,8 @@ class TableResult:
     content_match: bool = False
     seconds: float = 0.0
     identity_reseed_sql: str | None = None
+    pre_sql: list[str] = field(default_factory=list)
+    post_sql: list[str] = field(default_factory=list)
     error: str | None = None
 
 
@@ -233,6 +236,13 @@ class CopyExecutor:
         t0 = time.monotonic()
         try:
             dest = os.path.join(self.config.destination, f"{table}.parquet")
+            # Temporal disable/enable DDL hooks (reference:
+            # client/SmartBulkCopy.cs:256-280) — executed over JDBC when
+            # the destination is a database, logged for file destinations.
+            hooks = hooks_for(tasks[0].destination)
+            res.pre_sql, res.post_sql = hooks.pre, hooks.post
+            for sql in hooks.pre:
+                self.log(f"pre-copy DDL hook: {sql}")
             with_retry(
                 lambda: copy_table(
                     self.spark, tasks, dest, truncate=True
@@ -248,6 +258,8 @@ class CopyExecutor:
             res.source_rows = check.source_rows
             res.destination_rows = check.destination_rows
             res.content_match = check.content_match
+            for sql in hooks.post:
+                self.log(f"post-copy DDL hook: {sql}")
             if self.config.sync_identity:
                 res.identity_reseed_sql = self._identity_sql(table, tasks[0])
                 if res.identity_reseed_sql:

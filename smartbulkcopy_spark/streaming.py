@@ -1,0 +1,89 @@
+"""Structured Streaming path for the `events` table (SURVEY §2.9/§7.2
+Phase 4).
+
+The reference is batch-only; its monitor loop is a polling pseudo-stream
+(reference: client/SmartBulkCopy.cs:665-766). Here the stream is real:
+a file source feeding a watermarked tumbling-window aggregation whose
+converged output must equal the batch q18 answer — that equivalence is
+the correctness gate for the streaming engine.
+
+Scale notes: the aggregation state is keyed by (hour, event_type); the
+watermark bounds state size (hours beyond watermark are finalized and
+evicted). File-source micro-batches map 1:1 onto arriving partitions of
+a 100 TB event feed; nothing here is local-mode-specific.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from smartbulkcopy_spark.queries import cents
+
+
+def read_events_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Open a parquet event feed as a stream.
+
+    Watermarks require TIMESTAMP (an absolute instant), not TIMESTAMP_NTZ,
+    so the nanosecond `ts` is rebuilt with ``timestamp_micros`` — a pure
+    epoch computation, independent of the session timezone. The naive
+    fixture values are thereby pinned to UTC instants; run the session
+    with ``spark.sql.session.timeZone=UTC`` (the factory default) and the
+    windowed output is bit-equal to the batch q18 answer."""
+    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.parquet(path)
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
+
+
+def hourly_aggregate(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Watermarked tumbling-window aggregation — the streaming twin of
+    q18 (same column names, same cents representation). State is keyed
+    (window, event_type) and bounded by the watermark."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("c"),
+            cents(F.sum("value")).alias("total_cents"),
+        )
+        .select(
+            F.col("window.start").cast("timestamp_ntz").alias("w"),
+            "event_type",
+            "c",
+            "total_cents",
+        )
+    )
+
+
+def run_to_convergence(
+    spark: SparkSession,
+    path: str,
+    query_name: str = "events_hourly",
+    watermark: str = "2 hours",
+    max_files_per_trigger: int | None = None,
+    output_mode: str = "complete",
+) -> DataFrame:
+    """Process everything currently in `path` (availableNow trigger) and
+    return the resulting table. In `complete` mode the result must equal
+    the batch q18 answer bit-for-bit; in `append` mode only watermark-
+    finalized windows are emitted."""
+    stream = read_events_stream(spark, path, max_files_per_trigger)
+    q = (
+        hourly_aggregate(stream, watermark)
+        .writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)

@@ -1,0 +1,163 @@
+"""Streaming path: the watermarked tumbling-window aggregation must
+converge to the batch q18 answer; append mode must respect the watermark.
+Plus temporal/identity DDL hook emission (SURVEY §2.11)."""
+
+from __future__ import annotations
+
+import shutil
+
+import pyspark.sql.functions as F
+import pytest
+
+from smartbulkcopy_spark import streaming
+from smartbulkcopy_spark.ddl import (
+    hooks_for,
+    identity_reseed_sql,
+    temporal_disable_sql,
+    temporal_enable_sql,
+)
+from smartbulkcopy_spark.model import HistoryInfo, TableInfo, TableType
+from smartbulkcopy_spark.queries import REGISTRY
+
+
+@pytest.fixture()
+def events_dir(tmp_path, sf_dir):
+    """A streamable copy of the events feed (file-source streams list a
+    directory; the fixture file stays read-only in testdata)."""
+    d = tmp_path / "events_feed"
+    d.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", d / "part-000.parquet")
+    return str(d)
+
+
+def _batch_q18(spark, sf_dir):
+    return {
+        (r["w"], r["event_type"]): (r["c"], r["total_cents"])
+        for r in REGISTRY["q18_tumbling_window"].fn(spark, sf_dir).collect()
+    }
+
+
+def test_streaming_converges_to_batch(spark, sf_dir, events_dir):
+    got = streaming.run_to_convergence(
+        spark, events_dir, query_name="conv_test", output_mode="complete"
+    )
+    stream_rows = {
+        (r["w"], r["event_type"]): (r["c"], r["total_cents"])
+        for r in got.collect()
+    }
+    assert stream_rows == _batch_q18(spark, sf_dir)
+
+
+def test_streaming_multi_file_append_respects_watermark(
+    spark, sf_dir, events_dir, tmp_path
+):
+    """Feed the events in 3 sequential time chunks (one file per
+    micro-batch); in append mode with a 2h watermark the emitted windows
+    are exactly the finalized ones — batch-identical values for every
+    emitted window, and the tail windows (inside the watermark at end of
+    input) held back in state."""
+    src = spark.read.parquet(events_dir)
+    lo, hi = src.agg(F.min("ts"), F.max("ts")).first()
+    span = (hi - lo) / 3
+    d = tmp_path / "multi_feed"
+    for k in range(3):  # sequential writes -> increasing file mtimes
+        chunk = src.where(
+            (F.col("ts") >= lo + k * span)
+            & (F.col("ts") < (lo + (k + 1) * span if k < 2 else hi))
+            | (F.lit(k == 2) & (F.col("ts") == hi))
+        )
+        chunk.coalesce(1).write.mode("append").parquet(str(d))
+
+    got = streaming.run_to_convergence(
+        spark,
+        str(d),
+        query_name="append_test",
+        output_mode="append",
+        watermark="2 hours",
+        max_files_per_trigger=1,
+    )
+    emitted = {
+        (r["w"], r["event_type"]): (r["c"], r["total_cents"])
+        for r in got.collect()
+    }
+    batch = _batch_q18(spark, sf_dir)
+    assert emitted, "append mode emitted nothing"
+    # chunks partition time, so nothing was late: every emitted window
+    # must match the batch answer exactly
+    for k, v in emitted.items():
+        assert batch[k] == v, k
+    # tail windows within the final watermark stay in state (not emitted)
+    max_w = max(w for w, _ in batch)
+    emitted_ws = {w for w, _ in emitted}
+    assert max_w not in emitted_ws
+    assert len(emitted) < len(batch)
+
+
+# -- DDL hooks --------------------------------------------------------------
+
+
+def test_temporal_ddl_shapes():
+    h = HistoryInfo(
+        history_table="[dbo].[orders_history]",
+        period_start_column="valid_from",
+        period_end_column="valid_to",
+        retention_period="6 MONTHS",
+    )
+    assert temporal_disable_sql("[dbo].[orders]") == (
+        "ALTER TABLE [dbo].[orders] SET (SYSTEM_VERSIONING = OFF)"
+    )
+    sql = temporal_enable_sql("[dbo].[orders]", h)
+    assert "SYSTEM_VERSIONING = ON" in sql
+    assert "HISTORY_TABLE = [dbo].[orders_history]" in sql
+    assert "HISTORY_RETENTION_PERIOD = 6 MONTHS" in sql
+    # infinite retention omits the retention clause
+    h2 = HistoryInfo(history_table="[dbo].[h]", retention_period="INFINITE")
+    assert "RETENTION" not in temporal_enable_sql("[dbo].[t]", h2)
+    assert identity_reseed_sql("orders", 1500) == (
+        "DBCC CHECKIDENT('orders', RESEED, 1500)"
+    )
+
+
+def test_hooks_emitted_only_for_temporal_destinations():
+    plain = TableInfo(name="t")
+    assert hooks_for(plain).pre == []
+    temporal = TableInfo(
+        name="t",
+        table_type=TableType.SYSTEM_VERSIONED_TEMPORAL,
+        history_info=HistoryInfo(history_table="[dbo].[t_hist]"),
+    )
+    hooks = hooks_for(temporal)
+    assert hooks.pre == ["ALTER TABLE t SET (SYSTEM_VERSIONING = OFF)"]
+    assert hooks.post == [
+        "ALTER TABLE t SET (SYSTEM_VERSIONING = ON"
+        " (HISTORY_TABLE = [dbo].[t_hist]))"
+    ]
+
+
+def test_executor_logs_temporal_hooks(spark, sf_dir, tmp_path):
+    from smartbulkcopy_spark.catalog import LayoutSpec
+    from smartbulkcopy_spark.config import EngineConfig, StopIf
+    from smartbulkcopy_spark.executor import EXIT_OK, CopyExecutor
+
+    config = EngineConfig(
+        source=sf_dir,
+        destination=str(tmp_path / "dest"),
+        tables=["region"],
+        stop_if=StopIf.NONE,  # waive the temporal guard, like the reference
+    )
+    layouts = {
+        "region": LayoutSpec(
+            table_type=TableType.SYSTEM_VERSIONED_TEMPORAL,
+            history=HistoryInfo(history_table="[dbo].[region_history]"),
+        )
+    }
+    lines = []
+    report = CopyExecutor(
+        spark, config, layouts=layouts, monitor_interval=60, log=lines.append
+    ).run()
+    assert report.exit_code == EXIT_OK, report.messages
+    (res,) = report.results
+    assert res.pre_sql and "SYSTEM_VERSIONING = OFF" in res.pre_sql[0]
+    assert res.post_sql and "SYSTEM_VERSIONING = ON" in res.post_sql[0]
+    assert any("pre-copy DDL hook" in ln for ln in lines)
+    assert any("post-copy DDL hook" in ln for ln in lines)
