@@ -7,9 +7,30 @@ loads the JSON config, runs the copy, exits with the reference's codes
 
 from __future__ import annotations
 
+import os
+import signal
 import sys
 
 from smartbulkcopy_spark.executor import EXIT_CONFIG, run_from_config_file
+
+
+def install_cancel_handler(spark, log=print, hard_exit=lambda: os._exit(130)):
+    """Two-stage Ctrl-C, like the reference (client/SmartBulkCopy.cs:
+    913-928, 44-45): first press cancels all running Spark jobs
+    cooperatively, second press hard-exits."""
+    state = {"presses": 0}
+
+    def handler(_sig, _frame):
+        state["presses"] += 1
+        if state["presses"] == 1:
+            log("cancel requested — stopping Spark jobs (Ctrl-C again to"
+                " force quit)")
+            spark.sparkContext.cancelAllJobs()
+        else:
+            hard_exit()
+
+    signal.signal(signal.SIGINT, handler)
+    return handler
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -17,7 +38,11 @@ def main(argv: list[str] | None = None) -> int:
     if len(argv) != 1:
         print("usage: python -m smartbulkcopy_spark <config.json>")
         return EXIT_CONFIG
-    report = run_from_config_file(argv[0])
+    from smartbulkcopy_spark.session import get_spark
+
+    spark = get_spark(app_name="smartsparkcopy")
+    install_cancel_handler(spark)
+    report = run_from_config_file(argv[0], spark=spark)
     for m in report.messages:
         print(m)
     return report.exit_code

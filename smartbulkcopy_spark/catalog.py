@@ -150,7 +150,7 @@ WHERE s.name = PARSENAME('{table}', 2) AND t.name = PARSENAME('{table}', 1)
 """  # reference: client/TableInfoCollector.cs:190-218
 
 SQL_COPYABLE_COLUMNS = """
-SELECT c.name AS column_name, c.column_id
+SELECT c.name AS column_name, c.column_id, c.system_type_id
 FROM sys.columns c
 WHERE c.object_id = OBJECT_ID('{table}')
   AND c.is_computed = 0        -- destination recomputes
@@ -158,6 +158,12 @@ WHERE c.object_id = OBJECT_ID('{table}')
   AND c.system_type_id != 189  -- timestamp/rowversion regenerates
 ORDER BY c.column_id
 """  # reference: client/TableInfoCollector.cs:391-414
+
+# SQL Server numeric system_type_ids — columns safe for BIGINT-modulo
+# logical bucketing (tinyint..bigint, decimal/numeric, money, float, bit).
+NUMERIC_SYSTEM_TYPE_IDS = frozenset(
+    {48, 52, 56, 59, 60, 62, 104, 106, 108, 122, 127}
+)
 
 SQL_PRIMARY_INDEX = """
 SELECT i.type AS index_type, ic.key_ordinal AS ordinal,
@@ -205,8 +211,25 @@ SQL_TEMPORAL_TYPE = """
 SELECT temporal_type FROM sys.tables WHERE object_id = OBJECT_ID('{table}')
 """  # reference: client/TableInfoCollector.cs:421-459
 
+SQL_PARTITION_BOUNDARIES = """
+SELECT prv.value AS boundary
+FROM sys.partition_functions pf
+JOIN sys.partition_range_values prv ON pf.function_id = prv.function_id
+WHERE pf.name = '{table}'
+ORDER BY prv.boundary_id
+"""  # boundary values let the planner emit real range predicates instead
+#    of $partition ordinals (round-1 advice: without them every physical-
+#    partition predicate degenerated to a full scan)
+
+SQL_CONNECTION_TEST = "SELECT 1 AS ok"
+# reference: client/SmartBulkCopy.cs:768-810 (test + SKU detection)
+SQL_SERVICE_OBJECTIVE = """
+SELECT service_objective FROM sys.database_service_objectives
+WHERE database_id = DB_ID()
+"""
+
 SQL_HISTORY_INFO = """
-SELECT QUOTENAME(SCHEMA_NAME(h.schema_id)) + '.' + QUOTENAME(h.name)
+SELECT CONCAT(QUOTENAME(SCHEMA_NAME(h.schema_id)), '.', QUOTENAME(h.name))
          AS history_table,
        (SELECT c.name FROM sys.columns c
          WHERE c.object_id = t.object_id
@@ -258,9 +281,12 @@ class JdbcCatalog:
         if not exists:
             return TableInfo(name=name, exists=False)
 
-        cols = [
+        col_rows = self._query(self._fmt(SQL_COPYABLE_COLUMNS, name)).collect()
+        cols = [r["column_name"] for r in col_rows]
+        numeric = [
             r["column_name"]
-            for r in self._query(self._fmt(SQL_COPYABLE_COLUMNS, name)).collect()
+            for r in col_rows
+            if r["system_type_id"] in NUMERIC_SYSTEM_TYPE_IDS
         ]
         idx_rows = self._query(self._fmt(SQL_PRIMARY_INDEX, name)).collect()
         kind = IndexKind.HEAP
@@ -288,6 +314,17 @@ class JdbcCatalog:
         sec = self._query(self._fmt(SQL_SECONDARY_INDEX_COUNT, name)).first()["n"]
         fks = self._query(self._fmt(SQL_FOREIGN_KEY_COUNT, name)).first()["n"]
         part = self._query(self._fmt(SQL_PARTITION_INFO, name)).collect()
+        boundaries: list[object] = []
+        if part:
+            boundaries = [
+                r["boundary"]
+                for r in self._query(
+                    self._fmt(
+                        SQL_PARTITION_BOUNDARIES,
+                        part[0]["partition_function"],
+                    )
+                ).collect()
+            ]
         temporal = self._query(self._fmt(SQL_TEMPORAL_TYPE, name)).first()
         ttype = TableType(temporal["temporal_type"] if temporal else 0)
         history = None
@@ -308,6 +345,7 @@ class JdbcCatalog:
             secondary_indexes=sec,
             foreign_keys=fks,
             columns=cols,
+            numeric_columns=numeric,
             size=TableSize(
                 row_count=size_row["row_count"] or 0,
                 size_gb=size_row["size_gb"] or 0,
@@ -317,5 +355,6 @@ class JdbcCatalog:
             partition_count=part[0]["partition_count"] if part else 0,
             partition_column=part[0]["partition_column"] if part else None,
             partition_function=part[0]["partition_function"] if part else None,
+            partition_boundaries=boundaries,
             location=name,
         )

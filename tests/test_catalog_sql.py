@@ -1,0 +1,201 @@
+"""Execute the JDBC catalog SQL against a simulated SQL Server catalog.
+
+No live SQL Server exists in this environment, so the sys.* views are
+recreated as DuckDB tables and the T-SQL builtins the queries use
+(OBJECT_ID, PARSENAME, QUOTENAME, SCHEMA_NAME, DB_ID) as DuckDB macros.
+This drives JdbcCatalog.collect() END TO END — every catalog query runs,
+and the resulting TableInfo (copyable columns, index kind, partition
+boundaries, temporal history) is asserted — closing the round-1 gap where
+the catalog SQL was untested dead weight."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from smartbulkcopy_spark.catalog import JdbcCatalog
+from smartbulkcopy_spark.model import IndexKind, TableType
+
+OBJ_ORDERS = 101
+OBJ_ORDERS_HIST = 102
+OBJ_PLAIN = 201
+
+
+@pytest.fixture(scope="module")
+def syscat():
+    con = duckdb.connect()
+    con.execute("CREATE SCHEMA sys")
+    con.execute("""
+        CREATE TABLE sys.schemas(schema_id INT, name VARCHAR);
+        INSERT INTO sys.schemas VALUES (1, 'dbo');
+        CREATE TABLE sys.tables(
+            object_id INT, schema_id INT, name VARCHAR, temporal_type INT,
+            history_table_id INT, history_retention_period INT,
+            history_retention_period_unit_desc VARCHAR);
+        INSERT INTO sys.tables VALUES
+            (101, 1, 'orders', 2, 102, 6, 'MONTHS'),
+            (102, 1, 'orders_history', 1, NULL, NULL, NULL),
+            (201, 1, 'plain', 0, NULL, NULL, NULL);
+        CREATE TABLE sys.columns(
+            object_id INT, column_id INT, name VARCHAR, is_computed INT,
+            is_column_set INT, system_type_id INT, generated_always_type INT);
+        INSERT INTO sys.columns VALUES
+            (101, 1, 'o_orderkey', 0, 0, 127, 0),
+            (101, 2, 'o_name', 0, 0, 231, 0),
+            (101, 3, 'o_total_computed', 1, 0, 106, 0),
+            (101, 4, 'o_rowversion', 0, 0, 189, 0),
+            (101, 5, 'o_orderdate', 0, 0, 61, 0),
+            (101, 6, 'valid_from', 0, 0, 61, 1),
+            (101, 7, 'valid_to', 0, 0, 61, 2),
+            (201, 1, 'a', 0, 0, 56, 0);
+        CREATE TABLE sys.indexes(
+            object_id INT, index_id INT, type INT, data_space_id INT);
+        INSERT INTO sys.indexes VALUES
+            (101, 1, 1, 9),   -- clustered rowstore on a partition scheme
+            (101, 5, 2, 1),   -- one secondary index
+            (201, 0, 0, 1);   -- heap
+        CREATE TABLE sys.index_columns(
+            object_id INT, index_id INT, column_id INT, key_ordinal INT,
+            is_descending_key INT, partition_ordinal INT);
+        INSERT INTO sys.index_columns VALUES
+            (101, 1, 1, 1, 0, 0),     -- key: o_orderkey ASC
+            (101, 1, 5, 2, 1, 1);     -- key: o_orderdate DESC, partition col
+        CREATE TABLE sys.dm_db_partition_stats(
+            object_id INT, index_id INT, row_count BIGINT,
+            used_page_count BIGINT);
+        INSERT INTO sys.dm_db_partition_stats VALUES
+            (101, 1, 40000, 131072 * 3),  -- 3 GB over two partitions
+            (101, 1, 20000, 131072 * 3),
+            (201, 0, 5, 1);
+        CREATE TABLE sys.foreign_keys(parent_object_id INT);
+        INSERT INTO sys.foreign_keys VALUES (101);
+        CREATE TABLE sys.partition_schemes(data_space_id INT, function_id INT);
+        INSERT INTO sys.partition_schemes VALUES (9, 77);
+        CREATE TABLE sys.partition_functions(
+            function_id INT, name VARCHAR, fanout INT);
+        INSERT INTO sys.partition_functions VALUES (77, 'pf_year', 3);
+        CREATE TABLE sys.partition_range_values(
+            function_id INT, boundary_id INT, value VARCHAR);
+        INSERT INTO sys.partition_range_values VALUES
+            (77, 1, '1994-01-01'), (77, 2, '1995-01-01');
+    """)
+    # T-SQL builtins as macros. OBJECT_ID accepts the quoted two-part form.
+    con.execute("""
+        CREATE MACRO PARSENAME(n, i) AS
+            list_extract(list_reverse(string_split(
+                replace(replace(n, '[', ''), ']', ''), '.')), i);
+        CREATE MACRO OBJECT_ID(n) AS (
+            SELECT t.object_id FROM sys.tables t
+            JOIN sys.schemas s ON t.schema_id = s.schema_id
+            WHERE s.name = PARSENAME(n, 2) AND t.name = PARSENAME(n, 1));
+        CREATE MACRO QUOTENAME(n) AS '[' || n || ']';
+        CREATE MACRO SCHEMA_NAME(i) AS (
+            SELECT name FROM sys.schemas WHERE schema_id = i);
+        CREATE MACRO DB_ID() AS 1;
+    """)
+    return con
+
+
+class DuckRows:
+    """Adapter giving DuckDB results the minimal DataFrame surface the
+    catalog uses (first()/collect() of dict-indexable rows)."""
+
+    def __init__(self, rows):
+        self._rows = rows
+
+    def collect(self):
+        return self._rows
+
+    def first(self):
+        return self._rows[0] if self._rows else None
+
+
+class SimulatedJdbcCatalog(JdbcCatalog):
+    def __init__(self, con):
+        super().__init__(spark=None, url="jdbc:simulated")
+        self.con = con
+
+    def _query(self, sql):
+        cur = self.con.execute(sql)
+        names = [d[0] for d in cur.description]
+        return DuckRows([dict(zip(names, r)) for r in cur.fetchall()])
+
+
+def test_collect_partitioned_temporal_table(syscat):
+    info = SimulatedJdbcCatalog(syscat).collect("[dbo].[orders]")
+    assert info.exists
+    # copyable columns: computed + rowversion excluded, period cols kept
+    assert info.columns == ["o_orderkey", "o_name", "o_orderdate",
+                            "valid_from", "valid_to"]
+    assert info.numeric_columns == ["o_orderkey"]
+    assert info.primary_index.kind is IndexKind.ROWSTORE_CLUSTERED
+    assert info.primary_index.order_by_spec() == (
+        ("o_orderkey", False), ("o_orderdate", True))
+    assert info.primary_index.partition_by_spec() == ("o_orderdate",)
+    assert info.secondary_indexes == 1
+    assert info.foreign_keys == 1
+    assert info.size.row_count == 60000
+    assert info.size.size_gb == 6
+    assert info.partition_function == "pf_year"
+    assert info.partition_column == "o_orderdate"
+    assert info.partition_count == 3
+    assert info.partition_boundaries == ["1994-01-01", "1995-01-01"]
+    assert info.table_type is TableType.SYSTEM_VERSIONED_TEMPORAL
+    assert info.history_info is not None
+    assert info.history_info.history_table == "[dbo].[orders_history]"
+    assert info.history_info.period_start_column == "valid_from"
+    assert info.history_info.period_end_column == "valid_to"
+    assert info.history_info.retention_period == "6 MONTHS"
+
+
+def test_collect_plain_heap(syscat):
+    info = SimulatedJdbcCatalog(syscat).collect("[dbo].[plain]")
+    assert info.exists
+    assert info.primary_index.kind is IndexKind.HEAP
+    assert info.columns == ["a"]
+    assert info.partition_count == 0
+    assert info.table_type is TableType.REGULAR
+    assert info.history_info is None
+
+
+def test_collect_missing_table(syscat):
+    info = SimulatedJdbcCatalog(syscat).collect("[dbo].[nope]")
+    assert not info.exists
+
+
+def test_quoted_name_escaping(syscat):
+    # a name with an embedded quote must not break the query
+    info = SimulatedJdbcCatalog(syscat).collect("[dbo].[o'brien]")
+    assert not info.exists
+
+
+def test_boundary_driven_physical_plan(syscat):
+    """The collected boundaries feed real range predicates — the round-1
+    advice failure mode (every physical predicate = '1=1') is gone."""
+    import dataclasses
+
+    from smartbulkcopy_spark.config import EngineConfig
+    from smartbulkcopy_spark.model import TableSize
+    from smartbulkcopy_spark.planner import Outcome, analyze
+    from smartbulkcopy_spark.sources.jdbc import jdbc_predicates
+
+    src = SimulatedJdbcCatalog(syscat).collect("[dbo].[orders]")
+    src = dataclasses.replace(
+        src, size=TableSize(row_count=10_000_000, size_gb=6),
+        foreign_keys=0, secondary_indexes=0,
+        table_type=TableType.REGULAR,
+    )
+    dst = dataclasses.replace(src)
+    plan = analyze(
+        ["[dbo].[orders]"], [src], [dst],
+        EngineConfig(stop_if=__import__(
+            "smartbulkcopy_spark.config", fromlist=["StopIf"]).StopIf.NONE),
+    )
+    assert plan.outcome is Outcome.SUCCESS
+    preds = jdbc_predicates(plan.tasks)
+    assert len(preds) == 3
+    assert all(p != "1=1" for p in preds)
+    assert "o_orderdate < '1994-01-01'" in preds[0]
+    assert "o_orderdate >= '1994-01-01'" in preds[1]
+    assert "o_orderdate < '1995-01-01'" in preds[1]
+    assert "o_orderdate >= '1995-01-01'" in preds[2]

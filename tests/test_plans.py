@@ -1,0 +1,66 @@
+"""Physical-plan assertions: the scale contract, checked via explain().
+
+Correct results aren't enough — the plans must be the ones that survive a
+100x scale-up: filters pushed to the parquet scan, projections pruned,
+dimension joins broadcast, aggregation in whole-stage codegen, and no
+cartesian product anywhere in the registered query surface."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from smartbulkcopy_spark.queries import REGISTRY
+
+
+def explain_str(df, mode="formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
+def test_q03_filter_pushed_to_scan(spark, sf_dir):
+    plan = explain_str(REGISTRY["q03_range_partition_predicate"].fn(spark, sf_dir))
+    assert "PushedFilters" in plan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("l_shipdate" in ln for ln in pushed), pushed
+
+
+def test_q01_projection_pruned_at_scan(spark, sf_dir):
+    plan = explain_str(REGISTRY["q01_scan_project"].fn(spark, sf_dir))
+    schema_lines = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert schema_lines, plan
+    line = schema_lines[0]
+    assert "l_orderkey" in line and "l_quantity" in line
+    # the widest money columns must NOT be read for a 3-column projection
+    assert "l_extendedprice" not in line
+    assert "l_comment" not in line
+
+
+def test_q09_dimension_join_is_broadcast(spark, sf_dir):
+    plan = explain_str(REGISTRY["q09_inner_join_agg"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q17_partial_aggregation_before_shuffle(spark, sf_dir):
+    """Map-side combine: a partial HashAggregate must run before the
+    exchange, so only (group, partial-sum) rows shuffle. (AQE's formatted
+    explain omits WholeStageCodegen markers; partial_sum is the load-
+    bearing property.)"""
+    plan = explain_str(REGISTRY["q17_agg_sweep"].fn(spark, sf_dir))
+    assert "partial_sum" in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_no_cartesian_product_anywhere(spark, sf_dir, name):
+    """The all-pairs join is the one plan shape that can never ship.
+    (q20 executes a copy as a side effect — plan checked, still cheap.)"""
+    df = REGISTRY[name].fn(spark, sf_dir)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan, name
+    assert "BroadcastNestedLoopJoin" not in plan, name
