@@ -121,12 +121,14 @@ _LANG_MARKERS = [
 
 
 def _guess_lang_spark():
+    # .like() mirrors the oracle's LIKE patterns literally (the markers
+    # contain no SQL wildcard metacharacters, so LIKE == contains here).
     padded = F.concat(F.lit(" "), norm_text(), F.lit(" "))
     expr = F.lit("und")
     for lang, markers in reversed(_LANG_MARKERS):
         cond = None
         for m in markers:
-            c = padded.contains(m)
+            c = padded.like(f"%{m}%")
             cond = c if cond is None else (cond | c)
         expr = F.when(cond, F.lit(lang)).otherwise(expr)
     return expr

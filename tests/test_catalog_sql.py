@@ -78,6 +78,9 @@ def syscat():
             function_id INT, boundary_id INT, value VARCHAR);
         INSERT INTO sys.partition_range_values VALUES
             (77, 1, '1994-01-01'), (77, 2, '1995-01-01');
+        CREATE TABLE sys.database_service_objectives(
+            database_id INT, service_objective VARCHAR);
+        INSERT INTO sys.database_service_objectives VALUES (1, 'HS_Gen5_8');
     """)
     # T-SQL builtins as macros. OBJECT_ID accepts the quoted two-part form.
     con.execute("""
@@ -167,6 +170,20 @@ def test_quoted_name_escaping(syscat):
     # a name with an embedded quote must not break the query
     info = SimulatedJdbcCatalog(syscat).collect("[dbo].[o'brien]")
     assert not info.exists
+
+
+def test_connection_test_and_sku_detection(syscat):
+    """B9: pre-flight SELECT 1 + service-objective query (reference:
+    client/SmartBulkCopy.cs:768-810)."""
+    from smartbulkcopy_spark.catalog import (
+        SQL_CONNECTION_TEST,
+        SQL_SERVICE_OBJECTIVE,
+    )
+
+    cat = SimulatedJdbcCatalog(syscat)
+    assert cat._query(SQL_CONNECTION_TEST).first()["ok"] == 1
+    sku = cat._query(SQL_SERVICE_OBJECTIVE).first()["service_objective"]
+    assert sku == "HS_Gen5_8"
 
 
 def test_boundary_driven_physical_plan(syscat):

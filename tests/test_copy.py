@@ -129,6 +129,73 @@ def test_jdbc_physical_fallback_uses_dollar_partition():
     assert jdbc_predicates([task]) == ["$partition.pf(a) = 4"]
 
 
+def test_partition_key_only_ordered_write_path(spark, sf_dir, tmp_path):
+    """O2 end-to-end: a partitioned-heap copy runs the PARTITION_KEY_ONLY
+    hint through repartitionByRange + sortWithinPartitions, preserves
+    content exactly, and each output file is internally sorted on the
+    partition key (the property the ORDER hint promises the destination)."""
+    import datetime as dt
+
+    import pyspark.sql.functions as F
+
+    from smartbulkcopy_spark.catalog import LayoutSpec, ParquetCatalog
+    from smartbulkcopy_spark.planner import OrderHint, analyze
+    from smartbulkcopy_spark.sources.parquet import copy_table
+    from smartbulkcopy_spark.verify import check_copy
+
+    layout = LayoutSpec(
+        partition_column="l_shipdate",
+        partition_function="pf_year",
+        partition_boundaries=[dt.datetime(y, 1, 1) for y in range(1993, 1999)],
+    )
+    cat = ParquetCatalog(sf_dir, {"lineitem": layout})
+    src = cat.collect("lineitem")
+    dst = dataclasses.replace(src)
+    plan = analyze(
+        ["lineitem"], [src], [dst],
+        EngineConfig(batch_size=1000),
+    )
+    assert plan.outcome is Outcome.SUCCESS
+    assert all(isinstance(t, PhysicalPartitionCopyTask) for t in plan.tasks)
+    assert all(t.order_hint is OrderHint.PARTITION_KEY_ONLY for t in plan.tasks)
+
+    dest = str(tmp_path / "li_part")
+    copy_table(spark, plan.tasks, dest, truncate=True)
+    check = check_copy(
+        spark.read.parquet(src.location), spark.read.parquet(dest), "lineitem"
+    )
+    assert check.content_match
+
+    # within every output file, l_shipdate must be non-decreasing
+    out = spark.read.parquet(dest).select(
+        F.input_file_name().alias("f"), "l_shipdate"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("f").orderBy(F.monotonically_increasing_id())
+    violations = (
+        out.withColumn("prev", F.lag("l_shipdate").over(w))
+        .where(F.col("prev") > F.col("l_shipdate"))
+        .count()
+    )
+    assert violations == 0
+
+
+def test_columnstore_destination_forces_batch_floor():
+    from smartbulkcopy_spark.config import COLUMNSTORE_MIN_BATCH
+    from smartbulkcopy_spark.model import IndexKind, TableIndex
+    from smartbulkcopy_spark.sources.jdbc import effective_batch_size
+
+    cfg = EngineConfig(batch_size=5000)
+    heap = TableInfo(name="t")
+    cci = TableInfo(
+        name="t",
+        primary_index=TableIndex(kind=IndexKind.COLUMNSTORE_CLUSTERED),
+    )
+    assert effective_batch_size(cfg, heap) == 5000
+    assert effective_batch_size(cfg, cci) == COLUMNSTORE_MIN_BATCH
+
+
 def test_fingerprint_detects_duplicate_swap(spark):
     """{A,A,B} vs {A,B,B} must not fingerprint-collide (XOR did)."""
     a = spark.createDataFrame([(1,), (1,), (2,)], "x int")

@@ -149,6 +149,35 @@ def test_transient_classification():
     assert not is_transient(RuntimeError("syntax error"))
 
 
+# -- graceful cancel --------------------------------------------------------
+
+
+def test_cancel_handler_two_stage():
+    """First Ctrl-C cancels Spark jobs cooperatively, second hard-exits
+    (reference: client/SmartBulkCopy.cs:913-928)."""
+    from smartbulkcopy_spark.__main__ import install_cancel_handler
+
+    class FakeSC:
+        cancelled = 0
+
+        def cancelAllJobs(self):
+            FakeSC.cancelled += 1
+
+    class FakeSpark:
+        sparkContext = FakeSC()
+
+    lines, exits = [], []
+    handler = install_cancel_handler(
+        FakeSpark(), log=lines.append, hard_exit=lambda: exits.append(1)
+    )
+    handler(None, None)
+    assert FakeSC.cancelled == 1 and not exits
+    assert "cancel requested" in lines[0]
+    handler(None, None)
+    assert exits == [1]
+    assert FakeSC.cancelled == 1  # no second cooperative cancel
+
+
 # -- monitor ----------------------------------------------------------------
 
 
