@@ -238,6 +238,10 @@ def q28(spark, sf_dir):
     " to shingle sets by doc_id; never all-pairs.",
 )
 def q29(spark, sf_dir):
+    return jaccard_pairs(spark, sf_dir)
+
+
+def jaccard_pairs(spark, sf_dir):
     cand = candidate_pairs(spark, sf_dir)
     sh = _normed(spark, sf_dir).select(
         "doc_id", F.expr(shingle_set_expr("spark")).alias("s")
@@ -257,3 +261,36 @@ def q29(spark, sf_dir):
             .alias("jaccard_millis"),
         )
     )
+
+
+NEAR_DUP_JACCARD_MILLIS = 500  # fixture yields candidates from j=50 to 991
+
+
+@register(
+    "q34_near_dup_dedup",
+    "WITH " + _candidate_cte_duck() + ","
+    f" sh AS (SELECT doc_id, {shingle_set_expr('duck')} AS s FROM documents),"
+    " jac AS (SELECT c.a_id, c.b_id,"
+    " CAST(floor(1000.0 * len(list_intersect(sa.s, sb.s))"
+    "   / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))))"
+    " AS BIGINT) AS j"
+    " FROM cand c JOIN sh sa ON sa.doc_id = c.a_id"
+    " JOIN sh sb ON sb.doc_id = c.b_id)"
+    " SELECT doc_id FROM documents WHERE doc_id NOT IN"
+    f" (SELECT b_id FROM jac WHERE j >= {NEAR_DUP_JACCARD_MILLIS})"
+    " ORDER BY doc_id",
+    doc="The assembled near-dup dedup decision: keep every document except"
+    " the higher-id member of each verified near-duplicate pair"
+    " (keep-first semantics over LSH candidates + exact Jaccard >= 0.5)."
+    " The full pipeline: banded candidates -> exact verify -> anti-join;"
+    " each stage shuffles keys, never corpora.",
+)
+def q34(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    drops = (
+        jaccard_pairs(spark, sf_dir)
+        .where(F.col("jaccard_millis") >= NEAR_DUP_JACCARD_MILLIS)
+        .select(F.col("b_id").alias("doc_id"))
+        .distinct()
+    )
+    return docs.select("doc_id").join(drops, "doc_id", "left_anti")

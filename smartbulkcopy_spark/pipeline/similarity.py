@@ -32,6 +32,19 @@ import pyspark.sql.functions as F
 from smartbulkcopy_spark.queries import register, spread, table
 
 N_PLANES = 8  # 8-bit bucket space
+NEAR_DUP_COS = 0.3  # tuned to the fixture: 22 in-bucket pairs at sf0.01
+
+
+def dot_fold(a, b):
+    """Left fold of elementwise products in the double domain (Spark
+    column API) — the engine's canonical dot product."""
+    ad = F.transform(a, lambda x: x.cast("double"))
+    bd = F.transform(b, lambda x: x.cast("double"))
+    return F.aggregate(
+        F.zip_with(ad, bd, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
 
 
 def _dot_duck(a: str, b: str) -> str:
@@ -71,18 +84,8 @@ def q30(spark, sf_dir):
     nq = math.sqrt(sum(v * v for v in qvec))
 
     qlit = F.array(*[F.lit(v) for v in qvec])
-    emb_d = F.transform("embedding", lambda x: x.cast("double"))
-    dot = F.aggregate(
-        F.zip_with(emb_d, qlit, lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    naa = F.aggregate(
-        F.zip_with(emb_d, emb_d, lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    cos = dot / (F.sqrt(naa) * F.lit(nq))
+    e = F.col("embedding")
+    cos = dot_fold(e, qlit) / (F.sqrt(dot_fold(e, e)) * F.lit(nq))
     return (
         emb.where(F.col("vec_id") != qrow["vec_id"])
         .select(
@@ -151,6 +154,51 @@ def q31(spark, sf_dir):
     )
 
 
+@register(
+    "q33_embedding_near_dup",
+    "WITH b AS (SELECT vec_id, embedding,"
+    f" CAST({bucket_expr('duck')} AS BIGINT) AS bk FROM embeddings),"
+    " p AS (SELECT x.vec_id AS a_id, y.vec_id AS b_id,"
+    f" {_dot_duck('x.embedding', 'y.embedding')}"
+    f" / (sqrt({_dot_duck('x.embedding', 'x.embedding')})"
+    f" * sqrt({_dot_duck('y.embedding', 'y.embedding')})) AS cos"
+    " FROM b x JOIN b y ON x.bk = y.bk AND x.vec_id < y.vec_id)"
+    " SELECT a_id, b_id, CAST(floor(10000.0 * cos) AS BIGINT) AS cos_e4"
+    f" FROM p WHERE cos >= {NEAR_DUP_COS} ORDER BY a_id, b_id",
+    doc="Embedding-cosine near-duplicate pairs, candidates restricted to"
+    " the hyperplane LSH bucket — vectors shuffle once on the 1-byte"
+    " bucket key, exact cosine runs only inside buckets; never all-pairs.",
+)
+def q33(spark, sf_dir):
+    emb = spread(spark, table(spark, sf_dir, "embeddings"))
+    bucketed = emb.select(
+        "vec_id",
+        "embedding",
+        F.expr(bucket_expr("spark")).cast("bigint").alias("bk"),
+    ).persist()  # both self-join sides read it; signature computed once
+    x = bucketed.select(
+        F.col("vec_id").alias("a_id"), F.col("embedding").alias("ea"), "bk"
+    )
+    y = bucketed.select(
+        F.col("vec_id").alias("b_id"), F.col("embedding").alias("eb"), "bk"
+    )
+    ea, eb = F.col("ea"), F.col("eb")
+    cos = dot_fold(ea, eb) / (
+        F.sqrt(dot_fold(ea, ea)) * F.sqrt(dot_fold(eb, eb))
+    )
+    return (
+        x.join(y, "bk")
+        .where(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", cos.alias("cos"))
+        .where(F.col("cos") >= NEAR_DUP_COS)
+        .select(
+            "a_id",
+            "b_id",
+            F.floor(10000.0 * F.col("cos")).cast("bigint").alias("cos_e4"),
+        )
+    )
+
+
 def ann_topk_bucketed(spark, sf_dir, query_vec_id: int = 0, k: int = 10):
     """The assembled ANN scale path: probe only the query's bucket.
 
@@ -168,18 +216,8 @@ def ann_topk_bucketed(spark, sf_dir, query_vec_id: int = 0, k: int = 10):
     qvec = [float(v) for v in qrow["embedding"]]
     nq = math.sqrt(sum(v * v for v in qvec))
     qlit = F.array(*[F.lit(v) for v in qvec])
-    emb_d = F.transform("embedding", lambda x: x.cast("double"))
-    dot = F.aggregate(
-        F.zip_with(emb_d, qlit, lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    naa = F.aggregate(
-        F.zip_with(emb_d, emb_d, lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    cos = dot / (F.sqrt(naa) * F.lit(nq))
+    e = F.col("embedding")
+    cos = dot_fold(e, qlit) / (F.sqrt(dot_fold(e, e)) * F.lit(nq))
     return (
         bucketed.where(
             (F.col("bucket") == qrow["bucket"])
