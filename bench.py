@@ -104,6 +104,13 @@ def main() -> None:
     # Warm the JVM + parquet footer cache so per-query numbers measure the
     # steady-state plan, not first-touch classloading.
     run_one(spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).limit(1))
+    # ...and the Python worker pool + Arrow serializer, so the mapInPandas
+    # query measures compute rather than one-time worker spin-up.
+    run_one(
+        spark.range(1).mapInPandas(
+            lambda it: it, "id long"
+        )
+    )
 
     timings: dict[str, float] = {}
     for name, spec in sorted(REGISTRY.items()):
