@@ -53,6 +53,10 @@ def get_spark(
         # instead of mutating session conf per query (round-1 verdict #5).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # Per-table copy jobs are submitted from a driver thread pool
+        # (executor.py); FAIR scheduling interleaves their stages the way
+        # the reference's greedy worker queue interleaves work items.
+        .config("spark.scheduler.mode", "FAIR")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
