@@ -121,6 +121,10 @@ def main() -> None:
         t0 = time.perf_counter()
         run_one(spec.fn(spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 4)
+        # LSH queries persist their signature tables (both self-join sides
+        # read them); drop them between queries so timings stay
+        # independent and storage doesn't accumulate dead cache.
+        spark.catalog.clearCache()
 
     copies = copy_benchmarks(spark, sf_dir)
 

@@ -14,10 +14,14 @@ import sys
 from smartbulkcopy_spark.executor import EXIT_CONFIG, run_from_config_file
 
 
-def install_cancel_handler(spark, log=print, hard_exit=lambda: os._exit(130)):
+def install_cancel_handler(
+    spark, on_cancel=None, log=print, hard_exit=lambda: os._exit(130)
+):
     """Two-stage Ctrl-C, like the reference (client/SmartBulkCopy.cs:
-    913-928, 44-45): first press cancels all running Spark jobs
-    cooperatively, second press hard-exits."""
+    913-928, 44-45): first press cancels running Spark jobs AND tells the
+    executor to skip queued tables (killing in-flight jobs alone would
+    let the worker pool keep starting fresh jobs); second press
+    hard-exits."""
     state = {"presses": 0}
 
     def handler(_sig, _frame):
@@ -25,6 +29,8 @@ def install_cancel_handler(spark, log=print, hard_exit=lambda: os._exit(130)):
         if state["presses"] == 1:
             log("cancel requested — stopping Spark jobs (Ctrl-C again to"
                 " force quit)")
+            if on_cancel is not None:
+                on_cancel()
             spark.sparkContext.cancelAllJobs()
         else:
             hard_exit()
@@ -38,11 +44,19 @@ def main(argv: list[str] | None = None) -> int:
     if len(argv) != 1:
         print("usage: python -m smartbulkcopy_spark <config.json>")
         return EXIT_CONFIG
+    from smartbulkcopy_spark.config import load_config
+    from smartbulkcopy_spark.executor import CopyExecutor, RunReport
     from smartbulkcopy_spark.session import get_spark
 
+    try:
+        config = load_config(argv[0])
+    except (ValueError, OSError, KeyError) as exc:
+        print(f"config error: {exc}")
+        return EXIT_CONFIG
     spark = get_spark(app_name="smartsparkcopy")
-    install_cancel_handler(spark)
-    report = run_from_config_file(argv[0], spark=spark)
+    executor = CopyExecutor(spark, config)
+    install_cancel_handler(spark, on_cancel=executor.request_cancel)
+    report: RunReport = executor.run()
     for m in report.messages:
         print(m)
     return report.exit_code

@@ -45,6 +45,7 @@ class LayoutSpec:
     foreign_keys: int = 0
     table_type: TableType = TableType.REGULAR
     history: HistoryInfo | None = None
+    identity_column: str | None = None
 
     def to_index(self) -> TableIndex:
         cols = [
@@ -115,6 +116,7 @@ class ParquetCatalog:
             foreign_keys=layout.foreign_keys,
             columns=list(schema.names),
             numeric_columns=numeric,
+            identity_column=layout.identity_column,
             size=TableSize(
                 row_count=meta.num_rows, size_gb=size_bytes // (1 << 30)
             ),
@@ -221,6 +223,12 @@ ORDER BY prv.boundary_id
 #    of $partition ordinals (round-1 advice: without them every physical-
 #    partition predicate degenerated to a full scan)
 
+SQL_IDENTITY_COLUMN = """
+SELECT name AS identity_column FROM sys.identity_columns
+WHERE object_id = OBJECT_ID('{table}')
+"""  # reference reads IDENT_CURRENT and reseeds the identity column
+#    (client/SmartBulkCopy.cs:341-389)
+
 SQL_CONNECTION_TEST = "SELECT 1 AS ok"
 # reference: client/SmartBulkCopy.cs:768-810 (test + SKU detection)
 SQL_SERVICE_OBJECTIVE = """
@@ -325,6 +333,7 @@ class JdbcCatalog:
                     )
                 ).collect()
             ]
+        ident = self._query(self._fmt(SQL_IDENTITY_COLUMN, name)).first()
         temporal = self._query(self._fmt(SQL_TEMPORAL_TYPE, name)).first()
         ttype = TableType(temporal["temporal_type"] if temporal else 0)
         history = None
@@ -346,6 +355,7 @@ class JdbcCatalog:
             foreign_keys=fks,
             columns=cols,
             numeric_columns=numeric,
+            identity_column=ident["identity_column"] if ident else None,
             size=TableSize(
                 row_count=size_row["row_count"] or 0,
                 size_gb=size_row["size_gb"] or 0,

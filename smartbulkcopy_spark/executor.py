@@ -65,11 +65,13 @@ class TableResult:
 
 @dataclass
 class _State:
-    """Shared advisory state the monitor reads (reference reads its
-    ConcurrentQueue count + running-task list the same way)."""
+    """Shared state the monitor reads. Mutations and monitor snapshots
+    take the lock — a bare set iterated concurrently with add/discard can
+    raise 'set changed size during iteration' and kill the heartbeat."""
 
     running: set = field(default_factory=set)
     queued: int = 0
+    lock: object = field(default_factory=__import__("threading").Lock)
 
 
 @dataclass
@@ -105,11 +107,21 @@ class CopyExecutor:
         monitor_interval: float = 5.0,
         log=print,
     ):
+        import threading
+
         self.spark = spark
         self.config = config
         self.layouts = layouts or {}
         self.monitor_interval = monitor_interval
         self.log = log
+        self._cancel = threading.Event()
+
+    def request_cancel(self) -> None:
+        """Cooperative cancel: tables not yet started are skipped (the
+        running ones are killed by sc.cancelAllJobs, wired in the CLI).
+        Without this, Ctrl-C killed in-flight jobs but the worker pool
+        kept starting fresh Spark jobs for every queued table."""
+        self._cancel.set()
 
     # -- lifecycle steps ----------------------------------------------------
 
@@ -231,9 +243,21 @@ class CopyExecutor:
 
     def _copy_one(self, table: str, tasks, state: _State) -> TableResult:
         res = TableResult(table=table)
-        state.queued -= 1
-        state.running.add(table)
+        with state.lock:
+            state.queued -= 1
+            state.running.add(table)
         t0 = time.monotonic()
+        if self._cancel.is_set():
+            res.error = "cancelled before start"
+            with state.lock:
+                state.running.discard(table)
+            return res
+        # One FAIR pool per table: pools share executor slots evenly, so
+        # a huge early table can't starve the rest (plain FAIR mode with
+        # a single default pool still schedules FIFO within it).
+        self.spark.sparkContext.setLocalProperty(
+            "spark.scheduler.pool", f"sbc_{table}"
+        )
         try:
             dest = os.path.join(self.config.destination, f"{table}.parquet")
             # Temporal disable/enable DDL hooks (reference:
@@ -268,16 +292,24 @@ class CopyExecutor:
             res.error = str(exc)
         finally:
             res.seconds = time.monotonic() - t0
-            state.running.discard(table)
+            self.spark.sparkContext.setLocalProperty(
+                "spark.scheduler.pool", None
+            )
+            with state.lock:
+                state.running.discard(table)
         return res
 
     def _identity_sql(self, table: str, task) -> str | None:
         """Post-copy identity reseed DDL (reference:
         client/SmartBulkCopy.cs:341-389): destination is reseeded to the
-        copied max. Executed over JDBC when the destination is a database;
-        logged for file destinations."""
+        copied max OF THE IDENTITY COLUMN — which the catalog must name
+        (sys.identity_columns over JDBC, LayoutSpec for files); guessing
+        a numeric column would reseed to a wrong, possibly colliding
+        value. No known identity column -> no reseed."""
+        from smartbulkcopy_spark.ddl import identity_reseed_sql
+
         src: TableInfo = task.source
-        id_col = src.numeric_columns[0] if src.numeric_columns else None
+        id_col = src.identity_column
         if not id_col:
             return None
         import pyspark.sql.functions as F
@@ -291,7 +323,7 @@ class CopyExecutor:
         )
         if row["m"] is None:
             return None
-        return f"DBCC CHECKIDENT('{table}', RESEED, {row['m']})"
+        return identity_reseed_sql(table, row["m"])
 
 
 def _as_empty_destination(src: TableInfo) -> TableInfo:

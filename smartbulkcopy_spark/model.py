@@ -106,10 +106,15 @@ class TableInfo:
     secondary_indexes: int = 0
     foreign_keys: int = 0
     columns: list[str] = field(default_factory=list)
-    # Columns safely castable to BIGINT for logical bucketing. Empty means
-    # "unknown" (e.g. a JDBC catalog that didn't fetch types) — the planner
-    # then trusts the clustered key like the reference trusts %%PhysLoc%%.
-    numeric_columns: list[str] = field(default_factory=list)
+    # Columns safely castable to BIGINT for logical bucketing. None means
+    # "unknown" (a catalog that didn't fetch types) — the planner then
+    # trusts the clustered key like the reference trusts %%PhysLoc%%.
+    # An empty LIST means "known: no numeric columns" and forbids
+    # modulo bucketing outright.
+    numeric_columns: list[str] | None = None
+    # The IDENTITY column, when the catalog knows it (sys.identity_columns
+    # over JDBC, LayoutSpec for files). Drives post-copy reseed.
+    identity_column: str | None = None
     size: TableSize = field(default_factory=TableSize)
     table_type: TableType = TableType.REGULAR
     history_info: HistoryInfo | None = None

@@ -59,7 +59,12 @@ class CopyMonitor:
         now_t = self.clock()
         dt = max(now_t - prev_t, 1e-9)
         mb_s = (now_b - prev_bytes) / dt / (1024 * 1024)
-        running = sorted(self.state.running)
+        lock = getattr(self.state, "lock", None)
+        if lock is not None:
+            with lock:
+                running = sorted(self.state.running)
+        else:
+            running = sorted(self.state.running)
         self.log(
             f"Copy rate: {mb_s:.2f} MB/sec, tasks running: {len(running)},"
             f" queue: {self.state.queued}"

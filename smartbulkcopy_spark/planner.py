@@ -125,6 +125,26 @@ class LogicalPartitionCopyTask(CopyTask):
         return f"{expr} = {self.partition_number - 1}"
 
 
+def sql_literal(value: object) -> str:
+    """Render a partition boundary as a SQL literal. Python repr is NOT
+    valid SQL for dates/decimals/strings (repr(datetime(...)) emits
+    'datetime.datetime(...)'), which broke every date-partitioned JDBC
+    read; strings escape embedded quotes."""
+    import datetime as _dt
+    import decimal as _dec
+
+    if isinstance(value, bool):
+        return "1" if value else "0"
+    if isinstance(value, (int, float, _dec.Decimal)):
+        return str(value)
+    if isinstance(value, _dt.datetime):
+        return f"'{value.strftime('%Y-%m-%d %H:%M:%S')}'"
+    if isinstance(value, _dt.date):
+        return f"'{value.isoformat()}'"
+    s = str(value).replace("'", "''")
+    return f"'{s}'"
+
+
 @dataclass
 class PhysicalPartitionCopyTask(CopyTask):
     """One physical partition, addressed by range boundaries (files) or
@@ -139,10 +159,18 @@ class PhysicalPartitionCopyTask(CopyTask):
     def predicate_sql(self) -> str | None:
         parts = []
         if self.lower is not None:
-            parts.append(f"{self.partition_column} >= {self.lower!r}")
+            parts.append(f"{self.partition_column} >= {sql_literal(self.lower)}")
         if self.upper is not None:
-            parts.append(f"{self.partition_column} < {self.upper!r}")
-        return " AND ".join(parts) if parts else None
+            parts.append(f"{self.partition_column} < {sql_literal(self.upper)}")
+        if not parts:
+            return None
+        pred = " AND ".join(parts)
+        if self.lower is None:
+            # SQL Server ranges NULL partition keys into the FIRST
+            # partition; 'col < b0' alone would silently drop them from
+            # the copy (the $partition.fn spelling includes them).
+            pred = f"({pred} OR {self.partition_column} IS NULL)"
+        return pred
 
     def mssql_predicate(self) -> str:
         """SQL-Server-native spelling (reference: client/CopyInfo.cs:54)."""
@@ -192,10 +220,11 @@ def _pick_bucket_column(src: TableInfo) -> str | None:
     safe column exists; the caller falls back to a single-stream copy
     (round-1 advice: a text bucket column silently put every row in one
     bucket)."""
-    numeric = set(src.numeric_columns)
+    known = src.numeric_columns is not None
+    numeric = set(src.numeric_columns or ())
 
     def ok(col: str) -> bool:
-        return not numeric or col in numeric
+        return (col in numeric) if known else True
 
     order = src.primary_index.order_by_spec()
     if order and ok(order[0][0]):

@@ -162,16 +162,25 @@ class StagingProtocol:
     - every WRITE attempt starts from an empty staging table (truncate
       before each try), so a mid-write death never leaks partial rows;
     - PUBLISH is a single ``INSERT...SELECT`` statement — one transaction
-      on the server, retried only on transient failure (a failed attempt
-      was rolled back by the server, so the retry is exactly-once);
+      on the server. A publish failure is AMBIGUOUS when the connection
+      drops: the transaction may have committed before the ack was lost,
+      and blindly retrying would double-insert the partition. So a retry
+      after a publish failure first consults ``published_probe`` (a
+      caller-supplied check, e.g. comparing target vs staging partition
+      row counts) and skips the re-execution if the first attempt landed.
+      Without a probe, publish is NOT retried — the error propagates for
+      the table-level retry to restart the whole stage-then-publish cycle
+      (safe, because cleanup drops the staging table first);
     - CLEANUP always runs, dropping the staging table on success and
       failure alike.
     """
 
-    def __init__(self, connection, config: EngineConfig, log=None):
+    def __init__(self, connection, config: EngineConfig, log=None,
+                 published_probe=None):
         self.connection = connection
         self.config = config
         self.log = log or (lambda *_: None)
+        self.published_probe = published_probe
 
     def run(self, plan: StagingPlan, write_fn) -> None:
         from smartbulkcopy_spark.retry import with_retry
@@ -185,10 +194,19 @@ class StagingProtocol:
                 write_fn(plan.staging_table)
 
             with_retry(attempt, self.config, log=self.log)
-            with_retry(
-                lambda: conn.execute(plan.publish_sql),
-                self.config,
-                log=self.log,
-            )
+
+            if self.published_probe is None:
+                conn.execute(plan.publish_sql)
+            else:
+                def publish():
+                    if self.published_probe(plan):
+                        self.log(
+                            f"{plan.staging_table}: publish already landed;"
+                            " skipping re-execution"
+                        )
+                        return
+                    conn.execute(plan.publish_sql)
+
+                with_retry(publish, self.config, log=self.log)
         finally:
             conn.execute(plan.cleanup_sql)

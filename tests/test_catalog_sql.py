@@ -81,6 +81,8 @@ def syscat():
         CREATE TABLE sys.database_service_objectives(
             database_id INT, service_objective VARCHAR);
         INSERT INTO sys.database_service_objectives VALUES (1, 'HS_Gen5_8');
+        CREATE TABLE sys.identity_columns(object_id INT, name VARCHAR);
+        INSERT INTO sys.identity_columns VALUES (101, 'o_orderkey');
     """)
     # T-SQL builtins as macros. OBJECT_ID accepts the quoted two-part form.
     con.execute("""
@@ -149,6 +151,7 @@ def test_collect_partitioned_temporal_table(syscat):
     assert info.history_info.period_start_column == "valid_from"
     assert info.history_info.period_end_column == "valid_to"
     assert info.history_info.retention_period == "6 MONTHS"
+    assert info.identity_column == "o_orderkey"
 
 
 def test_collect_plain_heap(syscat):

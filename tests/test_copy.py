@@ -90,11 +90,9 @@ def test_text_only_table_falls_back_to_full_copy():
     src = TableInfo(
         name="t",
         columns=["a", "b"],
-        numeric_columns=[],  # empty = unknown -> trusts first column
+        numeric_columns=[],  # known: NO numeric columns -> no bucketing
         size=TableSize(row_count=10_000, size_gb=0),
     )
-    # Explicitly known-non-numeric columns:
-    src = dataclasses.replace(src, numeric_columns=["__none__"])
     dst = dataclasses.replace(src)
     config = EngineConfig(
         logical_partitioning_strategy=LogicalPartitioningStrategy.COUNT,

@@ -85,6 +85,24 @@ def test_invalid_config_exits_1(tmp_path):
 
 
 def test_identity_sync_emits_reseed(spark, sf_dir, tmp_path):
+    from smartbulkcopy_spark.catalog import LayoutSpec
+
+    dst = tmp_path / "dest"
+    cfg = _write_config(tmp_path, sf_dir, dst, ["orders"],
+                        **{"sync-identity": True})
+    report = run_from_config_file(
+        cfg, spark=spark, monitor_interval=60, log=lambda *_: None,
+        layouts={"orders": LayoutSpec(identity_column="o_orderkey")},
+    )
+    assert report.exit_code == EXIT_OK
+    (res,) = report.results
+    assert res.identity_reseed_sql is not None
+    assert res.identity_reseed_sql.startswith("DBCC CHECKIDENT('orders'")
+
+
+def test_identity_sync_skipped_without_known_identity(spark, sf_dir, tmp_path):
+    """Guessing an identity column would reseed to a wrong value; with no
+    catalog-known identity the reseed must be skipped entirely."""
     dst = tmp_path / "dest"
     cfg = _write_config(tmp_path, sf_dir, dst, ["orders"],
                         **{"sync-identity": True})
@@ -92,8 +110,22 @@ def test_identity_sync_emits_reseed(spark, sf_dir, tmp_path):
                                   log=lambda *_: None)
     assert report.exit_code == EXIT_OK
     (res,) = report.results
-    assert res.identity_reseed_sql is not None
-    assert res.identity_reseed_sql.startswith("DBCC CHECKIDENT('orders'")
+    assert res.identity_reseed_sql is None
+
+
+def test_request_cancel_skips_queued_tables(spark, sf_dir, tmp_path):
+    from smartbulkcopy_spark.executor import EXIT_COPY_ERRORS, CopyExecutor
+
+    config_path = _write_config(tmp_path, sf_dir, tmp_path / "dest",
+                                ["region", "nation", "customer"])
+    from smartbulkcopy_spark.config import load_config
+
+    ex = CopyExecutor(spark, load_config(config_path), monitor_interval=60,
+                      log=lambda *_: None)
+    ex.request_cancel()  # cancel before run: every table skips
+    report = ex.run()
+    assert report.exit_code == EXIT_COPY_ERRORS
+    assert all(r.error == "cancelled before start" for r in report.results)
 
 
 # -- retry policy -----------------------------------------------------------
@@ -166,12 +198,14 @@ def test_cancel_handler_two_stage():
     class FakeSpark:
         sparkContext = FakeSC()
 
-    lines, exits = [], []
+    lines, exits, coop = [], [], []
     handler = install_cancel_handler(
-        FakeSpark(), log=lines.append, hard_exit=lambda: exits.append(1)
+        FakeSpark(), on_cancel=lambda: coop.append(1),
+        log=lines.append, hard_exit=lambda: exits.append(1)
     )
     handler(None, None)
     assert FakeSC.cancelled == 1 and not exits
+    assert coop == [1]  # executor told to skip queued tables
     assert "cancel requested" in lines[0]
     handler(None, None)
     assert exits == [1]

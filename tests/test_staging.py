@@ -77,6 +77,59 @@ def test_fatal_write_cleans_up_and_never_publishes():
     assert conn.sql[-1] == plan.cleanup_sql  # staging dropped on failure
 
 
+def test_ambiguous_publish_failure_probed_not_blindly_retried():
+    """A connection drop during publish is ambiguous — the transaction may
+    have committed. The retry must consult the probe and skip the
+    re-execution when the first attempt landed (else: duplicated rows)."""
+    plan = staging_plan("dbo.t", "job4", 1)
+    state = {"published": False, "probes": 0}
+
+    class AmbiguousConn(FakeConnection):
+        def execute(self, sql):
+            super().execute(sql)
+            if sql == plan.publish_sql and not state["published"]:
+                state["published"] = True  # server committed...
+                raise TransientError(10054, "connection reset")  # ...ack lost
+
+    def probe(p):
+        state["probes"] += 1
+        return state["published"]
+
+    conn = AmbiguousConn()
+    import smartbulkcopy_spark.retry as retry_mod
+
+    orig_sleep = retry_mod.time.sleep
+    retry_mod.time.sleep = lambda _: None
+    try:
+        StagingProtocol(conn, _cfg(), published_probe=probe).run(
+            plan, lambda st: None
+        )
+    finally:
+        retry_mod.time.sleep = orig_sleep
+
+    assert sum(1 for s in conn.sql if s == plan.publish_sql) == 1
+    assert state["probes"] >= 1
+    assert conn.sql[-1] == plan.cleanup_sql
+
+
+def test_publish_without_probe_does_not_retry():
+    """No probe -> a transient publish failure propagates instead of
+    risking a double insert; the table-level retry restarts the cycle."""
+    plan = staging_plan("dbo.t", "job5", 1)
+
+    class FailingConn(FakeConnection):
+        def execute(self, sql):
+            super().execute(sql)
+            if sql == plan.publish_sql:
+                raise TransientError(10054, "connection reset")
+
+    conn = FailingConn()
+    with pytest.raises(TransientError):
+        StagingProtocol(conn, _cfg()).run(plan, lambda st: None)
+    assert sum(1 for s in conn.sql if s == plan.publish_sql) == 1
+    assert conn.sql[-1] == plan.cleanup_sql
+
+
 def test_staging_names_are_deterministic_per_partition():
     p1 = staging_plan("[dbo].[big table]", "j", 1)
     p2 = staging_plan("[dbo].[big table]", "j", 2)
