@@ -117,9 +117,16 @@ def write_jdbc(
 class StagingPlan:
     target_table: str
     staging_table: str
+    dialect: str = "mssql"
 
     @property
     def create_sql(self) -> str:
+        if self.dialect == "derby":
+            # Derby (used by the live tests) has no SELECT INTO.
+            return (
+                f"CREATE TABLE {self.staging_table} AS SELECT * FROM"
+                f" {self.target_table} WITH NO DATA"
+            )
         return (
             f"SELECT * INTO {self.staging_table} FROM {self.target_table}"
             " WHERE 1 = 0"
@@ -127,6 +134,11 @@ class StagingPlan:
 
     @property
     def publish_sql(self) -> str:
+        if self.dialect == "derby":
+            return (
+                f"INSERT INTO {self.target_table}"
+                f" SELECT * FROM {self.staging_table}"
+            )
         return (
             f"INSERT INTO {self.target_table} WITH (TABLOCK)"
             f" SELECT * FROM {self.staging_table}"
@@ -134,14 +146,22 @@ class StagingPlan:
 
     @property
     def cleanup_sql(self) -> str:
+        if self.dialect == "derby":
+            return f"DROP TABLE {self.staging_table}"
         return f"DROP TABLE IF EXISTS {self.staging_table}"
 
 
-def staging_plan(target_table: str, job_id: str, partition_number: int) -> StagingPlan:
+def staging_plan(
+    target_table: str,
+    job_id: str,
+    partition_number: int,
+    dialect: str = "mssql",
+) -> StagingPlan:
     safe = target_table.replace("[", "").replace("]", "").replace(".", "_")
     return StagingPlan(
         target_table=target_table,
         staging_table=f"stage_{safe}_{job_id}_{partition_number}",
+        dialect=dialect,
     )
 
 
@@ -186,7 +206,7 @@ class StagingProtocol:
         from smartbulkcopy_spark.retry import with_retry
 
         conn = self.connection
-        conn.execute(plan.cleanup_sql)  # drop leftovers from a dead run
+        self._cleanup(plan)  # drop leftovers from a dead run
         conn.execute(plan.create_sql)
         try:
             def attempt():
@@ -209,4 +229,118 @@ class StagingProtocol:
 
                 with_retry(publish, self.config, log=self.log)
         finally:
-            conn.execute(plan.cleanup_sql)
+            self._cleanup(plan)
+
+    def _cleanup(self, plan: StagingPlan) -> None:
+        """Best-effort staging drop: a missing table (Derby has no IF
+        EXISTS) or a post-publish drop failure must not fail the copy."""
+        try:
+            self.connection.execute(plan.cleanup_sql)
+        except Exception as exc:
+            self.log(f"staging cleanup ({plan.staging_table}): {exc}")
+
+
+class JvmJdbcConnection:
+    """A real ``java.sql.Connection`` reached through Spark's Py4J
+    gateway — lets the driver execute the DDL/DML the DataFrame API can't
+    express (staging create/publish/cleanup, temporal hooks, reseeds)
+    without a separate Python database driver."""
+
+    def __init__(self, spark: SparkSession, url: str):
+        self._conn = spark._sc._jvm.java.sql.DriverManager.getConnection(url)
+
+    def execute(self, sql: str) -> None:
+        stmt = self._conn.createStatement()
+        try:
+            stmt.execute(sql)
+        finally:
+            stmt.close()
+
+    def scalar(self, sql: str):
+        """First column of the first row (for published-probes)."""
+        stmt = self._conn.createStatement()
+        try:
+            rs = stmt.executeQuery(sql)
+            try:
+                return rs.getObject(1) if rs.next() else None
+            finally:
+                rs.close()
+        finally:
+            stmt.close()
+
+    def close(self) -> None:
+        self._conn.close()
+
+
+def staged_jdbc_copy(
+    spark: SparkSession,
+    source_df: DataFrame,
+    tasks: list[CopyTask],
+    url: str,
+    table: str,
+    config: EngineConfig,
+    job_id: str,
+    dialect: str = "mssql",
+    properties: dict[str, str] | None = None,
+    log=None,
+    before_write=None,
+) -> None:
+    """Per-partition exactly-once JDBC copy (SURVEY §7.4 known-hard #1).
+
+    Each plan node's rows are filtered Catalyst-side with the node's own
+    predicate (the canonical bucket expression — the database never parses
+    it), written into a partition-private staging table with
+    truncate-before-every-attempt retry, then published atomically with
+    one INSERT...SELECT. The published-probe compares staging vs target
+    counts so an ambiguous publish failure never double-inserts.
+
+    ``before_write`` is a test seam invoked with (task, staging_table)
+    before each write attempt — failure-injection for the retry path.
+    """
+    import pyspark.sql.functions as F
+
+    log = log or (lambda *_: None)
+    conn = JvmJdbcConnection(spark, url)
+    try:
+        baseline = conn.scalar(f"SELECT COUNT(*) FROM {table}") or 0
+        published = 0
+
+        for task in tasks:
+            plan = staging_plan(
+                table, job_id, task.partition_number, dialect=dialect
+            )
+            pred = task.predicate_sql()
+            part_df = source_df.filter(F.expr(pred)) if pred else source_df
+
+            def write_fn(staging, df=part_df, t=task):
+                if before_write is not None:
+                    before_write(t, staging)
+                w = (
+                    df.write.format("jdbc")
+                    .option("url", url)
+                    .option("dbtable", staging)
+                    .mode("append")
+                )
+                for k, v in (properties or {}).items():
+                    w = w.option(k, v)
+                w.save()
+
+            def probe(p, expected=None):
+                # target grew past everything published so far -> this
+                # partition's publish landed before the failure.
+                n = conn.scalar(f"SELECT COUNT(*) FROM {table}") or 0
+                return n > baseline + published
+
+            proto = StagingProtocol(
+                conn, config, log=log, published_probe=probe
+            )
+            proto.run(plan, write_fn)
+            published = (
+                (conn.scalar(f"SELECT COUNT(*) FROM {table}") or 0) - baseline
+            )
+            log(
+                f"{table} partition {task.partition_number}:"
+                f" published (total {published} rows)"
+            )
+    finally:
+        conn.close()
