@@ -181,6 +181,27 @@ def test_transient_classification():
     assert not is_transient(RuntimeError("syntax error"))
 
 
+def test_cli_subprocess_end_to_end(sf_dir, tmp_path):
+    """The real CLI: `python -m smartbulkcopy_spark <config>` in a fresh
+    process (own SparkSession, signal handler, exit code). Slow (~40s JVM
+    boot) but it is the one path nothing else executes."""
+    import os
+    import subprocess
+    import sys
+
+    dst = tmp_path / "dest"
+    cfg = _write_config(tmp_path, sf_dir, dst, ["region", "nation"])
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4")
+    proc = subprocess.run(
+        [sys.executable, "-m", "smartbulkcopy_spark", cfg],
+        capture_output=True, text=True, timeout=300,
+        cwd="/root/repo", env=env,
+    )
+    assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-2000:]
+    assert (dst / "region.parquet").exists()
+    assert (dst / "nation.parquet").exists()
+
+
 # -- graceful cancel --------------------------------------------------------
 
 
