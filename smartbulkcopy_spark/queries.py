@@ -502,6 +502,43 @@ def q20(spark, sf_dir):
     )
 
 
+@register(
+    "q35_sessionization",
+    "WITH d AS (SELECT user_id, ts,"
+    " CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER"
+    " (PARTITION BY user_id ORDER BY ts)) > 1800000000"
+    " THEN 1 ELSE 0 END AS brk"
+    " FROM events)"
+    " SELECT user_id, count(*) AS n_events,"
+    " 1 + sum(brk) AS n_sessions"
+    " FROM d GROUP BY user_id ORDER BY user_id",
+    doc="Gaps-and-islands sessionization (30-minute inactivity gap) per"
+    " user — the batch ground truth the stateful-streaming twin"
+    " (streaming.sessionize, applyInPandasWithState) must converge to."
+    " One window + one groupBy, both partitioned by user_id: a single"
+    " shuffle at scale.",
+)
+def q35(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    # timestampdiff works on TIMESTAMP_NTZ and is timezone-independent
+    # (casting NTZ to BIGINT is illegal under ANSI mode). MICROSECOND
+    # precision: SECOND would truncate fractional gaps that DuckDB's
+    # epoch arithmetic keeps, flipping boundary sessions.
+    gap = F.expr("timestampdiff(MICROSECOND, prev_ts, ts)")
+    brk = F.when(gap > 1_800_000_000, F.lit(1)).otherwise(F.lit(0))
+    return (
+        ev.select("user_id", "ts", F.lag("ts").over(w).alias("prev_ts"))
+        .select("user_id", "ts", brk.alias("brk"))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.lit(1) + F.sum("brk")).alias("n_sessions"),
+        )
+        .orderBy("user_id")
+    )
+
+
 # Phase-5 pipeline operators (q21+) register themselves on import. The
 # import sits at the bottom because pipeline modules import `register`/
 # `table` from this module (deliberate one-way late binding, not a cycle

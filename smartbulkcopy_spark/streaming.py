@@ -15,6 +15,7 @@ a 100 TB event feed; nothing here is local-mode-specific.
 
 from __future__ import annotations
 
+import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
@@ -62,6 +63,86 @@ def hourly_aggregate(stream: DataFrame, watermark: str = "2 hours") -> DataFrame
             "total_cents",
         )
     )
+
+
+SESSION_GAP_MICROS = 30 * 60 * 1_000_000  # microsecond-exact, like q35
+_SESSION_STATE_SCHEMA = "last_ts long, n_events long, n_sessions long"
+_SESSION_OUT_SCHEMA = "user_id bigint, n_events bigint, n_sessions bigint"
+
+
+def sessionize(stream: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    sessionization with a 30-minute inactivity gap.
+
+    State per user is three numbers (last event epoch, event count,
+    session count) — bounded, keyed by user_id, updated per micro-batch
+    with Arrow-transferred pandas groups. Converges to the batch q35
+    answer when events arrive in order (the convergence test feeds
+    time-ordered chunks; out-of-order arrivals within a batch are sorted
+    before folding)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        last_ts, n_events, n_sessions = (
+            state.get if state.exists else (None, 0, 0)
+        )
+        for pdf in pdfs:
+            pdf = pdf.sort_values("ts")
+            for t in pdf["ts"]:
+                micros = int(t.value // 1_000)
+                if last_ts is None or micros - last_ts > SESSION_GAP_MICROS:
+                    n_sessions += 1
+                last_ts = micros
+                n_events += 1
+        state.update((last_ts, n_events, n_sessions))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n_events],
+                "n_sessions": [n_sessions],
+            }
+        )
+
+    return (
+        stream.select("user_id", "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=_SESSION_OUT_SCHEMA,
+            stateStructType=_SESSION_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_sessionization(
+    spark: SparkSession,
+    path: str,
+    query_name: str = "sessions",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Drain `path` through the stateful sessionizer and return the final
+    per-user counts (update mode: the memory sink keeps every emission;
+    the last one per user is the converged value)."""
+    stream = read_events_stream(spark, path, max_files_per_trigger)
+    q = (
+        sessionize(stream)
+        .writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # update mode appends one row per user per micro-batch; dedupe to the
+    # final (max n_events) emission per user.
+    snap = spark.table(query_name)
+    latest = snap.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max("n_sessions").alias("n_sessions"),
+    )
+    return latest
 
 
 def run_to_convergence(

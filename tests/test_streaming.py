@@ -93,6 +93,37 @@ def test_streaming_multi_file_append_respects_watermark(
     assert len(emitted) < len(batch)
 
 
+def test_stateful_sessionization_converges_to_batch(
+    spark, sf_dir, events_dir, tmp_path
+):
+    """applyInPandasWithState sessionizer fed three sequential time chunks
+    (state carried across micro-batches) must land on the batch q35
+    answer for every user."""
+    src = spark.read.parquet(events_dir)
+    lo, hi = src.agg(F.min("ts"), F.max("ts")).first()
+    span = (hi - lo) / 3
+    d = tmp_path / "session_feed"
+    for k in range(3):
+        chunk = src.where(
+            (F.col("ts") >= lo + k * span)
+            & (F.col("ts") < (lo + (k + 1) * span if k < 2 else hi))
+            | (F.lit(k == 2) & (F.col("ts") == hi))
+        )
+        chunk.coalesce(1).write.mode("append").parquet(str(d))
+
+    got = {
+        r["user_id"]: (r["n_events"], r["n_sessions"])
+        for r in streaming.run_sessionization(
+            spark, str(d), query_name="sess_conv", max_files_per_trigger=1
+        ).collect()
+    }
+    batch = {
+        r["user_id"]: (r["n_events"], r["n_sessions"])
+        for r in REGISTRY["q35_sessionization"].fn(spark, sf_dir).collect()
+    }
+    assert got == batch
+
+
 # -- DDL hooks --------------------------------------------------------------
 
 
