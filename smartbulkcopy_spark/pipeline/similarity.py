@@ -199,6 +199,111 @@ def q33(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# IVF: the second ANN scale path. Centroids here are a deterministic
+# sample (the K lowest vec_ids) — centroid TRAINING (k-means) is an
+# orthogonal, offline concern; what the engine demonstrates is the index
+# machinery: assignment, inverted lists, and probed search. Assignment is
+# a per-row argmin over broadcast centroid literals — no join at all on
+# the Spark side, and the inverted list id becomes a partition key.
+# ---------------------------------------------------------------------------
+
+N_CENTROIDS = 8
+
+
+def _centroids(spark, sf_dir) -> list[tuple[int, list[float]]]:
+    emb = table(spark, sf_dir, "embeddings")
+    rows = emb.orderBy("vec_id").limit(N_CENTROIDS).collect()
+    return [(r["vec_id"], [float(v) for v in r["embedding"]]) for r in rows]
+
+
+def _assign_expr(cents):
+    """argmin over centroids of squared L2 distance, ties to the lower
+    centroid id — computed as array_min over (distance, id) structs so
+    the comparison is lexicographic."""
+    e = F.col("embedding")
+    candidates = []
+    for cid, vec in cents:
+        clit = F.array(*[F.lit(v) for v in vec])
+        # ||e-c||^2 = e.e - 2 e.c + c.c ; c.c folded in Python (same
+        # left-to-right IEEE fold as the engines)
+        cc = 0.0
+        for v in vec:
+            cc = cc + v * v
+        d2 = dot_fold(e, e) - 2.0 * dot_fold(e, clit) + F.lit(cc)
+        candidates.append(F.struct(d2.alias("d"), F.lit(cid).alias("cid")))
+    return F.array_min(F.array(*candidates))["cid"]
+
+
+def _ivf_duck_cte() -> str:
+    dist = (
+        f"{_dot_duck('e.embedding', 'e.embedding')}"
+        f" - 2.0 * {_dot_duck('e.embedding', 'c.cemb')}"
+        f" + {_dot_duck('c.cemb', 'c.cemb')}"
+    )
+    return (
+        "cent AS (SELECT vec_id AS cid, embedding AS cemb FROM embeddings"
+        f" ORDER BY vec_id LIMIT {N_CENTROIDS}),"
+        f" dists AS (SELECT e.vec_id, c.cid, {dist} AS d"
+        " FROM embeddings e CROSS JOIN cent c),"
+        " assign AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,"
+        " row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn"
+        " FROM dists) WHERE rn = 1)"
+    )
+
+
+@register(
+    "q36_ivf_assignment",
+    "WITH " + _ivf_duck_cte()
+    + " SELECT cid, count(*) AS c FROM assign GROUP BY cid ORDER BY cid",
+    doc="IVF inverted-list assignment histogram (deterministic sampled"
+    " centroids). Spark side is a per-row argmin over broadcast centroid"
+    " literals — zero joins; the oracle cross-joins only because DuckDB"
+    " has no broadcast concept, bounded at N x 8 rows.",
+)
+def q36(spark, sf_dir):
+    cents = _centroids(spark, sf_dir)
+    emb = spread(spark, table(spark, sf_dir, "embeddings"))
+    return (
+        emb.select(_assign_expr(cents).alias("cid"))
+        .groupBy("cid")
+        .agg(F.count("*").alias("c"))
+        .orderBy("cid")
+    )
+
+
+def ivf_search(spark, sf_dir, query_vec_id: int = 0, k: int = 10,
+               n_probe: int = 2):
+    """Probed IVF search: rank centroids by distance to the query
+    (driver-side, K values), scan only the n_probe nearest inverted
+    lists, exact-rerank by cosine. At 100 TB the assignment column is a
+    partition key, so probing is partition pruning at the scan."""
+    cents = _centroids(spark, sf_dir)
+    emb = table(spark, sf_dir, "embeddings")
+    qrow = emb.where(F.col("vec_id") == query_vec_id).first()
+    qvec = [float(v) for v in qrow["embedding"]]
+
+    def d2(c):
+        s = 0.0
+        for a, b in zip(qvec, c):
+            s = s + (a - b) * (a - b)
+        return s
+
+    probe = [cid for cid, vec in sorted(cents, key=lambda c: (d2(c[1]), c[0]))][:n_probe]
+
+    nq = math.sqrt(sum(v * v for v in qvec))
+    qlit = F.array(*[F.lit(v) for v in qvec])
+    e = F.col("embedding")
+    cos = dot_fold(e, qlit) / (F.sqrt(dot_fold(e, e)) * F.lit(nq))
+    return (
+        emb.withColumn("cid", _assign_expr(cents))
+        .where(F.col("cid").isin(probe) & (F.col("vec_id") != query_vec_id))
+        .select("vec_id", cos.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(k)
+    )
+
+
 def ann_topk_bucketed(spark, sf_dir, query_vec_id: int = 0, k: int = 10):
     """The assembled ANN scale path: probe only the query's bucket.
 

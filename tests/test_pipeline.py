@@ -45,6 +45,37 @@ def test_ann_bucketed_recall_vs_exact(spark, sf_dir):
     assert exact, "exact baseline empty?"
 
 
+def test_ivf_search_probes_only_nearest_lists(spark, sf_dir):
+    """IVF search returns vectors only from the probed inverted lists and
+    ranks them by exact cosine; with all lists probed it must equal the
+    exact top-k (sanity that the rerank is the real metric)."""
+    import pyspark.sql.functions as F
+
+    from smartbulkcopy_spark.queries import REGISTRY, table
+
+    res = similarity.ivf_search(spark, sf_dir, 0, 10, n_probe=2).collect()
+    assert 0 < len(res) <= 10
+    assert all(r["vec_id"] != 0 for r in res)
+    # probed-list discipline: every hit assigned to one of the 2 lists
+    cents = similarity._centroids(spark, sf_dir)
+    emb = table(spark, sf_dir, "embeddings")
+    assigned = {
+        r["vec_id"]: r["cid"]
+        for r in emb.select(
+            "vec_id", similarity._assign_expr(cents).alias("cid")
+        ).collect()
+    }
+    hit_lists = {assigned[r["vec_id"]] for r in res}
+    assert len(hit_lists) <= 2
+
+    # full probe == exact brute force
+    full = similarity.ivf_search(
+        spark, sf_dir, 0, 10, n_probe=similarity.N_CENTROIDS
+    ).collect()
+    exact = REGISTRY["q30_cosine_topk"].fn(spark, sf_dir).collect()
+    assert [r["vec_id"] for r in full] == [r["vec_id"] for r in exact]
+
+
 def test_multimodal_stubs_raise():
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(None, "blob")
