@@ -11,7 +11,7 @@ import os
 import signal
 import sys
 
-from smartbulkcopy_spark.executor import EXIT_CONFIG, run_from_config_file
+from smartbulkcopy_spark.executor import EXIT_CONFIG
 
 
 def install_cancel_handler(

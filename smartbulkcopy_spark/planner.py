@@ -141,8 +141,12 @@ def sql_literal(value: object) -> str:
         return f"'{value.strftime('%Y-%m-%d %H:%M:%S')}'"
     if isinstance(value, _dt.date):
         return f"'{value.isoformat()}'"
-    s = str(value).replace("'", "''")
-    return f"'{s}'"
+    s = str(value)
+    if "\x00" in s:
+        # No portable SQL spelling exists for NUL inside a string literal;
+        # failing loudly beats a silently truncated predicate.
+        raise ValueError("cannot render NUL byte in SQL literal")
+    return "'" + s.replace("'", "''") + "'"
 
 
 @dataclass

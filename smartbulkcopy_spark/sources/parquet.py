@@ -25,7 +25,6 @@ from smartbulkcopy_spark.planner import (
     CopyTask,
     FullCopyTask,
     LogicalPartitionCopyTask,
-    OrderHint,
     PhysicalPartitionCopyTask,
 )
 

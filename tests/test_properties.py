@@ -1,0 +1,116 @@
+"""Property-based tests (hypothesis) over the pure driver-side functions:
+the planner's partition-count clamps, the canonical bucket predicates,
+SQL literal rendering, and table-set resolution invariants."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import duckdb
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from smartbulkcopy_spark.config import EngineConfig, LogicalPartitioningStrategy
+from smartbulkcopy_spark.model import TableInfo
+from smartbulkcopy_spark.planner import (
+    LogicalPartitionCopyTask,
+    logical_partition_count,
+    sql_literal,
+)
+from smartbulkcopy_spark.tableset import resolve_tables
+
+
+@given(rows=st.integers(0, 10**12), gb=st.integers(0, 10**6),
+       tasks=st.integers(1, 32))
+def test_partition_count_is_odd_and_clamped(rows, gb, tasks):
+    """The reference forces odd counts in [3, 3*tasks] for AUTO
+    (client/TableAnalyzer.cs:246-270); the clamp+odd adjustment may
+    exceed the ceiling by exactly one."""
+    config = EngineConfig(max_parallel_tasks=tasks)
+    n = logical_partition_count(config, rows, gb)
+    assert n % 2 == 1
+    assert 3 <= n <= 3 * tasks + 1
+
+
+@given(n=st.integers(2, 64), keys=st.lists(
+    st.one_of(st.integers(-10**12, 10**12), st.none()), min_size=1,
+    max_size=200))
+@settings(deadline=None, max_examples=50)
+def test_bucket_predicates_partition_every_key(n, keys):
+    """The canonical bucket expression assigns every key — including NULL
+    and negative values — to exactly one of the n buckets (evaluated here
+    with DuckDB as a neutral SQL engine)."""
+    tasks = [
+        LogicalPartitionCopyTask(
+            source=TableInfo(name="t"), destination=TableInfo(name="t"),
+            partition_number=i, n_partitions=n, bucket_column="k",
+        )
+        for i in range(1, n + 1)
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(k BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?)", [(k,) for k in keys])
+    total = 0
+    for task in tasks:
+        total += con.execute(
+            f"SELECT count(*) FROM t WHERE {task.predicate_sql()}"
+        ).fetchone()[0]
+    assert total == len(keys)
+    con.close()
+
+
+@given(v=st.one_of(
+    st.integers(-10**15, 10**15),
+    st.text(max_size=40).filter(lambda s: "\x00" not in s),
+    st.dates(dt.date(1900, 1, 1), dt.date(2100, 1, 1)),
+    st.datetimes(dt.datetime(1900, 1, 1), dt.datetime(2100, 1, 1)).map(
+        lambda d: d.replace(microsecond=0)
+    ),
+    st.booleans(),
+))
+@settings(max_examples=200, deadline=None)
+def test_sql_literal_round_trips_through_sql(v):
+    """sql_literal must produce a literal a SQL engine parses back to the
+    same value (the bug it replaced rendered Python repr). Temporal
+    literals are quoted strings, so the round trip goes through the CAST
+    a comparison predicate would apply."""
+    lit = sql_literal(v)
+    con = duckdb.connect()
+    if isinstance(v, bool):
+        got = con.execute(f"SELECT {lit}").fetchone()[0]
+        assert got == (1 if v else 0)
+    elif isinstance(v, dt.datetime):
+        got = con.execute(f"SELECT CAST({lit} AS TIMESTAMP)").fetchone()[0]
+        assert got == v
+    elif isinstance(v, dt.date):
+        got = con.execute(f"SELECT CAST({lit} AS DATE)").fetchone()[0]
+        assert got == v
+    else:
+        got = con.execute(f"SELECT {lit}").fetchone()[0]
+        assert str(got) == str(v)
+    con.close()
+
+
+def test_sql_literal_rejects_nul():
+    import pytest
+
+    with pytest.raises(ValueError):
+        sql_literal("a\x00b")
+
+
+@given(tables=st.lists(
+    st.sampled_from(["a.t1", "a.t2", "b.t1", "b.t3"]), min_size=0,
+    max_size=6, unique=True))
+def test_tableset_include_star_selects_all(tables):
+    out = resolve_tables(["*"], tables)
+    assert len(out) == len(tables)
+    assert len(set(out)) == len(out)  # deduplicated
+
+
+@given(tables=st.lists(
+    st.sampled_from(["a.t1", "a.t2", "b.t1", "b.t3"]), min_size=1,
+    max_size=4, unique=True))
+def test_tableset_exclude_inverts_include(tables):
+    """Including * then excluding every table yields the empty set."""
+    patterns = ["+:*"] + [f"-:{t}" for t in tables]
+    assert resolve_tables(patterns, tables) == []
