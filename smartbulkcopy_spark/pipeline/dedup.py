@@ -18,10 +18,10 @@ Signature definition (shared):
                 substr(md5(concat(k div 4, ':', s_i)), 1 + 8*(k mod 4), 8)
 i.e. two salted md5 digests per shingle, each sliced into four
 independent 8-hex-char hash values — 2 md5 calls per shingle instead of
-8. The Spark side computes all 8 minhashes in ONE fold over the shingle
-sequence (aggregate + zip_with least); the DuckDB oracle uses the naive
-8-lambda spelling of the same definition — different evaluation order,
-identical values.
+8. The Spark side explodes shingles and MIN-aggregates the slices (all
+whole-stage codegen, map-side combined); the DuckDB oracle uses the
+naive 8-lambda spelling of the same definition — different evaluation
+order, identical values.
 
 Parameters: 8-char shingles, K=8 minhash values, 2 bands of r=4 — tuned
 so the fixture corpus yields a bounded nonempty candidate set (28 pairs
@@ -42,8 +42,11 @@ K_HASHES = R_ROWS * N_BANDS
 # Normalization, in each engine's string-escaping dialect (Spark SQL
 # string literals treat backslash as escape; DuckDB does not; DuckDB
 # regexp_replace needs the 'g' flag to replace all matches).
-NORM_SPARK = r"lower(regexp_replace(text, '\\s+', ' '))"
-NORM_DUCK = r"lower(regexp_replace(text, '\s+', ' ', 'g'))"
+# NULL text coalesces to '' so both engines give NULL-text documents the
+# same shared signature — without it, Spark's min() skips NULL hash
+# slices and drops such docs from banding while the oracle pairs them.
+NORM_SPARK = r"lower(regexp_replace(coalesce(text, ''), '\\s+', ' '))"
+NORM_DUCK = r"lower(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g'))"
 
 # Spark computes the signatures by exploding shingles and MIN-aggregating
 # the hash slices: every step (explode, md5, substring, partial min) runs
@@ -154,6 +157,10 @@ def candidate_pairs(spark, sf_dir):
             F.array(*[F.expr(e) for e in _band_from_cols("spark")])
         ).alias("band"),
     ).persist()
+    # Materialize the cache EAGERLY: a lazy persist lets both self-join
+    # sides race to fill it, each paying the full signature pipeline
+    # (measured ~2x slower than no cache at all); one count() pins it.
+    bnd.count()
     x, y = bnd.alias("x"), bnd.alias("y")
     return (
         x.join(y, "band")

@@ -218,27 +218,27 @@ def _centroids(spark, sf_dir) -> list[tuple[int, list[float]]]:
 
 
 def _assign_expr(cents):
-    """argmin over centroids of squared L2 distance, ties to the lower
-    centroid id — computed as array_min over (distance, id) structs so
-    the comparison is lexicographic."""
+    """argmin over centroids of the distance SURROGATE -2*e.c + c.c —
+    the row-constant e.e term of the squared L2 distance cancels out of
+    the argmin, saving 8 redundant fold evaluations per row. Ties go to
+    the lower centroid id (array_min over (d, id) structs compares
+    lexicographically)."""
     e = F.col("embedding")
     candidates = []
     for cid, vec in cents:
         clit = F.array(*[F.lit(v) for v in vec])
-        # ||e-c||^2 = e.e - 2 e.c + c.c ; c.c folded in Python (same
-        # left-to-right IEEE fold as the engines)
+        # c.c folded in Python (same left-to-right IEEE fold as the engines)
         cc = 0.0
         for v in vec:
             cc = cc + v * v
-        d2 = dot_fold(e, e) - 2.0 * dot_fold(e, clit) + F.lit(cc)
+        d2 = -2.0 * dot_fold(e, clit) + F.lit(cc)
         candidates.append(F.struct(d2.alias("d"), F.lit(cid).alias("cid")))
     return F.array_min(F.array(*candidates))["cid"]
 
 
 def _ivf_duck_cte() -> str:
     dist = (
-        f"{_dot_duck('e.embedding', 'e.embedding')}"
-        f" - 2.0 * {_dot_duck('e.embedding', 'c.cemb')}"
+        f"-2.0 * {_dot_duck('e.embedding', 'c.cemb')}"
         f" + {_dot_duck('c.cemb', 'c.cemb')}"
     )
     return (

@@ -21,14 +21,16 @@ import pyspark.sql.functions as F
 
 from smartbulkcopy_spark.queries import register, spread, table
 
-# Canonical normalization: lowercase, collapse whitespace runs. The DuckDB
-# spelling (note the 'g' flag — DuckDB replaces first-match by default,
-# Spark replaces all):
-NORM_SQL_DUCK = "lower(regexp_replace(text, '\\s+', ' ', 'g'))"
+# Canonical normalization: NULL -> '', lowercase, collapse whitespace
+# runs. The DuckDB spelling (note the 'g' flag — DuckDB replaces
+# first-match by default, Spark replaces all):
+NORM_SQL_DUCK = "lower(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g'))"
 
 
 def norm_text(col="text"):
-    return F.lower(F.regexp_replace(F.col(col), r"\s+", " "))
+    return F.lower(
+        F.regexp_replace(F.coalesce(F.col(col), F.lit("")), r"\s+", " ")
+    )
 
 
 def token_count(col="text"):

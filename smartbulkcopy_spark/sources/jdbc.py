@@ -196,11 +196,14 @@ class StagingProtocol:
     """
 
     def __init__(self, connection, config: EngineConfig, log=None,
-                 published_probe=None):
+                 published_probe=None, sleep=None):
+        import time
+
         self.connection = connection
         self.config = config
         self.log = log or (lambda *_: None)
         self.published_probe = published_probe
+        self.sleep = sleep or time.sleep  # injectable for tests
 
     def run(self, plan: StagingPlan, write_fn) -> None:
         from smartbulkcopy_spark.retry import with_retry
@@ -213,7 +216,7 @@ class StagingProtocol:
                 conn.execute(f"TRUNCATE TABLE {plan.staging_table}")
                 write_fn(plan.staging_table)
 
-            with_retry(attempt, self.config, log=self.log)
+            with_retry(attempt, self.config, log=self.log, sleep=self.sleep)
 
             if self.published_probe is None:
                 conn.execute(plan.publish_sql)
@@ -227,7 +230,9 @@ class StagingProtocol:
                         return
                     conn.execute(plan.publish_sql)
 
-                with_retry(publish, self.config, log=self.log)
+                with_retry(
+                    publish, self.config, log=self.log, sleep=self.sleep
+                )
         finally:
             self._cleanup(plan)
 
@@ -284,6 +289,7 @@ def staged_jdbc_copy(
     properties: dict[str, str] | None = None,
     log=None,
     before_write=None,
+    sleep=None,
 ) -> None:
     """Per-partition exactly-once JDBC copy (SURVEY §7.4 known-hard #1).
 
@@ -332,7 +338,7 @@ def staged_jdbc_copy(
                 return n > baseline + published
 
             proto = StagingProtocol(
-                conn, config, log=log, published_probe=probe
+                conn, config, log=log, published_probe=probe, sleep=sleep
             )
             proto.run(plan, write_fn)
             published = (

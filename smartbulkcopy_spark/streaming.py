@@ -86,14 +86,17 @@ def sessionize(stream: DataFrame) -> DataFrame:
         last_ts, n_events, n_sessions = (
             state.get if state.exists else (None, 0, 0)
         )
-        for pdf in pdfs:
-            pdf = pdf.sort_values("ts")
-            for t in pdf["ts"]:
-                micros = int(t.value // 1_000)
-                if last_ts is None or micros - last_ts > SESSION_GAP_MICROS:
-                    n_sessions += 1
-                last_ts = micros
-                n_events += 1
+        # A group may arrive as SEVERAL Arrow chunks; sorting per chunk
+        # would fold out-of-order events with a regressed anchor. Gather
+        # the whole micro-batch's group, then sort once.
+        chunks = [pdf for pdf in pdfs]
+        whole = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+        for t in whole["ts"].sort_values():
+            micros = int(t.value // 1_000)
+            if last_ts is None or micros - last_ts > SESSION_GAP_MICROS:
+                n_sessions += 1
+            last_ts = micros
+            n_events += 1
         state.update((last_ts, n_events, n_sessions))
         yield pd.DataFrame(
             {

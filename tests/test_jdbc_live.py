@@ -116,19 +116,12 @@ def test_staged_copy_exactly_once_under_injected_failures(spark, seeded):
             src.limit(50).write.mode("append").jdbc(URL, staging, properties=PROPS)
             raise TransientError(10054, "connection reset mid-stream")
 
-    import smartbulkcopy_spark.retry as retry_mod
-
-    orig_sleep = retry_mod.time.sleep
-    retry_mod.time.sleep = lambda _: None
-    try:
-        staged_jdbc_copy(
-            spark, src, tasks, URL, "li_staged",
-            EngineConfig(retry_max_attempt=3, retry_delay_increment=1),
-            job_id="t1", dialect="derby", properties=PROPS,
-            before_write=inject,
-        )
-    finally:
-        retry_mod.time.sleep = orig_sleep
+    staged_jdbc_copy(
+        spark, src, tasks, URL, "li_staged",
+        EngineConfig(retry_max_attempt=3, retry_delay_increment=1),
+        job_id="t1", dialect="derby", properties=PROPS,
+        before_write=inject, sleep=lambda _: None,
+    )
 
     assert failures["n"] == 1  # the injection fired
     dst = spark.read.jdbc(URL, "li_staged", properties=PROPS)

@@ -47,16 +47,8 @@ def test_partial_write_retries_from_truncate_then_publishes_once():
         if attempts["n"] < 3:
             raise TransientError(10054, "connection reset mid-stream")
 
-    proto = StagingProtocol(conn, _cfg())
-    # make retry instantaneous
-    import smartbulkcopy_spark.retry as retry_mod
-
-    orig_sleep = retry_mod.time.sleep
-    retry_mod.time.sleep = lambda _: None
-    try:
-        proto.run(plan, write)
-    finally:
-        retry_mod.time.sleep = orig_sleep
+    proto = StagingProtocol(conn, _cfg(), sleep=lambda _: None)
+    proto.run(plan, write)
 
     truncates = [s for s in conn.sql if s.startswith("TRUNCATE")]
     assert len(truncates) == 3  # one per attempt: no partial rows survive
@@ -96,16 +88,8 @@ def test_ambiguous_publish_failure_probed_not_blindly_retried():
         return state["published"]
 
     conn = AmbiguousConn()
-    import smartbulkcopy_spark.retry as retry_mod
-
-    orig_sleep = retry_mod.time.sleep
-    retry_mod.time.sleep = lambda _: None
-    try:
-        StagingProtocol(conn, _cfg(), published_probe=probe).run(
-            plan, lambda st: None
-        )
-    finally:
-        retry_mod.time.sleep = orig_sleep
+    StagingProtocol(conn, _cfg(), published_probe=probe,
+                    sleep=lambda _: None).run(plan, lambda st: None)
 
     assert sum(1 for s in conn.sql if s == plan.publish_sql) == 1
     assert state["probes"] >= 1
