@@ -125,15 +125,16 @@ def _candidate_cte_duck() -> str:
 def candidate_pairs(spark, sf_dir):
     """Spark side of MinHash-LSH candidate generation: explode shingles ->
     codegen md5 -> partial-aggregated MIN per hash slice -> band keys ->
-    self-join on band key -> distinct ordered pairs. The groupBy shuffle
-    carries (doc_id, 8 x 8-char minima) after map-side combine, and the
-    join shuffles (16-byte band key, doc_id) — document bodies never
-    shuffle.
+    groupBy band -> in-bucket pair explosion -> distinct ordered pairs.
 
-    The band table is persisted before the self-join: both join sides
-    reference it, and without materialization each side would recompute
-    the signatures — at 100 TB you write signatures once (a table in its
-    own right) and join against them many times."""
+    The signature pipeline runs ONCE (a self-join formulation reads it
+    from both sides, forcing either a recompute or a cache); the only
+    shuffles carry (doc_id, 8 x 8-char minima) after map-side combine and
+    then (16-byte band key, doc_id) — document bodies never shuffle.
+    Each bucket's sorted doc list explodes to its ordered pairs with a
+    nested JVM-side transform; a bucket of size s yields s*(s-1)/2 pairs,
+    exactly the candidate count a band join would produce, bounded by the
+    LSH banding itself (hot boilerplate bands are AQE-skew-split)."""
     base = _normed(spark, sf_dir)
     shingles = base.select(
         "doc_id", F.explode(F.expr(SHINGLES_SPARK)).alias("sh")
@@ -156,18 +157,19 @@ def candidate_pairs(spark, sf_dir):
         F.explode(
             F.array(*[F.expr(e) for e in _band_from_cols("spark")])
         ).alias("band"),
-    ).persist()
-    # Materialize the cache EAGERLY: a lazy persist lets both self-join
-    # sides race to fill it, each paying the full signature pipeline
-    # (measured ~2x slower than no cache at all); one count() pins it.
-    bnd.count()
-    x, y = bnd.alias("x"), bnd.alias("y")
+    )
+    buckets = (
+        bnd.groupBy("band")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .where(F.size("ds") > 1)
+    )
+    pairs = F.expr(
+        "flatten(transform(ds, (a, i) ->"
+        " transform(slice(ds, i + 2, size(ds)), b -> struct(a, b))))"
+    )
     return (
-        x.join(y, "band")
-        .where(F.col("x.doc_id") < F.col("y.doc_id"))
-        .select(
-            F.col("x.doc_id").alias("a_id"), F.col("y.doc_id").alias("b_id")
-        )
+        buckets.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.a").alias("a_id"), F.col("p.b").alias("b_id"))
         .distinct()
     )
 

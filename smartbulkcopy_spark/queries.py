@@ -539,6 +539,34 @@ def q35(spark, sf_dir):
     )
 
 
+@register(
+    "q37_scalar_funcs",
+    "SELECT p_partkey,"
+    " coalesce(nullif(p_brand, ''), '(unbranded)') AS brand_or_default,"
+    " CASE WHEN p_name LIKE '%green%' THEN 1 ELSE 0 END AS is_green,"
+    " repeat('*', CAST(p_size % 5 AS INT)) AS stars"
+    " FROM part ORDER BY p_partkey",
+    doc="The remaining §2.8 scalar-function surface in one oracle-checked"
+    " projection: ISNULL/NULLIF/COALESCE (reference:"
+    " client/TableInfoCollector.cs:447 retention formatting), LIKE"
+    " (reference: client/SmartBulkCopy.cs:833 edition check), REPLICATE"
+    " (reference: client/sql/test-physloc.sql:27-33). Pure row-local"
+    " expressions — zero shuffle.",
+)
+def q37(spark, sf_dir):
+    part = table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.coalesce(
+            F.nullif(F.col("p_brand"), F.lit("")), F.lit("(unbranded)")
+        ).alias("brand_or_default"),
+        F.when(F.col("p_name").like("%green%"), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("is_green"),
+        F.expr("repeat('*', CAST(p_size % 5 AS INT))").alias("stars"),
+    )
+
+
 # Phase-5 pipeline operators (q21+) register themselves on import. The
 # import sits at the bottom because pipeline modules import `register`/
 # `table` from this module (deliberate one-way late binding, not a cycle
