@@ -194,6 +194,76 @@ def q25(spark, sf_dir):
     )
 
 
+# BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation —
+# the classic GPT-2-style split minus the unicode categories (kept to
+# ASCII classes so Java regex and RE2 agree byte-for-byte). Runs over the
+# normalized text, where whitespace is already collapsed to single
+# spaces.
+_BPE_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+@register(
+    "q38_bpe_token_counts",
+    "SELECT lang, count(*) AS n_docs,"
+    f" sum(len(regexp_extract_all({NORM_SQL_DUCK}, '{_BPE_PATTERN}')))"
+    " AS total_bpe_tokens,"
+    " sum(" + TOKENS_SQL_DUCK + ") AS total_ws_tokens"
+    " FROM documents GROUP BY lang ORDER BY lang",
+    doc="BPE-ish regex pre-tokenization (letter runs / digit runs /"
+    " single punctuation) next to the whitespace budget metric, per"
+    " language. The regex stays in ASCII classes so both engines'"
+    " regex dialects agree. Row-local extract; only (lang, partial"
+    " sums) shuffle.",
+)
+def q38(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    bpe = F.size(F.regexp_extract_all(norm_text(), F.lit(_BPE_PATTERN), 0))
+    return (
+        docs.select("lang", bpe.alias("bpe"), token_count().alias("ws"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("bpe").alias("total_bpe_tokens"),
+            F.sum("ws").alias("total_ws_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+# Polynomial rolling hash (Rabin-Karp family): h = fold over chars of
+# (h*31 + codepoint) mod 2^31. Order-dependent by construction — unlike
+# the md5 fingerprint it supports incremental window updates, which is
+# why dedup literature uses it for content-defined chunking. The fold is
+# inherently sequential per document, so it is spelled as a higher-order
+# aggregate (per-row local, zero shuffle); cross-engine parity holds
+# because both engines fold left-to-right over int64.
+ROLLING_MOD = 2_147_483_648  # 2^31
+
+
+@register(
+    "q39_rolling_hash",
+    "SELECT doc_id, CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),"
+    f" list_transform(range(1, len({NORM_SQL_DUCK}) + 1),"
+    f" i -> ord(substr({NORM_SQL_DUCK}, i, 1)))),"
+    f" (a, b) -> (a * 31 + b) % {ROLLING_MOD}) AS BIGINT) AS rhash"
+    " FROM documents ORDER BY doc_id",
+    doc="Rabin-Karp polynomial rolling hash of the normalized document"
+    " (base 31, mod 2^31) — the incremental-update fingerprint used for"
+    " content-defined chunking. Sequential per-row fold, zero shuffle.",
+)
+def q39(spark, sf_dir):
+    docs = spread(spark, table(spark, sf_dir, "documents"))
+    # Pre-project the normalized text: the HOF lambda below re-evaluates
+    # its bound expression per element, so the regex must not be inline.
+    rolled = F.expr(
+        "aggregate(transform(split(n, ''), c -> ascii(c)), 0L,"
+        f" (a, b) -> (a * 31 + b) % {ROLLING_MOD})"
+    )
+    return docs.select("doc_id", norm_text().alias("n")).select(
+        "doc_id", rolled.cast("bigint").alias("rhash")
+    )
+
+
 @register(
     "q26_doc_fingerprint",
     "SELECT doc_id, md5(" + NORM_SQL_DUCK + ") AS fingerprint"
