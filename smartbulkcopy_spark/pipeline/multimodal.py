@@ -9,18 +9,24 @@ plus typed metadata, keeps them out of shuffles wherever possible
 `mapInPandas` so every crossing of the JVM<->Python boundary moves an
 Arrow batch, not a row.
 
-The actual codec work (JPEG decode, resampling, ...) needs libraries this
-container doesn't ship, so those steps are stubbed with
-NotImplementedError behind the REAL plumbing: schema, batching, and the
-deterministic byte-level features (q32) are fully functional and
-oracle-checked.
+The actual codec work (JPEG decode, audio resampling, ...) needs
+libraries this container doesn't ship, so the CODEC is a clearly-marked
+deterministic fake (`fake_image_codec` / `fake_audio_codec` — swap in
+PIL / libsndfile via the `codec=` parameter to activate). Everything
+around the codec is real and oracle-checked: the Arrow batch plumbing,
+schemas, partition inheritance, the numpy nearest-neighbor resize, and
+the strided frame sampling all run exactly as they would with a real
+decoder, and because the fake is deterministic the full decode ->
+transform -> fingerprint pipelines (q40/q41/q42) hash-match a DuckDB
+oracle that re-derives the same bytes SQL-side.
 """
 
 from __future__ import annotations
 
 import hashlib
-from collections.abc import Iterator
+from collections.abc import Callable, Iterator
 
+import numpy as np
 import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
@@ -54,25 +60,135 @@ def binary_features(df: DataFrame, id_col: str, blob_col: str) -> DataFrame:
     return df.select(id_col, blob_col).mapInPandas(extract, FEATURE_SCHEMA)
 
 
-def decode_image(df: DataFrame, blob_col: str) -> DataFrame:
-    """Decode an image blob column to (height, width, channels) + pixels.
+# ---------------------------------------------------------------------------
+# Deterministic fake codecs — the ONLY stubbed pieces. A real deployment
+# passes codec=PIL-based-callable; everything downstream is unchanged.
+# ---------------------------------------------------------------------------
 
-    STUB: image codecs are not available in this container. The Spark-side
-    contract (mapInPandas over Arrow batches returning a typed struct) is
-    the same as :func:`binary_features`; plug a PIL/turbojpeg call into
-    the batch loop to activate.
-    """
-    raise NotImplementedError(
-        "image decode requires a codec library not present in this"
-        " environment; see binary_features for the live batch plumbing"
-    )
+CHANNELS = 3
+MAX_DIM = 32  # fake images are 1..32 px per side
 
 
-def sample_audio_frames(df: DataFrame, blob_col: str, rate_hz: int) -> DataFrame:
-    """Resample an audio blob column. STUB — same contract as decode_image."""
-    raise NotImplementedError(
-        "audio resampling requires a codec library not present in this"
-        " environment; see binary_features for the live batch plumbing"
+def fake_image_codec(blob: bytes) -> tuple[int, int, int, bytes]:
+    """FAKE image decoder (deterministic): dimensions come from the blob's
+    md5, pixel bytes are the hexdigest cycled to h*w*c. Replace with e.g.
+    ``lambda b: PIL.Image.open(io.BytesIO(b))`` glue for real JPEGs —
+    the (h, w, c, raw_bytes) contract is what a real decoder returns."""
+    hx = hashlib.md5(blob).hexdigest()
+    h = 1 + int(hx[:4], 16) % MAX_DIM
+    w = 1 + int(hx[4:8], 16) % MAX_DIM
+    n = h * w * CHANNELS
+    pixels = (hx * (n // len(hx) + 1))[:n].encode("ascii")
+    return h, w, CHANNELS, pixels
+
+
+MAX_AUDIO_FRAMES = 500
+BYTES_PER_FRAME = 2  # mono int16 PCM
+
+
+def fake_audio_codec(blob: bytes) -> tuple[int, bytes]:
+    """FAKE audio decoder (deterministic): frame count from the blob's
+    md5, PCM bytes are the hexdigest cycled. Same (n_frames, raw_bytes)
+    contract as a real libsndfile decode."""
+    hx = hashlib.md5(blob).hexdigest()
+    n_frames = 1 + int(hx[8:12], 16) % MAX_AUDIO_FRAMES
+    n = n_frames * BYTES_PER_FRAME
+    pcm = (hx * (n // len(hx) + 1))[:n].encode("ascii")
+    return n_frames, pcm
+
+
+DECODE_SCHEMA = (
+    "doc_id bigint, height int, width int, channels int, pixels binary"
+)
+
+
+def decode_image(
+    df: DataFrame,
+    id_col: str,
+    blob_col: str,
+    codec: Callable[[bytes], tuple[int, int, int, bytes]] = fake_image_codec,
+) -> DataFrame:
+    """Decode an image blob column to (height, width, channels, pixels)
+    through Arrow-batched mapInPandas. The codec is per-item Python (the
+    honest shape — real decoders are), everything else stays columnar.
+    Row-local: zero shuffle, partitioning inherited from the scan."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = [codec(bytes(b)) for b in pdf[blob_col]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "height": [d[0] for d in decoded],
+                    "width": [d[1] for d in decoded],
+                    "channels": [d[2] for d in decoded],
+                    "pixels": [d[3] for d in decoded],
+                }
+            )
+
+    return df.select(id_col, blob_col).mapInPandas(run, DECODE_SCHEMA)
+
+
+def resize_image(decoded: DataFrame, out_h: int, out_w: int) -> DataFrame:
+    """Nearest-neighbor resize of decoded frames (REAL math, vectorized
+    numpy per item): out[i, j] = in[(i*h)//out_h, (j*w)//out_w]. Works
+    identically on fake and real pixel buffers."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ri = np.arange(out_h)
+        rj = np.arange(out_w)
+        for pdf in batches:
+            out = []
+            for h, w, c, buf in zip(
+                pdf["height"], pdf["width"], pdf["channels"], pdf["pixels"]
+            ):
+                a = np.frombuffer(bytes(buf), dtype=np.uint8).reshape(
+                    int(h), int(w), int(c)
+                )
+                out.append(a[(ri * h) // out_h][:, (rj * w) // out_w, :].tobytes())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "height": out_h,
+                    "width": out_w,
+                    "channels": pdf["channels"],
+                    "pixels": out,
+                }
+            )
+
+    return decoded.mapInPandas(run, DECODE_SCHEMA)
+
+
+def sample_audio_frames(
+    df: DataFrame,
+    id_col: str,
+    blob_col: str,
+    every_k: int,
+    codec: Callable[[bytes], tuple[int, bytes]] = fake_audio_codec,
+) -> DataFrame:
+    """Decode an audio blob and keep every k-th PCM frame (REAL strided
+    numpy sampling over the decoded buffer)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n_frames, sampled = [], []
+            for b in pdf[blob_col]:
+                nf, pcm = codec(bytes(b))
+                frames = np.frombuffer(pcm, dtype=np.uint8).reshape(
+                    nf, BYTES_PER_FRAME
+                )
+                n_frames.append(nf)
+                sampled.append(frames[::every_k].tobytes())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "n_frames": n_frames,
+                    "sampled": sampled,
+                }
+            )
+
+    return df.select(id_col, blob_col).mapInPandas(
+        run, "doc_id bigint, n_frames int, sampled binary"
     )
 
 
@@ -91,3 +207,103 @@ def q32(spark, sf_dir):
     docs = table(spark, sf_dir, "documents")
     blobs = docs.select("doc_id", F.encode("text", "UTF-8").alias("blob"))
     return binary_features(blobs, "doc_id", "blob")
+
+
+def _blobs(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    return docs.select("doc_id", F.encode("text", "UTF-8").alias("blob"))
+
+
+# Oracle fragments re-deriving the fake codec's bytes SQL-side. md5(text)
+# in DuckDB hashes the UTF-8 bytes — the same bytes the Spark side feeds
+# the codec — and the cycled-hexdigest buffers are pure ASCII, so
+# character arithmetic equals byte arithmetic.
+_DECODE_CTE = (
+    "dec AS (SELECT doc_id, md5(text) AS hx,"
+    f" 1 + CAST(('0x'||substr(md5(text),1,4)) AS INT) % {MAX_DIM} AS h,"
+    f" 1 + CAST(('0x'||substr(md5(text),5,4)) AS INT) % {MAX_DIM} AS w"
+    " FROM documents),"
+    f" buf AS (SELECT *, substr(repeat(hx, (h*w*{CHANNELS})//32 + 1),"
+    f" 1, h*w*{CHANNELS}) AS b FROM dec)"
+)
+
+
+@register(
+    "q40_image_decode",
+    "WITH " + _DECODE_CTE
+    + " SELECT doc_id, h AS height, w AS width,"
+    f" CAST({CHANNELS} AS INT) AS channels, md5(b) AS pixel_md5"
+    " FROM buf ORDER BY doc_id",
+    doc="Image decode through the real mapInPandas plumbing (Arrow"
+    " batches, per-item codec, typed frame out) with the deterministic"
+    " fake codec; the oracle re-derives dimensions and the pixel-buffer"
+    " md5 SQL-side, so the whole decode path is hash-checked.",
+)
+def q40(spark, sf_dir):
+    decoded = decode_image(_blobs(spark, sf_dir), "doc_id", "blob")
+    return decoded.select(
+        "doc_id",
+        "height",
+        "width",
+        "channels",
+        F.md5("pixels").alias("pixel_md5"),
+    )
+
+
+RESIZE_TO = 8
+
+
+@register(
+    "q41_image_resize",
+    "WITH " + _DECODE_CTE
+    + f" SELECT doc_id, CAST({RESIZE_TO} AS INT) AS height,"
+    f" CAST({RESIZE_TO} AS INT) AS width,"
+    " md5(array_to_string(list_transform("
+    f"range(0, {RESIZE_TO * RESIZE_TO * CHANNELS}), p ->"
+    f" substr(b, 1 + ((((p // {RESIZE_TO * CHANNELS}) * h) // {RESIZE_TO})"
+    f" * w * {CHANNELS})"
+    f" + ((((p % {RESIZE_TO * CHANNELS}) // {CHANNELS}) * w)"
+    f" // {RESIZE_TO}) * {CHANNELS}"
+    f" + (p % {CHANNELS}), 1)), '')) AS pixel_md5"
+    " FROM buf ORDER BY doc_id",
+    doc="Decode -> nearest-neighbor resize to 8x8 (real vectorized numpy"
+    " index mapping in mapInPandas). The oracle replays the same"
+    " out[i,j] = in[(i*h)//8, (j*w)//8] arithmetic character-wise and"
+    " md5s the resized buffer — the transform math is hash-checked, not"
+    " just the plumbing.",
+)
+def q41(spark, sf_dir):
+    decoded = decode_image(_blobs(spark, sf_dir), "doc_id", "blob")
+    resized = resize_image(decoded, RESIZE_TO, RESIZE_TO)
+    return resized.select(
+        "doc_id", "height", "width", F.md5("pixels").alias("pixel_md5")
+    )
+
+
+SAMPLE_EVERY = 4
+
+
+@register(
+    "q42_audio_frame_sample",
+    "WITH dec AS (SELECT doc_id, md5(text) AS hx,"
+    " 1 + CAST(('0x'||substr(md5(text),9,4)) AS INT)"
+    f" % {MAX_AUDIO_FRAMES} AS nf FROM documents),"
+    f" buf AS (SELECT *, substr(repeat(hx, ({BYTES_PER_FRAME}*nf)//32 + 1),"
+    f" 1, {BYTES_PER_FRAME}*nf) AS b FROM dec)"
+    " SELECT doc_id, nf AS n_frames,"
+    f" md5(array_to_string(list_transform(range(0, (nf + {SAMPLE_EVERY - 1})"
+    f" // {SAMPLE_EVERY}), f ->"
+    f" substr(b, 1 + {BYTES_PER_FRAME * SAMPLE_EVERY} * f,"
+    f" {BYTES_PER_FRAME})), '')) AS sampled_md5"
+    " FROM buf ORDER BY doc_id",
+    doc="Audio decode (fake codec) -> keep every 4th PCM frame (real"
+    " strided numpy sampling in mapInPandas); the oracle re-derives the"
+    " sampled byte sequence and its md5 SQL-side.",
+)
+def q42(spark, sf_dir):
+    sampled = sample_audio_frames(
+        _blobs(spark, sf_dir), "doc_id", "blob", SAMPLE_EVERY
+    )
+    return sampled.select(
+        "doc_id", "n_frames", F.md5("sampled").alias("sampled_md5")
+    )

@@ -76,11 +76,52 @@ def test_ivf_search_probes_only_nearest_lists(spark, sf_dir):
     assert [r["vec_id"] for r in full] == [r["vec_id"] for r in exact]
 
 
-def test_multimodal_stubs_raise():
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_image(None, "blob")
-    with pytest.raises(NotImplementedError):
-        multimodal.sample_audio_frames(None, "blob", 16_000)
+def test_decode_accepts_custom_codec(spark):
+    """The codec parameter is the real-decoder plug point: a swapped-in
+    codec flows through the same Arrow plumbing unchanged."""
+    df = spark.createDataFrame(
+        [(1, b"xyz")], "doc_id bigint, blob binary"
+    )
+
+    def codec(blob):
+        return 2, 2, 1, bytes([len(blob)] * 4)
+
+    row = multimodal.decode_image(df, "doc_id", "blob", codec=codec).first()
+    assert (row["height"], row["width"], row["channels"]) == (2, 2, 1)
+    assert bytes(row["pixels"]) == bytes([3, 3, 3, 3])
+
+
+def test_resize_invariants(spark):
+    """Nearest-neighbor resize: fixed output shape, identity when sizes
+    match, corner pixels map to source corners."""
+    import numpy as np
+
+    src = np.arange(4 * 6 * 3, dtype=np.uint8).reshape(4, 6, 3)
+    df = spark.createDataFrame(
+        [(1, 4, 6, 3, src.tobytes())],
+        multimodal.DECODE_SCHEMA,
+    )
+    out = multimodal.resize_image(df, 2, 2).first()
+    a = np.frombuffer(bytes(out["pixels"]), dtype=np.uint8).reshape(2, 2, 3)
+    assert (a[0, 0] == src[0, 0]).all()  # top-left corner preserved
+    assert (a[1, 1] == src[2, 3]).all()  # (1*4)//2=2, (1*6)//2=3
+    same = multimodal.resize_image(df, 4, 6).first()
+    assert bytes(same["pixels"]) == src.tobytes()  # identity resize
+
+
+def test_audio_frame_sampling(spark):
+    """Every-k sampling keeps ceil(n/k) frames, first frame always kept."""
+    df = spark.createDataFrame([(1, b"pcm")], "doc_id bigint, blob binary")
+
+    def codec(blob):
+        return 5, bytes(range(10))  # 5 int16 frames
+
+    row = multimodal.sample_audio_frames(
+        df, "doc_id", "blob", 2, codec=codec
+    ).first()
+    assert row["n_frames"] == 5
+    # frames 0, 2, 4 -> bytes (0,1), (4,5), (8,9)
+    assert bytes(row["sampled"]) == bytes([0, 1, 4, 5, 8, 9])
 
 
 def test_binary_features_roundtrip(spark):
