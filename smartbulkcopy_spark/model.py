@@ -56,8 +56,12 @@ class TableIndex:
         (reference: client/TableInfoCollector.cs:48)."""
         if self.kind in (IndexKind.HEAP, IndexKind.COLUMNSTORE_CLUSTERED):
             return []
+        # ordinal (sys.index_columns.key_ordinal) is 0 for columns that are
+        # in the index only as partition/included columns — they are not
+        # sort keys and must not lead the ORDER BY.
         return sorted(
-            (c for c in self.columns if not c.computed), key=lambda c: c.ordinal
+            (c for c in self.columns if not c.computed and c.ordinal > 0),
+            key=lambda c: c.ordinal,
         )
 
     def partition_by_columns(self) -> list[IndexColumn]:

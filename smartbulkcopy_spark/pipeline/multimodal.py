@@ -47,12 +47,17 @@ def binary_features(df: DataFrame, id_col: str, blob_col: str) -> DataFrame:
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            # NULL blobs arrive as None; treat them as empty payloads
+            # rather than crashing the Python worker.
+            blobs = pdf[blob_col].map(
+                lambda b: b"" if b is None else bytes(b)
+            )
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],
-                    "n_bytes": pdf[blob_col].map(len),
-                    "blob_md5": pdf[blob_col].map(
-                        lambda b: hashlib.md5(bytes(b)).hexdigest()
+                    "n_bytes": blobs.map(len),
+                    "blob_md5": blobs.map(
+                        lambda b: hashlib.md5(b).hexdigest()
                     ),
                 }
             )
@@ -115,7 +120,9 @@ def decode_image(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            decoded = [codec(bytes(b)) for b in pdf[blob_col]]
+            decoded = [
+                codec(b"" if b is None else bytes(b)) for b in pdf[blob_col]
+            ]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],
@@ -173,7 +180,7 @@ def sample_audio_frames(
         for pdf in batches:
             n_frames, sampled = [], []
             for b in pdf[blob_col]:
-                nf, pcm = codec(bytes(b))
+                nf, pcm = codec(b"" if b is None else bytes(b))
                 frames = np.frombuffer(pcm, dtype=np.uint8).reshape(
                     nf, BYTES_PER_FRAME
                 )
@@ -194,8 +201,8 @@ def sample_audio_frames(
 
 @register(
     "q32_binary_features",
-    "SELECT doc_id, octet_length(encode(text)) AS n_bytes,"
-    " md5(text) AS blob_md5 FROM documents ORDER BY doc_id",
+    "SELECT doc_id, octet_length(encode(coalesce(text, ''))) AS n_bytes,"
+    " md5(coalesce(text, '')) AS blob_md5 FROM documents ORDER BY doc_id",
     doc="Multimodal plumbing proof: text bytes treated as an opaque blob,"
     " features (size + md5) computed in Arrow-batched mapInPandas. The"
     " oracle recomputes both from the same UTF-8 bytes SQL-side.",
@@ -205,13 +212,13 @@ def q32(spark, sf_dir):
     # input the worker spin-up dwarfs the vectorized md5 work. At scale
     # the scan has many splits and parallelism comes for free.
     docs = table(spark, sf_dir, "documents")
-    blobs = docs.select("doc_id", F.encode("text", "UTF-8").alias("blob"))
+    blobs = docs.select("doc_id", F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8").alias("blob"))
     return binary_features(blobs, "doc_id", "blob")
 
 
 def _blobs(spark, sf_dir):
     docs = table(spark, sf_dir, "documents")
-    return docs.select("doc_id", F.encode("text", "UTF-8").alias("blob"))
+    return docs.select("doc_id", F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8").alias("blob"))
 
 
 # Oracle fragments re-deriving the fake codec's bytes SQL-side. md5(text)
@@ -219,9 +226,9 @@ def _blobs(spark, sf_dir):
 # the codec — and the cycled-hexdigest buffers are pure ASCII, so
 # character arithmetic equals byte arithmetic.
 _DECODE_CTE = (
-    "dec AS (SELECT doc_id, md5(text) AS hx,"
-    f" 1 + CAST(('0x'||substr(md5(text),1,4)) AS INT) % {MAX_DIM} AS h,"
-    f" 1 + CAST(('0x'||substr(md5(text),5,4)) AS INT) % {MAX_DIM} AS w"
+    "dec AS (SELECT doc_id, md5(coalesce(text, '')) AS hx,"
+    f" 1 + CAST(('0x'||substr(md5(coalesce(text, '')),1,4)) AS INT) % {MAX_DIM} AS h,"
+    f" 1 + CAST(('0x'||substr(md5(coalesce(text, '')),5,4)) AS INT) % {MAX_DIM} AS w"
     " FROM documents),"
     f" buf AS (SELECT *, substr(repeat(hx, (h*w*{CHANNELS})//32 + 1),"
     f" 1, h*w*{CHANNELS}) AS b FROM dec)"
@@ -285,8 +292,8 @@ SAMPLE_EVERY = 4
 
 @register(
     "q42_audio_frame_sample",
-    "WITH dec AS (SELECT doc_id, md5(text) AS hx,"
-    " 1 + CAST(('0x'||substr(md5(text),9,4)) AS INT)"
+    "WITH dec AS (SELECT doc_id, md5(coalesce(text, '')) AS hx,"
+    " 1 + CAST(('0x'||substr(md5(coalesce(text, '')),9,4)) AS INT)"
     f" % {MAX_AUDIO_FRAMES} AS nf FROM documents),"
     f" buf AS (SELECT *, substr(repeat(hx, ({BYTES_PER_FRAME}*nf)//32 + 1),"
     f" 1, {BYTES_PER_FRAME}*nf) AS b FROM dec)"

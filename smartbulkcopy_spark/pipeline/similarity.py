@@ -176,6 +176,10 @@ def q33(spark, sf_dir):
         "embedding",
         F.expr(bucket_expr("spark")).cast("bigint").alias("bk"),
     ).persist()  # both self-join sides read it; signature computed once
+    # Materialize EAGERLY: a lazy persist lets both join sides race to
+    # fill the cache, each paying the full signature fold (same failure
+    # mode measured at ~2x in the dedup pipeline).
+    bucketed.count()
     x = bucketed.select(
         F.col("vec_id").alias("a_id"), F.col("embedding").alias("ea"), "bk"
     )

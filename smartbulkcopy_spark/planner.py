@@ -377,7 +377,18 @@ def analyze(
             size = src.size
             if size.row_count > config.batch_size or size.size_gb > 1:
                 if s_idx.is_partitioned:
-                    result.tasks.extend(_expand_physical(src, dst, hint))
+                    ptasks = _expand_physical(src, dst, hint)
+                    if ptasks:
+                        result.tasks.extend(ptasks)
+                    else:
+                        # A partitioned source whose catalog reported zero
+                        # partitions would otherwise contribute NO tasks and
+                        # silently skip the table under a SUCCESS outcome.
+                        log(
+                            f"{name}: partitioned source expanded to zero"
+                            " tasks; falling back to a full copy"
+                        )
+                        use_partitioning = False
                 else:
                     n = logical_partition_count(
                         config, size.row_count, size.size_gb

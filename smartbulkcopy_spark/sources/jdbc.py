@@ -157,7 +157,12 @@ def staging_plan(
     partition_number: int,
     dialect: str = "mssql",
 ) -> StagingPlan:
-    safe = target_table.replace("[", "").replace("]", "").replace(".", "_")
+    import re
+
+    # The staging identifier is emitted unquoted: every character outside
+    # [A-Za-z0-9_] (spaces, quotes, dots, brackets) must be folded away or
+    # a name like [dbo].[big table] produces invalid staging SQL.
+    safe = re.sub(r"[^A-Za-z0-9_]", "_", target_table.replace("]", ""))
     return StagingPlan(
         target_table=target_table,
         staging_table=f"stage_{safe}_{job_id}_{partition_number}",
@@ -306,6 +311,13 @@ def staged_jdbc_copy(
     import pyspark.sql.functions as F
 
     log = log or (lambda *_: None)
+    # Same guard as jdbc_predicates: a predicate-less task in a multi-task
+    # family would stage and publish the FULL table once per task.
+    if len(tasks) > 1 and any(t.predicate_sql() is None for t in tasks):
+        raise ValueError(
+            "multi-task family contains a vacuous predicate — each task"
+            f" would publish the whole table ({len(tasks)} duplicates)"
+        )
     conn = JvmJdbcConnection(spark, url)
     try:
         baseline = conn.scalar(f"SELECT COUNT(*) FROM {table}") or 0
@@ -325,6 +337,11 @@ def staged_jdbc_copy(
                     df.write.format("jdbc")
                     .option("url", url)
                     .option("dbtable", staging)
+                    .option(
+                        "batchsize",
+                        effective_batch_size(config, t.destination),
+                    )
+                    .option("isolationLevel", "READ_COMMITTED")
                     .mode("append")
                 )
                 for k, v in (properties or {}).items():

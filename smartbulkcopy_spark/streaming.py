@@ -30,9 +30,10 @@ def read_events_stream(
     Watermarks require TIMESTAMP (an absolute instant), not TIMESTAMP_NTZ,
     so the nanosecond `ts` is rebuilt with ``timestamp_micros`` — a pure
     epoch computation, independent of the session timezone. The naive
-    fixture values are thereby pinned to UTC instants; run the session
-    with ``spark.sql.session.timeZone=UTC`` (the factory default) and the
-    windowed output is bit-equal to the batch q18 answer."""
+    fixture values are thereby pinned to UTC instants; hour windows align
+    to epoch (also tz-independent) and ``hourly_aggregate`` renders the
+    window start back to a UTC-pinned NTZ, so the converged output is
+    bit-equal to the batch q18 answer in ANY session timezone."""
     if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(path).schema
@@ -57,7 +58,17 @@ def hourly_aggregate(stream: DataFrame, watermark: str = "2 hours") -> DataFrame
             cents(F.sum("value")).alias("total_cents"),
         )
         .select(
-            F.col("window.start").cast("timestamp_ntz").alias("w"),
+            # A bare NTZ cast renders the window instant in the SESSION
+            # timezone, silently breaking batch-q18 equivalence whenever
+            # the session is not UTC; round-tripping through
+            # convert_timezone pins the rendering to UTC regardless of
+            # session config. (Caveat: in a DST zone the fall-back hour's
+            # wall time is ambiguous for the intermediate NTZ value — for
+            # strict-DST deployments run the stream in a UTC session.)
+            F.expr(
+                "convert_timezone(current_timezone(), 'UTC',"
+                " CAST(window.start AS TIMESTAMP_NTZ))"
+            ).alias("w"),
             "event_type",
             "c",
             "total_cents",

@@ -125,6 +125,34 @@ def test_big_partitioned_heap_85_physical():
 # --- clustered rowstore (reference: tests/ClusteredRowstore.cs:14-77) ------
 
 
+def test_partitioned_source_with_zero_partitions_falls_back_to_full_copy():
+    """A partitioned source whose catalog reported partition_count=0 must
+    still be copied (one full task), never silently skipped under
+    SUCCESS."""
+    src = tinfo("t0", heap("d"), partitions=0, pcol="d")
+    dst = tinfo("t0", heap("d"), rows=0, gb=0)
+    r = plan_one(src, dst)
+    assert r.outcome is Outcome.SUCCESS
+    assert len(r.tasks) == 1
+    assert isinstance(r.tasks[0], FullCopyTask)
+
+
+def test_partition_only_column_not_in_order_by():
+    """sys.index_columns rows with key_ordinal=0 (partition/included
+    columns) are not sort keys: the ORDER BY spec must not include or
+    lead with them."""
+    idx = TableIndex(
+        kind=IndexKind.ROWSTORE_CLUSTERED,
+        columns=[
+            IndexColumn(name="d", ordinal=0, partition_ordinal=1),
+            IndexColumn(name="k1", ordinal=1),
+            IndexColumn(name="k2", ordinal=2),
+        ],
+    )
+    assert idx.order_by_spec() == (("k1", False), ("k2", False))
+    assert idx.partition_by_spec() == ("d",)
+
+
 def test_rowstore_single_ordered_stream():
     keys = [("l_orderkey", False), ("l_linenumber", False)]
     src = tinfo("li_cr", rowstore(keys))

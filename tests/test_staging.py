@@ -119,3 +119,28 @@ def test_staging_names_are_deterministic_per_partition():
     p2 = staging_plan("[dbo].[big table]", "j", 2)
     assert p1.staging_table != p2.staging_table
     assert p1 == staging_plan("[dbo].[big table]", "j", 1)
+
+
+def test_staging_names_are_valid_unquoted_identifiers():
+    """The staging identifier is emitted unquoted in CREATE/INSERT/DROP —
+    spaces, quotes, and brackets from the target name must be folded."""
+    import re
+
+    for target in ("[dbo].[big table]", "dbo.o'brien", 'dbo."quoted"'):
+        st = staging_plan(target, "j", 1).staging_table
+        assert re.fullmatch(r"[A-Za-z0-9_]+", st), st
+
+
+def test_staged_copy_rejects_vacuous_multi_task_family():
+    """N predicate-less tasks would stage and publish the full table N
+    times; the guard must fire before any connection is opened."""
+    import pytest
+
+    from smartbulkcopy_spark.planner import FullCopyTask
+    from smartbulkcopy_spark.sources.jdbc import staged_jdbc_copy
+
+    tasks = [FullCopyTask(source=None, destination=None) for _ in range(2)]
+    with pytest.raises(ValueError, match="vacuous"):
+        staged_jdbc_copy(
+            None, None, tasks, "jdbc:x", "t", _cfg(), job_id="j"
+        )

@@ -48,6 +48,28 @@ def test_streaming_converges_to_batch(spark, sf_dir, events_dir):
     assert stream_rows == _batch_q18(spark, sf_dir)
 
 
+def test_streaming_converges_under_hostile_timezone(
+    spark, sf_dir, events_dir
+):
+    """The driver grades with ITS OWN session timezone; the streaming
+    window rendering must not depend on it (a bare LTZ->NTZ cast does —
+    it shifted every window by the session offset)."""
+    orig = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Kolkata")
+    try:
+        got = streaming.run_to_convergence(
+            spark, events_dir, query_name="conv_tz_test",
+            output_mode="complete",
+        )
+        stream_rows = {
+            (r["w"], r["event_type"]): (r["c"], r["total_cents"])
+            for r in got.collect()
+        }
+        assert stream_rows == _batch_q18(spark, sf_dir)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", orig)
+
+
 def test_streaming_multi_file_append_respects_watermark(
     spark, sf_dir, events_dir, tmp_path
 ):
