@@ -33,6 +33,7 @@ from smartbulkcopy_spark.queries import register, spread, table
 
 N_PLANES = 8  # 8-bit bucket space
 NEAR_DUP_COS = 0.3  # tuned to the fixture: 22 in-bucket pairs at sf0.01
+EMBED_DIM = 64  # fixture embedding dimension (FIXTURES.md §B)
 
 
 def dot_fold(a, b):
@@ -133,6 +134,38 @@ def bucket_expr(engine: str) -> str:
     )
 
 
+def _plane_weights() -> list[list[float]]:
+    """The hyperplane weight matrix, materialized driver-side. The
+    weights are DATA-INDEPENDENT md5 parities — evaluating md5 inside
+    the row expression recomputes N_PLANES*EMBED_DIM=512 digests per row
+    (HOF lambdas re-evaluate per element); as literals the row cost is
+    pure multiply-add folds. Bit-identical to bucket_expr's weights."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(hashlib.md5(f"{j}_{i}".encode()).hexdigest()[:2], 16) & 1
+            else -1.0
+            for i in range(1, EMBED_DIM + 1)
+        ]
+        for j in range(N_PLANES)
+    ]
+
+
+def bucket_col():
+    """Spark column for the 8-bit hyperplane signature using literal
+    weights — same values as bucket_expr('spark'), ~500 fewer md5 calls
+    per row. Assumes EMBED_DIM-dimensional embeddings (the fixture's)."""
+    e = F.col("embedding")
+    sig = None
+    for j, row in enumerate(_plane_weights()):
+        w = F.array(*[F.lit(v) for v in row])
+        bit = F.when(dot_fold(e, w) > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        sig = bit if sig is None else sig + bit
+    return sig
+
+
 @register(
     "q31_lsh_bucket_histogram",
     f"SELECT CAST({bucket_expr('duck')} AS BIGINT) AS bucket,"
@@ -145,9 +178,7 @@ def bucket_expr(engine: str) -> str:
 def q31(spark, sf_dir):
     emb = spread(spark, table(spark, sf_dir, "embeddings"))
     return (
-        emb.select(
-            F.expr(bucket_expr("spark")).cast("bigint").alias("bucket")
-        )
+        emb.select(bucket_col().cast("bigint").alias("bucket"))
         .groupBy("bucket")
         .agg(F.count("*").alias("c"))
         .orderBy("bucket")
@@ -174,7 +205,7 @@ def q33(spark, sf_dir):
     bucketed = emb.select(
         "vec_id",
         "embedding",
-        F.expr(bucket_expr("spark")).cast("bigint").alias("bk"),
+        bucket_col().cast("bigint").alias("bk"),
     ).persist()  # both self-join sides read it; signature computed once
     # Materialize EAGERLY: a lazy persist lets both join sides race to
     # fill the cache, each paying the full signature fold (same failure
@@ -288,10 +319,17 @@ def ivf_search(spark, sf_dir, query_vec_id: int = 0, k: int = 10,
     qvec = [float(v) for v in qrow["embedding"]]
 
     def d2(c):
-        s = 0.0
+        # The same -2*q.c + c.c surrogate (left-to-right folds) the
+        # engine expressions use, so the probe ranking is reproducible
+        # bit-for-bit by a SQL oracle; a sum-of-squared-differences
+        # spelling rounds differently and can flip near-tied centroids.
+        dot = 0.0
         for a, b in zip(qvec, c):
-            s = s + (a - b) * (a - b)
-        return s
+            dot = dot + a * b
+        cc = 0.0
+        for b in c:
+            cc = cc + b * b
+        return -2.0 * dot + cc
 
     probe = [cid for cid, vec in sorted(cents, key=lambda c: (d2(c[1]), c[0]))][:n_probe]
 
@@ -311,16 +349,14 @@ def ivf_search(spark, sf_dir, query_vec_id: int = 0, k: int = 10,
 def ann_topk_bucketed(spark, sf_dir, query_vec_id: int = 0, k: int = 10):
     """The assembled ANN scale path: probe only the query's bucket.
 
-    Not a registered oracle query (LSH has false negatives by design —
-    recall is measured against q30 in tests); this is the API a user
-    calls. At 100 TB the bucket filter prunes ~255/256 of the corpus
-    before any distance math; with a bucketed/partitioned layout it
-    becomes partition pruning at the scan.
+    Registered as q43 with a full oracle (the bucketing, candidate set,
+    and rerank are all deterministic); LSH recall vs the exact q30 is
+    separately measured in tests. At 100 TB the bucket filter prunes
+    ~255/256 of the corpus before any distance math; with a
+    bucketed/partitioned layout it becomes partition pruning at the scan.
     """
     emb = table(spark, sf_dir, "embeddings")
-    bucketed = emb.withColumn(
-        "bucket", F.expr(bucket_expr("spark")).cast("bigint")
-    )
+    bucketed = emb.withColumn("bucket", bucket_col().cast("bigint"))
     qrow = bucketed.where(F.col("vec_id") == query_vec_id).first()
     qvec = [float(v) for v in qrow["embedding"]]
     nq = math.sqrt(sum(v * v for v in qvec))
@@ -335,4 +371,79 @@ def ann_topk_bucketed(spark, sf_dir, query_vec_id: int = 0, k: int = 10):
         .select("vec_id", cos.alias("cosine"))
         .orderBy(F.col("cosine").desc(), "vec_id")
         .limit(k)
+    )
+
+
+def _min_vec_id(spark, sf_dir) -> int:
+    emb = table(spark, sf_dir, "embeddings")
+    return emb.agg(F.min("vec_id")).first()[0]
+
+
+def _cos_e4(df):
+    return df.select(
+        "vec_id",
+        F.floor(10000.0 * F.col("cosine")).cast("bigint").alias("cos_e4"),
+    )
+
+
+_COS_RANK_DUCK = "dot / (sqrt(naa) * sqrt(nqq))"
+
+
+@register(
+    "q43_ann_bucketed_topk",
+    "WITH b AS (SELECT vec_id, embedding,"
+    f" CAST({bucket_expr('duck')} AS BIGINT) AS bk FROM embeddings),"
+    " q AS (SELECT vec_id, embedding, bk FROM b"
+    " WHERE vec_id = (SELECT min(vec_id) FROM embeddings)),"
+    " d AS (SELECT b.vec_id,"
+    f" {_dot_duck('b.embedding', 'q.embedding')} AS dot,"
+    f" {_dot_duck('b.embedding', 'b.embedding')} AS naa,"
+    f" {_dot_duck('q.embedding', 'q.embedding')} AS nqq"
+    " FROM b, q WHERE b.bk = q.bk AND b.vec_id != q.vec_id)"
+    f" SELECT vec_id, CAST(floor(10000.0 * {_COS_RANK_DUCK}) AS BIGINT)"
+    " AS cos_e4"
+    f" FROM d ORDER BY {_COS_RANK_DUCK} DESC, vec_id LIMIT 10",
+    doc="The assembled LSH-ANN search: hyperplane-bucket probe + exact"
+    " cosine rerank, top-10 for the first vector. Every stage"
+    " (bucketing, candidates, rerank order) is deterministic and"
+    " bit-reproduced by the oracle; recall vs exact q30 is covered in"
+    " tests. At scale the bucket filter is partition pruning.",
+)
+def q43(spark, sf_dir):
+    return _cos_e4(
+        ann_topk_bucketed(spark, sf_dir, _min_vec_id(spark, sf_dir), k=10)
+    )
+
+
+@register(
+    "q44_ivf_probe_topk",
+    "WITH " + _ivf_duck_cte() + ","
+    " q AS (SELECT vec_id, embedding FROM embeddings"
+    " WHERE vec_id = (SELECT min(vec_id) FROM embeddings)),"
+    " pd AS (SELECT c.cid,"
+    f" -2.0 * {_dot_duck('q.embedding', 'c.cemb')}"
+    f" + {_dot_duck('c.cemb', 'c.cemb')} AS d FROM cent c, q),"
+    " probe AS (SELECT cid FROM (SELECT cid,"
+    " row_number() OVER (ORDER BY d, cid) AS rn FROM pd) WHERE rn <= 2),"
+    " cand AS (SELECT a.vec_id FROM assign a JOIN probe p ON a.cid = p.cid"
+    " WHERE a.vec_id != (SELECT vec_id FROM q)),"
+    " dd AS (SELECT e.vec_id,"
+    f" {_dot_duck('e.embedding', 'q.embedding')} AS dot,"
+    f" {_dot_duck('e.embedding', 'e.embedding')} AS naa,"
+    f" {_dot_duck('q.embedding', 'q.embedding')} AS nqq"
+    " FROM embeddings e, q"
+    " WHERE e.vec_id IN (SELECT vec_id FROM cand))"
+    f" SELECT vec_id, CAST(floor(10000.0 * {_COS_RANK_DUCK}) AS BIGINT)"
+    " AS cos_e4"
+    f" FROM dd ORDER BY {_COS_RANK_DUCK} DESC, vec_id LIMIT 10",
+    doc="Probed IVF search: rank centroids by the -2*q.c + c.c surrogate"
+    " (driver-side over K values), scan the 2 nearest inverted lists,"
+    " exact-rerank by cosine, top-10. Assignment, probe choice, and"
+    " rerank order are all deterministic and bit-reproduced by the"
+    " oracle. At scale the list id is a partition key, so probing is"
+    " partition pruning.",
+)
+def q44(spark, sf_dir):
+    return _cos_e4(
+        ivf_search(spark, sf_dir, _min_vec_id(spark, sf_dir), k=10, n_probe=2)
     )
