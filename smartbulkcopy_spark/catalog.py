@@ -152,7 +152,8 @@ WHERE s.name = PARSENAME('{table}', 2) AND t.name = PARSENAME('{table}', 1)
 """  # reference: client/TableInfoCollector.cs:190-218
 
 SQL_COPYABLE_COLUMNS = """
-SELECT c.name AS column_name, c.column_id, c.system_type_id
+SELECT c.name AS column_name, c.column_id, c.system_type_id,
+       c.precision, c.scale
 FROM sys.columns c
 WHERE c.object_id = OBJECT_ID('{table}')
   AND c.is_computed = 0        -- destination recomputes
@@ -296,6 +297,15 @@ class JdbcCatalog:
             for r in col_rows
             if r["system_type_id"] in NUMERIC_SYSTEM_TYPE_IDS
         ]
+        col_types = [
+            (
+                r["column_name"],
+                r["system_type_id"],
+                r["precision"] or 0,
+                r["scale"] or 0,
+            )
+            for r in col_rows
+        ]
         idx_rows = self._query(self._fmt(SQL_PRIMARY_INDEX, name)).collect()
         kind = IndexKind.HEAP
         if idx_rows:
@@ -355,6 +365,7 @@ class JdbcCatalog:
             foreign_keys=fks,
             columns=cols,
             numeric_columns=numeric,
+            column_types=col_types,
             identity_column=ident["identity_column"] if ident else None,
             size=TableSize(
                 row_count=size_row["row_count"] or 0,

@@ -116,6 +116,12 @@ class TableInfo:
     # An empty LIST means "known: no numeric columns" and forbids
     # modulo bucketing outright.
     numeric_columns: list[str] | None = None
+    # (name, system_type_id, precision, scale) per copyable column, when
+    # the catalog fetched types (JDBC). Drives the declared type-mapping
+    # policy (types.py): customSchema hints at the scan + lossy-column
+    # warnings in the planner log. None for file sources (parquet types
+    # are already Spark types).
+    column_types: list[tuple[str, int, int, int]] | None = None
     # The IDENTITY column, when the catalog knows it (sys.identity_columns
     # over JDBC, LayoutSpec for files). Drives post-copy reseed.
     identity_column: str | None = None

@@ -328,6 +328,14 @@ def analyze(
                 return result
             log(f"{name}: temporal table will be disabled/re-enabled around load")
 
+        if src.column_types:
+            from smartbulkcopy_spark.types import lossy_columns
+
+            for col, reason in lossy_columns(src.column_types):
+                # A declared-lossy mapping is a visible decision, never a
+                # silent surprise (types.py policy).
+                log(f"{name}.{col}: lossy type mapping — {reason}")
+
         s_idx, d_idx = src.primary_index, dst.primary_index
 
         # Parallelism decision matrix (reference: client/TableAnalyzer.cs:109-145)

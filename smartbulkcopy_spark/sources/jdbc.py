@@ -53,14 +53,23 @@ def read_jdbc_partitioned(
     properties: dict[str, str] | None = None,
 ) -> DataFrame:
     """Partition-parallel JDBC read: each planner predicate becomes one
-    Spark partition (SURVEY §2.1 S2/S3)."""
+    Spark partition (SURVEY §2.1 S2/S3). When the catalog fetched column
+    types, the declared type-mapping policy (types.py) is enforced AT THE
+    SCAN via customSchema — the JDBC dialect never guesses."""
+    from smartbulkcopy_spark.types import custom_schema_hints
+
     head = tasks[0]
     table = head.source.location or head.source.name
+    props = dict(properties or {})
+    if head.source.column_types and "customSchema" not in props:
+        hints = custom_schema_hints(head.source.column_types)
+        if hints:
+            props["customSchema"] = hints
     df = spark.read.jdbc(
         url=url,
         table=table,
         predicates=jdbc_predicates(tasks),
-        properties=properties or {},
+        properties=props,
     )
     return df.select(*head.select_columns())
 

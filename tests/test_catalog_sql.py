@@ -38,16 +38,17 @@ def syscat():
             (201, 1, 'plain', 0, NULL, NULL, NULL);
         CREATE TABLE sys.columns(
             object_id INT, column_id INT, name VARCHAR, is_computed INT,
-            is_column_set INT, system_type_id INT, generated_always_type INT);
+            is_column_set INT, system_type_id INT, generated_always_type INT,
+            precision INT, scale INT);
         INSERT INTO sys.columns VALUES
-            (101, 1, 'o_orderkey', 0, 0, 127, 0),
-            (101, 2, 'o_name', 0, 0, 231, 0),
-            (101, 3, 'o_total_computed', 1, 0, 106, 0),
-            (101, 4, 'o_rowversion', 0, 0, 189, 0),
-            (101, 5, 'o_orderdate', 0, 0, 61, 0),
-            (101, 6, 'valid_from', 0, 0, 61, 1),
-            (101, 7, 'valid_to', 0, 0, 61, 2),
-            (201, 1, 'a', 0, 0, 56, 0);
+            (101, 1, 'o_orderkey', 0, 0, 127, 0, 19, 0),
+            (101, 2, 'o_name', 0, 0, 231, 0, 0, 0),
+            (101, 3, 'o_total_computed', 1, 0, 106, 0, 18, 2),
+            (101, 4, 'o_rowversion', 0, 0, 189, 0, 0, 0),
+            (101, 5, 'o_orderdate', 0, 0, 61, 0, 23, 3),
+            (101, 6, 'valid_from', 0, 0, 61, 1, 23, 3),
+            (101, 7, 'valid_to', 0, 0, 61, 2, 23, 3),
+            (201, 1, 'a', 0, 0, 56, 0, 10, 0);
         CREATE TABLE sys.indexes(
             object_id INT, index_id INT, type INT, data_space_id INT);
         INSERT INTO sys.indexes VALUES
@@ -152,6 +153,20 @@ def test_collect_partitioned_temporal_table(syscat):
     assert info.history_info.period_end_column == "valid_to"
     assert info.history_info.retention_period == "6 MONTHS"
     assert info.identity_column == "o_orderkey"
+    # type-mapping policy inputs collected per copyable column
+    assert info.column_types == [
+        ("o_orderkey", 127, 19, 0),
+        ("o_name", 231, 0, 0),
+        ("o_orderdate", 61, 23, 3),
+        ("valid_from", 61, 23, 3),
+        ("valid_to", 61, 23, 3),
+    ]
+    from smartbulkcopy_spark.types import custom_schema_hints
+
+    assert custom_schema_hints(info.column_types) == (
+        "`o_orderkey` BIGINT, `o_name` STRING, `o_orderdate` TIMESTAMP_NTZ,"
+        " `valid_from` TIMESTAMP_NTZ, `valid_to` TIMESTAMP_NTZ"
+    )
 
 
 def test_collect_plain_heap(syscat):
