@@ -156,14 +156,22 @@ def _plane_weights() -> list[list[float]]:
 def bucket_col():
     """Spark column for the 8-bit hyperplane signature using literal
     weights — same values as bucket_expr('spark'), ~500 fewer md5 calls
-    per row. Assumes EMBED_DIM-dimensional embeddings (the fixture's)."""
+    per row. The weight literals are EMBED_DIM wide; a row with any other
+    dimension fails loudly (zip_with would otherwise NULL-pad and
+    silently collapse every off-dimension vector into bucket 0)."""
     e = F.col("embedding")
     sig = None
     for j, row in enumerate(_plane_weights()):
         w = F.array(*[F.lit(v) for v in row])
         bit = F.when(dot_fold(e, w) > 0, F.lit(1 << j)).otherwise(F.lit(0))
         sig = bit if sig is None else sig + bit
-    return sig
+    guard = F.expr(
+        f"assert_true(size(embedding) = {EMBED_DIM},"
+        f" 'bucket_col requires {EMBED_DIM}-dim embeddings')"
+    )
+    # assert_true yields NULL on success, so coalesce passes sig through;
+    # on an off-dimension row it raises instead.
+    return F.coalesce(guard.cast("int"), sig)
 
 
 @register(

@@ -331,10 +331,15 @@ def analyze(
         if src.column_types:
             from smartbulkcopy_spark.types import lossy_columns
 
-            for col, reason in lossy_columns(src.column_types):
-                # A declared-lossy mapping is a visible decision, never a
-                # silent surprise (types.py policy).
-                log(f"{name}.{col}: lossy type mapping — {reason}")
+            try:
+                for col, reason in lossy_columns(src.column_types):
+                    # A declared-lossy mapping is a visible decision,
+                    # never a silent surprise (types.py policy).
+                    log(f"{name}.{col}: lossy type mapping — {reason}")
+            except ValueError as exc:
+                # An undeclared type id must not crash analysis out of
+                # its Outcome contract; the read path raises loudly.
+                log(f"{name}: {exc}")
 
         s_idx, d_idx = src.primary_index, dst.primary_index
 

@@ -83,6 +83,28 @@ def effective_batch_size(config: EngineConfig, destination: TableInfo) -> int:
     return config.batch_size
 
 
+def _jdbc_writer(
+    df: DataFrame,
+    url: str,
+    table: str,
+    config: EngineConfig,
+    destination: TableInfo,
+    properties: dict[str, str] | None,
+):
+    """The one place writer options are assembled — shared by the plain
+    and staged write paths so batch/isolation settings can't drift."""
+    writer = (
+        df.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("batchsize", effective_batch_size(config, destination))
+        .option("isolationLevel", "READ_COMMITTED")
+    )
+    for k, v in (properties or {}).items():
+        writer = writer.option(k, v)
+    return writer
+
+
 def write_jdbc(
     df: DataFrame,
     url: str,
@@ -93,15 +115,7 @@ def write_jdbc(
 ) -> None:
     """Append write with batch control; truncate-then-load maps to
     mode=overwrite + truncate=true (SURVEY §2.1 S4/S5)."""
-    writer = (
-        df.write.format("jdbc")
-        .option("url", url)
-        .option("dbtable", table)
-        .option("batchsize", effective_batch_size(config, destination))
-        .option("isolationLevel", "READ_COMMITTED")
-    )
-    for k, v in (properties or {}).items():
-        writer = writer.option(k, v)
+    writer = _jdbc_writer(df, url, table, config, destination, properties)
     if config.truncate_tables:
         writer = writer.mode("overwrite").option("truncate", "true")
     else:
@@ -166,12 +180,17 @@ def staging_plan(
     partition_number: int,
     dialect: str = "mssql",
 ) -> StagingPlan:
+    import hashlib
     import re
 
     # The staging identifier is emitted unquoted: every character outside
     # [A-Za-z0-9_] (spaces, quotes, dots, brackets) must be folded away or
-    # a name like [dbo].[big table] produces invalid staging SQL.
+    # a name like [dbo].[big table] produces invalid staging SQL. Folding
+    # can collide distinct targets ([a b] vs [a.b]), so a short hash of
+    # the RAW name keeps staging tables collision-free per target.
     safe = re.sub(r"[^A-Za-z0-9_]", "_", target_table.replace("]", ""))
+    tag = hashlib.md5(target_table.encode()).hexdigest()[:6]
+    safe = f"{safe}_{tag}"
     return StagingPlan(
         target_table=target_table,
         staging_table=f"stage_{safe}_{job_id}_{partition_number}",
@@ -304,6 +323,8 @@ def staged_jdbc_copy(
     log=None,
     before_write=None,
     sleep=None,
+    source_url: str | None = None,
+    source_properties: dict[str, str] | None = None,
 ) -> None:
     """Per-partition exactly-once JDBC copy (SURVEY §7.4 known-hard #1).
 
@@ -320,12 +341,28 @@ def staged_jdbc_copy(
     import pyspark.sql.functions as F
 
     log = log or (lambda *_: None)
+
+    def mssql_fallback(t: CopyTask) -> bool:
+        # Boundary-less physical partitions can't be expressed as a
+        # Catalyst filter, but the native $partition spelling pushes to
+        # the SOURCE server when its url is known.
+        return (
+            source_url is not None
+            and isinstance(t, PhysicalPartitionCopyTask)
+            and bool(t.partition_function)
+        )
+
     # Same guard as jdbc_predicates: a predicate-less task in a multi-task
-    # family would stage and publish the FULL table once per task.
-    if len(tasks) > 1 and any(t.predicate_sql() is None for t in tasks):
+    # family (with no server-side fallback) would stage and publish the
+    # FULL table once per task.
+    if len(tasks) > 1 and any(
+        t.predicate_sql() is None and not mssql_fallback(t) for t in tasks
+    ):
         raise ValueError(
             "multi-task family contains a vacuous predicate — each task"
-            f" would publish the whole table ({len(tasks)} duplicates)"
+            f" would publish the whole table ({len(tasks)} duplicates);"
+            " collect partition boundaries or pass source_url for"
+            " $partition pushdown"
         )
     conn = JvmJdbcConnection(spark, url)
     try:
@@ -337,25 +374,24 @@ def staged_jdbc_copy(
                 table, job_id, task.partition_number, dialect=dialect
             )
             pred = task.predicate_sql()
-            part_df = source_df.filter(F.expr(pred)) if pred else source_df
+            if pred is not None:
+                part_df = source_df.filter(F.expr(pred))
+            elif mssql_fallback(task):
+                part_df = spark.read.jdbc(
+                    url=source_url,
+                    table=task.source.location or task.source.name,
+                    predicates=[task.mssql_predicate()],
+                    properties=source_properties or properties or {},
+                )
+            else:
+                part_df = source_df
 
             def write_fn(staging, df=part_df, t=task):
                 if before_write is not None:
                     before_write(t, staging)
-                w = (
-                    df.write.format("jdbc")
-                    .option("url", url)
-                    .option("dbtable", staging)
-                    .option(
-                        "batchsize",
-                        effective_batch_size(config, t.destination),
-                    )
-                    .option("isolationLevel", "READ_COMMITTED")
-                    .mode("append")
-                )
-                for k, v in (properties or {}).items():
-                    w = w.option(k, v)
-                w.save()
+                _jdbc_writer(
+                    df, url, staging, config, t.destination, properties
+                ).mode("append").save()
 
             def probe(p, expected=None):
                 # target grew past everything published so far -> this

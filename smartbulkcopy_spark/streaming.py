@@ -60,14 +60,13 @@ def hourly_aggregate(stream: DataFrame, watermark: str = "2 hours") -> DataFrame
         .select(
             # A bare NTZ cast renders the window instant in the SESSION
             # timezone, silently breaking batch-q18 equivalence whenever
-            # the session is not UTC; round-tripping through
-            # convert_timezone pins the rendering to UTC regardless of
-            # session config. (Caveat: in a DST zone the fall-back hour's
-            # wall time is ambiguous for the intermediate NTZ value — for
-            # strict-DST deployments run the stream in a UTC session.)
+            # the session is not UTC — and a convert_timezone round-trip
+            # is ambiguous during a DST fall-back hour. Rebuilding from
+            # epoch micros is pure arithmetic: exact in every session
+            # timezone, no DST caveat.
             F.expr(
-                "convert_timezone(current_timezone(), 'UTC',"
-                " CAST(window.start AS TIMESTAMP_NTZ))"
+                "timestampadd(MICROSECOND, unix_micros(window.start),"
+                " TIMESTAMP_NTZ'1970-01-01 00:00:00')"
             ).alias("w"),
             "event_type",
             "c",

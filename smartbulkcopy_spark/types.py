@@ -138,7 +138,8 @@ def custom_schema_hints(
     parts = []
     for name, type_id, precision, scale in columns:
         m = mapping_for(type_id)
-        parts.append(f"`{name}` {m.ddl(precision, scale)}")
+        quoted = name.replace("`", "``")  # backticks are legal in names
+        parts.append(f"`{quoted}` {m.ddl(precision, scale)}")
     return ", ".join(parts)
 
 
@@ -149,8 +150,12 @@ def lossy_columns(
     information — surfaced by the planner log so a truncation is a
     visible decision, never a surprise."""
     out = []
-    for name, type_id, _p, _s in columns:
+    for name, type_id, _p, scale in columns:
         m = mapping_for(type_id)
         if not m.lossless:
+            # datetime2 is only lossy at scale 7 (100 ns); 0..6 fit
+            # microseconds exactly.
+            if type_id == 42 and scale <= 6:
+                continue
             out.append((name, m.note))
     return out

@@ -63,8 +63,15 @@ def test_lossy_columns_surfaced():
     cols = [
         ("ok", 127, 19, 0),
         ("precise", 42, 27, 7),
+        ("fits", 42, 23, 3),  # datetime2(3) fits microseconds exactly
         ("variant", 98, 0, 0),
     ]
     lossy = dict(lossy_columns(cols))
     assert set(lossy) == {"precise", "variant"}
     assert "100 ns" in lossy["precise"]
+
+
+def test_custom_schema_hints_escape_backticks():
+    assert custom_schema_hints([("we`ird", 167, 0, 0)]) == (
+        "`we``ird` STRING"
+    )
