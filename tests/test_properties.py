@@ -114,3 +114,79 @@ def test_tableset_exclude_inverts_include(tables):
     """Including * then excluding every table yields the empty set."""
     patterns = ["+:*"] + [f"-:{t}" for t in tables]
     assert resolve_tables(patterns, tables) == []
+
+
+@given(
+    target=st.text(
+        alphabet=st.characters(blacklist_categories=("Cs",)),
+        min_size=1,
+        max_size=60,
+    ),
+    part=st.integers(1, 128),
+)
+@settings(deadline=None, max_examples=100)
+def test_staging_names_always_valid_identifiers(target, part):
+    """Any target name — unicode, quotes, brackets, dots — folds to a
+    plain unquoted identifier, deterministically."""
+    import re
+
+    from smartbulkcopy_spark.sources.jdbc import staging_plan
+
+    p = staging_plan(target, "job", part)
+    assert re.fullmatch(r"[A-Za-z0-9_]+", p.staging_table), p.staging_table
+    assert p == staging_plan(target, "job", part)
+
+
+@given(
+    pair=st.lists(
+        st.text(
+            alphabet=st.characters(blacklist_categories=("Cs",)),
+            min_size=1,
+            max_size=30,
+        ),
+        min_size=2,
+        max_size=2,
+        unique=True,
+    )
+)
+@settings(deadline=None, max_examples=100)
+def test_staging_names_distinct_for_distinct_targets(pair):
+    """Distinct raw targets never share a staging table (the hash tag
+    disambiguates names that fold identically, e.g. 'a b' vs 'a.b')."""
+    from smartbulkcopy_spark.sources.jdbc import staging_plan
+
+    a, b = pair
+    assert (
+        staging_plan(a, "j", 1).staging_table
+        != staging_plan(b, "j", 1).staging_table
+    )
+
+
+@given(
+    names=st.lists(
+        st.text(
+            alphabet=st.characters(
+                blacklist_categories=("Cs",), blacklist_characters="\x00"
+            ),
+            min_size=1,
+            max_size=20,
+        ),
+        min_size=1,
+        max_size=8,
+        unique=True,
+    ),
+    type_ids=st.lists(st.sampled_from([127, 56, 231, 167, 106, 42, 41, 43, 165, 36]),
+                      min_size=8, max_size=8),
+)
+@settings(deadline=None, max_examples=60)
+def test_custom_schema_hints_parse_as_spark_ddl(spark, names, type_ids):
+    """The generated customSchema string must be accepted by Spark's own
+    DDL parser for ANY legal column name (backticks, spaces, unicode)."""
+    from pyspark.sql.types import StructType
+
+    from smartbulkcopy_spark.types import custom_schema_hints
+
+    cols = [(n, t, 18, 2) for n, t in zip(names, type_ids)]
+    hints = custom_schema_hints(cols)
+    parsed = StructType.fromDDL(hints)
+    assert [f.name for f in parsed.fields] == [c[0] for c in cols]
