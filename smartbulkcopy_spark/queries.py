@@ -140,11 +140,11 @@ def q01(spark, sf_dir):
     " (reference: client/CopyInfo.cs:58-68)",
 )
 def q02(spark, sf_dir):
+    # No Spark-side sort: driver hash is order-insensitive (same reasoning
+    # as q01); the bucket filter is the operator under test.
     li = table(spark, sf_dir, "lineitem")
-    return (
-        li.filter((F.col("l_orderkey") % 9) == 3)
-        .select("l_orderkey", "l_linenumber")
-        .orderBy("l_orderkey", "l_linenumber")
+    return li.filter((F.col("l_orderkey") % 9) == 3).select(
+        "l_orderkey", "l_linenumber"
     )
 
 
@@ -285,11 +285,10 @@ def q10(spark, sf_dir):
 def q11(spark, sf_dir):
     cust = table(spark, sf_dir, "customer")
     orders = table(spark, sf_dir, "orders")
-    return (
-        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
-        .select("c_custkey")
-        .orderBy("c_custkey")
-    )
+    # No Spark-side sort (order-insensitive driver hash, same as q01).
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey")
 
 
 @register(
@@ -300,9 +299,10 @@ def q11(spark, sf_dir):
     " (reference: client/SmartBulkCopy.cs:819-827)",
 )
 def q12(spark, sf_dir):
+    # No Spark-side sort (order-insensitive driver hash, same as q01).
     cust = table(spark, sf_dir, "customer").select("c_custkey")
     orders = table(spark, sf_dir, "orders").select("o_custkey")
-    return cust.subtract(orders.toDF("c_custkey")).orderBy("c_custkey")
+    return cust.subtract(orders.toDF("c_custkey"))
 
 
 @register(
