@@ -539,6 +539,91 @@ def q35(spark, sf_dir):
     )
 
 
+# Epoch micros of the NTZ event time (pure NTZ arithmetic), and the
+# UTC-pinned instant Spark's window operators require — both
+# session-timezone-independent by construction.
+_EV_MICROS = (
+    "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"
+)
+_NTZ_FROM_START = (
+    "timestampadd(MICROSECOND, unix_micros({c}),"
+    " TIMESTAMP_NTZ'1970-01-01 00:00:00')"
+)
+
+
+@register(
+    "q45_sliding_window",
+    "WITH e AS (SELECT date_trunc('hour', ts) AS h, event_type, value"
+    " FROM events),"
+    " x AS (SELECT h - o * INTERVAL 1 HOUR AS w, event_type, value"
+    " FROM e CROSS JOIN (VALUES (0), (1)) AS t(o))"
+    " SELECT w, event_type, count(*) AS c,"
+    " CAST(CAST(ROUND(sum(value), 2) AS DECIMAL(18,2)) * 100 AS BIGINT)"
+    " AS total_cents"
+    " FROM x GROUP BY w, event_type ORDER BY w, event_type",
+    doc="Sliding-window aggregation (2-hour window, 1-hour slide) —"
+    " §2.9's sliding surface. Spark's window() replicates each event"
+    " into its 2 overlapping windows; the oracle spells the same"
+    " replication as a 2-row cross join on hour offsets. Window"
+    " alignment and output rendering are epoch-based, so the result is"
+    " session-timezone-independent.",
+)
+def q45(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    inst = F.timestamp_micros(F.expr(_EV_MICROS))
+    return (
+        ev.select(inst.alias("t"), "event_type", "value")
+        .groupBy(F.window("t", "2 hours", "1 hour"), "event_type")
+        .agg(
+            F.count("*").alias("c"),
+            cents(F.sum("value")).alias("total_cents"),
+        )
+        .select(
+            F.expr(_NTZ_FROM_START.format(c="window.start")).alias("w"),
+            "event_type",
+            "c",
+            "total_cents",
+        )
+        .orderBy("w", "event_type")
+    )
+
+
+@register(
+    "q46_session_window",
+    "WITH d AS (SELECT user_id, ts,"
+    " CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER"
+    " (PARTITION BY user_id ORDER BY ts)) >= 1800000000"
+    " THEN 1 ELSE 0 END AS brk"
+    " FROM events),"
+    " s AS (SELECT user_id, ts, sum(brk) OVER (PARTITION BY user_id"
+    " ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM d)"
+    " SELECT user_id, min(ts) AS session_start, count(*) AS n_events"
+    " FROM s GROUP BY user_id, sid ORDER BY user_id, session_start",
+    doc="Per-user sessions via Spark's NATIVE session_window operator"
+    " (30-minute gap) — §2.9's session surface, complementing q35's"
+    " gaps-and-islands spelling of the same semantics. Note"
+    " session_window closes a session when the next event is >= gap"
+    " after the previous ([start, last+gap) windows), so the oracle's"
+    " break condition is >= where q35's is >.",
+)
+def q46(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    inst = F.timestamp_micros(F.expr(_EV_MICROS))
+    return (
+        ev.select("user_id", inst.alias("t"))
+        .groupBy("user_id", F.session_window("t", "30 minutes"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.expr(_NTZ_FROM_START.format(c="session_window.start")).alias(
+                "session_start"
+            ),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
 @register(
     "q37_scalar_funcs",
     "SELECT p_partkey,"
