@@ -66,7 +66,8 @@ def q21(spark, sf_dir):
 
 @register(
     "q22_text_stats",
-    "SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS total_chars,"
+    "SELECT lang, source, count(*) AS n_docs,"
+    " CAST(sum(n_chars) AS BIGINT) AS total_chars,"
     " min(n_chars) AS min_chars, max(n_chars) AS max_chars"
     " FROM documents GROUP BY lang, source ORDER BY lang, source",
     doc="Corpus composition stats per (lang, source) — the first question"
@@ -89,7 +90,7 @@ def q22(spark, sf_dir):
 @register(
     "q23_token_counts",
     "SELECT lang, count(*) AS n_docs,"
-    " sum(" + TOKENS_SQL_DUCK + ") AS total_tokens,"
+    " CAST(sum(" + TOKENS_SQL_DUCK + ") AS BIGINT) AS total_tokens,"
     " max(" + TOKENS_SQL_DUCK + ") AS max_tokens"
     " FROM documents GROUP BY lang ORDER BY lang",
     doc="Whitespace token counting (the BPE-precursor budget metric),"
@@ -205,9 +206,9 @@ _BPE_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
 @register(
     "q38_bpe_token_counts",
     "SELECT lang, count(*) AS n_docs,"
-    f" sum(len(regexp_extract_all({NORM_SQL_DUCK}, '{_BPE_PATTERN}')))"
-    " AS total_bpe_tokens,"
-    " sum(" + TOKENS_SQL_DUCK + ") AS total_ws_tokens"
+    f" CAST(sum(len(regexp_extract_all({NORM_SQL_DUCK}, '{_BPE_PATTERN}')))"
+    " AS BIGINT) AS total_bpe_tokens,"
+    " CAST(sum(" + TOKENS_SQL_DUCK + ") AS BIGINT) AS total_ws_tokens"
     " FROM documents GROUP BY lang ORDER BY lang",
     doc="BPE-ish regex pre-tokenization (letter runs / digit runs /"
     " single punctuation) next to the whitespace budget metric, per"

@@ -37,6 +37,14 @@ def cents(col):
     decimal domain the whole way (round -> decimal(18,2) -> *100 -> long),
     so there is no double-rounding hazard. Oracle spelling:
     ``CAST(CAST(ROUND(x, 2) AS DECIMAL(18,2)) * 100 AS BIGINT)``.
+
+    Related rule — INTEGER SUMS IN ORACLES: DuckDB binds ``sum()`` over any
+    integer column as HUGEINT (int128) while Spark returns BIGINT, and the
+    driver's value hash renders the two differently even when values are
+    equal. Every oracle-side integer ``sum(...)`` (including derived forms
+    like ``1 + sum(x)``) MUST be wrapped in ``CAST(... AS BIGINT)``.
+    ``count(*)``/``min``/``max`` already bind BIGINT-or-input-type and are
+    safe.
     """
     return (F.round(col, 2).cast(DEC182) * 100).cast("long")
 
@@ -510,7 +518,7 @@ def q20(spark, sf_dir):
     " THEN 1 ELSE 0 END AS brk"
     " FROM events)"
     " SELECT user_id, count(*) AS n_events,"
-    " 1 + sum(brk) AS n_sessions"
+    " CAST(1 + sum(brk) AS BIGINT) AS n_sessions"
     " FROM d GROUP BY user_id ORDER BY user_id",
     doc="Gaps-and-islands sessionization (30-minute inactivity gap) per"
     " user — the batch ground truth the stateful-streaming twin"
