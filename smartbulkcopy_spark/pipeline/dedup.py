@@ -35,6 +35,7 @@ at sf0.01, 356 at sf0.1); P(candidate) ≈ 1-(1-J^4)^2 for Jaccard J.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+from pyspark.sql.window import Window
 
 from smartbulkcopy_spark.queries import register, spread, table
 
@@ -147,9 +148,13 @@ def candidate_pairs(spark, sf_dir):
     Each bucket's sorted doc list explodes to its ordered pairs with a
     nested JVM-side transform; a bucket of size s yields s*(s-1)/2 pairs,
     exactly the candidate count a band join would produce. Buckets larger
-    than MAX_BAND_BUCKET are dropped (boilerplate clusters — see module
-    docstring), which bounds both the collect_list row size and the pair
-    explosion; the oracle applies the same cap."""
+    than MAX_BAND_BUCKET are dropped BEFORE the collect_list (boilerplate
+    clusters — see module docstring), mirroring the oracle's `bandsz`
+    CTE: a count() window over the same band partitioning filters
+    over-cap bands first, so a hot band's members are never aggregated
+    into one giant array row. The window shares the groupBy's hash
+    partitioning (one shuffle total, no signature recompute), and its
+    row buffer spills to disk where a single collect_list row cannot."""
     base = _normed(spark, sf_dir)
     shingles = base.select(
         "doc_id", F.explode(F.expr(SHINGLES_SPARK)).alias("sh")
@@ -173,10 +178,12 @@ def candidate_pairs(spark, sf_dir):
             F.array(*[F.expr(e) for e in _band_from_cols("spark")])
         ).alias("band"),
     )
+    band_count = F.count("*").over(Window.partitionBy("band"))
     buckets = (
-        bnd.groupBy("band")
+        bnd.withColumn("bc", band_count)
+        .where((F.col("bc") > 1) & (F.col("bc") <= MAX_BAND_BUCKET))
+        .groupBy("band")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
-        .where((F.size("ds") > 1) & (F.size("ds") <= MAX_BAND_BUCKET))
     )
     pairs = F.expr(
         "flatten(transform(ds, (a, i) ->"

@@ -56,6 +56,26 @@ def test_q17_partial_aggregation_before_shuffle(spark, sf_dir):
     assert plan.count("HashAggregate") >= 2
 
 
+def test_q27_band_cap_applied_before_collect_list(spark, sf_dir):
+    """Hot-band cap must run BEFORE list aggregation: the window count +
+    filter on `bc` precedes every collect_list in the plan, so an over-cap
+    boilerplate band never materializes its member list as one giant row.
+    Also pins the single-shuffle property: exactly one exchange on the
+    band key feeds both the window and the aggregation."""
+    plan = explain_str(REGISTRY["q27_minhash_lsh_pairs"].fn(spark, sf_dir))
+    assert "Window" in plan
+    filt = plan.find("bc#")
+    coll = plan.find("collect_list")
+    assert filt != -1 and coll != -1
+    assert filt < coll, "band-size filter must precede collect_list"
+    band_exchanges = [
+        ln
+        for ln in plan.splitlines()
+        if "hashpartitioning(band" in ln
+    ]
+    assert len(band_exchanges) == 1, band_exchanges
+
+
 @pytest.mark.parametrize("name", sorted(REGISTRY))
 def test_no_cartesian_product_anywhere(spark, sf_dir, name):
     """The all-pairs join is the one plan shape that can never ship.
