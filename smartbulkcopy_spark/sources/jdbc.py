@@ -15,10 +15,14 @@ from pyspark.sql import DataFrame, SparkSession
 
 from smartbulkcopy_spark.config import COLUMNSTORE_MIN_BATCH, EngineConfig
 from smartbulkcopy_spark.model import IndexKind, TableInfo
-from smartbulkcopy_spark.planner import CopyTask, PhysicalPartitionCopyTask
+from smartbulkcopy_spark.planner import (
+    CopyTask,
+    LogicalPartitionCopyTask,
+    PhysicalPartitionCopyTask,
+)
 
 
-def jdbc_predicates(tasks: list[CopyTask]) -> list[str]:
+def jdbc_predicates(tasks: list[CopyTask], dialect: str = "ansi") -> list[str]:
     """One predicate string per plan node -> one Spark task per partition
     (reference generates one SELECT per work item,
     client/SmartBulkCopy.cs:424-428).
@@ -27,7 +31,16 @@ def jdbc_predicates(tasks: list[CopyTask]) -> list[str]:
     whose catalog didn't surface sys.partition_range_values) falls back to
     the native ``$partition.fn(col) = n`` spelling — without this, every
     predicate degenerated to ``1=1`` and an N-task family read the whole
-    table N times (round-1 advice)."""
+    table N times (round-1 advice).
+
+    ``dialect="mssql"`` appends ``OPTION (MAXDOP 1)`` to each
+    logical-partition predicate, exactly as the reference does
+    (client/CopyInfo.cs:63): N concurrent modulo scans already saturate N
+    source cores, and letting each scan also parallelize server-side
+    thrashes the source. Spark pastes the predicate verbatim after WHERE,
+    so the statement-final hint lands in the right position. The hint is
+    T-SQL only — never emitted for other dialects, and never on the
+    Catalyst-side predicate path (Catalyst can't parse it)."""
     preds = []
     for t in tasks:
         p = t.predicate_sql()
@@ -37,6 +50,12 @@ def jdbc_predicates(tasks: list[CopyTask]) -> list[str]:
             and t.partition_function
         ):
             p = t.mssql_predicate()
+        if (
+            p is not None
+            and dialect == "mssql"
+            and isinstance(t, LogicalPartitionCopyTask)
+        ):
+            p = f"{p} OPTION (MAXDOP 1)"
         preds.append(p if p else "1=1")
     if len(preds) > 1 and any(p == "1=1" for p in preds):
         raise ValueError(
@@ -51,6 +70,7 @@ def read_jdbc_partitioned(
     url: str,
     tasks: list[CopyTask],
     properties: dict[str, str] | None = None,
+    dialect: str = "ansi",
 ) -> DataFrame:
     """Partition-parallel JDBC read: each planner predicate becomes one
     Spark partition (SURVEY §2.1 S2/S3). When the catalog fetched column
@@ -68,7 +88,7 @@ def read_jdbc_partitioned(
     df = spark.read.jdbc(
         url=url,
         table=table,
-        predicates=jdbc_predicates(tasks),
+        predicates=jdbc_predicates(tasks, dialect=dialect),
         properties=props,
     )
     return df.select(*head.select_columns())

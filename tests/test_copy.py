@@ -127,6 +127,36 @@ def test_jdbc_physical_fallback_uses_dollar_partition():
     assert jdbc_predicates([task]) == ["$partition.pf(a) = 4"]
 
 
+def test_mssql_logical_partition_predicates_carry_maxdop_hint():
+    """reference client/CopyInfo.cs:63 appends OPTION (MAXDOP 1) to every
+    logical-partition scan: N concurrent modulo scans must not each
+    parallelize server-side. mssql dialect only; the hint is a statement-
+    final T-SQL clause, so it must be the predicate's suffix."""
+    t = TableInfo(name="t", columns=["a"], numeric_columns=["a"])
+    tasks = [
+        LogicalPartitionCopyTask(
+            source=t, destination=t, partition_number=i, n_partitions=3,
+            bucket_column="a",
+        )
+        for i in range(1, 4)
+    ]
+    mssql = jdbc_predicates(tasks, dialect="mssql")
+    assert all(p.endswith(" OPTION (MAXDOP 1)") for p in mssql)
+    # the bucket expression itself is unchanged in front of the hint
+    for p, task in zip(mssql, tasks):
+        assert p == f"{task.predicate_sql()} OPTION (MAXDOP 1)"
+    # default/ansi dialect: no T-SQL hint anywhere
+    assert all("MAXDOP" not in p for p in jdbc_predicates(tasks))
+    # physical-partition predicates never get the hint, even for mssql
+    phys = PhysicalPartitionCopyTask(
+        source=t, destination=t, partition_number=4,
+        partition_column="a", partition_function="pf",
+    )
+    assert jdbc_predicates([phys], dialect="mssql") == [
+        "$partition.pf(a) = 4"
+    ]
+
+
 def test_partition_key_only_ordered_write_path(spark, sf_dir, tmp_path):
     """O2 end-to-end: a partitioned-heap copy runs the PARTITION_KEY_ONLY
     hint through repartitionByRange + sortWithinPartitions, preserves
