@@ -237,6 +237,25 @@ SELECT service_objective FROM sys.database_service_objectives
 WHERE database_id = DB_ID()
 """
 
+SQL_LOG_FLUSH_INSTANCE = """
+SELECT instance_name FROM sys.dm_os_performance_counters
+WHERE counter_name = 'Log Bytes Flushed/sec'
+  AND instance_name = COALESCE(
+    (SELECT TOP (1) physical_database_name FROM sys.databases
+      WHERE database_id = DB_ID()), DB_NAME(DB_ID()))
+"""  # the counter row is keyed by the PHYSICAL database name, which on
+#    Azure SQL differs from DB_NAME() and changes when the service level
+#    objective changes — so the instance is re-resolved per connection
+#    (reference: client/SmartBulkCopy.cs:701-722)
+
+SQL_LOG_FLUSH_COUNTER = """
+SELECT cntr_value FROM sys.dm_os_performance_counters
+WHERE counter_name = 'Log Bytes Flushed/sec'
+  AND instance_name = '{instance}'
+"""  # despite the '/sec' name this is a CUMULATIVE byte counter; the rate
+#    is the two-sample delta over the sampling interval
+#    (reference: client/SmartBulkCopy.cs:723-731 samples it 5s apart)
+
 SQL_HISTORY_INFO = """
 SELECT CONCAT(QUOTENAME(SCHEMA_NAME(h.schema_id)), '.', QUOTENAME(h.name))
          AS history_table,

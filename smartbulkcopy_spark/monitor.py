@@ -3,10 +3,16 @@ tasks, and queue depth.
 
 Re-expresses the reference's monitor task (reference:
 client/SmartBulkCopy.cs:665-766): every tick it samples the destination's
-write rate — the reference reads the database's log-flush performance
-counter; for file destinations we measure destination bytes on disk, the
-closest observable — and prints one status line in the same shape
-(rate, tasks running, queue depth).
+cumulative write counter and prints one status line in the same shape
+(rate, tasks running, queue depth). The counter source is a pluggable
+``sampler`` callable returning cumulative bytes written:
+
+- file destinations default to bytes on disk (``_tree_bytes``);
+- JDBC destinations pass ``log_flush_sampler(conn)``, which reads the
+  instance's 'Log Bytes Flushed/sec' performance counter — despite the
+  name a CUMULATIVE count the monitor differences per tick, exactly the
+  two-sample delta the reference computes with WAITFOR DELAY 5s
+  (client/SmartBulkCopy.cs:707-731).
 """
 
 from __future__ import annotations
@@ -28,6 +34,27 @@ def _tree_bytes(path: str) -> int:
     return total
 
 
+def log_flush_sampler(conn) -> Callable[[], int]:
+    """Build a cumulative-bytes sampler over the destination's log-flush
+    performance counter, for JDBC destinations. ``conn`` is anything with
+    ``scalar(sql)`` (e.g. sources.jdbc.JvmJdbcConnection). The counter
+    row is keyed by the physical database name, so the instance is
+    resolved once up front through SQL_LOG_FLUSH_INSTANCE (reference:
+    client/SmartBulkCopy.cs:701-722)."""
+    from smartbulkcopy_spark.catalog import (
+        SQL_LOG_FLUSH_COUNTER,
+        SQL_LOG_FLUSH_INSTANCE,
+    )
+
+    instance = conn.scalar(SQL_LOG_FLUSH_INSTANCE)
+    sql = SQL_LOG_FLUSH_COUNTER.format(instance=instance)
+
+    def sample() -> int:
+        return int(conn.scalar(sql) or 0)
+
+    return sample
+
+
 class CopyMonitor:
     """Heartbeat over a shared executor state.
 
@@ -43,19 +70,22 @@ class CopyMonitor:
         interval: float = 5.0,
         log: Callable[[str], None] = print,
         clock: Callable[[], float] = time.monotonic,
+        sampler: Callable[[], int] | None = None,
     ):
         self.destination = destination
         self.state = state
         self.interval = interval
         self.log = log
         self.clock = clock
+        self.sampler = sampler or (lambda: _tree_bytes(destination))
         self._stop = threading.Event()
         self._thread: threading.Thread | None = None
 
     def tick(self, prev_bytes: int, prev_t: float) -> tuple[int, float]:
-        """One sample: measure dest bytes, log the rate line, return the
-        new (bytes, time) baseline. Split out for deterministic tests."""
-        now_b = _tree_bytes(self.destination)
+        """One sample: measure cumulative destination bytes, log the rate
+        line, return the new (bytes, time) baseline. Split out for
+        deterministic tests."""
+        now_b = self.sampler()
         now_t = self.clock()
         dt = max(now_t - prev_t, 1e-9)
         mb_s = (now_b - prev_bytes) / dt / (1024 * 1024)
@@ -73,7 +103,7 @@ class CopyMonitor:
         return now_b, now_t
 
     def _loop(self) -> None:
-        prev_b, prev_t = _tree_bytes(self.destination), self.clock()
+        prev_b, prev_t = self.sampler(), self.clock()
         while not self._stop.wait(self.interval):
             prev_b, prev_t = self.tick(prev_b, prev_t)
 

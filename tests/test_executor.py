@@ -250,3 +250,47 @@ def test_monitor_tick_reports_rate(tmp_path):
     assert "tasks running: 1" in lines[0] and "queue: 2" in lines[0]
     assert "0.50 MB/sec" in lines[0]  # 5 MB over 10s
     assert "lineitem" in lines[0]
+
+
+def test_monitor_jdbc_log_flush_sampler():
+    """JDBC destination rate path (reference samples the cumulative 'Log
+    Bytes Flushed/sec' counter 5s apart, client/SmartBulkCopy.cs:707-731):
+    log_flush_sampler resolves the physical instance name once, then each
+    tick differences the cumulative counter into an MB/s line."""
+    from smartbulkcopy_spark.catalog import SQL_LOG_FLUSH_INSTANCE
+    from smartbulkcopy_spark.monitor import log_flush_sampler
+
+    class FakeConn:
+        def __init__(self):
+            # instance resolution, then two counter samples 5s apart:
+            # 10 MB flushed over the tick -> 2.00 MB/sec
+            self.counters = iter([0, 10 * 1024 * 1024])
+            self.queries = []
+
+        def scalar(self, sql):
+            self.queries.append(sql)
+            if "physical_database_name" in sql:
+                return "mydb_physical"
+            return next(self.counters)
+
+    class S:
+        running = set()
+        queued = 0
+
+    conn = FakeConn()
+    sampler = log_flush_sampler(conn)
+    assert conn.queries[0].strip() == SQL_LOG_FLUSH_INSTANCE.strip()
+    # the resolved instance is baked into the counter query
+    lines = []
+    clock = iter([0.0, 5.0]).__next__
+    mon = CopyMonitor(
+        "ignored-for-jdbc", S(), log=lines.append, clock=clock,
+        sampler=sampler,
+    )
+    b0, t0 = sampler(), clock()
+    b1, _ = mon.tick(b0, t0)
+    assert b1 == 10 * 1024 * 1024
+    assert "2.00 MB/sec" in lines[0]
+    assert all(
+        "'mydb_physical'" in q for q in conn.queries[1:]
+    ), conn.queries
