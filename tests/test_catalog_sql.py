@@ -169,6 +169,26 @@ def test_collect_partitioned_temporal_table(syscat):
     )
 
 
+def test_collected_temporal_metadata_round_trips_through_hooks(syscat):
+    """J4 end-to-end: the history metadata the catalog introspects
+    (reference: client/TableInfoCollector.cs:438-459) must flow unmodified
+    into the post-copy re-enable DDL — a partial HistoryInfo would emit a
+    SYSTEM_VERSIONING=ON that silently rebinds the wrong history table or
+    drops the retention policy."""
+    from smartbulkcopy_spark.ddl import hooks_for
+
+    info = SimulatedJdbcCatalog(syscat).collect("[dbo].[orders]")
+    hooks = hooks_for(info)
+    assert hooks.pre == [
+        "ALTER TABLE [dbo].[orders] SET (SYSTEM_VERSIONING = OFF)"
+    ]
+    assert hooks.post == [
+        "ALTER TABLE [dbo].[orders] SET (SYSTEM_VERSIONING = ON"
+        " (HISTORY_TABLE = [dbo].[orders_history],"
+        " HISTORY_RETENTION_PERIOD = 6 MONTHS))"
+    ]
+
+
 def test_collect_plain_heap(syscat):
     info = SimulatedJdbcCatalog(syscat).collect("[dbo].[plain]")
     assert info.exists
