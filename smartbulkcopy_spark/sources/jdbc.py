@@ -210,10 +210,19 @@ def staging_plan(
     # the RAW name keeps staging tables collision-free per target.
     safe = re.sub(r"[^A-Za-z0-9_]", "_", target_table.replace("]", ""))
     tag = hashlib.md5(target_table.encode()).hexdigest()[:6]
-    safe = f"{safe}_{tag}"
+    # SQL Server identifiers are capped at 128 chars. The hash tag, job id,
+    # and partition number carry the uniqueness, so only the readable name
+    # part is truncated to fit.
+    suffix = f"_{tag}_{job_id}_{partition_number}"
+    budget = 128 - len("stage_") - len(suffix)
+    if budget < 1:
+        raise ValueError(
+            f"staging suffix leaves no identifier budget (job_id too long?):"
+            f" {suffix!r}"
+        )
     return StagingPlan(
         target_table=target_table,
-        staging_table=f"stage_{safe}_{job_id}_{partition_number}",
+        staging_table=f"stage_{safe[:budget]}{suffix}",
         dialect=dialect,
     )
 
@@ -352,8 +361,15 @@ def staged_jdbc_copy(
     predicate (the canonical bucket expression — the database never parses
     it), written into a partition-private staging table with
     truncate-before-every-attempt retry, then published atomically with
-    one INSERT...SELECT. The published-probe compares staging vs target
-    counts so an ambiguous publish failure never double-inserts.
+    one INSERT...SELECT. The published-probe is PER-PARTITION: it compares
+    the target's count under this partition's own predicate (the canonical
+    expression is plain ANSI, so the target server evaluates it too)
+    against the pre-publish baseline plus the staging count. Partitions
+    are disjoint, so concurrent publishes of the table's OTHER partitions
+    never perturb the probed count — the only remaining assumption is that
+    no third party concurrently inserts rows matching THIS partition's
+    predicate (single-writer-per-partition, the same assumption the
+    reference's per-partition transaction makes).
 
     ``before_write`` is a test seam invoked with (task, staging_table)
     before each write attempt — failure-injection for the retry path.
@@ -386,8 +402,7 @@ def staged_jdbc_copy(
         )
     conn = JvmJdbcConnection(spark, url)
     try:
-        baseline = conn.scalar(f"SELECT COUNT(*) FROM {table}") or 0
-        published = 0
+        total_published = 0
 
         for task in tasks:
             plan = staging_plan(
@@ -406,29 +421,52 @@ def staged_jdbc_copy(
             else:
                 part_df = source_df
 
+            # This partition's rows, as the TARGET server sees them. The
+            # canonical predicate parses on mssql (T-SQL `%`), but not on
+            # every dialect (Derby has only MOD()), so predicate-scoped
+            # probing is mssql-only; other dialects fall back to the
+            # whole-table count, which is correct here because this copy
+            # publishes partitions serially (single writer per table).
+            tsql_pred = None
+            if dialect == "mssql":
+                tsql_pred = pred if pred is not None else (
+                    task.mssql_predicate() if mssql_fallback(task) else None
+                )
+            where = f" WHERE {tsql_pred}" if tsql_pred else ""
+            part_count_sql = f"SELECT COUNT(*) FROM {table}{where}"
+            # pre-publish baseline under this partition's predicate only —
+            # pre-existing rows (append mode) must not read as "published"
+            baseline_part = conn.scalar(part_count_sql) or 0
+            staged_rows = 0
+
             def write_fn(staging, df=part_df, t=task):
                 if before_write is not None:
                     before_write(t, staging)
                 _jdbc_writer(
                     df, url, staging, config, t.destination, properties
                 ).mode("append").save()
+                nonlocal staged_rows
+                staged_rows = (
+                    conn.scalar(f"SELECT COUNT(*) FROM {staging}") or 0
+                )
 
-            def probe(p, expected=None):
-                # target grew past everything published so far -> this
-                # partition's publish landed before the failure.
-                n = conn.scalar(f"SELECT COUNT(*) FROM {table}") or 0
-                return n > baseline + published
+            def probe(
+                p, count_sql=part_count_sql, want=lambda: staged_rows,
+                base=lambda: baseline_part,
+            ):
+                # this partition's slice of the target grew by the staged
+                # row count -> the publish landed before the failure.
+                n = conn.scalar(count_sql) or 0
+                return n >= base() + want()
 
             proto = StagingProtocol(
                 conn, config, log=log, published_probe=probe, sleep=sleep
             )
             proto.run(plan, write_fn)
-            published = (
-                (conn.scalar(f"SELECT COUNT(*) FROM {table}") or 0) - baseline
-            )
+            total_published += staged_rows
             log(
-                f"{table} partition {task.partition_number}:"
-                f" published (total {published} rows)"
+                f"{table} partition {task.partition_number}: published"
+                f" (+{staged_rows} rows, total {total_published})"
             )
     finally:
         conn.close()

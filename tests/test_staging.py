@@ -131,6 +131,37 @@ def test_staging_names_are_valid_unquoted_identifiers():
         assert re.fullmatch(r"[A-Za-z0-9_]+", st), st
 
 
+def test_staging_names_bounded_to_128_chars():
+    """SQL Server identifiers max out at 128 chars; a long target name must
+    be truncated in the readable part while the hash tag + job id +
+    partition number (the uniqueness carriers) survive intact."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        target=st.text(min_size=1, max_size=300),
+        job=st.from_regex(r"[A-Za-z0-9_]{1,40}", fullmatch=True),
+        part=st.integers(min_value=0, max_value=99_999),
+    )
+    def check(target, job, part):
+        import re
+
+        st_name = staging_plan(target, job, part).staging_table
+        assert len(st_name) <= 128, (len(st_name), st_name)
+        assert re.fullmatch(r"[A-Za-z0-9_]+", st_name), st_name
+        assert st_name.endswith(f"_{job}_{part}")
+
+    check()
+
+    # distinct long targets sharing a 120+-char prefix must not collide:
+    # the md5 tag of the RAW name survives truncation
+    a = staging_plan("x" * 200 + "a", "j", 1).staging_table
+    b = staging_plan("x" * 200 + "b", "j", 1).staging_table
+    assert a != b
+    assert len(a) <= 128 and len(b) <= 128
+
+
 def test_staged_copy_rejects_vacuous_multi_task_family():
     """N predicate-less tasks would stage and publish the full table N
     times; the guard must fire before any connection is opened."""
