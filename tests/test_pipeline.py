@@ -9,11 +9,10 @@ from smartbulkcopy_spark.pipeline import multimodal, similarity
 
 
 def test_ann_bucketed_recall_vs_exact(spark, sf_dir):
-    """The bucketed ANN path probes one hyperplane bucket; its results must
-    be a subset of the corpus and overlap the exact top-k meaningfully.
-    (LSH admits false negatives by design — we assert the mechanism, and
-    that everything returned shares the query's bucket, i.e. zero false
-    positives in candidate generation.)"""
+    """The bucketed ANN path multiprobes the query's hyperplane bucket
+    plus its Hamming-1 neighbors; its results must be a subset of the
+    corpus and come only from the probed buckets (zero false positives
+    in candidate generation — LSH admits false negatives by design)."""
     from smartbulkcopy_spark.queries import REGISTRY
 
     exact = {
@@ -24,7 +23,7 @@ def test_ann_bucketed_recall_vs_exact(spark, sf_dir):
     approx = {r["vec_id"] for r in approx_rows}
     assert 0 not in approx  # query itself excluded
     assert len(approx) <= 10
-    # every returned vec shares the query's bucket
+    # every returned vec is within Hamming distance 1 of the query bucket
     import pyspark.sql.functions as F
 
     from smartbulkcopy_spark.queries import table
@@ -34,13 +33,15 @@ def test_ann_bucketed_recall_vs_exact(spark, sf_dir):
         "vec_id",
         F.expr(similarity.bucket_expr("spark")).cast("bigint").alias("b"),
     )
-    qb = buckets.where(F.col("vec_id") == 0).first()["b"]
+    qb = int(buckets.where(F.col("vec_id") == 0).first()["b"])
+    probed = {qb} | {qb ^ (1 << j) for j in range(similarity.N_PLANES)}
     member = {
-        r["vec_id"] for r in buckets.where(F.col("b") == qb).collect()
+        r["vec_id"]
+        for r in buckets.where(F.col("b").isin(list(probed))).collect()
     }
     assert approx <= member
     # recall isn't guaranteed, but with 64-dim noise embeddings the
-    # query's bucket should still surface at least one true neighbor at
+    # probed buckets should still surface at least one true neighbor at
     # sf0.001 (empirically stable; seed-fixed fixtures).
     assert exact, "exact baseline empty?"
 
