@@ -78,17 +78,47 @@ COPY_SHAPE_NOTE = (
 )
 
 
-def copy_shape_checks(spark, sf_dir: str) -> dict[str, bool]:
-    """Mechanism assertions on the three layouts' physical plans — the
-    scale-relevant shape that local wall-clock at sf0.1 cannot show."""
+def bench_layouts() -> dict[str, object]:
+    """The reference's benchmarked physical layouts, minus the two
+    columnstore rows: a parquet destination has no delta-store, so the
+    columnstore copies' only distinguishing behavior — the forced
+    >=102,400-row batch floor — is a JDBC writer property, unit-tested in
+    effective_batch_size rather than timed here."""
     import datetime as dt
 
-    from smartbulkcopy_spark.catalog import LayoutSpec, ParquetCatalog
+    from smartbulkcopy_spark.catalog import LayoutSpec
+    from smartbulkcopy_spark.model import IndexKind
+
+    boundaries = [dt.datetime(y, 1, 1) for y in range(1993, 1999)]
+    return {
+        "heap": LayoutSpec(),
+        "heap_partitioned": LayoutSpec(
+            partition_column="l_shipdate",
+            partition_function="pf_year",
+            partition_boundaries=boundaries,
+        ),
+        "ordered_rowstore": LayoutSpec(
+            kind=IndexKind.ROWSTORE_CLUSTERED,
+            key_columns=[("l_orderkey", False), ("l_linenumber", False)],
+        ),
+        "rowstore_partitioned": LayoutSpec(
+            kind=IndexKind.ROWSTORE_CLUSTERED,
+            key_columns=[("l_orderkey", False), ("l_linenumber", False)],
+            partition_column="l_shipdate",
+            partition_function="pf_year",
+            partition_boundaries=boundaries,
+        ),
+    }
+
+
+def copy_shape_checks(spark, sf_dir: str) -> dict[str, bool]:
+    """Mechanism assertions on the benchmarked layouts' physical plans —
+    the scale-relevant shape that local wall-clock at sf0.1 cannot show."""
+    from smartbulkcopy_spark.catalog import ParquetCatalog
     from smartbulkcopy_spark.config import (
         EngineConfig,
         LogicalPartitioningStrategy,
     )
-    from smartbulkcopy_spark.model import IndexKind
     from smartbulkcopy_spark.planner import analyze
     from smartbulkcopy_spark.sources.parquet import read_for_tasks
 
@@ -110,22 +140,11 @@ def copy_shape_checks(spark, sf_dir: str) -> dict[str, bool]:
         )
         return _plan_str(read_for_tasks(spark, plan.tasks))
 
-    heap = plan_for(LayoutSpec())
-    part = plan_for(
-        LayoutSpec(
-            partition_column="l_shipdate",
-            partition_function="pf_year",
-            partition_boundaries=[
-                dt.datetime(y, 1, 1) for y in range(1993, 1999)
-            ],
-        )
-    )
-    ordered = plan_for(
-        LayoutSpec(
-            kind=IndexKind.ROWSTORE_CLUSTERED,
-            key_columns=[("l_orderkey", False), ("l_linenumber", False)],
-        )
-    )
+    layouts = bench_layouts()
+    heap = plan_for(layouts["heap"])
+    part = plan_for(layouts["heap_partitioned"])
+    ordered = plan_for(layouts["ordered_rowstore"])
+    rowpart = plan_for(layouts["rowstore_partitioned"])
     def global_sorts(plan: str) -> int:
         # formatted-explain Sort node args: "[keys...], <global>, 0"
         return sum(
@@ -165,6 +184,18 @@ def copy_shape_checks(spark, sf_dir: str) -> dict[str, bool]:
             global_sorts(ordered) == 1
             and "rangepartitioning(l_orderkey" in ordered
         ),
+        # partitioned rowstore: one range exchange on the PARTITION column,
+        # clustered-key sort strictly local -> each partition writes its
+        # own pre-sorted stream (the reference's 207s-vs-505s layout)
+        "rowstore_partitioned_local_key_sort": (
+            "rangepartitioning(l_shipdate" in rowpart
+            and exchanges(rowpart) == 1
+            and global_sorts(rowpart) == 0
+            and any(
+                "Sort" in ln for ln in rowpart.splitlines()
+            )
+            and "l_orderkey" in rowpart.split("Sort", 1)[-1]
+        ),
     }
 
 
@@ -172,40 +203,25 @@ COPY_INFLATE = 8
 
 
 def copy_benchmarks(spark, sf_dir: str) -> dict[str, object]:
-    """Time `copy_table` of lineitem under the reference's three headline
+    """Time `copy_table` of lineitem under the reference's benchmarked
     layouts (BASELINE.md: heap 135s / heap-partitioned 111s / clustered
-    rowstore 505s at TPC-H sf10; the ordered single stream is 4.5x the
-    partitioned copy there), at sf0.1 and again on an 8x key-shifted
-    inflation where the sort/shuffle costs emerge from the fixed per-job
-    overhead. `shape` carries the mechanism booleans + the documented
-    local-inversion note (COPY_SHAPE_NOTE)."""
-    import datetime as dt
+    rowstore 505s / partitioned rowstore 207s at TPC-H sf10; the ordered
+    single stream is 4.5x the partitioned copy there), at sf0.1 and again
+    on an 8x key-shifted inflation where the sort/shuffle costs emerge
+    from the fixed per-job overhead. `shape` carries the mechanism
+    booleans + the documented local-inversion note (COPY_SHAPE_NOTE)."""
     import shutil
     import tempfile
 
-    from smartbulkcopy_spark.catalog import LayoutSpec, ParquetCatalog
+    from smartbulkcopy_spark.catalog import ParquetCatalog
     from smartbulkcopy_spark.config import (
         EngineConfig,
         LogicalPartitioningStrategy,
     )
-    from smartbulkcopy_spark.model import IndexKind
     from smartbulkcopy_spark.planner import Outcome, analyze
     from smartbulkcopy_spark.sources.parquet import copy_table
 
-    layouts = {
-        "heap": LayoutSpec(),
-        "heap_partitioned": LayoutSpec(
-            partition_column="l_shipdate",
-            partition_function="pf_year",
-            partition_boundaries=[
-                dt.datetime(y, 1, 1) for y in range(1993, 1999)
-            ],
-        ),
-        "ordered_rowstore": LayoutSpec(
-            kind=IndexKind.ROWSTORE_CLUSTERED,
-            key_columns=[("l_orderkey", False), ("l_linenumber", False)],
-        ),
-    }
+    layouts = bench_layouts()
     config = EngineConfig(
         logical_partitioning_strategy=LogicalPartitioningStrategy.COUNT,
         logical_partitions=9,
