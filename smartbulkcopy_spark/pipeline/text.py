@@ -111,6 +111,46 @@ def q23(spark, sf_dir):
     )
 
 
+VOCAB_TOP_K = 100
+
+
+@register(
+    "q48_vocab_topk",
+    "WITH tok AS (SELECT doc_id, unnest(string_split(trim("
+    + NORM_SQL_DUCK + "), ' ')) AS token FROM documents"
+    f" WHERE trim({NORM_SQL_DUCK}) != '')"
+    " SELECT token, count(*) AS tf,"
+    " count(DISTINCT doc_id) AS df"
+    " FROM tok GROUP BY token"
+    f" ORDER BY tf DESC, token LIMIT {VOCAB_TOP_K}",
+    doc="Corpus vocabulary: top-100 tokens by term frequency, with"
+    " document frequency — the first artifact of BPE/tokenizer training"
+    " and the standard stopword-discovery pass. Explode is row-local;"
+    " partial aggregation collapses each partition's token counts before"
+    " the single (token, partials) shuffle, and the top-k is TakeOrdered"
+    " — no global sort materializes the full vocabulary. count-distinct"
+    " over doc_id rides the same shuffle (Spark plans it as a two-phase"
+    " aggregate, still keyed by token).",
+)
+def q48(spark, sf_dir):
+    docs = spread(spark, table(spark, sf_dir, "documents"))
+    n = F.trim(norm_text())
+    toks = (
+        docs.select("doc_id", n.alias("n"))
+        .where(F.col("n") != "")
+        .select("doc_id", F.explode(F.split(F.col("n"), " ")).alias("token"))
+    )
+    return (
+        toks.groupBy("token")
+        .agg(
+            F.count("*").alias("tf"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+        .orderBy(F.col("tf").desc(), "token")
+        .limit(VOCAB_TOP_K)
+    )
+
+
 # Stopword-marker language guesser. The fixture text is synthetic word
 # salad, so accuracy against the label is irrelevant — what the oracle
 # checks is that the classification EXPRESSION is deterministic and
