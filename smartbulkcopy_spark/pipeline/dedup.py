@@ -315,6 +315,35 @@ def jaccard_pairs(spark, sf_dir):
     )
 
 
+@register(
+    "q49_cross_source_neardups",
+    "WITH " + _candidate_cte_duck() + ","
+    " src AS (SELECT doc_id, source FROM documents)"
+    " SELECT c.a_id, c.b_id, sa.source AS src_a, sb.source AS src_b"
+    " FROM cand c JOIN src sa ON sa.doc_id = c.a_id"
+    " JOIN src sb ON sb.doc_id = c.b_id"
+    " WHERE sa.source != sb.source ORDER BY a_id, b_id",
+    doc="Cross-source contamination check: near-duplicate candidate pairs"
+    " whose members come from DIFFERENT sources — the pass that catches"
+    " eval/benchmark text leaking into training crawls, where exact-hash"
+    " matching misses the rewrapped copies. Reuses the banded LSH"
+    " candidate generation (never all-pairs); the source labels join on"
+    " doc_id, so only (doc_id, source) shuffles beyond the candidate"
+    " pipeline itself.",
+)
+def q49(spark, sf_dir):
+    cand = candidate_pairs(spark, sf_dir)
+    src = table(spark, sf_dir, "documents").select("doc_id", "source")
+    a = src.select(F.col("doc_id").alias("a_id"), F.col("source").alias("src_a"))
+    b = src.select(F.col("doc_id").alias("b_id"), F.col("source").alias("src_b"))
+    return (
+        cand.join(a, "a_id")
+        .join(b, "b_id")
+        .where(F.col("src_a") != F.col("src_b"))
+        .select("a_id", "b_id", "src_a", "src_b")
+    )
+
+
 NEAR_DUP_JACCARD_MILLIS = 500  # fixture yields candidates from j=50 to 991
 
 

@@ -111,6 +111,50 @@ def q23(spark, sf_dir):
     )
 
 
+# Deterministic split assignment: bucket 0-89 train, 90-94 val, 95-99
+# test, from the first 4 hex chars of md5(doc_id). Hash-based (not
+# random) so the split is stable under reprocessing, joinable from any
+# table that knows doc_id, and identically computable by any engine —
+# the properties a 100 TB pipeline needs from its train/val/test split.
+_SPLIT_BUCKET_SPARK = (
+    "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10) AS INT)"
+    " % 100"
+)
+_SPLIT_BUCKET_DUCK = (
+    "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) % 100"
+)
+
+
+@register(
+    "q50_split_assignment",
+    "WITH s AS (SELECT lang,"
+    f" CASE WHEN {_SPLIT_BUCKET_DUCK} < 90 THEN 'train'"
+    f" WHEN {_SPLIT_BUCKET_DUCK} < 95 THEN 'val'"
+    " ELSE 'test' END AS split FROM documents)"
+    " SELECT lang, split, count(*) AS n_docs"
+    " FROM s GROUP BY lang, split ORDER BY lang, split",
+    doc="Deterministic 90/5/5 train/val/test split assignment from"
+    " md5(doc_id) buckets, audited per language. Row-local hash, tiny"
+    " (lang, split, partials) shuffle; the same expression filters any"
+    " downstream table without a join, and reprocessing or backfilling"
+    " never reshuffles examples across splits.",
+)
+def q50(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    bucket = F.expr(_SPLIT_BUCKET_SPARK)
+    split = (
+        F.when(bucket < 90, F.lit("train"))
+        .when(bucket < 95, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        docs.select("lang", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("lang", "split")
+    )
+
+
 VOCAB_TOP_K = 100
 
 
