@@ -296,9 +296,12 @@ def main() -> None:
     spark = get_spark(app_name="sbc-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warm the JVM + parquet footer cache so per-query numbers measure the
-    # steady-state plan, not first-touch classloading.
-    run_one(spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).limit(1))
+    # Warm the JVM + parquet footer caches so per-query numbers measure the
+    # steady-state plan, not first-touch classloading or file listing —
+    # without this, whichever query alphabetically first touches each
+    # table absorbs its first-touch cost (q21 was charged documents').
+    for t in ("lineitem", "orders", "events", "documents", "embeddings"):
+        run_one(spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet")).limit(1))
     # ...and the Python worker pool + Arrow serializer, so the mapInPandas
     # query measures compute rather than one-time worker spin-up.
     run_one(
@@ -307,15 +310,24 @@ def main() -> None:
         )
     )
 
+    # Best-of-2 per query: the first execution of a plan pays whole-stage
+    # codegen + JIT (measured 9s vs 1.2s warm on the minhash pipeline),
+    # which made per-round comparisons mostly machine noise. The min of
+    # two runs reports the steady-state plan cost — the number that
+    # actually tracks plan regressions.
     timings: dict[str, float] = {}
     for name, spec in sorted(REGISTRY.items()):
-        t0 = time.perf_counter()
-        run_one(spec.fn(spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 4)
-        # LSH queries persist their signature tables (both self-join sides
-        # read them); drop them between queries so timings stay
-        # independent and storage doesn't accumulate dead cache.
-        spark.catalog.clearCache()
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            run_one(spec.fn(spark, sf_dir))
+            secs = time.perf_counter() - t0
+            best = secs if best is None else min(best, secs)
+            # LSH queries persist their signature tables (both self-join
+            # sides read them); drop them between runs so timings stay
+            # independent and storage doesn't accumulate dead cache.
+            spark.catalog.clearCache()
+        timings[name] = round(best, 4)
 
     copies = copy_benchmarks(spark, sf_dir)
 
