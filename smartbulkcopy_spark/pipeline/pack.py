@@ -1,0 +1,128 @@
+"""Sequence packing: assign every document a (pack_id, pack_pos) slot in
+fixed-length token windows — the layout step that turns a filtered corpus
+into trainer-ready context blocks.
+
+No reference analog (the reference copies bytes); this is a Phase-5
+pipeline operator (SURVEY §7.2). Packing is "concatenate in doc_id order,
+then chunk every MAX_LEN tokens": each document's global token offset is
+the running sum of all earlier documents' token counts, and its pack is
+``offset DIV MAX_LEN``. Documents whose span crosses a pack boundary are
+flagged so a trainer can split or drop them.
+
+Scale notes (100 TB):
+- The naive spelling is ``sum(n_tokens) OVER (ORDER BY doc_id)`` — a
+  GLOBAL window, which Spark executes on a single partition: the whole
+  corpus funnels through one task. That is the canonical cumulative-sum
+  scale trap, and the oracle (DuckDB, single node) uses exactly that
+  spelling while the Spark plan must not.
+- Instead the running sum is computed in two phases over deterministic
+  doc_id blocks (``block_id = doc_id DIV PACK_BLOCK``):
+    1. block-local prefix sums — a window PARTITIONED by block_id, all
+       blocks in parallel;
+    2. per-block totals (partial-aggregated groupBy, one tiny row per
+       block) turned into block prefix offsets by a window over the
+       block-total rows only — #docs/PACK_BLOCK rows, not #docs — and
+       broadcast-joined back.
+  global_offset = block_prefix + local_prefix. The only data-sized
+  shuffles are keyed by block_id; the single-partition window touches
+  only the block-total rows (at 1e9 docs with production PACK_BLOCK=1e5
+  that is 1e4 rows; a third level of the same trick covers 1e12+).
+- The result is independent of the block size — blocks only decompose
+  the sum — which is why the test-scale PACK_BLOCK=64 (8 blocks at 500
+  docs) and a production 1e5 produce identical output, and why the
+  single-window oracle agrees bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+from smartbulkcopy_spark.pipeline.text import TOKENS_SQL_DUCK, token_count
+from smartbulkcopy_spark.queries import register, table
+
+# Tokens per training context window.
+PACK_MAX_LEN = 512
+# Documents per prefix-sum block. 64 exercises the two-phase path at the
+# 500-doc test scale (8 blocks); production would use ~1e5.
+PACK_BLOCK = 64
+
+
+def pack_offsets(
+    docs: DataFrame, max_len: int = PACK_MAX_LEN, block: int = PACK_BLOCK
+) -> DataFrame:
+    """Per-document global token offset + pack slot, two-phase cumsum.
+
+    ``docs`` must carry (doc_id, n_tokens). Output is one row per doc:
+    (doc_id, n_tokens, global_offset, pack_id, pack_pos, spans_boundary),
+    identical to the single-window spelling for any ``block`` > 0.
+    """
+    t = docs.withColumn("block_id", F.expr(f"doc_id DIV {int(block)}"))
+
+    # Phase 1: block-local exclusive prefix sums (all blocks in parallel).
+    w_local = (
+        Window.partitionBy("block_id")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = t.withColumn(
+        "local_prev", F.coalesce(F.sum("n_tokens").over(w_local), F.lit(0))
+    )
+
+    # Phase 2: exclusive prefix over the per-block totals. This window is
+    # global but runs over #blocks rows only (partial-aggregated groupBy
+    # first), then broadcasts back — the corpus itself never single-threads.
+    w_blocks = Window.orderBy("block_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    block_prefix = (
+        t.groupBy("block_id")
+        .agg(F.sum("n_tokens").alias("block_total"))
+        .withColumn(
+            "block_prev",
+            F.coalesce(F.sum("block_total").over(w_blocks), F.lit(0)),
+        )
+        .select("block_id", "block_prev")
+    )
+
+    offset = F.col("block_prev") + F.col("local_prev")
+    pos = offset % max_len
+    return (
+        local.join(F.broadcast(block_prefix), "block_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            offset.alias("global_offset"),
+            F.floor(offset / max_len).alias("pack_id"),
+            pos.alias("pack_pos"),
+            ((pos + F.col("n_tokens")) > max_len).alias("spans_boundary"),
+        )
+    )
+
+
+@register(
+    "q51_pack_offsets",
+    "WITH t AS (SELECT doc_id,"
+    f" CAST({TOKENS_SQL_DUCK} AS BIGINT) AS n_tokens FROM documents),"
+    " c AS (SELECT doc_id, n_tokens,"
+    " CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id"
+    " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)"
+    " AS global_offset FROM t)"
+    " SELECT doc_id, n_tokens, global_offset,"
+    f" global_offset // {PACK_MAX_LEN} AS pack_id,"
+    f" global_offset % {PACK_MAX_LEN} AS pack_pos,"
+    f" (global_offset % {PACK_MAX_LEN}) + n_tokens > {PACK_MAX_LEN}"
+    " AS spans_boundary"
+    " FROM c ORDER BY doc_id",
+    doc="Sequence packing: global token offset and fixed-512-token pack"
+    " slot per document, concatenating in doc_id order. Spark computes"
+    " the running sum in two phases over doc_id blocks (parallel"
+    " block-local windows + a tiny block-prefix window broadcast back);"
+    " the oracle is the equivalent single global window. Boundary-"
+    "crossing docs are flagged for the trainer to split or drop.",
+)
+def q51(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", token_count().cast("long").alias("n_tokens")
+    )
+    return pack_offsets(docs)

@@ -143,3 +143,78 @@ def test_binary_features_roundtrip(spark):
     assert rows[3]["n_bytes"] == 256
     assert rows[1]["blob_md5"] == hashlib.md5(b"hello").hexdigest()
     assert rows[3]["blob_md5"] == hashlib.md5(bytes(range(256))).hexdigest()
+
+
+def test_pack_offsets_block_size_invariant(spark, sf_dir):
+    """The two-phase cumulative sum must be a pure decomposition: any
+    block size (including one so large there is a single block, which
+    degenerates to the naive global window) yields identical offsets."""
+    import pyspark.sql.functions as F
+
+    from smartbulkcopy_spark.pipeline.pack import pack_offsets
+    from smartbulkcopy_spark.queries import table
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr("CAST(length(coalesce(text,'')) % 97 AS BIGINT)").alias(
+            "n_tokens"
+        ),
+    )
+    base = {
+        r["doc_id"]: (r["global_offset"], r["pack_id"], r["pack_pos"])
+        for r in pack_offsets(docs, max_len=128, block=64).collect()
+    }
+    for block in (7, 10**6):
+        alt = {
+            r["doc_id"]: (r["global_offset"], r["pack_id"], r["pack_pos"])
+            for r in pack_offsets(docs, max_len=128, block=block).collect()
+        }
+        assert alt == base
+    # offsets are the exclusive prefix sum in doc_id order
+    rows = sorted(docs.collect(), key=lambda r: r["doc_id"])
+    run = 0
+    for r in rows:
+        assert base[r["doc_id"]][0] == run
+        run += r["n_tokens"]
+
+
+def test_pack_offsets_boundary_flag(spark):
+    """spans_boundary is true iff pack_pos + n_tokens overflows max_len;
+    oversized docs span, exact fits don't."""
+    from smartbulkcopy_spark.pipeline.pack import pack_offsets
+
+    docs = spark.createDataFrame(
+        [(0, 6), (1, 4), (2, 25), (3, 10)], "doc_id bigint, n_tokens bigint"
+    )
+    got = {
+        r["doc_id"]: r for r in pack_offsets(docs, max_len=10, block=2).collect()
+    }
+    assert got[0]["pack_id"] == 0 and not got[0]["spans_boundary"]
+    # doc 1 at offset 6, len 4 -> ends exactly at 10: no crossing
+    assert got[1]["pack_pos"] == 6 and not got[1]["spans_boundary"]
+    # doc 2 at offset 10 -> pack 1 pos 0, len 25 > 10: spans
+    assert got[2]["pack_id"] == 1 and got[2]["pack_pos"] == 0
+    assert got[2]["spans_boundary"]
+    assert got[3]["global_offset"] == 35 and got[3]["pack_id"] == 3
+
+
+def test_q51_no_corpus_sized_global_window(spark, sf_dir):
+    """The corpus-sized shuffle must be keyed by block_id (parallel
+    windows); the only SinglePartition exchange feeds the block-TOTALS
+    window, which sits downstream of the per-block HashAggregate."""
+    import contextlib
+    import io
+
+    from smartbulkcopy_spark.queries import REGISTRY
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        REGISTRY["q51_pack_offsets"].fn(spark, sf_dir).explain(mode="formatted")
+    plan = buf.getvalue()
+    assert "hashpartitioning(block_id" in plan
+    assert "partial_sum" in plan  # block totals are map-side combined
+    single = [
+        ln for ln in plan.splitlines() if "SinglePartition" in ln
+    ]
+    assert len(single) == 1, single
+    assert "BroadcastHashJoin" in plan  # prefix table broadcast back
