@@ -194,6 +194,75 @@ def q31(spark, sf_dir):
 
 
 @register(
+    "q54_embedding_norm_audit",
+    "SELECT label,"
+    f" CAST(floor(10.0 * {_dot_duck('embedding', 'embedding')}) AS BIGINT)"
+    " AS norm2_decibucket, count(*) AS n_vecs"
+    " FROM embeddings GROUP BY label, norm2_decibucket"
+    " ORDER BY label, norm2_decibucket",
+    doc="Embedding norm audit: squared-L2-norm histogram (0.1-wide"
+    " buckets) per label — the sanity gate before any cosine-based"
+    " dedup/ANN pass, catching unnormalized or degenerate vectors and"
+    " per-class norm drift. The norm is the per-row left fold (order-"
+    "fixed, so bit-identical across engines — cross-row float sums would"
+    " NOT be); every cross-row aggregate is integer counting, so the"
+    " histogram is exactly reproducible. Row-local bucketing; only"
+    " (label, bucket, partial counts) shuffle.",
+)
+def q54(spark, sf_dir):
+    emb = spread(spark, table(spark, sf_dir, "embeddings"))
+    e = F.col("embedding")
+    bucket = F.floor(10.0 * dot_fold(e, e)).cast("bigint")
+    return (
+        emb.select("label", bucket.alias("norm2_decibucket"))
+        .groupBy("label", "norm2_decibucket")
+        .agg(F.count("*").alias("n_vecs"))
+        .orderBy("label", "norm2_decibucket")
+    )
+
+
+@register(
+    "q55_embedding_dim_stats",
+    "WITH x AS (SELECT CAST(t.i - 1 AS BIGINT) AS dim,"
+    " CAST(floor(CAST(embedding[t.i] AS DOUBLE) * 1000000.0) AS BIGINT)"
+    " AS v FROM embeddings,"
+    f" (SELECT unnest(range(1, {EMBED_DIM} + 1)) AS i) t)"
+    " SELECT dim, count(*) AS n_vecs, CAST(sum(v) AS BIGINT) AS sum_e6,"
+    " CAST(floor(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS mean_e6"
+    " FROM x GROUP BY dim ORDER BY dim",
+    doc="Per-dimension feature means over the embedding column — the"
+    " centering/monitoring statistic of an embedding pipeline. Floats"
+    " are floor-scaled to 1e-6-resolution integers PER ROW, then summed:"
+    " integer sums are associative, so the result is independent of"
+    " partitioning and aggregation order, unlike a cross-row double sum"
+    " whose value depends on reduction order (the same rule the cents"
+    " convention applies to money). posexplode is row-local; the only"
+    " shuffle carries (dim, partial sums) — EMBED_DIM groups. At 1e12+"
+    " rows the BIGINT partial sums approach overflow (|v|≤1e6 each);"
+    " there the sum column widens to DECIMAL(38,0), same shape.",
+)
+def q55(spark, sf_dir):
+    emb = spread(spark, table(spark, sf_dir, "embeddings"))
+    scaled = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * 1000000.0).cast("long"),
+    )
+    return (
+        emb.select(F.posexplode(scaled).alias("dim", "v"))
+        .select(F.col("dim").cast("long").alias("dim"), "v")
+        .groupBy("dim")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.sum("v").alias("sum_e6"),
+            F.floor(F.sum("v").cast("double") / F.count("*"))
+            .cast("long")
+            .alias("mean_e6"),
+        )
+        .orderBy("dim")
+    )
+
+
+@register(
     "q33_embedding_near_dup",
     "WITH b AS (SELECT vec_id, embedding,"
     f" CAST({bucket_expr('duck')} AS BIGINT) AS bk FROM embeddings),"

@@ -18,6 +18,7 @@ Scale notes (100 TB):
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+from pyspark.sql import Window
 
 from smartbulkcopy_spark.queries import register, spread, table
 
@@ -192,6 +193,102 @@ def q48(spark, sf_dir):
         )
         .orderBy(F.col("tf").desc(), "token")
         .limit(VOCAB_TOP_K)
+    )
+
+
+TFIDF_TOP_TERMS = 3
+
+
+@register(
+    "q52_tfidf_top_terms",
+    "WITH tok AS (SELECT doc_id, unnest(string_split(trim("
+    + NORM_SQL_DUCK + "), ' ')) AS token FROM documents"
+    f" WHERE trim({NORM_SQL_DUCK}) != ''),"
+    " tf AS (SELECT doc_id, token, count(*) AS tf FROM tok"
+    " GROUP BY doc_id, token),"
+    " df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),"
+    " scored AS (SELECT t.doc_id, t.token,"
+    " CAST(t.tf AS BIGINT) AS tf, CAST(d.df AS BIGINT) AS df,"
+    " CAST(t.tf * 10000 * (SELECT count(*) FROM documents) // d.df"
+    " AS BIGINT) AS score_e4"
+    " FROM tf t JOIN df d USING (token))"
+    " SELECT doc_id, token, tf, df, score_e4, CAST(rn AS BIGINT) AS rnk"
+    " FROM (SELECT *, row_number() OVER (PARTITION BY doc_id"
+    " ORDER BY score_e4 DESC, token) AS rn FROM scored)"
+    f" WHERE rn <= {TFIDF_TOP_TERMS} ORDER BY doc_id, rnk",
+    doc="TF-IDF top-3 characteristic terms per document. The score is"
+    " exact integer arithmetic (tf·1e4·N DIV df) — same rank order as"
+    " tf·idf with a reciprocal-df idf, but reproducible bit-for-bit on"
+    " any engine, unlike a float ln() whose last ulp can differ across"
+    " libm builds. tf and df are partial-aggregated groupBys; the tf⋈df"
+    " join is keyed by token (AQE broadcasts the vocabulary side when it"
+    " fits); the per-doc ranking window partitions by doc_id, so groups"
+    " are document-sized and all documents rank in parallel.",
+)
+def q52(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    n_docs = docs.count()  # bounded scalar, same pattern as the IVF centroids
+    norm = F.trim(norm_text())
+    toks = (
+        docs.select("doc_id", norm.alias("n"))
+        .where(F.col("n") != "")
+        .select("doc_id", F.explode(F.split(F.col("n"), " ")).alias("token"))
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("token").agg(F.count("*").alias("df"))
+    scored = tf.join(df_, "token").withColumn(
+        "score_e4", F.expr(f"tf * 10000 * {n_docs}L DIV df")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score_e4").desc(), "token")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= TFIDF_TOP_TERMS)
+        .select("doc_id", "token", "tf", "df", "score_e4", "rnk")
+    )
+
+
+# Word-boundary blocklist for the redaction audit. The fixture text is
+# lowercase word salad, so classic PII shapes (emails, digit runs) never
+# occur; redacting corpus terms exercises the identical machinery —
+# boundary-anchored RE2/Java-compatible alternation, global replace,
+# post-redaction fingerprint — on patterns that actually fire.
+_BLOCKLIST_RE = r"\b(customer|key|vector)\b"
+_REDACTED = "[TERM]"
+_BLOCK_KEEP_MAX = 3
+
+
+@register(
+    "q53_blocklist_redaction",
+    f"WITH n AS (SELECT doc_id, {NORM_SQL_DUCK} AS norm FROM documents)"
+    " SELECT doc_id,"
+    f" CAST(len(regexp_extract_all(norm, '{_BLOCKLIST_RE}')) AS BIGINT)"
+    "  AS n_blocked,"
+    f" len(regexp_extract_all(norm, '{_BLOCKLIST_RE}')) <= {_BLOCK_KEEP_MAX}"
+    "  AS kept,"
+    f" md5(regexp_replace(norm, '{_BLOCKLIST_RE}', '{_REDACTED}', 'g'))"
+    "  AS redacted_md5"
+    " FROM n ORDER BY doc_id",
+    doc="Blocklist redaction audit: per-document count of blocklisted"
+    " terms (word-boundary alternation), a keep/drop flag against the"
+    " policy threshold, and the md5 fingerprint of the redacted text —"
+    " the verifiable artifact a PII/ToS scrubbing pass must produce."
+    " Pure row-local projection: zero shuffle, pipelines into any"
+    " consumer at corpus scale. Both engines run the same RE2-compatible"
+    " pattern and a global replace, so the fingerprints agree"
+    " bit-for-bit.",
+)
+def q53(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    pat = F.lit(_BLOCKLIST_RE)
+    n = norm_text()
+    n_blocked = F.regexp_count(n, pat).cast("long")
+    return docs.select(
+        "doc_id",
+        n_blocked.alias("n_blocked"),
+        (n_blocked <= _BLOCK_KEEP_MAX).alias("kept"),
+        F.md5(F.regexp_replace(n, _BLOCKLIST_RE, _REDACTED)).alias(
+            "redacted_md5"
+        ),
     )
 
 

@@ -218,3 +218,36 @@ def test_q51_no_corpus_sized_global_window(spark, sf_dir):
     ]
     assert len(single) == 1, single
     assert "BroadcastHashJoin" in plan  # prefix table broadcast back
+
+
+def test_q53_redaction_is_shuffle_free(spark, sf_dir):
+    """The redaction audit must stay a pure row-local projection — no
+    Exchange anywhere in the plan, so it pipelines at corpus scale."""
+    import contextlib
+    import io
+
+    from smartbulkcopy_spark.queries import REGISTRY
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        REGISTRY["q53_blocklist_redaction"].fn(spark, sf_dir).explain(
+            mode="formatted"
+        )
+    assert "Exchange" not in buf.getvalue()
+
+
+def test_q52_tfidf_rank_contract(spark, sf_dir):
+    """At most 3 terms per doc, ranks dense from 1, scores non-increasing
+    within a doc, tiebreak by term ascending."""
+    from smartbulkcopy_spark.queries import REGISTRY
+
+    rows = REGISTRY["q52_tfidf_top_terms"].fn(spark, sf_dir).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc, rs in by_doc.items():
+        rs.sort(key=lambda r: r["rnk"])
+        assert [r["rnk"] for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= 3
+        for a, b in zip(rs, rs[1:]):
+            assert (a["score_e4"], b["token"]) >= (b["score_e4"], a["token"])
