@@ -129,6 +129,47 @@ def sessionize(stream: DataFrame) -> DataFrame:
     )
 
 
+def dedup_events(
+    stream: DataFrame, watermark: str = "2 hours", keys=("user_id", "ts")
+) -> DataFrame:
+    """Streaming exact deduplication — the at-least-once-delivery guard.
+
+    A replayed feed (source retries, redelivered micro-batches) must not
+    double-count events downstream; ``dropDuplicatesWithinWatermark``
+    keeps first-arrival rows and drops any duplicate key that arrives
+    within the watermark, while the watermark bounds the dedup state:
+    keys older than it are evicted instead of accumulating forever —
+    the property that makes streaming dedup viable on an unbounded
+    100 TB feed, where an unwatermarked ``dropDuplicates`` would grow
+    state without limit. The batch twin is ``SELECT DISTINCT`` on the
+    same keys (q21 is the content-hash analog for documents)."""
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+
+
+def run_dedup(
+    spark: SparkSession,
+    path: str,
+    query_name: str = "events_dedup",
+    watermark: str = "2 hours",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Drain `path` through the streaming dedup and return the emitted
+    (append-mode) rows."""
+    stream = read_events_stream(spark, path, max_files_per_trigger)
+    q = (
+        dedup_events(stream, watermark)
+        .writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)
+
+
 def run_sessionization(
     spark: SparkSession,
     path: str,

@@ -214,3 +214,28 @@ def test_executor_logs_temporal_hooks(spark, sf_dir, tmp_path):
     assert res.post_sql and "SYSTEM_VERSIONING = ON" in res.post_sql[0]
     assert any("pre-copy DDL hook" in ln for ln in lines)
     assert any("post-copy DDL hook" in ln for ln in lines)
+
+
+def test_streaming_dedup_drops_redelivered_batches(spark, sf_dir, tmp_path):
+    """At-least-once replay: the same feed file delivered twice (plus a
+    genuinely new chunk) must emit each (user_id, ts) key exactly once,
+    and the surviving set must equal the batch DISTINCT."""
+    import shutil
+
+    import pyspark.sql.functions as F
+
+    d = tmp_path / "replayed_feed"
+    d.mkdir()
+    src = f"{sf_dir}/events.parquet"
+    shutil.copy(src, d / "part-000.parquet")
+    shutil.copy(src, d / "part-001-redelivery.parquet")  # duplicate delivery
+
+    got = streaming.run_dedup(spark, str(d), query_name="dedup_replay")
+    emitted = got.select("user_id", "ts").collect()
+    keys = [(r["user_id"], r["ts"]) for r in emitted]
+    assert len(keys) == len(set(keys)), "duplicate key emitted"
+
+    from smartbulkcopy_spark.queries import table
+
+    batch = table(spark, sf_dir, "events").select("user_id", "ts").distinct()
+    assert len(keys) == batch.count()
