@@ -222,6 +222,48 @@ def q54(spark, sf_dir):
 
 
 @register(
+    "q57_embedding_coverage",
+    "SELECT CAST(sum(CASE WHEN doc_id IS NOT NULL AND vec_id IS NOT NULL"
+    " THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,"
+    " CAST(sum(CASE WHEN vec_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
+    " AS n_doc_only,"
+    " CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
+    " AS n_vec_only"
+    " FROM (SELECT d.doc_id, e.vec_id FROM documents d"
+    " FULL OUTER JOIN embeddings e ON d.doc_id = e.vec_id)",
+    doc="Document↔embedding reconciliation: every document should have"
+    " exactly one embedding row and vice versa; unmatched counts on"
+    " either side mean a failed or partial embedding job. The engine's"
+    " cross-table twin of the reference's row-count reconciliation"
+    " (reference: client/SmartBulkCopy.cs:1175-1238) — but keyed, so it"
+    " localizes WHICH side dropped rows, not just that totals differ."
+    " Key-shuffled full outer join on the id (ids only, never payloads),"
+    " then a partial-aggregated global count triple.",
+)
+def q57(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    emb = table(spark, sf_dir, "embeddings").select("vec_id")
+    return coverage_counts(docs, emb)
+
+
+def coverage_counts(docs, emb):
+    """Full-outer reconciliation of (doc_id) vs (vec_id) id sets."""
+    j = docs.join(emb, docs.doc_id == emb.vec_id, "full_outer")
+    matched = (
+        F.col("doc_id").isNotNull() & F.col("vec_id").isNotNull()
+    ).cast("int")
+    return j.agg(
+        F.sum(matched).cast("long").alias("n_matched"),
+        F.sum(F.col("vec_id").isNull().cast("int"))
+        .cast("long")
+        .alias("n_doc_only"),
+        F.sum(F.col("doc_id").isNull().cast("int"))
+        .cast("long")
+        .alias("n_vec_only"),
+    )
+
+
+@register(
     "q55_embedding_dim_stats",
     "WITH x AS (SELECT CAST(t.i - 1 AS BIGINT) AS dim,"
     " CAST(floor(CAST(embedding[t.i] AS DOUBLE) * 1000000.0) AS BIGINT)"

@@ -247,6 +247,58 @@ def q52(spark, sf_dir):
     )
 
 
+# Per-source mixture rates for the resampling audit: the first 5 sources
+# are kept whole, the next 5 at 50 %, the long tail at 10 % — the shape
+# of a data-mixture spec (quality tiers get different sampling weights).
+_MIX_BUCKET_SPARK = (
+    "CAST(conv(substr(md5(concat('mix:', CAST(doc_id AS STRING))), 1, 4),"
+    " 16, 10) AS INT) % 100"
+)
+_MIX_BUCKET_DUCK = (
+    "CAST(('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 4))"
+    " AS INT) % 100"
+)
+_MIX_RATE_SQL = "CASE WHEN si < 5 THEN 100 WHEN si < 10 THEN 50 ELSE 10 END"
+
+
+@register(
+    "q56_mixture_resample",
+    "WITH s AS (SELECT source,"
+    " CAST(substr(source, 4) AS INT) AS si,"
+    f" {_MIX_BUCKET_DUCK} AS b FROM documents)"
+    f" SELECT source, CAST({_MIX_RATE_SQL} AS BIGINT) AS target_pct,"
+    " count(*) AS n_docs,"
+    f" CAST(sum(CASE WHEN b < {_MIX_RATE_SQL} THEN 1 ELSE 0 END)"
+    " AS BIGINT) AS n_kept"
+    " FROM s GROUP BY source, target_pct ORDER BY source",
+    doc="Data-mixture resampling audit: each source is down-sampled to"
+    " its mixture weight by a salted deterministic hash of doc_id —"
+    " a zero-shuffle row-local filter, stable under reprocessing and"
+    " disjoint from the q50 split hash (different salt). The audit"
+    " aggregates (source, kept) counts so the realized mixture can be"
+    " compared to the target weights; the same keep-expression filters"
+    " the corpus downstream without any join.",
+)
+def q56(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    si = F.substring("source", 4, 10).cast("int")
+    rate = F.when(si < 5, 100).when(si < 10, 50).otherwise(10)
+    b = F.expr(_MIX_BUCKET_SPARK)
+    return (
+        docs.select(
+            "source",
+            rate.cast("long").alias("target_pct"),
+            (b < rate).cast("int").alias("kept"),
+        )
+        .groupBy("source", "target_pct")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("kept").cast("long").alias("n_kept"),
+        )
+        .orderBy("source")
+    )
+
+
 # Word-boundary blocklist for the redaction audit. The fixture text is
 # lowercase word salad, so classic PII shapes (emails, digit runs) never
 # occur; redacting corpus terms exercises the identical machinery —

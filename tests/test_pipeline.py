@@ -251,3 +251,17 @@ def test_q52_tfidf_rank_contract(spark, sf_dir):
         assert len(rs) <= 3
         for a, b in zip(rs, rs[1:]):
             assert (a["score_e4"], b["token"]) >= (b["score_e4"], a["token"])
+
+
+def test_coverage_counts_localize_missing_side(spark):
+    """Reconciliation must attribute mismatches to the correct side."""
+    docs = spark.createDataFrame([(i,) for i in range(6)], "doc_id bigint")
+    emb = spark.createDataFrame(
+        [(i,) for i in (0, 1, 2, 3, 9)], "vec_id bigint"
+    )
+    row = similarity.coverage_counts(docs, emb).first()
+    assert (row["n_matched"], row["n_doc_only"], row["n_vec_only"]) == (
+        4,
+        2,
+        1,
+    )
