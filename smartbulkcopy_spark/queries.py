@@ -632,6 +632,123 @@ def q46(spark, sf_dir):
     )
 
 
+_FUNNEL_STAGES = ["signup", "view", "click", "purchase"]
+_FUNNEL_STAGE_SQL = (
+    "CASE WHEN m_signup IS NULL THEN 0"
+    " WHEN m_view IS NULL OR m_view <= m_signup THEN 1"
+    " WHEN m_click IS NULL OR m_click <= m_view THEN 2"
+    " WHEN m_purchase IS NULL OR m_purchase <= m_click THEN 3"
+    " ELSE 4 END"
+)
+
+
+@register(
+    "q58_event_funnel",
+    "WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tmic"
+    " FROM events), m AS (SELECT user_id,"
+    + ",".join(
+        f" min(CASE WHEN event_type = '{s}' THEN tmic END) AS m_{s}"
+        for s in _FUNNEL_STAGES
+    )
+    + " FROM e GROUP BY user_id)"
+    f" SELECT CAST({_FUNNEL_STAGE_SQL} AS BIGINT) AS funnel_stage,"
+    " count(*) AS n_users FROM m"
+    " GROUP BY funnel_stage ORDER BY funnel_stage",
+    doc="Ordered funnel analysis: how far each user progresses through"
+    " signup → view → click → purchase, requiring each stage's FIRST"
+    " occurrence to be strictly after the previous stage's. Stage"
+    " first-times are conditional mins — partial-aggregated, one"
+    " user_id shuffle — and the stage classification is row-local on"
+    " the per-user rollup; the final (stage, count) aggregate is 5"
+    " rows. First-times compare at MICROSECOND precision on both"
+    " engines (the q35 convention: DuckDB keeps nanos, Spark rebuilds"
+    " micros; comparing finer than micros would flip ties).",
+)
+def q58(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    tmic = F.expr(_EV_MICROS)
+    m = (
+        ev.select("user_id", "event_type", tmic.alias("tmic"))
+        .groupBy("user_id")
+        .agg(
+            *[
+                F.min(
+                    F.when(F.col("event_type") == s, F.col("tmic"))
+                ).alias(f"m_{s}")
+                for s in _FUNNEL_STAGES
+            ]
+        )
+    )
+    return (
+        m.select(F.expr(_FUNNEL_STAGE_SQL).cast("long").alias("funnel_stage"))
+        .groupBy("funnel_stage")
+        .agg(F.count("*").alias("n_users"))
+        .orderBy("funnel_stage")
+    )
+
+
+@register(
+    "q59_key_skew_histogram",
+    "WITH c AS (SELECT user_id, count(*) AS c FROM events"
+    " GROUP BY user_id)"
+    " SELECT CAST(floor(log2(CAST(c AS DOUBLE))) AS BIGINT)"
+    " AS log2_bucket, count(*) AS n_keys,"
+    " CAST(sum(c) AS BIGINT) AS n_rows, max(c) AS max_key_rows"
+    " FROM c GROUP BY log2_bucket ORDER BY log2_bucket",
+    doc="Shuffle-key skew diagnostic: per-key row counts bucketed by"
+    " log2 — the histogram that tells you BEFORE a 100 TB join/groupBy"
+    " whether a key needs salting or AQE skew handling (a hot tail"
+    " shows up as high-bucket keys holding most of n_rows). Two"
+    " partial-aggregated groupBys; the second is bucket-sized."
+    " floor(log2(n)) is cross-engine exact: its boundaries are exact"
+    " powers of two, where IEEE log2 is exact.",
+)
+def q59(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    per_key = ev.groupBy("user_id").agg(F.count("*").alias("c"))
+    bucket = F.floor(F.log2(F.col("c").cast("double"))).cast("long")
+    return (
+        per_key.select(bucket.alias("log2_bucket"), "c")
+        .groupBy("log2_bucket")
+        .agg(
+            F.count("*").alias("n_keys"),
+            F.sum("c").alias("n_rows"),
+            F.max("c").alias("max_key_rows"),
+        )
+        .orderBy("log2_bucket")
+    )
+
+
+@register(
+    "q60_event_enrichment",
+    "SELECT n.n_name, count(*) AS n_events,"
+    " count(DISTINCT e.user_id) AS n_users"
+    " FROM events e JOIN customer c ON e.user_id = c.c_custkey"
+    " JOIN nation n ON c.c_nationkey = n.n_nationkey"
+    " GROUP BY n.n_name ORDER BY n.n_name",
+    doc="Fact-to-dimension enrichment: events joined through customer to"
+    " nation, aggregated per nation — the §2 join surface extended to a"
+    " multi-hop star join. events⋈customer is keyed (both sides scale"
+    " with the data; never broadcast); nation is an explicit broadcast."
+    " count-distinct users rides the nation-keyed aggregate as a"
+    " two-phase plan.",
+)
+def q60(spark, sf_dir):
+    ev = table(spark, sf_dir, "events").select("user_id")
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        ev.join(cust, ev.user_id == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("n_name")
+    )
+
+
 @register(
     "q37_scalar_funcs",
     "SELECT p_partkey,"
