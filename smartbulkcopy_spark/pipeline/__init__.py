@@ -19,6 +19,7 @@ Importing this package registers q21+ in the main query registry.
 """
 
 from smartbulkcopy_spark.pipeline import (  # noqa: F401  (self-registering)
+    curate,
     dedup,
     multimodal,
     pack,

@@ -1,0 +1,161 @@
+"""The assembled corpus-curation pipeline: every cleaning stage the
+engine implements, composed end-to-end into one declarative plan —
+exact dedup (q21 keep-first) ∩ near-dup dedup (q34 LSH→verify→anti-join)
+∩ minimum-quality filter ∩ mixture resampling (q56 weights), then split
+assignment (q50) and per-split stats / a partitioned parquet export.
+
+No reference analog (the reference moves tables; this is what the moved
+corpus is FOR) — Phase-5 pipeline assembly (SURVEY §7.2).
+
+Scale notes (100 TB):
+- The whole pipeline is ONE lazy plan: Catalyst sees every stage, so the
+  keep-filters (token minimum, mixture hash) collapse into the scans and
+  the only wide operations are the ones the component operators already
+  pay — the content-hash groupBy, the banded-LSH candidate pipeline, and
+  the final per-split aggregate. Nothing materializes between stages.
+- Both dedup keep-lists join as LEFT SEMI on doc_id — ids only, never
+  text — and the row-local filters are applied before the joins, so the
+  semi-join probe side is already thinned.
+- The export writes partitioned-by-split parquet: downstream trainers
+  prune to their split at the directory level, and writer parallelism is
+  the upstream partitioning (no global sort, no single-writer funnel).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from smartbulkcopy_spark.pipeline.dedup import (
+    NEAR_DUP_JACCARD_MILLIS,
+    _candidate_cte_duck,
+    jaccard_pairs,
+    shingle_set_expr,
+)
+from smartbulkcopy_spark.pipeline.text import (
+    _MIX_BUCKET_DUCK,
+    _MIX_BUCKET_SPARK,
+    _MIX_RATE_SQL,
+    _SPLIT_BUCKET_DUCK,
+    _SPLIT_BUCKET_SPARK,
+    NORM_SQL_DUCK,
+    TOKENS_SQL_DUCK,
+    norm_text,
+    token_count,
+)
+from smartbulkcopy_spark.queries import register, table
+
+# Minimum whitespace-token count for a document to survive curation
+# (fixture tokens span 10..99; 25 drops the thin tail).
+MIN_TOKENS = 25
+
+_SPLIT_SQL = (
+    f"CASE WHEN {{b}} < 90 THEN 'train'"
+    " WHEN {b} < 95 THEN 'val' ELSE 'test' END"
+)
+
+
+def curated_docs(spark, sf_dir):
+    """The curated corpus as one lazy plan: documents surviving exact
+    dedup, near-dup dedup, the token minimum, and mixture resampling,
+    with their split assignment attached."""
+    docs = table(spark, sf_dir, "documents")
+
+    keep_exact = (
+        docs.groupBy(F.md5(norm_text()).alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    drops = (
+        jaccard_pairs(spark, sf_dir)
+        .where(F.col("jaccard_millis") >= NEAR_DUP_JACCARD_MILLIS)
+        .select(F.col("b_id").alias("doc_id"))
+        .distinct()
+    )
+
+    si = F.substring("source", 4, 10).cast("int")
+    rate = F.when(si < 5, 100).when(si < 10, 50).otherwise(10)
+    mix_keep = F.expr(_MIX_BUCKET_SPARK) < rate
+    split_bucket = F.expr(_SPLIT_BUCKET_SPARK)
+    split = (
+        F.when(split_bucket < 90, F.lit("train"))
+        .when(split_bucket < 95, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+    return (
+        docs.withColumn("n_tokens", token_count().cast("long"))
+        .where((F.col("n_tokens") >= MIN_TOKENS) & mix_keep)
+        .join(keep_exact, "doc_id", "left_semi")
+        .join(drops, "doc_id", "left_anti")
+        .withColumn("split", split)
+    )
+
+
+def curate(spark, sf_dir: str, out_dir: str):
+    """Run the full curation pipeline and export the surviving corpus as
+    split-partitioned parquet; returns the per-split stats DataFrame
+    (same answer as q61)."""
+    kept = curated_docs(spark, sf_dir)
+    (
+        kept.select("doc_id", "text", "lang", "source", "n_tokens", "split")
+        .write.partitionBy("split")
+        .mode("overwrite")
+        .parquet(out_dir)
+    )
+    return (
+        spark.read.parquet(out_dir)
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        .orderBy("split")
+    )
+
+
+@register(
+    "q61_curation_stats",
+    "WITH " + _candidate_cte_duck() + ","
+    f" sh AS (SELECT doc_id, {shingle_set_expr('duck')} AS s"
+    " FROM documents),"
+    " jac AS (SELECT c.a_id, c.b_id,"
+    " CAST(floor(1000.0 * len(list_intersect(sa.s, sb.s))"
+    "   / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))))"
+    " AS BIGINT) AS j"
+    " FROM cand c JOIN sh sa ON sa.doc_id = c.a_id"
+    " JOIN sh sb ON sb.doc_id = c.b_id),"
+    f" keepx AS (SELECT min(doc_id) AS doc_id FROM documents"
+    f" GROUP BY md5({NORM_SQL_DUCK})),"
+    " base AS (SELECT doc_id,"
+    f" CAST({TOKENS_SQL_DUCK} AS BIGINT) AS n_tokens,"
+    " CAST(substr(source, 4) AS INT) AS si,"
+    f" {_MIX_BUCKET_DUCK} AS mb,"
+    f" {_SPLIT_SQL.format(b=_SPLIT_BUCKET_DUCK)} AS split"
+    " FROM documents),"
+    " final AS (SELECT b.split, b.n_tokens FROM base b"
+    " JOIN keepx k ON k.doc_id = b.doc_id"
+    f" WHERE b.n_tokens >= {MIN_TOKENS}"
+    f" AND b.mb < {_MIX_RATE_SQL}"
+    " AND b.doc_id NOT IN (SELECT b_id FROM jac"
+    f" WHERE j >= {NEAR_DUP_JACCARD_MILLIS}))"
+    " SELECT split, count(*) AS n_docs,"
+    " CAST(sum(n_tokens) AS BIGINT) AS total_tokens"
+    " FROM final GROUP BY split ORDER BY split",
+    doc="Per-split stats of the fully-curated corpus — exact dedup ∩"
+    " near-dup dedup ∩ token minimum ∩ mixture resampling, then q50"
+    " split assignment — the acceptance report of the whole pipeline"
+    " composed as ONE declarative plan (see pipeline/curate.py for the"
+    " partitioned-parquet export of the same plan). Row-local filters"
+    " precede the id-only semi/anti joins; the only wide stages are the"
+    " ones the component operators already pay.",
+)
+def q61(spark, sf_dir):
+    return (
+        curated_docs(spark, sf_dir)
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        .orderBy("split")
+    )

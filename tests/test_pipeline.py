@@ -265,3 +265,38 @@ def test_coverage_counts_localize_missing_side(spark):
         2,
         1,
     )
+
+
+def test_curate_export_roundtrip(spark, sf_dir, tmp_path):
+    """The partitioned export must contain exactly the curated docs, be
+    prunable by split directory, and report stats equal to q61."""
+    from smartbulkcopy_spark.pipeline import curate
+    from smartbulkcopy_spark.queries import REGISTRY
+
+    out = str(tmp_path / "curated")
+    stats = {
+        r["split"]: (r["n_docs"], r["total_tokens"])
+        for r in curate.curate(spark, sf_dir, out).collect()
+    }
+    q61 = {
+        r["split"]: (r["n_docs"], r["total_tokens"])
+        for r in REGISTRY["q61_curation_stats"].fn(spark, sf_dir).collect()
+    }
+    assert stats == q61 and stats
+
+    back = spark.read.parquet(out)
+    assert back.count() == sum(n for n, _ in stats.values())
+    # directory-level split pruning: reading one split touches only it
+    import os
+
+    splits = [d for d in os.listdir(out) if d.startswith("split=")]
+    assert sorted(splits) == sorted(f"split={s}" for s in stats)
+    one = spark.read.parquet(f"{out}/split=train")
+    assert one.count() == stats["train"][0]
+    # kept ids are a subset of both dedup survivors
+    kept_ids = {r["doc_id"] for r in back.select("doc_id").collect()}
+    survivors = {
+        r["doc_id"]
+        for r in REGISTRY["q34_near_dup_dedup"].fn(spark, sf_dir).collect()
+    }
+    assert kept_ids <= survivors
