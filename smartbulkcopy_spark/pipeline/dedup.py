@@ -136,6 +136,36 @@ def _candidate_cte_duck() -> str:
     )
 
 
+def banded_rows(spark, sf_dir):
+    """(doc_id, band) rows of the MinHash-LSH index: explode shingles ->
+    codegen md5 -> partial-aggregated MIN per hash slice -> band keys.
+    The signature pipeline runs ONCE; shuffles carry (doc_id, 8 x 8-char
+    minima) after map-side combine — document bodies never shuffle."""
+    base = _normed(spark, sf_dir)
+    shingles = base.select(
+        "doc_id", F.explode(F.expr(SHINGLES_SPARK)).alias("sh")
+    )
+    hashed = shingles.select(
+        "doc_id",
+        F.md5(F.concat(F.lit("0:"), F.col("sh"))).alias("h0"),
+        F.md5(F.concat(F.lit("1:"), F.col("sh"))).alias("h1"),
+    )
+    sig = hashed.groupBy("doc_id").agg(
+        *[
+            F.min(F.substring(f"h{k // 4}", 1 + 8 * (k % 4), 8)).alias(
+                f"mh{k}"
+            )
+            for k in range(K_HASHES)
+        ]
+    )
+    return sig.select(
+        "doc_id",
+        F.explode(
+            F.array(*[F.expr(e) for e in _band_from_cols("spark")])
+        ).alias("band"),
+    )
+
+
 def candidate_pairs(spark, sf_dir):
     """Spark side of MinHash-LSH candidate generation: explode shingles ->
     codegen md5 -> partial-aggregated MIN per hash slice -> band keys ->
@@ -155,29 +185,7 @@ def candidate_pairs(spark, sf_dir):
     into one giant array row. The window shares the groupBy's hash
     partitioning (one shuffle total, no signature recompute), and its
     row buffer spills to disk where a single collect_list row cannot."""
-    base = _normed(spark, sf_dir)
-    shingles = base.select(
-        "doc_id", F.explode(F.expr(SHINGLES_SPARK)).alias("sh")
-    )
-    hashed = shingles.select(
-        "doc_id",
-        F.md5(F.concat(F.lit("0:"), F.col("sh"))).alias("h0"),
-        F.md5(F.concat(F.lit("1:"), F.col("sh"))).alias("h1"),
-    )
-    sig = hashed.groupBy("doc_id").agg(
-        *[
-            F.min(F.substring(f"h{k // 4}", 1 + 8 * (k % 4), 8)).alias(
-                f"mh{k}"
-            )
-            for k in range(K_HASHES)
-        ]
-    )
-    bnd = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(*[F.expr(e) for e in _band_from_cols("spark")])
-        ).alias("band"),
-    )
+    bnd = banded_rows(spark, sf_dir)
     band_count = F.count("*").over(Window.partitionBy("band"))
     buckets = (
         bnd.withColumn("bc", band_count)
@@ -375,3 +383,102 @@ def q34(spark, sf_dir):
         .distinct()
     )
     return docs.select("doc_id").join(drops, "doc_id", "left_anti")
+
+
+# Incremental ingestion: the daily-batch-vs-existing-corpus shape. The
+# corpus side is the persisted LSH index (here recomputed from the same
+# table for oracle-checkability; in production it is read back from its
+# parquet form); the NEW batch bands against it, so the join is
+# new-batch x index on the 16-byte band key — the whole corpus is never
+# self-joined again. The fixture batch boundary is by doc_id, mirroring
+# an id-ordered append-only corpus.
+INCREMENTAL_SPLIT_ID = 400
+
+
+def _banded_cte_duck() -> str:
+    """sig/bnd/expl CTEs only (shared with _candidate_cte_duck)."""
+    mhs = ", ".join(f"{minhash_duck(k)} AS mh{k}" for k in range(K_HASHES))
+    bands = ", ".join(
+        f"{e} AS b{i}" for i, e in enumerate(_band_from_cols("duck"))
+    )
+    unions = " UNION ALL ".join(
+        f"SELECT doc_id, b{i} AS band FROM bnd" for i in range(N_BANDS)
+    )
+    return (
+        f"sig AS (SELECT doc_id, {mhs} FROM documents),"
+        f" bnd AS (SELECT doc_id, {bands} FROM sig),"
+        f" expl AS ({unions})"
+    )
+
+
+@register(
+    "q63_incremental_dedup",
+    "WITH " + _banded_cte_duck() + ","
+    f" old AS (SELECT doc_id, band FROM expl"
+    f" WHERE doc_id < {INCREMENTAL_SPLIT_ID}),"
+    f" nw AS (SELECT doc_id, band FROM expl"
+    f" WHERE doc_id >= {INCREMENTAL_SPLIT_ID}),"
+    " osz AS (SELECT band FROM old GROUP BY band"
+    f" HAVING count(*) <= {MAX_BAND_BUCKET}),"
+    " cand2 AS (SELECT DISTINCT o.doc_id AS old_id, n.doc_id AS new_id"
+    " FROM nw n JOIN osz s ON n.band = s.band"
+    " JOIN old o ON o.band = n.band),"
+    f" sh AS (SELECT doc_id, {shingle_set_expr('duck')} AS s"
+    " FROM documents),"
+    " jac2 AS (SELECT c.new_id, c.old_id,"
+    " CAST(floor(1000.0 * len(list_intersect(sa.s, sb.s))"
+    "   / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))))"
+    " AS BIGINT) AS j"
+    " FROM cand2 c JOIN sh sa ON sa.doc_id = c.old_id"
+    " JOIN sh sb ON sb.doc_id = c.new_id)"
+    " SELECT new_id, min(old_id) AS dup_of,"
+    " max(j) AS jaccard_millis FROM jac2"
+    f" WHERE j >= {NEAR_DUP_JACCARD_MILLIS}"
+    " GROUP BY new_id ORDER BY new_id",
+    doc="Incremental-ingestion dedup: which documents of a NEW batch are"
+    " near-duplicates of the EXISTING corpus. The batch bands against"
+    " the corpus's LSH index — a (band-key, id) join, capped on the"
+    " index's hot bands BEFORE joining — then exact-Jaccard verifies"
+    " only the cross-side candidates. The corpus is never re-self-"
+    "joined: cost scales with batch x band-collision rate, not corpus"
+    " squared — the property that lets a daily crawl dedup against"
+    " 100 TB already ingested.",
+)
+def q63(spark, sf_dir):
+    bnd = banded_rows(spark, sf_dir)
+    old = bnd.where(F.col("doc_id") < INCREMENTAL_SPLIT_ID)
+    new = bnd.where(F.col("doc_id") >= INCREMENTAL_SPLIT_ID)
+    osz = (
+        old.groupBy("band")
+        .agg(F.count("*").alias("bc"))
+        .where(F.col("bc") <= MAX_BAND_BUCKET)
+        .select("band")
+    )
+    cand = (
+        new.join(osz, "band", "left_semi")
+        .join(
+            old.select(F.col("doc_id").alias("old_id"), "band"), "band"
+        )
+        .select(F.col("doc_id").alias("new_id"), "old_id")
+        .distinct()
+    )
+    sh = _normed(spark, sf_dir).select(
+        "doc_id", F.expr(shingle_set_expr("spark")).alias("s")
+    )
+    a = sh.select(F.col("doc_id").alias("old_id"), F.col("s").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("new_id"), F.col("s").alias("sb"))
+    inter = F.size(F.array_intersect("sa", "sb"))
+    union = F.size("sa") + F.size("sb") - inter
+    j = F.floor(1000.0 * inter / union).cast("bigint")
+    return (
+        cand.join(a, "old_id")
+        .join(b, "new_id")
+        .select("new_id", "old_id", j.alias("j"))
+        .where(F.col("j") >= NEAR_DUP_JACCARD_MILLIS)
+        .groupBy("new_id")
+        .agg(
+            F.min("old_id").alias("dup_of"),
+            F.max("j").alias("jaccard_millis"),
+        )
+        .orderBy("new_id")
+    )

@@ -126,3 +126,40 @@ def q51(spark, sf_dir):
         "doc_id", token_count().cast("long").alias("n_tokens")
     )
     return pack_offsets(docs)
+
+
+@register(
+    "q62_pack_fill",
+    "WITH t AS (SELECT doc_id,"
+    f" CAST({TOKENS_SQL_DUCK} AS BIGINT) AS n_tokens FROM documents),"
+    " c AS (SELECT doc_id, n_tokens,"
+    " CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id"
+    " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)"
+    " AS global_offset FROM t)"
+    f" SELECT global_offset // {PACK_MAX_LEN} AS pack_id,"
+    " count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,"
+    f" CAST(sum(CASE WHEN (global_offset % {PACK_MAX_LEN}) + n_tokens"
+    f" > {PACK_MAX_LEN} THEN 1 ELSE 0 END) AS BIGINT) AS n_spanning"
+    " FROM c GROUP BY pack_id ORDER BY pack_id",
+    doc="Pack utilization report: per training pack, how many documents"
+    " start in it, their token mass, and how many overrun the boundary"
+    " — the fill/waste metric that decides whether to split, drop, or"
+    " re-order boundary documents. Same two-phase offsets as q51 plus"
+    " one partial-aggregated (pack_id, partials) rollup.",
+)
+def q62(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", token_count().cast("long").alias("n_tokens")
+    )
+    return (
+        pack_offsets(docs)
+        .groupBy("pack_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+            F.sum(F.col("spans_boundary").cast("int"))
+            .cast("long")
+            .alias("n_spanning"),
+        )
+        .orderBy("pack_id")
+    )
