@@ -300,3 +300,21 @@ def test_curate_export_roundtrip(spark, sf_dir, tmp_path):
         for r in REGISTRY["q34_near_dup_dedup"].fn(spark, sf_dir).collect()
     }
     assert kept_ids <= survivors
+
+
+def test_pack_fill_consistent_with_offsets(spark, sf_dir):
+    """Pack rollup must conserve documents and tokens: per-pack counts
+    sum to the corpus totals from the per-doc offsets."""
+    from smartbulkcopy_spark.queries import REGISTRY
+
+    offs = REGISTRY["q51_pack_offsets"].fn(spark, sf_dir).collect()
+    fill = REGISTRY["q62_pack_fill"].fn(spark, sf_dir).collect()
+    assert sum(r["n_docs"] for r in fill) == len(offs)
+    assert sum(r["sum_tokens"] for r in fill) == sum(
+        r["n_tokens"] for r in offs
+    )
+    assert sum(r["n_spanning"] for r in fill) == sum(
+        1 for r in offs if r["spans_boundary"]
+    )
+    # every doc's pack appears in the rollup
+    assert {r["pack_id"] for r in offs} == {r["pack_id"] for r in fill}
