@@ -38,18 +38,20 @@ def log_flush_sampler(conn) -> Callable[[], int]:
     """Build a cumulative-bytes sampler over the destination's log-flush
     performance counter, for JDBC destinations. ``conn`` is anything with
     ``scalar(sql)`` (e.g. sources.jdbc.JvmJdbcConnection). The counter
-    row is keyed by the physical database name, so the instance is
-    resolved once up front through SQL_LOG_FLUSH_INSTANCE (reference:
-    client/SmartBulkCopy.cs:701-722)."""
+    row is keyed by the PHYSICAL database name, which changes when an
+    Azure SQL SLO change moves the database — so the instance is
+    re-resolved on EVERY tick, matching the reference's 'This needs to
+    be in the loop' (reference: client/SmartBulkCopy.cs:700-722); a
+    construction-time binding would silently read 0 for the rest of the
+    copy after an SLO change."""
     from smartbulkcopy_spark.catalog import (
         SQL_LOG_FLUSH_COUNTER,
         SQL_LOG_FLUSH_INSTANCE,
     )
 
-    instance = conn.scalar(SQL_LOG_FLUSH_INSTANCE)
-    sql = SQL_LOG_FLUSH_COUNTER.format(instance=instance)
-
     def sample() -> int:
+        instance = conn.scalar(SQL_LOG_FLUSH_INSTANCE)
+        sql = SQL_LOG_FLUSH_COUNTER.format(instance=instance)
         return int(conn.scalar(sql) or 0)
 
     return sample

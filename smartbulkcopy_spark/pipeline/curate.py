@@ -33,13 +33,13 @@ from smartbulkcopy_spark.pipeline.dedup import (
 )
 from smartbulkcopy_spark.pipeline.text import (
     _MIX_BUCKET_DUCK,
-    _MIX_BUCKET_SPARK,
     _MIX_RATE_SQL,
-    _SPLIT_BUCKET_DUCK,
-    _SPLIT_BUCKET_SPARK,
     NORM_SQL_DUCK,
+    SPLIT_CASE_DUCK,
     TOKENS_SQL_DUCK,
+    mix_keep_col,
     norm_text,
+    split_col,
     token_count,
 )
 from smartbulkcopy_spark.queries import register, table
@@ -47,11 +47,6 @@ from smartbulkcopy_spark.queries import register, table
 # Minimum whitespace-token count for a document to survive curation
 # (fixture tokens span 10..99; 25 drops the thin tail).
 MIN_TOKENS = 25
-
-_SPLIT_SQL = (
-    f"CASE WHEN {{b}} < 90 THEN 'train'"
-    " WHEN {b} < 95 THEN 'val' ELSE 'test' END"
-)
 
 
 def curated_docs(spark, sf_dir):
@@ -72,22 +67,12 @@ def curated_docs(spark, sf_dir):
         .distinct()
     )
 
-    si = F.substring("source", 4, 10).cast("int")
-    rate = F.when(si < 5, 100).when(si < 10, 50).otherwise(10)
-    mix_keep = F.expr(_MIX_BUCKET_SPARK) < rate
-    split_bucket = F.expr(_SPLIT_BUCKET_SPARK)
-    split = (
-        F.when(split_bucket < 90, F.lit("train"))
-        .when(split_bucket < 95, F.lit("val"))
-        .otherwise(F.lit("test"))
-    )
-
     return (
         docs.withColumn("n_tokens", token_count().cast("long"))
-        .where((F.col("n_tokens") >= MIN_TOKENS) & mix_keep)
+        .where((F.col("n_tokens") >= MIN_TOKENS) & mix_keep_col())
         .join(keep_exact, "doc_id", "left_semi")
         .join(drops, "doc_id", "left_anti")
-        .withColumn("split", split)
+        .withColumn("split", split_col())
     )
 
 
@@ -130,7 +115,7 @@ def curate(spark, sf_dir: str, out_dir: str):
     f" CAST({TOKENS_SQL_DUCK} AS BIGINT) AS n_tokens,"
     " CAST(substr(source, 4) AS INT) AS si,"
     f" {_MIX_BUCKET_DUCK} AS mb,"
-    f" {_SPLIT_SQL.format(b=_SPLIT_BUCKET_DUCK)} AS split"
+    f" {SPLIT_CASE_DUCK} AS split"
     " FROM documents),"
     " final AS (SELECT b.split, b.n_tokens FROM base b"
     " JOIN keepx k ON k.doc_id = b.doc_id"

@@ -115,7 +115,9 @@ def _normed(spark, sf_dir):
 MAX_BAND_BUCKET = 1024
 
 
-def _candidate_cte_duck() -> str:
+def _banded_cte_duck() -> str:
+    """sig/bnd/expl CTEs — the LSH index definition, single source of
+    truth for every oracle that bands (q27/q29/q34/q49/q61/q63)."""
     mhs = ", ".join(f"{minhash_duck(k)} AS mh{k}" for k in range(K_HASHES))
     bands = ", ".join(
         f"{e} AS b{i}" for i, e in enumerate(_band_from_cols("duck"))
@@ -126,7 +128,13 @@ def _candidate_cte_duck() -> str:
     return (
         f"sig AS (SELECT doc_id, {mhs} FROM documents),"
         f" bnd AS (SELECT doc_id, {bands} FROM sig),"
-        f" expl AS ({unions}),"
+        f" expl AS ({unions})"
+    )
+
+
+def _candidate_cte_duck() -> str:
+    return (
+        _banded_cte_duck() + ","
         " bandsz AS (SELECT band, count(*) AS bc FROM expl GROUP BY band"
         f" HAVING count(*) <= {MAX_BAND_BUCKET}),"
         " cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id"
@@ -393,22 +401,6 @@ def q34(spark, sf_dir):
 # self-joined again. The fixture batch boundary is by doc_id, mirroring
 # an id-ordered append-only corpus.
 INCREMENTAL_SPLIT_ID = 400
-
-
-def _banded_cte_duck() -> str:
-    """sig/bnd/expl CTEs only (shared with _candidate_cte_duck)."""
-    mhs = ", ".join(f"{minhash_duck(k)} AS mh{k}" for k in range(K_HASHES))
-    bands = ", ".join(
-        f"{e} AS b{i}" for i, e in enumerate(_band_from_cols("duck"))
-    )
-    unions = " UNION ALL ".join(
-        f"SELECT doc_id, b{i} AS band FROM bnd" for i in range(N_BANDS)
-    )
-    return (
-        f"sig AS (SELECT doc_id, {mhs} FROM documents),"
-        f" bnd AS (SELECT doc_id, {bands} FROM sig),"
-        f" expl AS ({unions})"
-    )
 
 
 @register(

@@ -125,13 +125,28 @@ _SPLIT_BUCKET_DUCK = (
     "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) % 100"
 )
 
+# ONE spelling of the 90/5/5 split policy per engine — q50's audit and
+# curate.py's export must classify identically by construction.
+SPLIT_CASE_DUCK = (
+    f"CASE WHEN {_SPLIT_BUCKET_DUCK} < 90 THEN 'train'"
+    f" WHEN {_SPLIT_BUCKET_DUCK} < 95 THEN 'val'"
+    " ELSE 'test' END"
+)
+
+
+def split_col():
+    """The split assignment as a Spark Column (the q50 policy)."""
+    bucket = F.expr(_SPLIT_BUCKET_SPARK)
+    return (
+        F.when(bucket < 90, F.lit("train"))
+        .when(bucket < 95, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
 
 @register(
     "q50_split_assignment",
-    "WITH s AS (SELECT lang,"
-    f" CASE WHEN {_SPLIT_BUCKET_DUCK} < 90 THEN 'train'"
-    f" WHEN {_SPLIT_BUCKET_DUCK} < 95 THEN 'val'"
-    " ELSE 'test' END AS split FROM documents)"
+    f"WITH s AS (SELECT lang, {SPLIT_CASE_DUCK} AS split FROM documents)"
     " SELECT lang, split, count(*) AS n_docs"
     " FROM s GROUP BY lang, split ORDER BY lang, split",
     doc="Deterministic 90/5/5 train/val/test split assignment from"
@@ -142,14 +157,8 @@ _SPLIT_BUCKET_DUCK = (
 )
 def q50(spark, sf_dir):
     docs = table(spark, sf_dir, "documents")
-    bucket = F.expr(_SPLIT_BUCKET_SPARK)
-    split = (
-        F.when(bucket < 90, F.lit("train"))
-        .when(bucket < 95, F.lit("val"))
-        .otherwise(F.lit("test"))
-    )
     return (
-        docs.select("lang", split.alias("split"))
+        docs.select("lang", split_col().alias("split"))
         .groupBy("lang", "split")
         .agg(F.count("*").alias("n_docs"))
         .orderBy("lang", "split")
@@ -261,6 +270,18 @@ _MIX_BUCKET_DUCK = (
 _MIX_RATE_SQL = "CASE WHEN si < 5 THEN 100 WHEN si < 10 THEN 50 ELSE 10 END"
 
 
+def mix_rate_col():
+    """Per-source mixture weight (percent kept) as a Spark Column —
+    the single spelling shared by q56's audit and curate.py's filter."""
+    si = F.substring("source", 4, 10).cast("int")
+    return F.when(si < 5, 100).when(si < 10, 50).otherwise(10)
+
+
+def mix_keep_col():
+    """True iff the salted doc hash lands under the source's weight."""
+    return F.expr(_MIX_BUCKET_SPARK) < mix_rate_col()
+
+
 @register(
     "q56_mixture_resample",
     "WITH s AS (SELECT source,"
@@ -281,14 +302,11 @@ _MIX_RATE_SQL = "CASE WHEN si < 5 THEN 100 WHEN si < 10 THEN 50 ELSE 10 END"
 )
 def q56(spark, sf_dir):
     docs = table(spark, sf_dir, "documents")
-    si = F.substring("source", 4, 10).cast("int")
-    rate = F.when(si < 5, 100).when(si < 10, 50).otherwise(10)
-    b = F.expr(_MIX_BUCKET_SPARK)
     return (
         docs.select(
             "source",
-            rate.cast("long").alias("target_pct"),
-            (b < rate).cast("int").alias("kept"),
+            mix_rate_col().cast("long").alias("target_pct"),
+            mix_keep_col().cast("int").alias("kept"),
         )
         .groupBy("source", "target_pct")
         .agg(

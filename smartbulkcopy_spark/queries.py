@@ -691,7 +691,7 @@ def q58(spark, sf_dir):
     "q59_key_skew_histogram",
     "WITH c AS (SELECT user_id, count(*) AS c FROM events"
     " GROUP BY user_id)"
-    " SELECT CAST(floor(log2(CAST(c AS DOUBLE))) AS BIGINT)"
+    " SELECT CAST(length(bin(c)) - 1 AS BIGINT)"
     " AS log2_bucket, count(*) AS n_keys,"
     " CAST(sum(c) AS BIGINT) AS n_rows, max(c) AS max_key_rows"
     " FROM c GROUP BY log2_bucket ORDER BY log2_bucket",
@@ -700,13 +700,15 @@ def q58(spark, sf_dir):
     " whether a key needs salting or AQE skew handling (a hot tail"
     " shows up as high-bucket keys holding most of n_rows). Two"
     " partial-aggregated groupBys; the second is bucket-sized."
-    " floor(log2(n)) is cross-engine exact: its boundaries are exact"
-    " powers of two, where IEEE log2 is exact.",
+    " floor(log2(n)) is spelled length(bin(n))-1 — pure integer/string"
+    " ops, so it cannot misround where float log2 can (Spark's log2"
+    " returns 48.0 for 2^48-1; bucketing via bin() is exact on both"
+    " engines for any BIGINT count).",
 )
 def q59(spark, sf_dir):
     ev = table(spark, sf_dir, "events")
     per_key = ev.groupBy("user_id").agg(F.count("*").alias("c"))
-    bucket = F.floor(F.log2(F.col("c").cast("double"))).cast("long")
+    bucket = (F.length(F.bin(F.col("c"))) - 1).cast("long")
     return (
         per_key.select(bucket.alias("log2_bucket"), "c")
         .groupBy("log2_bucket")

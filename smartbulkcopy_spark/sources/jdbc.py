@@ -37,10 +37,15 @@ def jdbc_predicates(tasks: list[CopyTask], dialect: str = "ansi") -> list[str]:
     logical-partition predicate, exactly as the reference does
     (client/CopyInfo.cs:63): N concurrent modulo scans already saturate N
     source cores, and letting each scan also parallelize server-side
-    thrashes the source. Spark pastes the predicate verbatim after WHERE,
-    so the statement-final hint lands in the right position. The hint is
-    T-SQL only — never emitted for other dialects, and never on the
-    Catalyst-side predicate path (Catalyst can't parse it)."""
+    thrashes the source. Spark pastes a lone partition predicate verbatim
+    after WHERE, so the statement-final hint lands in the right position
+    — but ONLY when no Catalyst filter is pushed into the same scan:
+    with pushed filters Spark emits ``WHERE (filters) AND (predicate)``,
+    and the parenthesized hint is a syntax error. read_jdbc_partitioned
+    therefore disables JDBC filter pushdown whenever hints are embedded
+    (partition slicing still happens server-side; residual filters run
+    in Spark). The hint is T-SQL only — never emitted for other
+    dialects, and never on the Catalyst-side predicate path."""
     preds = []
     for t in tasks:
         p = t.predicate_sql()
@@ -85,10 +90,18 @@ def read_jdbc_partitioned(
         hints = custom_schema_hints(head.source.column_types)
         if hints:
             props["customSchema"] = hints
+    preds = jdbc_predicates(tasks, dialect=dialect)
+    if any("OPTION (MAXDOP" in p for p in preds):
+        # A pushed Catalyst filter would wrap the predicate in parens
+        # (`WHERE (filter) AND (pred OPTION ...)`) — invalid T-SQL. Keep
+        # the partition predicate the ONLY server-side clause so the
+        # statement-final hint placement is guaranteed; residual filters
+        # evaluate in Spark.
+        props.setdefault("pushDownPredicate", "false")
     df = spark.read.jdbc(
         url=url,
         table=table,
-        predicates=jdbc_predicates(tasks, dialect=dialect),
+        predicates=preds,
         properties=props,
     )
     return df.select(*head.select_columns())
@@ -424,14 +437,17 @@ def staged_jdbc_copy(
             # This partition's rows, as the TARGET server sees them. The
             # canonical predicate parses on mssql (T-SQL `%`), but not on
             # every dialect (Derby has only MOD()), so predicate-scoped
-            # probing is mssql-only; other dialects fall back to the
-            # whole-table count, which is correct here because this copy
-            # publishes partitions serially (single writer per table).
-            tsql_pred = None
-            if dialect == "mssql":
-                tsql_pred = pred if pred is not None else (
-                    task.mssql_predicate() if mssql_fallback(task) else None
-                )
+            # probing is mssql-only. $partition.pf() predicates are NOT
+            # usable here: they bind the SOURCE's partition function,
+            # which the destination may not have at all (partitioned
+            # source -> heap destination is a supported shape, reference:
+            # client/TableAnalyzer.cs:109-113) or may define with
+            # different boundaries — either erroring the probe or, worse,
+            # mis-scoping it. Those tasks — like non-mssql dialects —
+            # fall back to the whole-table count, which stays correct
+            # because this copy publishes partitions serially (single
+            # writer per table).
+            tsql_pred = pred if dialect == "mssql" else None
             where = f" WHERE {tsql_pred}" if tsql_pred else ""
             part_count_sql = f"SELECT COUNT(*) FROM {table}{where}"
             # pre-publish baseline under this partition's predicate only —

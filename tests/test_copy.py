@@ -238,3 +238,37 @@ def test_fingerprint_order_and_column_order_insensitive(spark):
     a = spark.createDataFrame([(1, "x"), (2, "y")], "i int, s string")
     b = spark.createDataFrame([("y", 2), ("x", 1)], "s string, i int")
     assert content_fingerprint(a) == content_fingerprint(b.select("s", "i"))
+
+
+def test_maxdop_hint_disables_jdbc_filter_pushdown(spark, monkeypatch):
+    """With pushed Catalyst filters Spark emits WHERE (filter) AND (pred)
+    — a parenthesized statement-final hint is a T-SQL syntax error. When
+    hints are embedded, the reader must pin pushDownPredicate=false so
+    the partition predicate stays the lone, verbatim WHERE clause."""
+    from pyspark.sql.readwriter import DataFrameReader
+
+    from smartbulkcopy_spark.sources.jdbc import read_jdbc_partitioned
+
+    captured = {}
+
+    def fake_jdbc(self, url, table=None, predicates=None, properties=None,
+                  **kw):
+        captured.update(predicates=predicates, properties=properties)
+        return spark.range(1).selectExpr("id AS a")
+
+    monkeypatch.setattr(DataFrameReader, "jdbc", fake_jdbc)
+    t = TableInfo(name="t", columns=["a"], numeric_columns=["a"])
+    tasks = [
+        LogicalPartitionCopyTask(
+            source=t, destination=t, partition_number=i, n_partitions=3,
+            bucket_column="a",
+        )
+        for i in range(1, 4)
+    ]
+    read_jdbc_partitioned(spark, "jdbc:fake", tasks, dialect="mssql")
+    assert all("OPTION (MAXDOP 1)" in p for p in captured["predicates"])
+    assert captured["properties"]["pushDownPredicate"] == "false"
+
+    # no hint (ansi dialect) -> pushdown left alone
+    read_jdbc_partitioned(spark, "jdbc:fake", tasks, dialect="ansi")
+    assert "pushDownPredicate" not in (captured["properties"] or {})

@@ -255,22 +255,24 @@ def test_monitor_tick_reports_rate(tmp_path):
 def test_monitor_jdbc_log_flush_sampler():
     """JDBC destination rate path (reference samples the cumulative 'Log
     Bytes Flushed/sec' counter 5s apart, client/SmartBulkCopy.cs:707-731):
-    log_flush_sampler resolves the physical instance name once, then each
-    tick differences the cumulative counter into an MB/s line."""
-    from smartbulkcopy_spark.catalog import SQL_LOG_FLUSH_INSTANCE
+    each tick re-resolves the physical instance name (it changes when an
+    Azure SLO change moves the database — the reference's 'This needs to
+    be in the loop') and differences the counter into an MB/s line."""
     from smartbulkcopy_spark.monitor import log_flush_sampler
 
     class FakeConn:
         def __init__(self):
-            # instance resolution, then two counter samples 5s apart:
-            # 10 MB flushed over the tick -> 2.00 MB/sec
+            # two counter samples 5s apart: 10 MB flushed -> 2.00 MB/sec.
+            # The physical name CHANGES between ticks (SLO move): the
+            # second counter query must carry the new name.
             self.counters = iter([0, 10 * 1024 * 1024])
+            self.instances = iter(["mydb_physical", "mydb_physical_v2"])
             self.queries = []
 
         def scalar(self, sql):
             self.queries.append(sql)
             if "physical_database_name" in sql:
-                return "mydb_physical"
+                return next(self.instances)
             return next(self.counters)
 
     class S:
@@ -279,8 +281,7 @@ def test_monitor_jdbc_log_flush_sampler():
 
     conn = FakeConn()
     sampler = log_flush_sampler(conn)
-    assert conn.queries[0].strip() == SQL_LOG_FLUSH_INSTANCE.strip()
-    # the resolved instance is baked into the counter query
+    assert conn.queries == []  # nothing resolved until a tick samples
     lines = []
     clock = iter([0.0, 5.0]).__next__
     mon = CopyMonitor(
@@ -291,6 +292,6 @@ def test_monitor_jdbc_log_flush_sampler():
     b1, _ = mon.tick(b0, t0)
     assert b1 == 10 * 1024 * 1024
     assert "2.00 MB/sec" in lines[0]
-    assert all(
-        "'mydb_physical'" in q for q in conn.queries[1:]
-    ), conn.queries
+    counter_qs = [q for q in conn.queries if "physical_database_name" not in q]
+    assert "'mydb_physical'" in counter_qs[0]
+    assert "'mydb_physical_v2'" in counter_qs[1]  # re-resolved per tick
