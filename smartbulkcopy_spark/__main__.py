@@ -39,10 +39,33 @@ def install_cancel_handler(
     return handler
 
 
+def _curate_main(argv: list[str]) -> int:
+    """``python -m smartbulkcopy_spark curate <sf_dir> <out_dir>`` — run
+    the assembled curation pipeline (pipeline/curate.py) and print the
+    per-split acceptance stats."""
+    if len(argv) != 2:
+        print("usage: python -m smartbulkcopy_spark curate <sf_dir> <out>")
+        return EXIT_CONFIG
+    from smartbulkcopy_spark.pipeline.curate import curate
+    from smartbulkcopy_spark.session import get_spark
+
+    spark = get_spark(app_name="smartsparkcopy-curate")
+    install_cancel_handler(spark)
+    for row in curate(spark, argv[0], argv[1]).collect():
+        print(
+            f"{row['split']}: {row['n_docs']} docs,"
+            f" {row['total_tokens']} tokens"
+        )
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     argv = sys.argv[1:] if argv is None else argv
+    if argv and argv[0] == "curate":
+        return _curate_main(argv[1:])
     if len(argv) != 1:
-        print("usage: python -m smartbulkcopy_spark <config.json>")
+        print("usage: python -m smartbulkcopy_spark <config.json>"
+              " | curate <sf_dir> <out>")
         return EXIT_CONFIG
     from smartbulkcopy_spark.config import load_config
     from smartbulkcopy_spark.executor import CopyExecutor, RunReport

@@ -752,6 +752,43 @@ def q60(spark, sf_dir):
 
 
 @register(
+    "q64_json_props",
+    "SELECT event_type,"
+    " count(*) AS n,"
+    " CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,"
+    " min(CAST(props->>'k' AS BIGINT)) AS min_k,"
+    " max(CAST(props->>'k' AS BIGINT)) AS max_k,"
+    " CAST(sum(CASE WHEN props->>'k' IS NULL THEN 1 ELSE 0 END)"
+    " AS BIGINT) AS n_missing"
+    " FROM events GROUP BY event_type ORDER BY event_type",
+    doc="Semi-structured payload extraction: the `props` JSON column"
+    " parsed per row (get_json_object — no schema inference pass, no"
+    " Python) and aggregated per event type, with a missing-key counter"
+    " — the typed-projection step every event pipeline runs before its"
+    " JSON blobs hit an aggregate. Row-local parse; only (event_type,"
+    " partials) shuffle. At 100 TB the same expression pushes through"
+    " identically — JSON path extraction stays in codegen.",
+)
+def q64(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.sum(F.col("k").isNull().cast("int")).cast("long").alias(
+                "n_missing"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
     "q37_scalar_funcs",
     "SELECT p_partkey,"
     " coalesce(nullif(p_brand, ''), '(unbranded)') AS brand_or_default,"

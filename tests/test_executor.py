@@ -295,3 +295,13 @@ def test_monitor_jdbc_log_flush_sampler():
     counter_qs = [q for q in conn.queries if "physical_database_name" not in q]
     assert "'mydb_physical'" in counter_qs[0]
     assert "'mydb_physical_v2'" in counter_qs[1]  # re-resolved per tick
+
+
+def test_cli_usage_errors_are_config_exit():
+    """Both subcommand shapes reject bad argv with EXIT_CONFIG before
+    any Spark session is built."""
+    from smartbulkcopy_spark.__main__ import main
+
+    assert main([]) == EXIT_CONFIG
+    assert main(["curate"]) == EXIT_CONFIG
+    assert main(["curate", "only-one-arg"]) == EXIT_CONFIG
