@@ -317,6 +317,57 @@ def q56(spark, sf_dir):
     )
 
 
+@register(
+    "q65_exact_length_quantiles",
+    "WITH h AS (SELECT lang, n_chars, count(*) AS c FROM documents"
+    " GROUP BY lang, n_chars),"
+    " cum AS (SELECT lang, n_chars, c,"
+    " sum(c) OVER (PARTITION BY lang ORDER BY n_chars"
+    " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rc,"
+    " sum(c) OVER (PARTITION BY lang) AS tot FROM h)"
+    " SELECT lang,"
+    " min(CASE WHEN rc * 2 >= tot THEN n_chars END) AS median_chars,"
+    " min(CASE WHEN rc * 10 >= tot * 9 THEN n_chars END) AS p90_chars,"
+    " min(n_chars) AS min_chars, max(n_chars) AS max_chars"
+    " FROM cum GROUP BY lang ORDER BY lang",
+    doc="EXACT per-language length quantiles via cumulative histogram —"
+    " the deterministic alternative to approx_percentile, whose sketch"
+    " output is neither cross-engine nor run-to-run stable enough to"
+    " oracle-check. The histogram groupBy is partial-aggregated and the"
+    " window runs over HISTOGRAM rows (distinct values per group), not"
+    " documents — at 100 TB a length histogram is a few thousand rows"
+    " per language, so the per-group window is trivially small while"
+    " the answer stays exact. All-integer arithmetic: no interpolation,"
+    " no float quantile semantics to disagree on.",
+)
+def q65(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    h = docs.groupBy("lang", "n_chars").agg(F.count("*").alias("c"))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = h.select(
+        "lang",
+        "n_chars",
+        F.sum("c").over(w).alias("rc"),
+        F.sum("c").over(Window.partitionBy("lang")).alias("tot"),
+    )
+    med = F.when(F.col("rc") * 2 >= F.col("tot"), F.col("n_chars"))
+    p90 = F.when(F.col("rc") * 10 >= F.col("tot") * 9, F.col("n_chars"))
+    return (
+        cum.groupBy("lang")
+        .agg(
+            F.min(med).alias("median_chars"),
+            F.min(p90).alias("p90_chars"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
 # Word-boundary blocklist for the redaction audit. The fixture text is
 # lowercase word salad, so classic PII shapes (emails, digit runs) never
 # occur; redacting corpus terms exercises the identical machinery —
