@@ -404,6 +404,46 @@ INCREMENTAL_SPLIT_ID = 400
 
 
 @register(
+    "q66_intra_doc_repetition",
+    f"WITH s AS (SELECT doc_id, list_transform(range(1,"
+    f" greatest(length({NORM_DUCK}) - {SHINGLE - 1}, 1) + 1),"
+    f" i -> substr({NORM_DUCK}, i, {SHINGLE})) AS sh FROM documents)"
+    " SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_shingles,"
+    " CAST(len(list_distinct(sh)) AS BIGINT) AS n_distinct,"
+    " CAST(floor(100.0 * (len(sh) - len(list_distinct(sh)))"
+    "   / greatest(len(sh), 1)) AS BIGINT) AS repetition_pct"
+    " FROM s ORDER BY doc_id",
+    doc="Intra-document repetition score: the share of repeated 8-char"
+    " shingles WITHIN each document — the quality signal that catches"
+    " boilerplate loops, keyboard mashing, and degenerate generations,"
+    " which inter-document dedup (q21/q34) cannot see. Reuses the"
+    " MinHash pipeline's shingle definition; pure row-local"
+    " array arithmetic, zero shuffle, pipelines into the curation"
+    " filter chain at any corpus size.",
+)
+def q66(spark, sf_dir):
+    base = _normed(spark, sf_dir)
+    # Project the shingle array ONCE, then take both sizes from the
+    # column: inlining the transform into each consumer would rebuild
+    # the array per reference (the HOF re-evaluation trap).
+    sh = base.select("doc_id", F.expr(SHINGLES_SPARK).alias("sh"))
+    sized = sh.select(
+        "doc_id",
+        F.size("sh").cast("long").alias("n_shingles"),
+        F.size(F.array_distinct("sh")).cast("long").alias("n_distinct"),
+    )
+    ns, nd = F.col("n_shingles"), F.col("n_distinct")
+    return sized.select(
+        "doc_id",
+        "n_shingles",
+        "n_distinct",
+        F.floor(100.0 * (ns - nd) / F.greatest(ns, F.lit(1)))
+        .cast("long")
+        .alias("repetition_pct"),
+    )
+
+
+@register(
     "q63_incremental_dedup",
     "WITH " + _banded_cte_duck() + ","
     f" old AS (SELECT doc_id, band FROM expl"

@@ -222,6 +222,56 @@ def q54(spark, sf_dir):
 
 
 @register(
+    "q67_bucket_label_purity",
+    f"WITH bl AS (SELECT CAST({bucket_expr('duck')} AS BIGINT) AS bucket,"
+    " label, count(*) AS c FROM embeddings GROUP BY bucket, label),"
+    " tot AS (SELECT bucket, CAST(sum(c) AS BIGINT) AS n_vecs FROM bl"
+    " GROUP BY bucket),"
+    " r AS (SELECT bucket, label, c, row_number() OVER"
+    " (PARTITION BY bucket ORDER BY c DESC, label) AS rn FROM bl)"
+    " SELECT r.bucket, t.n_vecs, r.label AS top_label,"
+    " CAST(r.c AS BIGINT) AS top_n,"
+    " CAST(floor(100.0 * r.c / t.n_vecs) AS BIGINT) AS purity_pct"
+    " FROM r JOIN tot t ON r.bucket = t.bucket WHERE rn = 1"
+    " ORDER BY r.bucket",
+    doc="LSH bucket label purity: the majority label and its share per"
+    " hyperplane bucket — the semantic-coherence metric of the ANN"
+    " index (q31 measures balance; this measures whether co-bucketed"
+    " vectors actually belong together). Two partial-aggregated"
+    " groupBys over (bucket, label) — bucket-histogram-sized, not"
+    " corpus-sized — and the majority pick is a per-bucket window with"
+    " a deterministic (count desc, label) tie-break.",
+)
+def q67(spark, sf_dir):
+    from pyspark.sql import Window
+
+    emb = spread(spark, table(spark, sf_dir, "embeddings"))
+    bl = (
+        emb.select(bucket_col().cast("bigint").alias("bucket"), "label")
+        .groupBy("bucket", "label")
+        .agg(F.count("*").alias("c"))
+    )
+    tot = bl.groupBy("bucket").agg(F.sum("c").alias("n_vecs"))
+    w = Window.partitionBy("bucket").orderBy(F.col("c").desc(), "label")
+    top = bl.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") == 1
+    )
+    return (
+        top.join(tot, "bucket")
+        .select(
+            "bucket",
+            "n_vecs",
+            F.col("label").alias("top_label"),
+            F.col("c").cast("long").alias("top_n"),
+            F.floor(100.0 * F.col("c") / F.col("n_vecs"))
+            .cast("long")
+            .alias("purity_pct"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@register(
     "q57_embedding_coverage",
     "SELECT CAST(sum(CASE WHEN doc_id IS NOT NULL AND vec_id IS NOT NULL"
     " THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,"
