@@ -67,14 +67,21 @@ SHINGLES_SPARK = (
 )
 
 
+# The DuckDB shingle-list spelling — the single source every duck-side
+# consumer (minhash, shingle sets, q66 repetition) derives from, so a
+# SHINGLE/normalization change cannot drift between oracles.
+SHINGLES_DUCK = (
+    f"list_transform(range(1, greatest(length({NORM_DUCK})"
+    f" - {SHINGLE - 1}, 1) + 1), i -> substr({NORM_DUCK}, i, {SHINGLE}))"
+)
+
+
 def minhash_duck(k: int) -> str:
     """The k-th MinHash in the DuckDB spelling of the shared definition."""
     salt, off = k // 4, 1 + 8 * (k % 4)
     return (
-        f"list_min(list_transform(range(1, greatest(length({NORM_DUCK})"
-        f" - {SHINGLE - 1}, 1) + 1),"
-        f" i -> substr(md5(concat('{salt}:', substr({NORM_DUCK}, i,"
-        f" {SHINGLE}))), {off}, 8)))"
+        f"list_min(list_transform({SHINGLES_DUCK},"
+        f" s -> substr(md5(concat('{salt}:', s)), {off}, 8)))"
     )
 
 
@@ -96,11 +103,7 @@ def shingle_set_expr(engine: str) -> str:
             f" greatest(length(n) - {SHINGLE - 1}, 1)),"
             f" i -> substr(n, i, {SHINGLE})))"
         )
-    return (
-        f"list_distinct(list_transform(range(1,"
-        f" greatest(length({NORM_DUCK}) - {SHINGLE - 1}, 1) + 1),"
-        f" i -> substr({NORM_DUCK}, i, {SHINGLE})))"
-    )
+    return f"list_distinct({SHINGLES_DUCK})"
 
 
 def _normed(spark, sf_dir):
@@ -405,9 +408,7 @@ INCREMENTAL_SPLIT_ID = 400
 
 @register(
     "q66_intra_doc_repetition",
-    f"WITH s AS (SELECT doc_id, list_transform(range(1,"
-    f" greatest(length({NORM_DUCK}) - {SHINGLE - 1}, 1) + 1),"
-    f" i -> substr({NORM_DUCK}, i, {SHINGLE})) AS sh FROM documents)"
+    f"WITH s AS (SELECT doc_id, {SHINGLES_DUCK} AS sh FROM documents)"
     " SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_shingles,"
     " CAST(len(list_distinct(sh)) AS BIGINT) AS n_distinct,"
     " CAST(floor(100.0 * (len(sh) - len(list_distinct(sh)))"

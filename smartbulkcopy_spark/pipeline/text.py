@@ -319,8 +319,11 @@ def q56(spark, sf_dir):
 
 @register(
     "q65_exact_length_quantiles",
+    # NULL n_chars would sort NULLS FIRST in Spark's window but NULLS
+    # LAST in DuckDB's, corrupting every cumulative count in the group —
+    # rows with unknown length are excluded from the distribution.
     "WITH h AS (SELECT lang, n_chars, count(*) AS c FROM documents"
-    " GROUP BY lang, n_chars),"
+    " WHERE n_chars IS NOT NULL GROUP BY lang, n_chars),"
     " cum AS (SELECT lang, n_chars, c,"
     " sum(c) OVER (PARTITION BY lang ORDER BY n_chars"
     " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rc,"
@@ -342,7 +345,11 @@ def q56(spark, sf_dir):
 )
 def q65(spark, sf_dir):
     docs = table(spark, sf_dir, "documents")
-    h = docs.groupBy("lang", "n_chars").agg(F.count("*").alias("c"))
+    h = (
+        docs.where(F.col("n_chars").isNotNull())
+        .groupBy("lang", "n_chars")
+        .agg(F.count("*").alias("c"))
+    )
     w = (
         Window.partitionBy("lang")
         .orderBy("n_chars")

@@ -751,27 +751,46 @@ def q60(spark, sf_dir):
     )
 
 
+def json_int(col: str, path: str):
+    """Integer-strict JSON extraction: regex-validate before casting so
+    malformed values classify as NULL on every engine instead of riding
+    engine-specific cast behavior (DuckDB rounds '1.5', errors on 'a';
+    Spark nulls both — and under ANSI mode would error too)."""
+    s = F.get_json_object(col, path)
+    return F.when(s.rlike("^-?[0-9]+$"), s.cast("long"))
+
+
 @register(
     "q64_json_props",
-    "SELECT event_type,"
+    # Integer-strict extraction: engines disagree on malformed values
+    # (DuckDB CAST rounds '1.5' to 2 and ERRORS on 'a'; Spark nulls
+    # both), so only ^-?[0-9]+$ strings are accepted and everything
+    # else — including a missing key — counts as n_missing on BOTH
+    # engines.
+    "WITH e AS (SELECT event_type,"
+    " CASE WHEN regexp_matches(coalesce(props->>'k', ''), '^-?[0-9]+$')"
+    " THEN CAST(props->>'k' AS BIGINT) END AS k FROM events)"
+    " SELECT event_type,"
     " count(*) AS n,"
-    " CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,"
-    " min(CAST(props->>'k' AS BIGINT)) AS min_k,"
-    " max(CAST(props->>'k' AS BIGINT)) AS max_k,"
-    " CAST(sum(CASE WHEN props->>'k' IS NULL THEN 1 ELSE 0 END)"
+    " CAST(sum(k) AS BIGINT) AS sum_k,"
+    " min(k) AS min_k,"
+    " max(k) AS max_k,"
+    " CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END)"
     " AS BIGINT) AS n_missing"
-    " FROM events GROUP BY event_type ORDER BY event_type",
+    " FROM e GROUP BY event_type ORDER BY event_type",
     doc="Semi-structured payload extraction: the `props` JSON column"
     " parsed per row (get_json_object — no schema inference pass, no"
-    " Python) and aggregated per event type, with a missing-key counter"
-    " — the typed-projection step every event pipeline runs before its"
-    " JSON blobs hit an aggregate. Row-local parse; only (event_type,"
-    " partials) shuffle. At 100 TB the same expression pushes through"
-    " identically — JSON path extraction stays in codegen.",
+    " Python) and aggregated per event type, with a missing-or-invalid"
+    " counter — the typed-projection step every event pipeline runs"
+    " before its JSON blobs hit an aggregate. Extraction is integer-"
+    "strict (regex-validated before the cast) so malformed values"
+    " classify identically on every engine instead of riding each"
+    " engine's cast quirks. Row-local parse; only (event_type,"
+    " partials) shuffle; JSON path extraction stays in codegen.",
 )
 def q64(spark, sf_dir):
     ev = table(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("long")
+    k = json_int("props", "$.k")
     return (
         ev.select("event_type", k.alias("k"))
         .groupBy("event_type")

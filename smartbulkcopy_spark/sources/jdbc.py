@@ -96,8 +96,10 @@ def read_jdbc_partitioned(
         # (`WHERE (filter) AND (pred OPTION ...)`) — invalid T-SQL. Keep
         # the partition predicate the ONLY server-side clause so the
         # statement-final hint placement is guaranteed; residual filters
-        # evaluate in Spark.
-        props.setdefault("pushDownPredicate", "false")
+        # evaluate in Spark. OVERRIDES any caller-supplied
+        # pushDownPredicate — a 'true' here is not a tuning choice, it
+        # is a syntax error waiting for the first pushed filter.
+        props["pushDownPredicate"] = "false"
     df = spark.read.jdbc(
         url=url,
         table=table,

@@ -29,3 +29,27 @@ def test_entry_smoke(spark):
     df = e.entry(spark)
     assert df.count() > 0
     assert set(e.queries()).issuperset(set(e.oracle_sql()))
+
+
+def test_json_int_is_integer_strict(spark):
+    """Malformed/missing JSON values must classify as NULL, never cast
+    through engine-specific rounding (DuckDB would round '1.5' to 2)."""
+    import pyspark.sql.functions as F
+
+    from smartbulkcopy_spark.queries import json_int
+
+    df = spark.createDataFrame(
+        [
+            ('{"k": 5}',),
+            ('{"k": -7}',),
+            ('{"k": 1.5}',),
+            ('{"k": "x"}',),
+            ("{}",),
+            (None,),
+        ],
+        "props string",
+    )
+    got = [
+        r["k"] for r in df.select(json_int("props", "$.k").alias("k")).collect()
+    ]
+    assert got == [5, -7, None, None, None, None]
