@@ -272,3 +272,53 @@ def test_maxdop_hint_disables_jdbc_filter_pushdown(spark, monkeypatch):
     # no hint (ansi dialect) -> pushdown left alone
     read_jdbc_partitioned(spark, "jdbc:fake", tasks, dialect="ansi")
     assert "pushDownPredicate" not in (captured["properties"] or {})
+
+
+def test_jsonl_source_feeds_pipeline_and_quarantines_rejects(spark, tmp_path):
+    """Declared-schema JSONL read: clean rows land in the canonical
+    documents shape (so registered operators run unchanged), malformed
+    or incomplete lines are quarantined with their raw text."""
+    import json
+
+    import pyspark.sql.functions as F
+
+    from smartbulkcopy_spark.sources.jsonl import read_documents_jsonl
+
+    p = tmp_path / "corpus.jsonl"
+    rows = [
+        {"doc_id": 1, "text": "the quick brown fox", "lang": "en",
+         "source": "src0"},
+        {"doc_id": 2, "text": "the quick brown fox", "lang": "en",
+         "source": "src1"},  # exact dup of doc 1
+        {"doc_id": 3, "text": "etwas ganz anderes hier", "lang": "de",
+         "source": "src0"},
+    ]
+    lines = [json.dumps(r) for r in rows]
+    lines.append('{"doc_id": 4, "text": "truncated')  # broken JSON
+    lines.append('{"lang": "en", "source": "src0"}')  # parses, no id/text
+    p.write_text("\n".join(lines) + "\n")
+
+    docs, rejects = read_documents_jsonl(spark, str(p))
+    got = {r["doc_id"]: r for r in docs.collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[1]["n_chars"] == len("the quick brown fox")
+    assert set(docs.columns) == {"doc_id", "text", "lang", "source",
+                                 "n_chars"}
+    # broken JSON and parsed-but-incomplete rows are both quarantined
+    # with their raw lines — nothing vanishes from corpus accounting
+    rej = {r["raw_line"] for r in rejects.collect()}
+    assert rej == {
+        '{"doc_id": 4, "text": "truncated',
+        '{"lang": "en", "source": "src0"}',
+    }
+
+    # the canonical shape feeds a registered operator unchanged: exact
+    # dedup groups docs 1+2 into one hash with keep-first semantics
+    from smartbulkcopy_spark.pipeline.text import norm_text
+
+    dedup = (
+        docs.groupBy(F.md5(norm_text()).alias("h"))
+        .agg(F.min("doc_id").alias("keep"), F.count("*").alias("c"))
+    )
+    by_keep = {r["keep"]: r["c"] for r in dedup.collect()}
+    assert by_keep == {1: 2, 3: 1}
