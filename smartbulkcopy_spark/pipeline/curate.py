@@ -8,11 +8,14 @@ No reference analog (the reference moves tables; this is what the moved
 corpus is FOR) — Phase-5 pipeline assembly (SURVEY §7.2).
 
 Scale notes (100 TB):
-- The whole pipeline is ONE lazy plan: Catalyst sees every stage, so the
-  keep-filters (token minimum, mixture hash) collapse into the scans and
-  the only wide operations are the ones the component operators already
-  pay — the content-hash groupBy, the banded-LSH candidate pipeline, and
-  the final per-split aggregate. Nothing materializes between stages.
+- The pipeline is one declarative plan with a single deliberate
+  materialization: the LSH candidate id set (tiny — id pairs, not
+  documents) is persisted so the exact-Jaccard verify stage can be
+  LEFT-SEMI thinned to candidate members before shingle sets are built.
+  Every other stage stays lazy: the keep-filters (token minimum, mixture
+  hash) collapse into the scans and the wide operations are the ones the
+  component operators already pay — the content-hash groupBy, the
+  banded-LSH candidate pipeline, and the final per-split aggregate.
 - Both dedup keep-lists join as LEFT SEMI on doc_id — ids only, never
   text — and the row-local filters are applied before the joins, so the
   semi-join probe side is already thinned.

@@ -313,8 +313,31 @@ def q29(spark, sf_dir):
 
 
 def jaccard_pairs(spark, sf_dir):
-    cand = candidate_pairs(spark, sf_dir)
-    sh = _normed(spark, sf_dir).select(
+    """Exact-Jaccard verify stage, computed ONLY for candidate members.
+
+    The candidate set (id pairs — tiny relative to the corpus) is
+    persisted EAGERLY so the banded-LSH pipeline runs once even though
+    three consumers read it (the probe plus both id-thinning filters; a
+    lazy persist lets them race to materialize it independently). The
+    corpus is then LEFT-SEMI thinned to candidate members BEFORE the
+    normalization regex and shingle sets are built: at 100 TB the verify
+    stage touches |candidates| documents, not the whole corpus — the
+    point of having an LSH filter stage at all. The semi-join key side
+    is id-only and broadcast-sized (AQE converts it at runtime), so no
+    document bodies shuffle to apply the thinning."""
+    cand = candidate_pairs(spark, sf_dir).persist()
+    cand.count()  # materialize before fan-out (see q33 for the pattern)
+    ids = (
+        cand.select(F.col("a_id").alias("doc_id"))
+        .union(cand.select(F.col("b_id").alias("doc_id")))
+        .distinct()
+    )
+    members = (
+        table(spark, sf_dir, "documents")
+        .join(ids, "doc_id", "left_semi")
+        .select("doc_id", F.expr(NORM_SPARK).alias("n"))
+    )
+    sh = members.select(
         "doc_id", F.expr(shingle_set_expr("spark")).alias("s")
     )
     a = sh.select(F.col("doc_id").alias("a_id"), F.col("s").alias("sa"))
@@ -494,9 +517,21 @@ def q63(spark, sf_dir):
         )
         .select(F.col("doc_id").alias("new_id"), "old_id")
         .distinct()
+        .persist()
     )
-    sh = _normed(spark, sf_dir).select(
-        "doc_id", F.expr(shingle_set_expr("spark")).alias("s")
+    cand.count()  # eager: probe + both id-thinning filters read it
+    ids = (
+        cand.select(F.col("old_id").alias("doc_id"))
+        .union(cand.select(F.col("new_id").alias("doc_id")))
+        .distinct()
+    )
+    # Verify-stage thinning (same shape as jaccard_pairs): shingle sets
+    # are built only for candidate members, never the whole corpus.
+    sh = (
+        table(spark, sf_dir, "documents")
+        .join(ids, "doc_id", "left_semi")
+        .select("doc_id", F.expr(NORM_SPARK).alias("n"))
+        .select("doc_id", F.expr(shingle_set_expr("spark")).alias("s"))
     )
     a = sh.select(F.col("doc_id").alias("old_id"), F.col("s").alias("sa"))
     b = sh.select(F.col("doc_id").alias("new_id"), F.col("s").alias("sb"))
