@@ -585,3 +585,76 @@ def q39(spark, sf_dir):
 def q26(spark, sf_dir):
     docs = table(spark, sf_dir, "documents")
     return docs.select("doc_id", F.md5(norm_text()).alias("fingerprint"))
+
+
+# Exact n-gram decontamination: the eval-leakage pass (the GPT-3
+# appendix-C method) — flag every training document sharing an exact
+# 5-token n-gram with the held-out eval source. Distinct machinery from
+# the LSH contamination check (q49): that finds REWRAPPED near-copies;
+# this finds verbatim spans, the thing eval benchmarks actually leak as.
+DECON_N = 5
+DECON_EVAL_SOURCE = "src0"  # the fixture's stand-in held-out eval set
+
+
+@register(
+    "q68_eval_decontamination",
+    "WITH tok AS (SELECT doc_id, source, string_split(trim("
+    + NORM_SQL_DUCK + "), ' ') AS t FROM documents"
+    f" WHERE trim({NORM_SQL_DUCK}) != ''),"
+    f" g AS (SELECT doc_id, source, unnest(list_transform("
+    f"range(1, len(t) - {DECON_N - 1} + 1),"
+    f" i -> md5(array_to_string(list_slice(t, i, i + {DECON_N - 1}),"
+    f" ' ')))) AS gh FROM tok WHERE len(t) >= {DECON_N}),"
+    f" ev AS (SELECT DISTINCT gh FROM g"
+    f" WHERE source = '{DECON_EVAL_SOURCE}'),"
+    f" tr AS (SELECT doc_id, gh FROM g"
+    f" WHERE source != '{DECON_EVAL_SOURCE}')"
+    " SELECT doc_id, CAST(count(*) AS BIGINT) AS n_gram_hits,"
+    " CAST(count(DISTINCT gh) AS BIGINT) AS n_shared_grams"
+    " FROM tr JOIN ev USING (gh) GROUP BY doc_id ORDER BY doc_id",
+    doc="Exact 5-token-gram decontamination against the held-out eval"
+    " source: training documents sharing any verbatim 5-gram with an"
+    " eval document, with hit counts. An inverted-index join on the"
+    " 16-byte gram hash — the eval side is DEDUPED before the join, so"
+    " a boilerplate gram fans out 1:1 per training instance, never"
+    " quadratically; the shuffle carries (16-byte hash, doc_id), never"
+    " text. Per-doc aggregation groups are document-sized.",
+)
+def q68(spark, sf_dir):
+    docs = spread(spark, table(spark, sf_dir, "documents"))
+    n = F.trim(norm_text())
+    tok = (
+        docs.select("doc_id", "source", n.alias("n"))
+        .where(F.col("n") != "")
+        .select("doc_id", "source", F.split(F.col("n"), " ").alias("t"))
+        .where(F.size("t") >= DECON_N)
+    )
+    # t is referenced by both the sequence bound and the slice, so the
+    # projection survives CollapseProject (the HOF re-evaluation trap).
+    grams = tok.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(t) - {DECON_N - 1}),"
+                f" i -> md5(array_join(slice(t, i, {DECON_N}), ' ')))"
+            )
+        ).alias("gh"),
+    )
+    ev = (
+        grams.where(F.col("source") == DECON_EVAL_SOURCE)
+        .select("gh")
+        .distinct()
+    )
+    tr = grams.where(F.col("source") != DECON_EVAL_SOURCE).select(
+        "doc_id", "gh"
+    )
+    return (
+        tr.join(ev, "gh")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_gram_hits"),
+            F.countDistinct("gh").alias("n_shared_grams"),
+        )
+        .orderBy("doc_id")
+    )
