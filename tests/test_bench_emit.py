@@ -1,0 +1,75 @@
+"""bench.py stdout-line contract: the driver keeps only the last ~2000
+chars of bench stdout and parses the JSON line from that tail, so the
+printed line must stay short no matter how many queries are registered
+(BENCH_r04 recorded ``"parsed": null`` when the round-4 line overflowed)."""
+
+from __future__ import annotations
+
+import json
+
+import bench
+from smartbulkcopy_spark.queries import REGISTRY
+
+
+def worst_case_payloads():
+    # every registered query at a pessimistic 3-digit timing, plus the
+    # full copy section with 8x rows and all shape booleans
+    timings = {name: 123.4567 for name in REGISTRY}
+    copies: dict[str, object] = {}
+    for layout in (
+        "heap",
+        "heap_partitioned",
+        "ordered_rowstore",
+        "rowstore_partitioned",
+    ):
+        for suffix in ("", "_8x"):
+            copies[f"{layout}{suffix}"] = 123.4567
+            copies[f"{layout}{suffix}_rows_per_sec"] = 1234567
+    copies["shape"] = {
+        "heap_bucket_exchange_no_sort": True,
+        "partitioned_single_range_exchange": True,
+        "ordered_parallel_range_sort": True,
+        "rowstore_partitioned_local_key_sort": True,
+        "partitioned_beats_heap_8x": True,
+        "note": bench.COPY_SHAPE_NOTE,
+    }
+    return timings, copies
+
+
+def test_line_fits_driver_tail():
+    timings, copies = worst_case_payloads()
+    line, _ = bench.emit_payloads(timings, copies, 0.1)
+    assert len(line) <= bench.MAX_LINE
+    # and with generous headroom for future queries: the cap must survive
+    # another ~20 registrations at worst-case widths
+    padded = dict(timings)
+    for i in range(69, 90):
+        padded[f"q{i}_future_operator"] = 123.4567
+    line2, _ = bench.emit_payloads(padded, copies, 0.1)
+    assert len(line2) <= bench.MAX_LINE
+
+
+def test_line_is_parseable_json_with_qnn_keys():
+    timings, copies = worst_case_payloads()
+    line, detail = bench.emit_payloads(timings, copies, 0.1)
+    doc = json.loads(line)
+    assert doc["metric"] == "sum_of_query_wall_times"
+    assert doc["unit"] == "sec"
+    assert doc["sf"] == 0.1
+    assert len(doc["queries"]) == len(REGISTRY)
+    assert all(k.startswith("q") and len(k) <= 4 for k in doc["queries"])
+    # the sum survives 2-decimal compaction to cent precision
+    assert abs(doc["value"] - sum(timings.values())) < 0.01
+    # compact copy keys round-trip through the detail key_map
+    inv = detail["key_map"]["copy"]
+    assert set(inv) == {"heap", "part", "ord", "ordpart"}
+    assert doc["copy"]["part_8x_rps"] == 1234567
+    assert doc["copy"]["shape"]["note"] == "see BENCH_DETAIL.json"
+
+
+def test_detail_keeps_full_names_and_note():
+    timings, copies = worst_case_payloads()
+    _, detail = bench.emit_payloads(timings, copies, 0.1)
+    assert set(detail["queries"]) == set(REGISTRY)
+    assert detail["copy"]["shape"]["note"] == bench.COPY_SHAPE_NOTE
+    assert detail["copy"]["heap_partitioned_8x_rows_per_sec"] == 1234567
