@@ -28,12 +28,18 @@ def read_events_stream(
     """Open a parquet event feed as a stream.
 
     Watermarks require TIMESTAMP (an absolute instant), not TIMESTAMP_NTZ,
-    so the nanosecond `ts` is rebuilt with ``timestamp_micros`` — a pure
-    epoch computation, independent of the session timezone. The naive
-    fixture values are thereby pinned to UTC instants; hour windows align
-    to epoch (also tz-independent) and ``hourly_aggregate`` renders the
-    window start back to a UTC-pinned NTZ, so the converged output is
-    bit-equal to the batch q18 answer in ANY session timezone."""
+    so `ts` is rebuilt with ``timestamp_micros`` — a pure epoch
+    computation, independent of the session timezone. The naive fixture
+    values are thereby pinned to UTC instants; hour windows align to epoch
+    (also tz-independent) and ``hourly_aggregate`` renders the window
+    start back to a UTC-pinned NTZ, so the converged output is bit-equal
+    to the batch q18 answer in ANY session timezone.
+
+    The nanosecond parquet arrives as one of two dtypes depending on the
+    Spark version: raw bigint nanos under the pre-4.1 legacy conf, or
+    TIMESTAMP_NTZ on Spark >= 4.1.2 (which reads parquet nanos natively
+    and ignores ``nanosAsLong``). Both rebuilds below are pure epoch
+    arithmetic (the NTZ one is the q45/q46 ``timestampdiff`` pattern)."""
     if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(path).schema
@@ -41,8 +47,19 @@ def read_events_stream(
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     df = reader.parquet(path)
-    if dict(df.dtypes).get("ts") == "bigint":
+    dtype = dict(df.dtypes).get("ts")
+    if dtype == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    elif dtype == "timestamp_ntz":
+        df = df.withColumn(
+            "ts",
+            F.timestamp_micros(
+                F.expr(
+                    "timestampdiff(MICROSECOND,"
+                    " TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"
+                )
+            ),
+        )
     return df
 
 

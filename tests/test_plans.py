@@ -61,7 +61,13 @@ def test_q27_band_cap_applied_before_collect_list(spark, sf_dir):
     filter on `bc` precedes every collect_list in the plan, so an over-cap
     boilerplate band never materializes its member list as one giant row.
     Also pins the single-shuffle property: exactly one exchange on the
-    band key feeds both the window and the aggregation."""
+    band key feeds both the window and the aggregation.
+
+    Cold-plan assertion: earlier pipeline tests leave persisted LSH
+    signature tables in the session's cache manager, and Spark swaps
+    matching subplans for InMemoryRelation, which would hide the
+    exchange — clear the cache first."""
+    spark.catalog.clearCache()
     plan = explain_str(REGISTRY["q27_minhash_lsh_pairs"].fn(spark, sf_dir))
     assert "Window" in plan
     filt = plan.find("bc#")

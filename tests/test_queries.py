@@ -23,6 +23,24 @@ def test_registry_nonempty():
     assert len(REGISTRY) >= 19
 
 
+def test_driver_emission_order():
+    """The driver oracle-checks only the first ~50 queries() entries
+    (SURVEY §2.12): the window must always contain the full §2.10
+    contract (tier 1) and one row per pipeline family (tier 2), and
+    every registered query must appear exactly once overall."""
+    from smartbulkcopy_spark.queries import TIER1, TIER2, ordered_names
+
+    names = ordered_names()
+    assert sorted(names) == sorted(REGISTRY)
+    window = set(names[:50])
+    assert set(TIER1) <= window
+    assert set(TIER2) <= window
+
+    import __spark_entry__ as e
+
+    assert list(e.queries()) == names
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as e
 
