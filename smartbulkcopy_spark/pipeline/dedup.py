@@ -550,3 +550,110 @@ def q63(spark, sf_dir):
         )
         .orderBy("new_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Connected-component dedup clustering. q34's keep-list is pair-local:
+# in a transitive chain A~B~C where (A, C) never became an LSH candidate,
+# it has no notion that all three are one duplicate family. The cluster
+# operator closes that gap: verified near-dup pairs form a graph, and
+# every member is labeled with its component's minimum doc_id — the
+# canonical representative the curation layer keeps.
+#
+# Scale design ("hash-min" label propagation): the graph is the VERIFIED
+# pair set — orders of magnitude smaller than the corpus (LSH banding +
+# Jaccard verification already pruned it), so the iteration runs on
+# (id, label) pairs only; document bodies are never touched. Each round
+# is one join + one min-aggregation, both hash-partitioned on id keys,
+# and converges in O(component diameter) rounds — near-dup families are
+# shallow (a few hops), not long chains, so a handful of rounds settles
+# 100 TB-scale corpora. Every round localCheckpoints the label table:
+# lineage stays O(1) instead of growing one join per round (the classic
+# iterative-Spark failure mode). For adversarial diameters the
+# large-star/small-star variant (Kiveris et al., "Connected Components
+# in MapReduce and Beyond") halves path lengths per round; hash-min is
+# the right default for the shallow components dedup graphs produce.
+# ---------------------------------------------------------------------------
+
+MAX_CC_ROUNDS = 25
+
+
+def dedup_clusters(spark, sf_dir):
+    """(doc_id, cluster_rep) for every document in >=1 verified near-dup
+    pair; cluster_rep = min doc_id of its connected component."""
+    edges = (
+        jaccard_pairs(spark, sf_dir)
+        .where(F.col("jaccard_millis") >= NEAR_DUP_JACCARD_MILLIS)
+        .select("a_id", "b_id")
+        .persist()
+    )
+    edges.count()  # materialize: read twice per round (see q33 pattern)
+    sym = edges.select(
+        F.col("a_id").alias("u"), F.col("b_id").alias("v")
+    ).union(edges.select(F.col("b_id").alias("u"), F.col("a_id").alias("v")))
+
+    labels = (
+        edges.select(F.col("a_id").alias("node"))
+        .union(edges.select(F.col("b_id").alias("node")))
+        .distinct()
+        .withColumn("lbl", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(MAX_CC_ROUNDS):
+        # candidate label for v: the smallest current label among its
+        # neighbors u; labels only ever decrease, so min(old, candidates)
+        # is monotone and the fixpoint is exactly min-id-in-component
+        cand = sym.join(
+            labels, sym["u"] == labels["node"]
+        ).select(F.col("v").alias("node"), F.col("lbl"))
+        new_labels = (
+            labels.union(cand)
+            .groupBy("node")
+            .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint()  # truncate lineage every round
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"dedup_clusters did not converge in {MAX_CC_ROUNDS} rounds"
+        )
+    edges.unpersist()
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_rep")
+    ).orderBy("doc_id")
+
+
+@register(
+    "q69_dedup_clusters",
+    "WITH RECURSIVE " + _candidate_cte_duck() + ","
+    f" sh AS (SELECT doc_id, {shingle_set_expr('duck')} AS s FROM documents),"
+    " jac AS (SELECT c.a_id, c.b_id,"
+    " CAST(floor(1000.0 * len(list_intersect(sa.s, sb.s))"
+    "   / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))))"
+    " AS BIGINT) AS j"
+    " FROM cand c JOIN sh sa ON sa.doc_id = c.a_id"
+    " JOIN sh sb ON sb.doc_id = c.b_id),"
+    f" vp AS (SELECT a_id, b_id FROM jac WHERE j >= {NEAR_DUP_JACCARD_MILLIS}),"
+    " sym AS (SELECT a_id AS u, b_id AS v FROM vp"
+    " UNION ALL SELECT b_id, a_id FROM vp),"
+    " reach(u, v) AS (SELECT u, v FROM sym"
+    " UNION SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u)"
+    " SELECT u AS doc_id, CAST(least(u, min(v)) AS BIGINT) AS cluster_rep"
+    " FROM reach GROUP BY u ORDER BY doc_id",
+    doc="Connected-component dedup clusters over VERIFIED near-dup pairs:"
+    " each member document labeled with its component's min doc_id."
+    " Transitive closure that q34's pair-local keep-list cannot express;"
+    " iterative hash-min label propagation on (id, label) pairs only,"
+    " localCheckpointed per round. Oracle: DuckDB recursive-CTE"
+    " reachability over the same verified pair set.",
+)
+def q69(spark, sf_dir):
+    return dedup_clusters(spark, sf_dir)

@@ -318,3 +318,36 @@ def test_pack_fill_consistent_with_offsets(spark, sf_dir):
     )
     # every doc's pack appears in the rollup
     assert {r["pack_id"] for r in offs} == {r["pack_id"] for r in fill}
+
+
+def test_dedup_clusters_closure_properties(spark, sf_dir):
+    """Cluster labels must be a valid connected-component labeling of the
+    verified near-dup graph: both ends of every verified pair share one
+    label, every label is a member of its own cluster (a real doc_id,
+    labeled by itself), and labels are component minima."""
+    import pyspark.sql.functions as F
+
+    from smartbulkcopy_spark.pipeline.dedup import (
+        NEAR_DUP_JACCARD_MILLIS,
+        jaccard_pairs,
+    )
+    from smartbulkcopy_spark.queries import REGISTRY
+
+    rep = {
+        r["doc_id"]: r["cluster_rep"]
+        for r in REGISTRY["q69_dedup_clusters"].fn(spark, sf_dir).collect()
+    }
+    pairs = [
+        (r["a_id"], r["b_id"])
+        for r in jaccard_pairs(spark, sf_dir)
+        .where(F.col("jaccard_millis") >= NEAR_DUP_JACCARD_MILLIS)
+        .collect()
+    ]
+    assert pairs, "fixture must yield verified near-dup pairs"
+    members = {x for p in pairs for x in p}
+    assert set(rep) == members
+    for a, b in pairs:
+        assert rep[a] == rep[b], (a, b)
+    for doc, label in rep.items():
+        assert rep[label] == label  # representative labels itself
+        assert label <= doc  # min-id convention
