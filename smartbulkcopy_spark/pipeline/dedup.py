@@ -657,3 +657,40 @@ def dedup_clusters(spark, sf_dir):
 )
 def q69(spark, sf_dir):
     return dedup_clusters(spark, sf_dir)
+
+
+@register(
+    "q70_cluster_dedup_keep",
+    "WITH RECURSIVE " + _candidate_cte_duck() + ","
+    f" sh AS (SELECT doc_id, {shingle_set_expr('duck')} AS s FROM documents),"
+    " jac AS (SELECT c.a_id, c.b_id,"
+    " CAST(floor(1000.0 * len(list_intersect(sa.s, sb.s))"
+    "   / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))))"
+    " AS BIGINT) AS j"
+    " FROM cand c JOIN sh sa ON sa.doc_id = c.a_id"
+    " JOIN sh sb ON sb.doc_id = c.b_id),"
+    f" vp AS (SELECT a_id, b_id FROM jac WHERE j >= {NEAR_DUP_JACCARD_MILLIS}),"
+    " sym AS (SELECT a_id AS u, b_id AS v FROM vp"
+    " UNION ALL SELECT b_id, a_id FROM vp),"
+    " reach(u, v) AS (SELECT u, v FROM sym"
+    " UNION SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u),"
+    " labels AS (SELECT u AS doc_id, least(u, min(v)) AS rep"
+    " FROM reach GROUP BY u)"
+    " SELECT d.doc_id FROM documents d LEFT JOIN labels l"
+    " ON d.doc_id = l.doc_id"
+    " WHERE l.doc_id IS NULL OR l.rep = d.doc_id ORDER BY d.doc_id",
+    doc="The cluster-correct dedup decision: keep every document that is"
+    " either outside the verified near-dup graph or its component's"
+    " representative (min doc_id). Strictly stronger than q34's"
+    " pair-local keep-list — a transitive family collapses to exactly"
+    " one survivor. Corpus-side cost is one id-only anti-join against"
+    " the (tiny) non-representative member set.",
+)
+def q70(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    drops = (
+        dedup_clusters(spark, sf_dir)
+        .where(F.col("doc_id") != F.col("cluster_rep"))
+        .select("doc_id")
+    )
+    return docs.join(drops, "doc_id", "left_anti").orderBy("doc_id")

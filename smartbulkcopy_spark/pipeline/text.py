@@ -658,3 +658,80 @@ def q68(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-model novelty scoring: a two-pass character-trigram model. Pass 1
+# learns the corpus's top-V trigrams (the "model" — small by construction);
+# pass 2 scores every document by the share of its trigrams OUTSIDE the
+# model. High novelty flags encoding garbage, keyboard mashing, and
+# out-of-distribution text the way an LM-perplexity filter would, but with
+# integer-exact arithmetic that hashes identically across engines (no
+# float log). Scale: pass 1 is a partial-aggregated trigram count + a
+# TakeOrdered(V) — no global sort; pass 2 joins exploded trigrams against
+# the BROADCAST V-row model and rolls up per doc with map-side combine.
+# Two corpus scans total, the textbook shape for learn-then-score; the
+# exploded trigrams are never persisted or shuffled document-sized.
+# Ties at the rank-V boundary break on the trigram string (binary UTF-8
+# collation in both engines), so the model set is deterministic.
+# ---------------------------------------------------------------------------
+
+TRIGRAM_V = 1024
+
+_TRIGRAMS_SPARK = (
+    "transform(sequence(1, greatest(length(n) - 2, 1)),"
+    " i -> substr(n, i, 3))"
+)
+_TRIGRAMS_DUCK = (
+    "list_transform(range(1, greatest(length(nn) - 2, 1) + 1),"
+    " i -> substr(nn, i, 3))"
+)
+
+
+@register(
+    "q71_trigram_novelty",
+    f"WITH n AS (SELECT doc_id, {NORM_SQL_DUCK} AS nn FROM documents),"
+    f" gr AS (SELECT doc_id, unnest({_TRIGRAMS_DUCK}) AS g FROM n),"
+    " model AS (SELECT g FROM (SELECT g, count(*) AS c FROM gr GROUP BY g"
+    f" ORDER BY c DESC, g LIMIT {TRIGRAM_V})),"
+    " s AS (SELECT d.doc_id, count(*) AS n_grams,"
+    " sum(CASE WHEN m.g IS NULL THEN 1 ELSE 0 END) AS unk"
+    " FROM gr d LEFT JOIN model m ON d.g = m.g GROUP BY d.doc_id)"
+    " SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,"
+    " CAST(unk AS BIGINT) AS novel_grams,"
+    " CAST(floor(1000.0 * unk / n_grams) AS BIGINT) AS novelty_permille"
+    " FROM s ORDER BY doc_id",
+    doc="Corpus-trigram novelty score per document: share (per-mille) of"
+    " a doc's character trigrams outside the corpus's top-1024 trigram"
+    " model. The integer-exact stand-in for LM-perplexity filtering;"
+    " two-pass learn-then-score, broadcast model join, no float"
+    " aggregation anywhere.",
+)
+def q71(spark, sf_dir):
+    docs = spread(spark, table(spark, sf_dir, "documents"))
+    base = docs.select("doc_id", norm_text().alias("n"))
+    grams = base.select(
+        "doc_id", F.explode(F.expr(_TRIGRAMS_SPARK)).alias("g")
+    )
+    model = (
+        grams.groupBy("g")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), "g")
+        .limit(TRIGRAM_V)
+        .select("g", F.lit(1).alias("known"))
+    )
+    scored = grams.join(F.broadcast(model), "g", "left")
+    agg = scored.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_grams"),
+        F.sum(F.when(F.col("known").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("novel_grams"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_grams",
+        "novel_grams",
+        F.floor(1000.0 * F.col("novel_grams") / F.col("n_grams"))
+        .cast("long")
+        .alias("novelty_permille"),
+    ).orderBy("doc_id")

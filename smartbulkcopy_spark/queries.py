@@ -835,6 +835,66 @@ def q37(spark, sf_dir):
     )
 
 
+# Manual skew salting. AQE's skew-join splitting handles sort-merge skew
+# at runtime, but a single pathological key (one user generating a
+# double-digit share of a 100 TB event stream) can still exceed what
+# split-and-replicate can balance, and pre-aggregations keyed on the
+# skewed column funnel that key through one reducer regardless. The
+# salted-join operator is the manual fallback: the fact side gets a
+# deterministic per-row salt (xxhash64 of the row id — reprocessing-
+# stable, no rand()), the dimension side is replicated once per salt
+# value, and the join key becomes (key, salt), spreading the hot key
+# over SALT_R reducer tasks. The dimension inflation is bounded
+# (|dim| x SALT_R id-width rows) and the result is EXACTLY the plain
+# join — the oracle is the unsalted SQL.
+SALT_R = 8
+
+
+@register(
+    "q72_salted_skew_join",
+    "SELECT c.c_mktsegment, count(*) AS n_events,"
+    " CAST(CAST(ROUND(sum(e.value), 2) AS DECIMAL(18,2)) * 100 AS BIGINT)"
+    " AS total_cents"
+    " FROM events e JOIN customer c ON e.user_id = c.c_custkey"
+    " GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment",
+    doc="Skew-proof fact-dimension join via deterministic salting: fact"
+    " rows carry pmod(xxhash64(event_id), R), the dimension is exploded"
+    " across all R salt values, and the join runs on (key, salt) as a"
+    " shuffled hash join — the hot key's rows land on R tasks instead of"
+    " one. Result provably equals the plain join (the oracle runs the"
+    " unsalted SQL).",
+)
+def q72(spark, sf_dir):
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        "value",
+        F.pmod(F.xxhash64("event_id"), F.lit(SALT_R))
+        .cast("int")
+        .alias("salt"),
+    )
+    dim = (
+        table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_mktsegment")
+        .withColumn(
+            "salt", F.explode(F.expr(f"sequence(0, {SALT_R - 1})"))
+        )
+    )
+    joined = ev.join(
+        # shuffle_hash pins the demonstrated-at-scale plan: a dimension
+        # small enough to broadcast wouldn't need salting at all
+        dim.hint("shuffle_hash"),
+        (ev.user_id == dim.c_custkey) & (ev.salt == dim.salt),
+    )
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_events"),
+            cents(F.sum("value")).alias("total_cents"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
 # Phase-5 pipeline operators (q21+) register themselves on import. The
 # import sits at the bottom because pipeline modules import `register`/
 # `table` from this module (deliberate one-way late binding, not a cycle

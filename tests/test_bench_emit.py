@@ -43,7 +43,8 @@ def test_line_fits_driver_tail():
     # and with generous headroom for future queries: the cap must survive
     # another ~20 registrations at worst-case widths
     padded = dict(timings)
-    for i in range(69, 90):
+    nxt = max(int(n[1:3]) for n in REGISTRY) + 1
+    for i in range(nxt, nxt + 21):
         padded[f"q{i}_future_operator"] = 123.4567
     line2, _ = bench.emit_payloads(padded, copies, 0.1)
     assert len(line2) <= bench.MAX_LINE

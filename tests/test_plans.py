@@ -90,3 +90,20 @@ def test_no_cartesian_product_anywhere(spark, sf_dir, name):
     plan = explain_str(df)
     assert "CartesianProduct" not in plan, name
     assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_q72_salt_spreads_join_and_avoids_broadcast(spark, sf_dir):
+    """The salted join must actually join on (key, salt) in a shuffled
+    hash join: a broadcast would make the salting a no-op, and a join
+    key without the salt would funnel the hot key through one task."""
+    plan = explain_str(REGISTRY["q72_salted_skew_join"].fn(spark, sf_dir))
+    assert "ShuffledHashJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+    key_lines = [
+        ln
+        for ln in plan.splitlines()
+        if ln.startswith(("Left keys", "Right keys"))
+    ]
+    assert key_lines and all("salt" in ln for ln in key_lines), key_lines
+    # dimension replication: the explode of the salt sequence is present
+    assert "explode(" in plan
