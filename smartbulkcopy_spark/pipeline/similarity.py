@@ -718,3 +718,86 @@ def q47(spark, sf_dir):
         )
         out = hits if out is None else out.unionByName(hits)
     return out.orderBy("method")
+
+
+# ---------------------------------------------------------------------------
+# Symmetric per-dimension int8 quantization — the storage/bandwidth path
+# of a vector index (4x smaller vectors, SIMD-friendly distances). Two
+# passes: learn per-dimension absolute maxima (the scales), then map
+# every element to floor(v * 127 / amax). All comparisons run on
+# 1e-6-floor-scaled integers, and both the quantized values and the
+# reconstruction errors are integer checksums per vector — order-
+# independent and bit-identical across engines (the q55 rule: never sum
+# raw doubles across rows). Scale shape: one posexplode (row-local),
+# a 64-group partial aggregation for the scales, a broadcast join back,
+# and a vec_id rollup — element values shuffle once, vectors never do.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q74_embedding_quantize",
+    "WITH el AS (SELECT vec_id, CAST(t.i - 1 AS BIGINT) AS dim,"
+    " CAST(floor(CAST(embedding[t.i] AS DOUBLE) * 1000000.0) AS BIGINT)"
+    " AS v_e6 FROM embeddings,"
+    f" (SELECT unnest(range(1, {EMBED_DIM} + 1)) AS i) t),"
+    " am AS (SELECT dim, max(abs(v_e6)) AS amax_e6 FROM el GROUP BY dim),"
+    " qq AS (SELECT vec_id, el.dim, v_e6, amax_e6,"
+    " CASE WHEN amax_e6 = 0 THEN 0 ELSE"
+    " CAST(floor((CAST(v_e6 AS DOUBLE) * 127.0) / amax_e6) AS BIGINT)"
+    " END AS q FROM el JOIN am ON el.dim = am.dim),"
+    " er AS (SELECT vec_id, q, abs(v_e6 -"
+    " CASE WHEN amax_e6 = 0 THEN 0 ELSE"
+    " CAST(floor((CAST(q AS DOUBLE) * amax_e6) / 127.0) AS BIGINT)"
+    " END) AS err FROM qq)"
+    " SELECT vec_id, count(*) AS n_dims,"
+    " CAST(sum(q) AS BIGINT) AS q_sum,"
+    " CAST(sum(abs(q)) AS BIGINT) AS q_abs_sum,"
+    " CAST(sum(err) AS BIGINT) AS total_abs_err_e6,"
+    " CAST(max(err) AS BIGINT) AS max_abs_err_e6"
+    " FROM er GROUP BY vec_id ORDER BY vec_id",
+    doc="Per-dimension symmetric int8 quantization of the embedding"
+    " column with integer-exact reconstruction-error audit: learned"
+    " per-dim scales (max |v|), floor(v*127/amax) codes, and per-vector"
+    " checksum + error rollups. Two-pass learn-then-apply; broadcast"
+    " scale join; zero cross-row float arithmetic.",
+)
+def q74(spark, sf_dir):
+    emb = spread(spark, table(spark, sf_dir, "embeddings"))
+    el = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.transform(
+                F.col("embedding"),
+                lambda x: F.floor(x.cast("double") * 1000000.0).cast(
+                    "long"
+                ),
+            )
+        ).alias("dim", "v_e6"),
+    ).select(F.col("vec_id"), F.col("dim").cast("long"), F.col("v_e6"))
+    amax = el.groupBy("dim").agg(F.max(F.abs("v_e6")).alias("amax_e6"))
+    j = el.join(F.broadcast(amax), "dim")
+    q = F.when(F.col("amax_e6") == 0, F.lit(0)).otherwise(
+        F.floor(
+            (F.col("v_e6").cast("double") * 127.0) / F.col("amax_e6")
+        ).cast("long")
+    )
+    qd = j.select("vec_id", "v_e6", "amax_e6", q.alias("q"))
+    recon = F.when(F.col("amax_e6") == 0, F.lit(0)).otherwise(
+        F.floor(
+            (F.col("q").cast("double") * F.col("amax_e6")) / 127.0
+        ).cast("long")
+    )
+    er = qd.select(
+        "vec_id", "q", F.abs(F.col("v_e6") - recon).alias("err")
+    )
+    return (
+        er.groupBy("vec_id")
+        .agg(
+            F.count("*").alias("n_dims"),
+            F.sum("q").alias("q_sum"),
+            F.sum(F.abs("q")).alias("q_abs_sum"),
+            F.sum("err").alias("total_abs_err_e6"),
+            F.max("err").alias("max_abs_err_e6"),
+        )
+        .orderBy("vec_id")
+    )

@@ -735,3 +735,67 @@ def q71(spark, sf_dir):
         .cast("long")
         .alias("novelty_permille"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Training-window chunking: fixed token windows with overlap (stride <
+# window), the step that turns variable-length documents into model-ready
+# sequences BEFORE packing (q51 packs whole docs; q73 splits long ones).
+# Entirely row-local — token array, start offsets, slices, and chunk
+# hashes are all computed per document with zero shuffle, so the
+# operator pipelines into the scan at any corpus size. The chunk md5
+# makes the output self-verifying: the oracle reproduces the exact
+# chunk contents, not just counts.
+# ---------------------------------------------------------------------------
+
+CHUNK_TOKENS = 128
+CHUNK_STRIDE = 96  # 32-token overlap between consecutive windows
+
+
+@register(
+    "q73_doc_chunking",
+    f"WITH n AS (SELECT doc_id, trim({NORM_SQL_DUCK}) AS nn FROM documents),"
+    " t AS (SELECT doc_id, string_split(nn, ' ') AS toks FROM n),"
+    " s AS (SELECT doc_id, toks, unnest(range(0,"
+    f" greatest(len(toks), 1), {CHUNK_STRIDE})) AS start_tok FROM t),"
+    " c AS (SELECT doc_id, start_tok,"
+    f" list_slice(toks, start_tok + 1, start_tok + {CHUNK_TOKENS}) AS ch"
+    " FROM s)"
+    f" SELECT doc_id, CAST(start_tok / {CHUNK_STRIDE} AS BIGINT) AS chunk_idx,"
+    " CAST(start_tok AS BIGINT) AS start_tok,"
+    " CAST(len(ch) AS BIGINT) AS n_tok,"
+    " md5(array_to_string(ch, ' ')) AS chunk_md5"
+    " FROM c ORDER BY doc_id, chunk_idx",
+    doc="Overlapping token-window chunking (128-token windows, 96-token"
+    " stride): every document split into model-ready sequences, each"
+    " chunk content-hashed. Pure row-local array arithmetic, zero"
+    " shuffle; the md5 proves both engines produced identical chunk"
+    " text, not merely identical counts.",
+)
+def q73(spark, sf_dir):
+    docs = spread(spark, table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id", F.split(F.trim(norm_text()), " ").alias("toks")
+    )
+    starts = toks.select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.expr(
+                "sequence(0, greatest(size(toks) - 1, 0),"
+                f" {CHUNK_STRIDE})"
+            )
+        ).alias("start_tok"),
+    )
+    ch = starts.select(
+        "doc_id",
+        "start_tok",
+        F.expr(f"slice(toks, start_tok + 1, {CHUNK_TOKENS})").alias("ch"),
+    )
+    return ch.select(
+        "doc_id",
+        (F.col("start_tok") / CHUNK_STRIDE).cast("long").alias("chunk_idx"),
+        F.col("start_tok").cast("long"),
+        F.size("ch").cast("long").alias("n_tok"),
+        F.md5(F.concat_ws(" ", "ch")).alias("chunk_md5"),
+    ).orderBy("doc_id", "chunk_idx")
