@@ -799,3 +799,64 @@ def q73(spark, sf_dir):
         F.size("ch").cast("long").alias("n_tok"),
         F.md5(F.concat_ws(" ", "ch")).alias("chunk_md5"),
     ).orderBy("doc_id", "chunk_idx")
+
+
+# ---------------------------------------------------------------------------
+# Deterministic per-group inspection sampling: the k lowest
+# md5('sample:' || doc_id) documents per source — a reprocessing-stable
+# "random" sample for eyeballing each slice of the corpus. The naive
+# spelling is one window over each source partition, which at 100 TB
+# means one task sorting an entire source's documents. The registered
+# plan is the scale-correct TWO-PHASE top-k: rank within (source,
+# salt-bucket) first — 64 small partitions per source — then rank the
+# tiny per-bucket survivor set (<= 64k rows per source) for the final
+# answer. The global top-k per source is always contained in the union
+# of per-bucket top-ks, so the result equals the naive spelling, which
+# is exactly what the oracle runs.
+# ---------------------------------------------------------------------------
+
+SAMPLE_K = 2
+SAMPLE_SALTS = 64
+
+
+@register(
+    "q75_group_sample",
+    "WITH h AS (SELECT source, doc_id, lang,"
+    " md5('sample:' || CAST(doc_id AS VARCHAR)) AS hk FROM documents),"
+    " r AS (SELECT source, doc_id, lang,"
+    " row_number() OVER (PARTITION BY source ORDER BY hk, doc_id)"
+    " AS sample_rank FROM h)"
+    f" SELECT source, doc_id, lang, CAST(sample_rank AS BIGINT)"
+    f" AS sample_rank FROM r WHERE sample_rank <= {SAMPLE_K}"
+    " ORDER BY source, sample_rank",
+    doc="Deterministic per-source inspection sample (k lowest salted-md5"
+    " doc ids). Two-phase top-k: per-(source, salt-bucket) ranking"
+    " prunes to a bounded candidate set before the final per-source"
+    " rank, so no task ever sorts a whole source; the oracle runs the"
+    " single-window naive spelling the two-phase plan provably equals.",
+)
+def q75(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        "lang",
+        F.md5(F.concat(F.lit("sample:"), F.col("doc_id").cast("string")))
+        .alias("hk"),
+        F.pmod(F.xxhash64("doc_id"), F.lit(SAMPLE_SALTS)).alias("s"),
+    )
+    w1 = Window.partitionBy("source", "s").orderBy("hk", "doc_id")
+    cand = docs.withColumn("r1", F.row_number().over(w1)).where(
+        F.col("r1") <= SAMPLE_K
+    )
+    w2 = Window.partitionBy("source").orderBy("hk", "doc_id")
+    return (
+        cand.withColumn("sample_rank", F.row_number().over(w2))
+        .where(F.col("sample_rank") <= SAMPLE_K)
+        .select(
+            "source",
+            "doc_id",
+            "lang",
+            F.col("sample_rank").cast("long").alias("sample_rank"),
+        )
+        .orderBy("source", "sample_rank")
+    )

@@ -322,3 +322,37 @@ def test_jsonl_source_feeds_pipeline_and_quarantines_rejects(spark, tmp_path):
     )
     by_keep = {r["keep"]: r["c"] for r in dedup.collect()}
     assert by_keep == {1: 2, 3: 1}
+
+
+def test_csv_source_feeds_pipeline_and_quarantines_rejects(spark, tmp_path):
+    """Declared-schema CSV read mirrors the JSONL source contract: clean
+    rows in the canonical documents shape, malformed/incomplete rows
+    quarantined raw, per-file header lines dropped without becoming
+    rejects, quoted separators handled."""
+    import pyspark.sql.functions as F
+
+    from smartbulkcopy_spark.sources.csv import read_documents_csv
+
+    p = tmp_path / "corpus.csv"
+    lines = [
+        "doc_id,text,lang,source",  # header
+        '1,"the quick, brown fox",en,src0',  # quoted separator
+        "2,plain text here,en,src1",
+        "abc,bad id row,en,src0",  # unparseable id -> reject
+        "3,,en,src0",  # empty text field parses as NULL -> reject
+    ]
+    p.write_text("\n".join(lines) + "\n")
+
+    docs, rejects = read_documents_csv(spark, str(p))
+    got = {r["doc_id"]: r for r in docs.collect()}
+    assert set(got) == {1, 2}
+    assert got[1]["text"] == "the quick, brown fox"
+    assert got[1]["n_chars"] == len("the quick, brown fox")
+    assert set(docs.columns) == {"doc_id", "text", "lang", "source",
+                                 "n_chars"}
+    rej = {r["raw_line"] for r in rejects.collect()}
+    assert rej == {"abc,bad id row,en,src0", "3,,en,src0"}
+
+    # same canonical shape feeds registered operators unchanged
+    n = docs.agg(F.count("*").alias("c")).collect()[0]["c"]
+    assert n == 2
