@@ -860,3 +860,86 @@ def q75(spark, sf_dir):
         )
         .orderBy("source", "sample_rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Stratified split audit: does the deterministic hash split stay balanced
+# WITHIN every (language, length-quartile) stratum, or did it
+# accidentally starve val/test of long documents somewhere? Composes the
+# exact-quantile machinery (q65's cumulative histogram — windows over
+# histogram rows, never documents) with the q50 split policy: per-lang
+# quartile boundaries are a languages-sized table broadcast back onto
+# the corpus, the quartile CASE and split hash are row-local, and the
+# only corpus-sized shuffle is the final (lang, quartile, split)
+# partial-aggregated rollup.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q76_stratified_split_audit",
+    "WITH h AS (SELECT lang, n_chars, count(*) AS c FROM documents"
+    " WHERE n_chars IS NOT NULL GROUP BY lang, n_chars),"
+    " cum AS (SELECT lang, n_chars, c,"
+    " sum(c) OVER (PARTITION BY lang ORDER BY n_chars"
+    " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rc,"
+    " sum(c) OVER (PARTITION BY lang) AS tot FROM h),"
+    " b AS (SELECT lang,"
+    " min(CASE WHEN rc * 4 >= tot THEN n_chars END) AS p25,"
+    " min(CASE WHEN rc * 2 >= tot THEN n_chars END) AS p50,"
+    " min(CASE WHEN rc * 4 >= tot * 3 THEN n_chars END) AS p75"
+    " FROM cum GROUP BY lang),"
+    " s AS (SELECT d.lang,"
+    " CASE WHEN d.n_chars <= b.p25 THEN 1 WHEN d.n_chars <= b.p50 THEN 2"
+    " WHEN d.n_chars <= b.p75 THEN 3 ELSE 4 END AS quartile,"
+    f" {SPLIT_CASE_DUCK} AS split"
+    " FROM documents d JOIN b ON d.lang = b.lang"
+    " WHERE d.n_chars IS NOT NULL)"
+    " SELECT lang, CAST(quartile AS BIGINT) AS quartile, split,"
+    " count(*) AS n_docs FROM s GROUP BY lang, quartile, split"
+    " ORDER BY lang, quartile, split",
+    doc="Split-balance audit per (language, exact length quartile)"
+    " stratum: exact cumulative-histogram boundaries (no"
+    " approx_percentile sketches), broadcast back onto the corpus,"
+    " crossed with the deterministic q50 hash split. Catches strata"
+    " where the 90/5/5 policy under-serves val/test; windows run over"
+    " histogram rows, so the quantile pass is corpus-scale-free.",
+)
+def q76(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents").where(
+        F.col("n_chars").isNotNull()
+    )
+    h = docs.groupBy("lang", "n_chars").agg(F.count("*").alias("c"))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = h.select(
+        "lang",
+        "n_chars",
+        F.sum("c").over(w).alias("rc"),
+        F.sum("c").over(Window.partitionBy("lang")).alias("tot"),
+    )
+    rc, tot, nc = F.col("rc"), F.col("tot"), F.col("n_chars")
+    bounds = cum.groupBy("lang").agg(
+        F.min(F.when(rc * 4 >= tot, nc)).alias("p25"),
+        F.min(F.when(rc * 2 >= tot, nc)).alias("p50"),
+        F.min(F.when(rc * 4 >= tot * 3, nc)).alias("p75"),
+    )
+    quartile = (
+        F.when(F.col("n_chars") <= F.col("p25"), 1)
+        .when(F.col("n_chars") <= F.col("p50"), 2)
+        .when(F.col("n_chars") <= F.col("p75"), 3)
+        .otherwise(4)
+    )
+    return (
+        docs.join(F.broadcast(bounds), "lang")
+        .select(
+            "lang",
+            quartile.cast("long").alias("quartile"),
+            split_col().alias("split"),
+        )
+        .groupBy("lang", "quartile", "split")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("lang", "quartile", "split")
+    )
