@@ -801,3 +801,130 @@ def q74(spark, sf_dir):
         )
         .orderBy("vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# K-means-lite: two unrolled Lloyd iterations over the embedding corpus,
+# bit-exact across engines. Everything runs on 1e-6 floor-scaled integer
+# components: squared distances are BIGINT sums (64 dims x (1e6)^2 ~
+# 6.4e13, well inside BIGINT), argmin ties break on centroid id via a
+# (dist, cid) struct-min, and centroid updates use the q55 mean spelling
+# floor(CAST(sum AS DOUBLE)/count). Init is deterministic: the vectors
+# with vec_id 0..K-1. The iterations are LAZY — no driver loop: each
+# assignment joins the element table against the previous (tiny)
+# centroid table as a broadcast, so the unrolled plan is
+# scan -> [broadcast-assign -> 512-group recenter] x 2 -> rollup, and
+# the element table is persisted once instead of recomputed per stage.
+# At 100 TB each iteration is one corpus pass; K*D stays driver-free.
+# ---------------------------------------------------------------------------
+
+KMEANS_K = 8
+
+
+def _km_el(spark, sf_dir):
+    emb = spread(spark, table(spark, sf_dir, "embeddings"))
+    return emb.select(
+        "vec_id",
+        F.posexplode(
+            F.transform(
+                F.col("embedding"),
+                lambda x: F.floor(x.cast("double") * 1000000.0).cast(
+                    "long"
+                ),
+            )
+        ).alias("dim", "v_e6"),
+    ).select("vec_id", F.col("dim").cast("long").alias("dim"), "v_e6")
+
+
+def _km_assign(el, cent):
+    """Nearest-centroid id per vector: broadcast the K*D centroid table,
+    join on dim, sum squared diffs per (vec, cid), then a PACKED argmin —
+    min(d2 * K + cid) % K is the lexicographic (d2, cid) minimum because
+    cid < K, and unlike struct-min it has an identical spelling on both
+    engines (DuckDB's min_by takes no composite comparator). No overflow:
+    d2 <= D * (2e6)^2 ~ 2.6e14, * K ~ 2e15, inside BIGINT."""
+    j = el.join(F.broadcast(cent), "dim")
+    d2 = (
+        j.groupBy("vec_id", "cid")
+        .agg(
+            F.sum(
+                (F.col("v_e6") - F.col("c_e6"))
+                * (F.col("v_e6") - F.col("c_e6"))
+            ).alias("d2")
+        )
+    )
+    return d2.groupBy("vec_id").agg(
+        (F.min(F.col("d2") * KMEANS_K + F.col("cid")) % KMEANS_K).alias(
+            "cid"
+        )
+    )
+
+
+def _km_recenter(el, assign):
+    return (
+        el.join(assign, "vec_id")
+        .groupBy("cid", "dim")
+        .agg(
+            F.floor(
+                F.sum("v_e6").cast("double") / F.count("*")
+            )
+            .cast("long")
+            .alias("c_e6")
+        )
+    )
+
+
+@register(
+    "q77_kmeans_lite",
+    "WITH el AS (SELECT vec_id, CAST(t.i - 1 AS BIGINT) AS dim,"
+    " CAST(floor(CAST(embedding[t.i] AS DOUBLE) * 1000000.0) AS BIGINT)"
+    " AS v_e6 FROM embeddings,"
+    f" (SELECT unnest(range(1, {EMBED_DIM} + 1)) AS i) t),"
+    f" c0 AS (SELECT vec_id AS cid, dim, v_e6 AS c_e6 FROM el"
+    f" WHERE vec_id < {KMEANS_K}),"
+    " d1 AS (SELECT e.vec_id, c.cid,"
+    " CAST(sum((e.v_e6 - c.c_e6) * (e.v_e6 - c.c_e6)) AS BIGINT) AS d2"
+    " FROM el e JOIN c0 c ON e.dim = c.dim GROUP BY e.vec_id, c.cid),"
+    " a1 AS (SELECT vec_id, CAST(min(d2 * 8 + cid) % 8 AS BIGINT) AS cid"
+    " FROM d1 GROUP BY vec_id),"
+    " c1 AS (SELECT a.cid, e.dim,"
+    " CAST(floor(CAST(sum(e.v_e6) AS DOUBLE) / count(*)) AS BIGINT)"
+    " AS c_e6 FROM el e JOIN a1 a ON e.vec_id = a.vec_id"
+    " GROUP BY a.cid, e.dim),"
+    " d2s AS (SELECT e.vec_id, c.cid,"
+    " CAST(sum((e.v_e6 - c.c_e6) * (e.v_e6 - c.c_e6)) AS BIGINT) AS d2"
+    " FROM el e JOIN c1 c ON e.dim = c.dim GROUP BY e.vec_id, c.cid),"
+    " a2 AS (SELECT vec_id, CAST(min(d2 * 8 + cid) % 8 AS BIGINT) AS cid"
+    " FROM d2s GROUP BY vec_id),"
+    " c2 AS (SELECT a.cid, e.dim,"
+    " CAST(floor(CAST(sum(e.v_e6) AS DOUBLE) / count(*)) AS BIGINT)"
+    " AS c_e6 FROM el e JOIN a2 a ON e.vec_id = a.vec_id"
+    " GROUP BY a.cid, e.dim)"
+    " SELECT n.cid, n.n_vecs, c.centroid_sum_e6, c.centroid_abs_e6"
+    " FROM (SELECT cid, count(*) AS n_vecs FROM a2 GROUP BY cid) n"
+    " JOIN (SELECT cid, CAST(sum(c_e6) AS BIGINT) AS centroid_sum_e6,"
+    " CAST(sum(abs(c_e6)) AS BIGINT) AS centroid_abs_e6 FROM c2"
+    " GROUP BY cid) c ON n.cid = c.cid ORDER BY n.cid",
+    doc="Two unrolled Lloyd k-means iterations (K=8, deterministic"
+    " vec_id<K init) with bit-exact integer arithmetic: scaled-int"
+    " squared distances, struct-min argmin with cid tie-break, q55-rule"
+    " centroid means. Lazy iteration DAG — broadcast centroid joins, no"
+    " driver loop; output is per-cluster size + centroid checksums the"
+    " DuckDB CTE chain reproduces exactly.",
+)
+def q77(spark, sf_dir):
+    el = _km_el(spark, sf_dir).persist()
+    el.count()  # four consumers (2 assigns, 2 recenters) — q33 pattern
+    c0 = el.where(F.col("vec_id") < KMEANS_K).select(
+        F.col("vec_id").alias("cid"), "dim", F.col("v_e6").alias("c_e6")
+    )
+    a1 = _km_assign(el, c0)
+    c1 = _km_recenter(el, a1)
+    a2 = _km_assign(el, c1)
+    c2 = _km_recenter(el, a2)
+    sizes = a2.groupBy("cid").agg(F.count("*").alias("n_vecs"))
+    sums = c2.groupBy("cid").agg(
+        F.sum("c_e6").alias("centroid_sum_e6"),
+        F.sum(F.abs("c_e6")).alias("centroid_abs_e6"),
+    )
+    return sizes.join(sums, "cid").orderBy("cid")
