@@ -835,6 +835,89 @@ def q37(spark, sf_dir):
     )
 
 
+# Burst detection over the event stream: which hours ran anomalously hot
+# per event type, judged against that type's own EXACT median hourly
+# rate. Everything is integer arithmetic on counts — the median comes
+# from a cumulative histogram over DISTINCT COUNT VALUES (the q65
+# pattern: the window runs over histogram rows, a handful per type, not
+# over hours, let alone events), so there is no approx_percentile sketch
+# and no float threshold to disagree on. The hourly rollup is the only
+# corpus-sized shuffle; at 100 TB it is the same partial-aggregated
+# (hour, type) groupBy the monitoring path (q18/q19) already pays.
+BURST_FACTOR = 2  # an hour is a burst if count > factor * median
+
+
+@register(
+    "q78_burst_detection",
+    "WITH hc AS (SELECT date_trunc('hour', ts) AS w, event_type,"
+    " count(*) AS c FROM events GROUP BY w, event_type),"
+    " h AS (SELECT event_type, c, count(*) AS hrs FROM hc"
+    " GROUP BY event_type, c),"
+    " cum AS (SELECT event_type, c, hrs,"
+    " sum(hrs) OVER (PARTITION BY event_type ORDER BY c"
+    " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rc,"
+    " sum(hrs) OVER (PARTITION BY event_type) AS tot FROM h),"
+    " med AS (SELECT event_type,"
+    " min(CASE WHEN rc * 2 >= tot THEN c END) AS median_c FROM cum"
+    " GROUP BY event_type)"
+    " SELECT hc.event_type, CAST(count(*) AS BIGINT) AS n_hours,"
+    " m.median_c, max(hc.c) AS max_c,"
+    " CAST(sum(CASE WHEN hc.c >"
+    f" {BURST_FACTOR} * m.median_c THEN 1 ELSE 0 END) AS BIGINT)"
+    " AS n_burst_hours"
+    " FROM hc JOIN med m ON hc.event_type = m.event_type"
+    " GROUP BY hc.event_type, m.median_c ORDER BY hc.event_type",
+    doc="Per-event-type burst audit: hours whose count exceeds twice the"
+    " type's EXACT median hourly rate. Median via cumulative histogram"
+    " over distinct count values (q65 pattern — corpus-scale-free"
+    " windows); thresholds and counts all integer; median table"
+    " broadcast back onto the hourly rollup.",
+)
+def q78(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    hc = ev.groupBy(
+        trunc_hour_ntz("ts").alias("w"), F.col("event_type")
+    ).agg(F.count("*").alias("c"))
+    h = hc.groupBy("event_type", "c").agg(F.count("*").alias("hrs"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = h.select(
+        "event_type",
+        "c",
+        F.sum("hrs").over(w).alias("rc"),
+        F.sum("hrs")
+        .over(Window.partitionBy("event_type"))
+        .alias("tot"),
+    )
+    med = cum.groupBy("event_type").agg(
+        F.min(
+            F.when(F.col("rc") * 2 >= F.col("tot"), F.col("c"))
+        ).alias("median_c")
+    )
+    return (
+        hc.join(F.broadcast(med), "event_type")
+        .groupBy("event_type", "median_c")
+        .agg(
+            F.count("*").cast("long").alias("n_hours"),
+            F.max("c").alias("max_c"),
+            F.sum(
+                F.when(
+                    F.col("c") > BURST_FACTOR * F.col("median_c"), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_burst_hours"),
+        )
+        .select(
+            "event_type", "n_hours", "median_c", "max_c", "n_burst_hours"
+        )
+        .orderBy("event_type")
+    )
+
+
 # Manual skew salting. AQE's skew-join splitting handles sort-merge skew
 # at runtime, but a single pathological key (one user generating a
 # double-digit share of a 100 TB event stream) can still exceed what
