@@ -314,3 +314,105 @@ def q42(spark, sf_dir):
     return sampled.select(
         "doc_id", "n_frames", F.md5("sampled").alias("sampled_md5")
     )
+
+
+# ---------------------------------------------------------------------------
+# Video: the third modality. A video blob decodes to (n_frames, h, w,
+# raw) — a 4D uint8 buffer — and the training-data operation is temporal
+# frame sampling: keep every k-th frame as the model's clip input. Same
+# Arrow-batched mapInPandas shape as audio, but the stride works on
+# whole 2D frames (h*w*channels bytes each), exactly what a real
+# ffmpeg/PyAV decode feeds at scale; only the codec is fake here.
+# ---------------------------------------------------------------------------
+
+MAX_VIDEO_FRAMES = 48
+VIDEO_DIM = 8  # fake clips are 1..8 px per side
+
+
+def fake_video_codec(blob: bytes) -> tuple[int, int, int, bytes]:
+    """FAKE video decoder (deterministic): frame count and square frame
+    size from the blob's md5, frame bytes the hexdigest cycled. Replace
+    with PyAV/ffmpeg glue returning the same (n_frames, h, w, raw)
+    contract for real containers."""
+    hx = hashlib.md5(blob).hexdigest()
+    nf = 1 + int(hx[12:16], 16) % MAX_VIDEO_FRAMES
+    side = 1 + int(hx[16:20], 16) % VIDEO_DIM
+    n = nf * side * side * CHANNELS
+    raw = (hx * (n // len(hx) + 1))[:n].encode("ascii")
+    return nf, side, side, raw
+
+
+def sample_video_frames(
+    df: DataFrame,
+    id_col: str,
+    blob_col: str,
+    every_k: int,
+    codec: Callable[[bytes], tuple[int, int, int, bytes]] = fake_video_codec,
+) -> DataFrame:
+    """Decode a video blob and keep every k-th frame (REAL strided numpy
+    slicing over the decoded 4D buffer)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            nfs, hs, ws, sampled = [], [], [], []
+            for b in pdf[blob_col]:
+                nf, h, w, raw = codec(b"" if b is None else bytes(b))
+                frames = np.frombuffer(raw, dtype=np.uint8).reshape(
+                    nf, h, w, CHANNELS
+                )
+                nfs.append(nf)
+                hs.append(h)
+                ws.append(w)
+                sampled.append(frames[::every_k].tobytes())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "n_frames": nfs,
+                    "height": hs,
+                    "width": ws,
+                    "sampled": sampled,
+                }
+            )
+
+    return df.select(id_col, blob_col).mapInPandas(
+        run,
+        "doc_id bigint, n_frames int, height int, width int,"
+        " sampled binary",
+    )
+
+
+VIDEO_SAMPLE_EVERY = 3
+
+
+@register(
+    "q79_video_frame_sample",
+    "WITH dec AS (SELECT doc_id, md5(coalesce(text, '')) AS hx,"
+    " 1 + CAST(('0x'||substr(md5(coalesce(text, '')),13,4)) AS INT)"
+    f" % {MAX_VIDEO_FRAMES} AS nf,"
+    " 1 + CAST(('0x'||substr(md5(coalesce(text, '')),17,4)) AS INT)"
+    f" % {VIDEO_DIM} AS side FROM documents),"
+    f" buf AS (SELECT *, side * side * {CHANNELS} AS fsz,"
+    f" substr(repeat(hx, (nf * side * side * {CHANNELS}) // 32 + 1),"
+    f" 1, nf * side * side * {CHANNELS}) AS b FROM dec)"
+    " SELECT doc_id, nf AS n_frames, side AS height, side AS width,"
+    f" md5(array_to_string(list_transform(range(0,"
+    f" (nf + {VIDEO_SAMPLE_EVERY - 1}) // {VIDEO_SAMPLE_EVERY}), f ->"
+    f" substr(b, 1 + {VIDEO_SAMPLE_EVERY} * fsz * f, fsz)), ''))"
+    " AS sampled_md5"
+    " FROM buf ORDER BY doc_id",
+    doc="Video decode (fake codec, real 4D-buffer plumbing) -> keep"
+    " every 3rd frame via strided numpy slicing in mapInPandas; the"
+    " oracle re-derives the sampled frame bytes and md5 SQL-side, so"
+    " the temporal-sampling arithmetic is hash-checked end to end.",
+)
+def q79(spark, sf_dir):
+    sampled = sample_video_frames(
+        _blobs(spark, sf_dir), "doc_id", "blob", VIDEO_SAMPLE_EVERY
+    )
+    return sampled.select(
+        "doc_id",
+        "n_frames",
+        "height",
+        "width",
+        F.md5("sampled").alias("sampled_md5"),
+    )

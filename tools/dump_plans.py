@@ -73,6 +73,15 @@ ANNOTATED = {
     " rows ((lang, n_chars) groups), never documents; boundaries come"
     " back as a BroadcastExchange; the corpus-sized shuffle is the"
     " final (lang, quartile, split) partial-agg rollup.",
+    "q77_kmeans_lite": "Two unrolled Lloyd iterations as ONE lazy DAG:"
+    " the persisted element table feeds both assignment joins"
+    " (BroadcastExchange of the K*D centroid tables) and both"
+    " recenter aggregations — no driver loop, each iteration is one"
+    " corpus pass.",
+    "q78_burst_detection": "Exact-median thresholding: the quantile"
+    " window runs over distinct (type, count) histogram rows; the"
+    " hourly rollup is the only corpus-sized shuffle and the median"
+    " table re-enters as a BroadcastExchange.",
 }
 
 
