@@ -190,3 +190,21 @@ def test_custom_schema_hints_parse_as_spark_ddl(spark, names, type_ids):
     hints = custom_schema_hints(cols)
     parsed = StructType.fromDDL(hints)
     assert [f.name for f in parsed.fields] == [c[0] for c in cols]
+
+
+@given(
+    d2s=st.lists(
+        st.integers(0, 3 * 10**14), min_size=1, max_size=8, unique=False
+    )
+)
+@settings(deadline=None)  # first call pays the pyspark import
+def test_packed_argmin_equals_lexicographic(d2s):
+    """The q77 packed argmin — min(d2 * K + cid) % K — must equal the
+    lexicographic (d2, cid) minimum for any distance profile, including
+    exact ties (where the smaller cid must win)."""
+    from smartbulkcopy_spark.pipeline.similarity import KMEANS_K
+
+    pairs = list(enumerate(d2s))  # cid -> d2, cids < K by construction
+    expected = min(pairs, key=lambda p: (p[1], p[0]))[0]
+    packed = min(d2 * KMEANS_K + cid for cid, d2 in pairs) % KMEANS_K
+    assert packed == expected
