@@ -592,33 +592,40 @@ def dedup_clusters(spark, sf_dir):
         F.col("a_id").alias("u"), F.col("b_id").alias("v")
     ).union(edges.select(F.col("b_id").alias("u"), F.col("a_id").alias("v")))
 
+    # Init fuses the first propagation round: every member appears as u
+    # in the symmetric edge list, so label(u) = min(u, min neighbor) is
+    # both the node inventory and one round of hash-min for free.
     labels = (
-        edges.select(F.col("a_id").alias("node"))
-        .union(edges.select(F.col("b_id").alias("node")))
-        .distinct()
-        .withColumn("lbl", F.col("node"))
+        sym.groupBy("u")
+        .agg(F.min("v").alias("mn"))
+        .select(
+            F.col("u").alias("node"),
+            F.least(F.col("u"), F.col("mn")).alias("lbl"),
+        )
         .localCheckpoint()
     )
     for _ in range(MAX_CC_ROUNDS):
         # candidate label for v: the smallest current label among its
         # neighbors u; labels only ever decrease, so min(old, candidates)
-        # is monotone and the fixpoint is exactly min-id-in-component
+        # is monotone and the fixpoint is exactly min-id-in-component.
+        # The per-node OLD label rides the same aggregation (each node
+        # contributes exactly one own=true row), so convergence is a
+        # filter-count on the checkpointed result — no per-round join.
         cand = sym.join(
             labels, sym["u"] == labels["node"]
         ).select(F.col("v").alias("node"), F.col("lbl"))
         new_labels = (
-            labels.union(cand)
+            labels.withColumn("own", F.lit(True))
+            .union(cand.withColumn("own", F.lit(False)))
             .groupBy("node")
-            .agg(F.min("lbl").alias("lbl"))
+            .agg(
+                F.min("lbl").alias("lbl"),
+                F.min(F.when(F.col("own"), F.col("lbl"))).alias("old"),
+            )
             .localCheckpoint()  # truncate lineage every round
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.lbl") != F.col("o.lbl"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.where(F.col("lbl") < F.col("old")).count()
+        labels = new_labels.select("node", "lbl")
         if changed == 0:
             break
     else:
