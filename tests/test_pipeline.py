@@ -351,3 +351,19 @@ def test_dedup_clusters_closure_properties(spark, sf_dir):
     for doc, label in rep.items():
         assert rep[label] == label  # representative labels itself
         assert label <= doc  # min-id convention
+
+
+def test_cluster_keep_list_refines_pair_keep_list(spark, sf_dir):
+    """q70 must be a refinement of q34: every pair's b_id is a non-min
+    component member, so the cluster-correct decision can only drop MORE
+    documents than the pair-local one — never keep something q34 drops."""
+    from smartbulkcopy_spark.queries import REGISTRY
+
+    pair_keep = {
+        r["doc_id"] for r in REGISTRY["q34_near_dup_dedup"].fn(spark, sf_dir).collect()
+    }
+    cluster_keep = {
+        r["doc_id"]
+        for r in REGISTRY["q70_cluster_dedup_keep"].fn(spark, sf_dir).collect()
+    }
+    assert cluster_keep <= pair_keep
