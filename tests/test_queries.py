@@ -26,15 +26,34 @@ def test_registry_nonempty():
 def test_driver_emission_order():
     """The driver oracle-checks only the first ~50 queries() entries
     (SURVEY §2.12): the window must always contain the full §2.10
-    contract (tier 1) and one row per pipeline family (tier 2), and
-    every registered query must appear exactly once overall."""
-    from smartbulkcopy_spark.queries import TIER1, TIER2, ordered_names
+    contract (tier 1), every registered query must appear exactly once
+    overall, and the rotation must emit least-recently-driver-green
+    first so never-graded operators drain at 27 slots/round."""
+    from smartbulkcopy_spark.queries import (
+        DRIVER_WINDOW,
+        LAST_GREEN,
+        TIER1,
+        ordered_names,
+    )
 
     names = ordered_names()
     assert sorted(names) == sorted(REGISTRY)
-    window = set(names[:50])
+    window = set(names[: DRIVER_WINDOW])
     assert set(TIER1) <= window
-    assert set(TIER2) <= window
+
+    # Rotation invariant: after the pinned tier-1 block, last-green rounds
+    # are non-decreasing (never-graded = round 0 sorts first).
+    rounds = [LAST_GREEN.get(n, 0) for n in names[len(TIER1) :]]
+    assert rounds == sorted(rounds)
+
+    # Every never-graded query must be inside the next driver window while
+    # capacity allows (backlog <= rotating slots).
+    never = [n for n in names if n not in LAST_GREEN]
+    capacity = DRIVER_WINDOW - len(TIER1)
+    if len(never) <= capacity:
+        assert set(never) <= window
+    # The ledger only names registered queries (no typos / renames).
+    assert set(LAST_GREEN) <= set(REGISTRY)
 
     import __spark_entry__ as e
 
