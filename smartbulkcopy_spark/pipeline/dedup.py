@@ -567,72 +567,119 @@ def q63(spark, sf_dir):
 # is one join + one min-aggregation, both hash-partitioned on id keys,
 # and converges in O(component diameter) rounds — near-dup families are
 # shallow (a few hops), not long chains, so a handful of rounds settles
-# 100 TB-scale corpora. Every round localCheckpoints the label table:
+# 100 TB-scale corpora. Every round checkpoints the label table so
 # lineage stays O(1) instead of growing one join per round (the classic
-# iterative-Spark failure mode). For adversarial diameters the
+# iterative-Spark failure mode): localCheckpoint() by default (fast,
+# executor-local blocks — fine on local[N] and for short jobs), or a
+# RELIABLE checkpoint() when the session has a checkpoint dir configured
+# (spark.sparkContext.setCheckpointDir), which survives executor loss —
+# the right setting for a 1000-executor cluster where losing one node
+# mid-iteration must not kill the job. For adversarial diameters the
 # large-star/small-star variant (Kiveris et al., "Connected Components
 # in MapReduce and Beyond") halves path lengths per round; hash-min is
 # the right default for the shallow components dedup graphs produce.
 # ---------------------------------------------------------------------------
 
-MAX_CC_ROUNDS = 25
+# Round budget: each round is one cheap id-keyed join + min-agg over the
+# (tiny) verified-pair node set, so the budget is generous — a diameter
+# beyond this on a *verified near-dup* graph means templated boilerplate
+# chains, worth failing loudly over rather than looping forever.
+MAX_CC_ROUNDS = 50
 
 
-def dedup_clusters(spark, sf_dir):
-    """(doc_id, cluster_rep) for every document in >=1 verified near-dup
-    pair; cluster_rep = min doc_id of its connected component."""
-    edges = (
+def verified_pairs(spark, sf_dir):
+    """The verified near-dup edge set: LSH candidates whose exact
+    Jaccard clears the dedup threshold. The one expensive artifact the
+    dedup family shares — compute it once (persist it) and inject it
+    into `dedup_clusters(pairs=...)` / `cluster_keep_docs(...)` /
+    `curate.curated_docs(pairs=...)` so a production run pays for LSH +
+    verification a single time."""
+    return (
         jaccard_pairs(spark, sf_dir)
         .where(F.col("jaccard_millis") >= NEAR_DUP_JACCARD_MILLIS)
         .select("a_id", "b_id")
-        .persist()
     )
-    edges.count()  # materialize: read twice per round (see q33 pattern)
-    sym = edges.select(
-        F.col("a_id").alias("u"), F.col("b_id").alias("v")
-    ).union(edges.select(F.col("b_id").alias("u"), F.col("a_id").alias("v")))
 
-    # Init fuses the first propagation round: every member appears as u
-    # in the symmetric edge list, so label(u) = min(u, min neighbor) is
-    # both the node inventory and one round of hash-min for free.
-    labels = (
-        sym.groupBy("u")
-        .agg(F.min("v").alias("mn"))
-        .select(
-            F.col("u").alias("node"),
-            F.least(F.col("u"), F.col("mn")).alias("lbl"),
+
+def _truncate_lineage(df, spark, reliable):
+    """Per-round lineage truncation for the iterative CC loop.
+
+    reliable=None (auto) uses a fault-tolerant checkpoint() iff the
+    session has a checkpoint dir configured, else localCheckpoint().
+    Both paths are eager, so each round's plan is computed exactly once.
+    """
+    if reliable is None:
+        reliable = spark.sparkContext.getCheckpointDir() is not None
+    if reliable:
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint()
+
+
+def dedup_clusters(spark, sf_dir, pairs=None, reliable=None):
+    """(doc_id, cluster_rep) for every document in >=1 verified near-dup
+    pair; cluster_rep = min doc_id of its connected component.
+
+    pairs: optional precomputed verified-pair DataFrame (a_id, b_id) —
+    see `verified_pairs`. reliable: force fault-tolerant checkpoint()
+    (True), localCheckpoint() (False), or auto-detect from the session's
+    checkpoint dir (None).
+    """
+    # .select() wraps caller-provided pairs in a fresh plan node, so the
+    # persist/unpersist below never touches the caller's own cache state.
+    edges = (
+        verified_pairs(spark, sf_dir) if pairs is None else pairs
+    ).select("a_id", "b_id").persist()
+    try:
+        edges.count()  # materialize: read twice per round (q33 pattern)
+        sym = edges.select(
+            F.col("a_id").alias("u"), F.col("b_id").alias("v")
+        ).union(edges.select(F.col("b_id").alias("u"), F.col("a_id").alias("v")))
+
+        # Init fuses the first propagation round: every member appears as
+        # u in the symmetric edge list, so label(u) = min(u, min neighbor)
+        # is both the node inventory and one round of hash-min for free.
+        labels = _truncate_lineage(
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select(
+                F.col("u").alias("node"),
+                F.least(F.col("u"), F.col("mn")).alias("lbl"),
+            ),
+            spark,
+            reliable,
         )
-        .localCheckpoint()
-    )
-    for _ in range(MAX_CC_ROUNDS):
-        # candidate label for v: the smallest current label among its
-        # neighbors u; labels only ever decrease, so min(old, candidates)
-        # is monotone and the fixpoint is exactly min-id-in-component.
-        # The per-node OLD label rides the same aggregation (each node
-        # contributes exactly one own=true row), so convergence is a
-        # filter-count on the checkpointed result — no per-round join.
-        cand = sym.join(
-            labels, sym["u"] == labels["node"]
-        ).select(F.col("v").alias("node"), F.col("lbl"))
-        new_labels = (
-            labels.withColumn("own", F.lit(True))
-            .union(cand.withColumn("own", F.lit(False)))
-            .groupBy("node")
-            .agg(
-                F.min("lbl").alias("lbl"),
-                F.min(F.when(F.col("own"), F.col("lbl"))).alias("old"),
+        for _ in range(MAX_CC_ROUNDS):
+            # candidate label for v: the smallest current label among its
+            # neighbors u; labels only ever decrease, so min(old,
+            # candidates) is monotone and the fixpoint is exactly
+            # min-id-in-component. The per-node OLD label rides the same
+            # aggregation (each node contributes exactly one own=true
+            # row), so convergence is a filter-count on the checkpointed
+            # result — no per-round join.
+            cand = sym.join(
+                labels, sym["u"] == labels["node"]
+            ).select(F.col("v").alias("node"), F.col("lbl"))
+            new_labels = _truncate_lineage(
+                labels.withColumn("own", F.lit(True))
+                .union(cand.withColumn("own", F.lit(False)))
+                .groupBy("node")
+                .agg(
+                    F.min("lbl").alias("lbl"),
+                    F.min(F.when(F.col("own"), F.col("lbl"))).alias("old"),
+                ),
+                spark,
+                reliable,
             )
-            .localCheckpoint()  # truncate lineage every round
-        )
-        changed = new_labels.where(F.col("lbl") < F.col("old")).count()
-        labels = new_labels.select("node", "lbl")
-        if changed == 0:
-            break
-    else:
-        raise RuntimeError(
-            f"dedup_clusters did not converge in {MAX_CC_ROUNDS} rounds"
-        )
-    edges.unpersist()
+            changed = new_labels.where(F.col("lbl") < F.col("old")).count()
+            labels = new_labels.select("node", "lbl")
+            if changed == 0:
+                break
+        else:
+            raise RuntimeError(
+                f"dedup_clusters did not converge in {MAX_CC_ROUNDS} rounds"
+            )
+    finally:
+        edges.unpersist()
     return labels.select(
         F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_rep")
     ).orderBy("doc_id")
@@ -694,10 +741,17 @@ def q69(spark, sf_dir):
     " the (tiny) non-representative member set.",
 )
 def q70(spark, sf_dir):
+    return cluster_keep_docs(spark, sf_dir)
+
+
+def cluster_keep_docs(spark, sf_dir, labels=None):
+    """Keep-list under cluster semantics; labels: optional precomputed
+    (doc_id, cluster_rep) table from `dedup_clusters` so composed
+    pipelines (curate) pay for LSH + verify + label propagation once."""
     docs = table(spark, sf_dir, "documents").select("doc_id")
-    drops = (
-        dedup_clusters(spark, sf_dir)
-        .where(F.col("doc_id") != F.col("cluster_rep"))
-        .select("doc_id")
+    if labels is None:
+        labels = dedup_clusters(spark, sf_dir)
+    drops = labels.where(F.col("doc_id") != F.col("cluster_rep")).select(
+        "doc_id"
     )
     return docs.join(drops, "doc_id", "left_anti").orderBy("doc_id")

@@ -367,3 +367,63 @@ def test_cluster_keep_list_refines_pair_keep_list(spark, sf_dir):
         for r in REGISTRY["q70_cluster_dedup_keep"].fn(spark, sf_dir).collect()
     }
     assert cluster_keep <= pair_keep
+
+
+def test_dedup_clusters_reliable_checkpoint_matches_local(spark, sf_dir, tmp_path):
+    """The fault-tolerant checkpoint() path (cluster deployments: survives
+    executor loss mid-iteration) must produce bit-identical labels to the
+    default localCheckpoint() path."""
+    from smartbulkcopy_spark.pipeline.dedup import dedup_clusters
+
+    local = dedup_clusters(spark, sf_dir, reliable=False).collect()
+    assert local, "fixture must yield clusters"
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    assert dedup_clusters(spark, sf_dir, reliable=True).collect() == local
+    # auto mode detects the configured dir and takes the reliable path
+    assert dedup_clusters(spark, sf_dir, reliable=None).collect() == local
+
+
+def test_dedup_pair_injection_single_materialization(spark, sf_dir):
+    """Injecting one persisted verified-pair set into every consumer must
+    (a) leave answers unchanged and (b) actually reuse the cached pairs —
+    the consumers' plans read an InMemoryRelation instead of rebuilding
+    the LSH+verify pipeline."""
+    import pyspark.sql.functions as F
+
+    from smartbulkcopy_spark.pipeline.curate import curated_docs
+    from smartbulkcopy_spark.pipeline.dedup import (
+        cluster_keep_docs,
+        dedup_clusters,
+        verified_pairs,
+    )
+
+    spark.catalog.clearCache()  # plan-shape check: no stale caches
+    base_labels = dedup_clusters(spark, sf_dir).collect()
+    base_curated = sorted(
+        r["doc_id"] for r in curated_docs(spark, sf_dir).select("doc_id").collect()
+    )
+
+    pairs = verified_pairs(spark, sf_dir).persist()
+    try:
+        pairs.count()
+        cur = curated_docs(spark, sf_dir, pairs=pairs)
+        assert "InMemoryTableScan" in cur._jdf.queryExecution().executedPlan().toString()
+        assert (
+            sorted(r["doc_id"] for r in cur.select("doc_id").collect())
+            == base_curated
+        )
+        labels = dedup_clusters(spark, sf_dir, pairs=pairs, reliable=False)
+        got = labels.collect()
+        assert got == base_labels
+        keep = cluster_keep_docs(
+            spark,
+            sf_dir,
+            labels=spark.createDataFrame(got, ["doc_id", "cluster_rep"]),
+        )
+        drop_ids = {
+            r["doc_id"] for r in got if r["doc_id"] != r["cluster_rep"]
+        }
+        kept_ids = {r["doc_id"] for r in keep.collect()}
+        assert not (kept_ids & drop_ids)
+    finally:
+        pairs.unpersist()
