@@ -246,6 +246,16 @@ def copy_benchmarks(spark, sf_dir: str) -> dict[str, object]:
                     copy_table(spark, plan.tasks, dest, truncate=True)
                     secs = time.perf_counter() - t0
                     best = secs if best is None else min(best, secs)
+                    # Outside the timed region: every layout must have
+                    # written EXACTLY the source rows — the rows/s
+                    # numbers (incl. the ordered-8x win) are meaningless
+                    # if a layout under-writes. Metadata-only count.
+                    written = spark.read.parquet(dest).count()
+                    assert written == src.size.row_count, (
+                        name,
+                        written,
+                        src.size.row_count,
+                    )
                 finally:
                     shutil.rmtree(dest, ignore_errors=True)
             out[f"{name}{suffix}"] = round(best, 4)
@@ -280,6 +290,8 @@ def copy_benchmarks(spark, sf_dir: str) -> dict[str, object]:
     shape["partitioned_beats_heap_8x"] = (
         out["heap_partitioned_8x"] <= out["heap_8x"]
     )
+    # set by the per-layout asserts above (an under-writing layout raises)
+    shape["rows_verified"] = True
     shape["note"] = COPY_SHAPE_NOTE
     out["shape"] = shape
     return out
@@ -348,21 +360,31 @@ def emit_payloads(
     compact_copy["shape"]["note"] = "see BENCH_DETAIL.json"
 
     total = round(sum(timings.values()), 2)
-    line = json.dumps(
-        {
-            "metric": "sum_of_query_wall_times",
-            "value": total,
-            "unit": "sec",
-            "queries": compact_queries,
-            "copy": compact_copy,
-            "sf": sf,
-        },
-        separators=(",", ":"),
-    )
-    assert len(line) <= MAX_LINE, (
-        f"bench JSON line {len(line)} chars > {MAX_LINE}: would overflow the"
-        " driver's stdout tail — shorten keys or move data to the detail file"
-    )
+    payload = {
+        "metric": "sum_of_query_wall_times",
+        "value": total,
+        "unit": "sec",
+        "queries": compact_queries,
+        "copy": compact_copy,
+        "sf": sf,
+    }
+    line = json.dumps(payload, separators=(",", ":"))
+    if len(line) > MAX_LINE:
+        # Degrade, never crash: a line that outgrows the driver's stdout
+        # tail must still parse — drop the biggest dict (per-query
+        # timings, which live in BENCH_DETAIL.json anyway), then the copy
+        # dict, rather than printing nothing and recording a null round.
+        # test_bench_emit asserts the full line fits with headroom, so
+        # reaching this path in production means ~20+ new queries landed
+        # since the test last ran.
+        for drop in ("queries", "copy"):
+            payload.pop(drop, None)
+            payload.setdefault("truncated", []).append(
+                f"{drop}: see BENCH_DETAIL.json"
+            )
+            line = json.dumps(payload, separators=(",", ":"))
+            if len(line) <= MAX_LINE:
+                break
     detail = {
         "metric": "sum_of_query_wall_times",
         "value": round(sum(timings.values()), 4),

@@ -660,6 +660,134 @@ def q68(spark, sf_dir):
     )
 
 
+# Span REMOVAL — the operator an eval-decontamination pipeline actually
+# ships. q68 detects leaked 5-grams; this rewrites the training corpus so
+# the leakage is GONE: every token covered by a leaked 5-gram window is
+# dropped and each maximal dropped run collapses to one sentinel token.
+# Residual leakage is provably zero: any 5-gram of the redacted text that
+# does not contain the sentinel is a contiguous run of kept tokens, which
+# was a contiguous window of the original text — and every leaked window
+# was removed; grams containing the sentinel cannot match eval grams
+# because the sentinel token never occurs in (normalized) eval text.
+DECON_SENTINEL = "<redacted>"
+
+
+def _covered(j: str) -> str:
+    """SQL predicate: token position `j` lies inside a leaked window
+    starting at any hit position h (windows span h .. h+N-1)."""
+    return f"exists(hits, h -> {j} >= h AND {j} <= h + {DECON_N - 1})"
+
+
+@register(
+    "q80_decontaminated_redact",
+    "WITH tok AS (SELECT doc_id, source, string_split(trim("
+    + NORM_SQL_DUCK + "), ' ') AS t FROM documents"
+    f" WHERE trim({NORM_SQL_DUCK}) != ''),"
+    f" ev AS (SELECT DISTINCT unnest(list_transform("
+    f"range(1, len(t) - {DECON_N - 1} + 1),"
+    f" i -> md5(array_to_string(list_slice(t, i, i + {DECON_N - 1}),"
+    f" ' ')))) AS gh FROM tok"
+    f" WHERE source = '{DECON_EVAL_SOURCE}' AND len(t) >= {DECON_N}),"
+    f" trn AS (SELECT doc_id, t FROM tok"
+    f" WHERE source != '{DECON_EVAL_SOURCE}'),"
+    f" tg0 AS (SELECT doc_id, t,"
+    f" unnest(range(1, len(t) - {DECON_N - 1} + 1)) AS i FROM trn"
+    f" WHERE len(t) >= {DECON_N}),"
+    " tg AS (SELECT doc_id, i,"
+    f" md5(array_to_string(list_slice(t, i, i + {DECON_N - 1}), ' '))"
+    " AS gh FROM tg0),"
+    " hit AS (SELECT doc_id, list(i) AS hits FROM tg"
+    " JOIN ev USING (gh) GROUP BY doc_id),"
+    " red AS (SELECT trn.doc_id, trn.t,"
+    " coalesce(h.hits, []) AS hits FROM trn LEFT JOIN hit h USING (doc_id))"
+    " SELECT doc_id,"
+    " CAST(len(list_filter(range(1, len(t) + 1), j ->"
+    f" len(list_filter(hits, h -> j >= h AND j <= h + {DECON_N - 1})) > 0))"
+    " AS BIGINT) AS n_tokens_removed,"
+    " CAST(len(list_filter(range(1, len(t) + 1), j ->"
+    f" len(list_filter(hits, h -> j >= h AND j <= h + {DECON_N - 1})) > 0"
+    " AND (j = 1 OR len(list_filter(hits, h ->"
+    f" j - 1 >= h AND j - 1 <= h + {DECON_N - 1})) = 0)))"
+    " AS BIGINT) AS n_spans,"
+    " array_to_string(list_filter(list_transform(range(1, len(t) + 1),"
+    " j -> CASE WHEN len(list_filter(hits, h ->"
+    f" j >= h AND j <= h + {DECON_N - 1})) = 0 THEN t[j]"
+    " WHEN j = 1 OR len(list_filter(hits, h ->"
+    f" j - 1 >= h AND j - 1 <= h + {DECON_N - 1})) = 0"
+    f" THEN '{DECON_SENTINEL}' ELSE '' END), p -> p != ''), ' ')"
+    " AS redacted_text"
+    " FROM red ORDER BY doc_id",
+    doc="Verbatim-span REMOVAL completing q68's detection: every training"
+    " document rewritten with leaked 5-gram windows excised, maximal"
+    " removed runs collapsed to one sentinel token, plus removal counts."
+    " Residual leakage is zero by construction (see module comment)."
+    " Scale shape: the hit positions come from the same inverted-index"
+    " gram-hash join as q68 (eval side deduped, shuffle carries 16-byte"
+    " hash + doc_id + int position, never text); per-doc hit lists are"
+    " collected once (bounded by doc length) and the rewrite itself is"
+    " row-local array arithmetic — no second corpus shuffle.",
+)
+def q80(spark, sf_dir):
+    docs = spread(spark, table(spark, sf_dir, "documents"))
+    n = F.trim(norm_text())
+    tok = (
+        docs.select("doc_id", "source", n.alias("n"))
+        .where(F.col("n") != "")
+        .select("doc_id", "source", F.split(F.col("n"), " ").alias("t"))
+    )
+    gram_struct = F.expr(
+        f"transform(sequence(1, size(t) - {DECON_N - 1}),"
+        f" i -> struct(i AS i, md5(array_join(slice(t, i, {DECON_N}), ' '))"
+        " AS gh))"
+    )
+    ev = (
+        tok.where(
+            (F.col("source") == DECON_EVAL_SOURCE)
+            & (F.size("t") >= DECON_N)
+        )
+        .select(F.explode(gram_struct).alias("g"))
+        .select(F.col("g.gh").alias("gh"))
+        .distinct()
+    )
+    trn = tok.where(F.col("source") != DECON_EVAL_SOURCE).select(
+        "doc_id", "t"
+    )
+    hits = (
+        trn.where(F.size("t") >= DECON_N)
+        .select("doc_id", F.explode(gram_struct).alias("g"))
+        .select("doc_id", F.col("g.i").alias("i"), F.col("g.gh").alias("gh"))
+        .join(ev, "gh")
+        .groupBy("doc_id")
+        .agg(F.collect_set("i").alias("hits"))
+    )
+    red = trn.join(hits, "doc_id", "left").select(
+        "doc_id",
+        "t",
+        F.coalesce(F.col("hits"), F.expr("array()")).alias("hits"),
+    )
+    piece = (
+        f"CASE WHEN NOT {_covered('j')} THEN element_at(t, j)"
+        f" WHEN j = 1 OR NOT {_covered('j - 1')}"
+        f" THEN '{DECON_SENTINEL}' ELSE '' END"
+    )
+    return red.select(
+        "doc_id",
+        F.expr(f"size(filter(sequence(1, size(t)), j -> {_covered('j')}))")
+        .cast("bigint")
+        .alias("n_tokens_removed"),
+        F.expr(
+            f"size(filter(sequence(1, size(t)), j -> {_covered('j')}"
+            f" AND (j = 1 OR NOT {_covered('j - 1')})))"
+        )
+        .cast("bigint")
+        .alias("n_spans"),
+        F.expr(
+            f"array_join(filter(transform(sequence(1, size(t)),"
+            f" j -> {piece}), p -> p != ''), ' ')"
+        ).alias("redacted_text"),
+    ).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # Corpus-model novelty scoring: a two-pass character-trigram model. Pass 1
 # learns the corpus's top-V trigrams (the "model" — small by construction);

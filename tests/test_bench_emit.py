@@ -74,3 +74,21 @@ def test_detail_keeps_full_names_and_note():
     assert set(detail["queries"]) == set(REGISTRY)
     assert detail["copy"]["shape"]["note"] == bench.COPY_SHAPE_NOTE
     assert detail["copy"]["heap_partitioned_8x_rows_per_sec"] == 1234567
+
+
+def test_line_degrades_gracefully_on_overflow():
+    """If the compact line ever outgrows the driver tail (e.g. hundreds of
+    registrations), bench must still print a parseable line with the
+    headline metric rather than crashing and recording a null round."""
+    timings, copies = worst_case_payloads()
+    flood = dict(timings)
+    for i in range(100, 500):
+        flood[f"q{i}_future_operator"] = 123.4567
+    line, detail = bench.emit_payloads(flood, copies, 0.1)
+    assert len(line) <= bench.MAX_LINE
+    doc = json.loads(line)
+    assert doc["metric"] == "sum_of_query_wall_times"
+    assert abs(doc["value"] - sum(flood.values())) < 0.01
+    assert "queries" not in doc and doc["truncated"]
+    # the detail file still carries everything
+    assert set(detail["queries"]) == set(flood)

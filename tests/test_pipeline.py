@@ -427,3 +427,63 @@ def test_dedup_pair_injection_single_materialization(spark, sf_dir):
         assert not (kept_ids & drop_ids)
     finally:
         pairs.unpersist()
+
+
+def test_q80_redaction_eliminates_leakage(spark, sf_dir):
+    """The redacted corpus must contain ZERO eval 5-grams (the whole point
+    of the operator), documents without hits must pass through unchanged,
+    and every flagged q68 doc must have had tokens removed."""
+    import pyspark.sql.functions as F
+
+    from smartbulkcopy_spark.pipeline.text import (
+        DECON_EVAL_SOURCE,
+        DECON_N,
+        DECON_SENTINEL,
+        norm_text,
+    )
+    from smartbulkcopy_spark.queries import REGISTRY, table
+
+    red = REGISTRY["q80_decontaminated_redact"].fn(spark, sf_dir).collect()
+    flagged = {
+        r["doc_id"]
+        for r in REGISTRY["q68_eval_decontamination"].fn(spark, sf_dir).collect()
+    }
+    assert flagged, "fixture must contain leaked documents"
+    touched = {r["doc_id"] for r in red if r["n_tokens_removed"] > 0}
+    assert touched == flagged
+
+    # unhit docs: normalized text unchanged
+    norm = {
+        r["doc_id"]: r["n"]
+        for r in table(spark, sf_dir, "documents")
+        .where(F.col("source") != DECON_EVAL_SOURCE)
+        .select("doc_id", F.trim(norm_text()).alias("n"))
+        .collect()
+    }
+    for r in red:
+        if r["n_tokens_removed"] == 0:
+            assert r["redacted_text"] == norm[r["doc_id"]]
+        else:
+            assert DECON_SENTINEL in r["redacted_text"]
+            assert r["n_spans"] >= 1
+
+    # residual audit: re-gram the redacted corpus against the eval set
+    ev = {
+        g
+        for r in table(spark, sf_dir, "documents")
+        .where(F.col("source") == DECON_EVAL_SOURCE)
+        .select(F.trim(norm_text()).alias("n"))
+        .collect()
+        for t in [r["n"].split(" ")]
+        for g in (
+            " ".join(t[i : i + DECON_N]) for i in range(len(t) - DECON_N + 1)
+        )
+    }
+    assert ev
+    residual = 0
+    for r in red:
+        t = r["redacted_text"].split(" ")
+        for i in range(len(t) - DECON_N + 1):
+            if " ".join(t[i : i + DECON_N]) in ev:
+                residual += 1
+    assert residual == 0
