@@ -615,20 +615,20 @@ def _truncate_lineage(df, spark, reliable):
     return df.localCheckpoint()
 
 
-def dedup_clusters(spark, sf_dir, pairs=None, reliable=None):
-    """(doc_id, cluster_rep) for every document in >=1 verified near-dup
-    pair; cluster_rep = min doc_id of its connected component.
+def connected_components(spark, pair_df, reliable=None):
+    """Hash-min label propagation over an undirected edge list.
 
-    pairs: optional precomputed verified-pair DataFrame (a_id, b_id) —
-    see `verified_pairs`. reliable: force fault-tolerant checkpoint()
-    (True), localCheckpoint() (False), or auto-detect from the session's
-    checkpoint dir (None).
-    """
+    pair_df: DataFrame with columns (a_id, b_id) — one row per edge.
+    Returns (node, lbl) where lbl = min node id of the component. The
+    graph is any near-dup pair set (Jaccard-verified text pairs,
+    cosine-verified embedding pairs, ...) — orders of magnitude smaller
+    than the corpus, so the iteration runs on (id, label) pairs only.
+    reliable: force fault-tolerant checkpoint() (True),
+    localCheckpoint() (False), or auto-detect from the session's
+    checkpoint dir (None)."""
     # .select() wraps caller-provided pairs in a fresh plan node, so the
     # persist/unpersist below never touches the caller's own cache state.
-    edges = (
-        verified_pairs(spark, sf_dir) if pairs is None else pairs
-    ).select("a_id", "b_id").persist()
+    edges = pair_df.select("a_id", "b_id").persist()
     try:
         edges.count()  # materialize: read twice per round (q33 pattern)
         sym = edges.select(
@@ -676,10 +676,24 @@ def dedup_clusters(spark, sf_dir, pairs=None, reliable=None):
                 break
         else:
             raise RuntimeError(
-                f"dedup_clusters did not converge in {MAX_CC_ROUNDS} rounds"
+                f"connected_components did not converge in"
+                f" {MAX_CC_ROUNDS} rounds"
             )
     finally:
         edges.unpersist()
+    return labels
+
+
+def dedup_clusters(spark, sf_dir, pairs=None, reliable=None):
+    """(doc_id, cluster_rep) for every document in >=1 verified near-dup
+    pair; cluster_rep = min doc_id of its connected component.
+
+    pairs: optional precomputed verified-pair DataFrame (a_id, b_id) —
+    see `verified_pairs`. reliable: see `connected_components`.
+    """
+    if pairs is None:
+        pairs = verified_pairs(spark, sf_dir)
+    labels = connected_components(spark, pairs, reliable=reliable)
     return labels.select(
         F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_rep")
     ).orderBy("doc_id")

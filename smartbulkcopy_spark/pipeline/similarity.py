@@ -403,6 +403,45 @@ def q33(spark, sf_dir):
     )
 
 
+@register(
+    "q81_embedding_dedup_clusters",
+    "WITH RECURSIVE b AS (SELECT vec_id, embedding,"
+    f" CAST({bucket_expr('duck')} AS BIGINT) AS bk FROM embeddings),"
+    " p AS (SELECT x.vec_id AS a_id, y.vec_id AS b_id,"
+    f" {_dot_duck('x.embedding', 'y.embedding')}"
+    f" / (sqrt({_dot_duck('x.embedding', 'x.embedding')})"
+    f" * sqrt({_dot_duck('y.embedding', 'y.embedding')})) AS cos"
+    " FROM b x JOIN b y ON x.bk = y.bk AND x.vec_id < y.vec_id),"
+    f" vp AS (SELECT a_id, b_id FROM p WHERE cos >= {NEAR_DUP_COS}),"
+    " sym AS (SELECT a_id AS u, b_id AS v FROM vp"
+    " UNION ALL SELECT b_id, a_id FROM vp),"
+    " reach(u, v) AS (SELECT u, v FROM sym"
+    " UNION SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u)"
+    " SELECT u AS vec_id, CAST(least(u, min(v)) AS BIGINT) AS cluster_rep"
+    " FROM reach GROUP BY u ORDER BY vec_id",
+    doc="Transitive SEMANTIC dedup: connected components over the q33"
+    " cosine near-dup pair graph, so paraphrase chains A~B~C collapse to"
+    " one family even when (A, C) never co-bucketed. Reuses the"
+    " bucketed (never all-pairs) pair generation as-is and the same"
+    " hash-min label propagation as q69 (id-keyed joins on the tiny"
+    " verified edge set, per-round lineage truncation, reliable-"
+    " checkpoint option for cluster deployments). Oracle: DuckDB"
+    " recursive-CTE reachability over the same pair set.",
+)
+def q81(spark, sf_dir):
+    from smartbulkcopy_spark.pipeline.dedup import connected_components
+
+    pairs = q33(spark, sf_dir).select("a_id", "b_id")
+    return (
+        connected_components(spark, pairs)
+        .select(
+            F.col("node").alias("vec_id"),
+            F.col("lbl").alias("cluster_rep"),
+        )
+        .orderBy("vec_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # IVF: the second ANN scale path. Centroids here are a deterministic
 # sample (the K lowest vec_ids) — centroid TRAINING (k-means) is an
