@@ -1,0 +1,248 @@
+"""Streaming corpus ingestion: the path a 100 TB training corpus actually
+arrives through — JSONL files landing continuously, read as a Structured
+Stream, parsed against the DECLARED schema, malformed lines quarantined
+with their raw bytes, and each micro-batch exact-deduplicated against the
+already-ingested corpus before it is appended.
+
+The reference's only "continuous" surface is the monitor polling loop
+(reference: client/SmartBulkCopy.cs:665-766); the batch half of this
+contract is `sources/jsonl.py` (same schema, same reject rule) and the
+batch-vs-index incremental dedup is q63 — this module is the readStream
+composition of the two.
+
+Scale notes (100 TB):
+- File-source micro-batches map 1:1 onto landing files; the declared
+  schema keeps the stream single-pass (inference is impossible on a
+  stream anyway), and `maxFilesPerTrigger` bounds per-batch memory.
+- The dedup join is NEW-BATCH x INDEX on the 16-byte content
+  fingerprint: the index side is an id+fingerprint projection of the
+  ingested corpus (columnar scan reads two columns, never text), the
+  batch side is micro-batch-sized, so the whole corpus is never
+  re-shuffled per batch — the q63 shape, continuously.
+- Restart safety is two-layered: the stream checkpoint makes file
+  delivery exactly-once, and the fingerprint anti-join makes ingestion
+  idempotent even under a LOST checkpoint (re-delivered documents land
+  in the index as no-ops) — the same staged-idempotency stance as the
+  copy path's staging commit (sources/jdbc.py).
+- Quarantined lines carry their raw bytes + arrival batch id, so corpus
+  accounting (lines in = clean + rejected) holds across restarts.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from smartbulkcopy_spark.pipeline.text import norm_text
+from smartbulkcopy_spark.queries import register, table
+from smartbulkcopy_spark.sources.jsonl import DOCUMENTS_SCHEMA
+
+def required_ok():
+    """The shared clean-line rule (same as sources/jsonl.py): parsed AND
+    carries the required id/text fields. A function, not a module-level
+    Column — building a Column needs an active SparkContext."""
+    return (
+        F.col("d").isNotNull()
+        & F.col("d.doc_id").isNotNull()
+        & F.col("d.text").isNotNull()
+    )
+
+
+def read_documents_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Open a JSONL corpus directory as a stream of parsed lines.
+
+    Returns the raw+parsed shape (raw_line, d struct, ok flag); split it
+    with ``where(ok)`` / ``where(~ok)`` exactly like the batch reader —
+    one text scan, schema declared, nothing inferred."""
+    reader = spark.readStream
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    lines = reader.text(path)
+    return lines.select(
+        F.col("value").alias("raw_line"),
+        F.from_json("value", DOCUMENTS_SCHEMA).alias("d"),
+    ).withColumn("ok", required_ok())
+
+
+def _existing_fingerprints(spark: SparkSession, out_dir: str) -> DataFrame | None:
+    """The ingested corpus's fingerprint index, or None before first
+    append. Columnar projection: reads one 16-byte column, never text."""
+    try:
+        if not any(
+            f.endswith(".parquet")
+            for _, _, files in os.walk(out_dir)
+            for f in files
+        ):
+            return None
+    except OSError:
+        return None
+    return spark.read.parquet(out_dir).select("fingerprint")
+
+
+def run_corpus_ingest(
+    spark: SparkSession,
+    in_path: str,
+    out_dir: str,
+    quarantine_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Ingest everything currently in `in_path` (availableNow trigger):
+    per micro-batch, quarantine rejects, exact-dedup clean docs within
+    the batch (keep-first by doc_id) and against the ingested index,
+    then append the survivors. Blocks until the backlog drains."""
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        parsed = batch_df.select(
+            F.col("raw_line"),
+            F.from_json("raw_line", DOCUMENTS_SCHEMA).alias("d"),
+        )
+        rejects = parsed.where(~required_ok()).select("raw_line")
+        (
+            rejects.withColumn("batch_id", F.lit(batch_id).cast("long"))
+            .write.mode("append")
+            .parquet(quarantine_dir)
+        )
+        clean = (
+            parsed.where(required_ok())
+            .select("d.*")
+            .withColumn("n_chars", F.length("text").cast("long"))
+            .withColumn("fingerprint", F.md5(norm_text()))
+        )
+        # within-batch keep-first (min doc_id per fingerprint): the q21
+        # groupBy-join spelling — ids only on the keep-list side
+        keep = clean.groupBy("fingerprint").agg(
+            F.min("doc_id").alias("doc_id")
+        )
+        fresh = clean.join(keep, ["fingerprint", "doc_id"], "left_semi")
+        index = _existing_fingerprints(spark, out_dir)
+        if index is not None:
+            fresh = fresh.join(index, "fingerprint", "left_anti")
+        fresh.write.mode("append").parquet(out_dir)
+
+    stream = read_documents_stream(spark, in_path, max_files_per_trigger)
+    q = (
+        stream.select("raw_line")
+        .writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+# ---------------------------------------------------------------------------
+# q82: the ingest-quarantine accounting contract as a registered, oracle-
+# checked query. The driver grades queries over the parquet tables, so the
+# JSONL wire format is produced INSIDE the query: each document row is
+# serialized to a JSON line (per-engine serialization — never compared
+# across engines), a deterministic subset is corrupted (doc_id % 97 == 0:
+# truncated mid-object -> malformed; % 97 == 1: serialized without the
+# required text field -> parsed-but-incomplete), and the lines are pushed
+# back through the REAL parse-and-classify rule the batch and streaming
+# readers share. The audit row is the accounting identity every ingest
+# run must satisfy: n_lines = n_clean + n_malformed + n_incomplete.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q82_jsonl_ingest_audit",
+# to_json returns JSON-typed values; the casts keep the corrupted line
+# VARCHAR (a CASE unifying VARCHAR with JSON coerces back to JSON and
+# THROWS on the deliberately-truncated arm).
+    "WITH l AS (SELECT doc_id % 97 AS m,"
+    " CAST(to_json(struct_pack(doc_id := doc_id, text := text,"
+    " lang := lang, source := source)) AS VARCHAR) AS line,"
+    " CAST(to_json(struct_pack(doc_id := doc_id, lang := lang,"
+    " source := source)) AS VARCHAR) AS line_no_text FROM documents),"
+    " j AS (SELECT CASE WHEN m = 0 THEN substr(line, 1, length(line) - 1)"
+    " WHEN m = 1 THEN line_no_text ELSE line END AS s FROM l),"
+    # json_extract_string THROWS on invalid JSON (it does not return
+    # NULL), so the extraction argument is guarded to '{}' for invalid
+    # lines — the CASE arms for those rows never read the extraction.
+    " p AS (SELECT CASE WHEN NOT json_valid(s) THEN 'malformed'"
+    " WHEN json_extract_string(CASE WHEN json_valid(s) THEN s"
+    " ELSE '{}' END, '$.doc_id') IS NULL"
+    " OR json_extract_string(CASE WHEN json_valid(s) THEN s"
+    " ELSE '{}' END, '$.text') IS NULL THEN 'incomplete'"
+    " ELSE 'clean' END AS klass FROM j)"
+    " SELECT CAST(count(*) AS BIGINT) AS n_lines,"
+    " CAST(sum(CASE WHEN klass = 'clean' THEN 1 ELSE 0 END) AS BIGINT)"
+    " AS n_clean,"
+    " CAST(sum(CASE WHEN klass = 'malformed' THEN 1 ELSE 0 END) AS BIGINT)"
+    " AS n_malformed,"
+    " CAST(sum(CASE WHEN klass = 'incomplete' THEN 1 ELSE 0 END) AS BIGINT)"
+    " AS n_incomplete FROM p",
+    doc="Ingest-quarantine accounting audit: serialize each document to a"
+    " JSON line, corrupt a deterministic subset (truncation -> malformed;"
+    " missing required field -> incomplete), re-parse through the shared"
+    " reader classification, and report the accounting identity"
+    " n_lines = n_clean + n_malformed + n_incomplete. Row-local"
+    " serialize/parse + one global count — zero shuffle beyond the"
+    " single-row aggregate; the same classify rule `sources/jsonl.py`"
+    " and the streaming ingest apply to real corpora.",
+)
+def q82(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    line = F.to_json(F.struct("doc_id", "text", "lang", "source"))
+    line_no_text = F.to_json(F.struct("doc_id", "lang", "source"))
+    m = F.col("doc_id") % 97
+    s = (
+        F.when(
+            F.col("m") == 0, F.expr("substring(line, 1, length(line) - 1)")
+        )
+        .when(F.col("m") == 1, F.col("line_no_text"))
+        .otherwise(F.col("line"))
+    )
+    # PERMISSIVE from_json does NOT null the struct on malformed input —
+    # it nulls the FIELDS — so malformed vs parsed-but-incomplete needs
+    # the corrupt-record column idiom: a _corrupt field in the parse
+    # schema captures the raw line iff parsing failed.
+    parse_schema = T.StructType(
+        [*DOCUMENTS_SCHEMA.fields, T.StructField("_corrupt", T.StringType())]
+    )
+    parsed = (
+        docs.select(
+            m.alias("m"),
+            line.alias("line"),
+            line_no_text.alias("line_no_text"),
+        )
+        .select(s.alias("s"))
+        .select(
+            F.from_json(
+                "s",
+                parse_schema,
+                {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"},
+            ).alias("d")
+        )
+        .select(
+            F.when(
+                F.col("d").isNull() | F.col("d._corrupt").isNotNull(),
+                "malformed",
+            )
+            .when(
+                F.col("d.doc_id").isNull() | F.col("d.text").isNull(),
+                "incomplete",
+            )
+            .otherwise("clean")
+            .alias("klass")
+        )
+    )
+    k = F.col("klass")
+    return parsed.agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.when(k == "clean", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_clean"),
+        F.sum(F.when(k == "malformed", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_malformed"),
+        F.sum(F.when(k == "incomplete", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_incomplete"),
+    )

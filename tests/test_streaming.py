@@ -239,3 +239,83 @@ def test_streaming_dedup_drops_redelivered_batches(spark, sf_dir, tmp_path):
 
     batch = table(spark, sf_dir, "events").select("user_id", "ts").distinct()
     assert len(keys) == batch.count()
+
+
+def test_corpus_ingest_stream_dedup_and_quarantine(spark, sf_dir, tmp_path):
+    """The streaming JSONL ingest contract: availableNow drains the
+    backlog; malformed/incomplete lines land in quarantine with raw
+    bytes; clean docs are exact-deduped within batch (keep-first) and
+    against the ingested index; a replay with a FRESH checkpoint (lost
+    stream state) ingests nothing new — idempotency comes from the
+    fingerprint index, not only the checkpoint."""
+    import json as js
+
+    import pyspark.sql.functions as F
+
+    from smartbulkcopy_spark.pipeline.ingest import run_corpus_ingest
+    from smartbulkcopy_spark.pipeline.text import norm_text
+    from smartbulkcopy_spark.queries import table
+
+    docs = [
+        r.asDict()
+        for r in table(spark, sf_dir, "documents")
+        .select("doc_id", "text", "lang", "source")
+        .orderBy("doc_id")
+        .limit(40)
+        .collect()
+    ]
+    half = len(docs) // 2
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    bad = ['{"doc_id": 1, "text": "tru', '{"doc_id": 999}', "not json at all"]
+    dup_of_0 = dict(docs[0], doc_id=100000)  # same text, new id
+    within_batch_dup = dict(docs[half], doc_id=100001)
+    with open(in_dir / "00.jsonl", "w") as f:
+        for d in docs[:half]:
+            f.write(js.dumps(d) + "\n")
+        f.write(bad[0] + "\n" + bad[1] + "\n")
+    with open(in_dir / "01.jsonl", "w") as f:
+        for d in docs[half:] + [dup_of_0, within_batch_dup]:
+            f.write(js.dumps(d) + "\n")
+        f.write(bad[2] + "\n")
+    # the file source orders batches by modification time: pin 00 older
+    # so the keep-first expectation below is deterministic
+    import os
+    import time
+
+    now = time.time()
+    os.utime(in_dir / "00.jsonl", (now - 100, now - 100))
+    os.utime(in_dir / "01.jsonl", (now, now))
+
+    out, quar, ckpt = (str(tmp_path / n) for n in ("out", "quar", "ck1"))
+    run_corpus_ingest(spark, str(in_dir), out, quar, ckpt,
+                      max_files_per_trigger=1)
+
+    ingested = spark.read.parquet(out)
+    got_ids = {r["doc_id"] for r in ingested.select("doc_id").collect()}
+    # every fixture doc ingested once; both content-dups dropped
+    assert got_ids == {d["doc_id"] for d in docs}
+    assert ingested.count() == len(docs)
+    assert (
+        ingested.select("fingerprint").distinct().count() == len(docs)
+    )
+    # fingerprints match the batch reader's normalization rule
+    expect_fp = {
+        r["fp"]
+        for r in table(spark, sf_dir, "documents")
+        .orderBy("doc_id")
+        .limit(40)
+        .select(F.md5(norm_text()).alias("fp"))
+        .collect()
+    }
+    assert {
+        r["fingerprint"] for r in ingested.select("fingerprint").collect()
+    } == expect_fp
+
+    quarantined = spark.read.parquet(quar)
+    assert sorted(r["raw_line"] for r in quarantined.collect()) == sorted(bad)
+
+    # lost-checkpoint replay: fresh checkpoint, same input, nothing new
+    run_corpus_ingest(spark, str(in_dir), out, quar, str(tmp_path / "ck2"),
+                      max_files_per_trigger=1)
+    assert spark.read.parquet(out).count() == len(docs)
