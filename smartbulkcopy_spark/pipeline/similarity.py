@@ -846,8 +846,11 @@ def q74(spark, sf_dir):
 # K-means-lite: two unrolled Lloyd iterations over the embedding corpus,
 # bit-exact across engines. Everything runs on 1e-6 floor-scaled integer
 # components: squared distances are BIGINT sums (64 dims x (1e6)^2 ~
-# 6.4e13, well inside BIGINT), argmin ties break on centroid id via a
-# (dist, cid) struct-min, and centroid updates use the q55 mean spelling
+# 6.4e13, well inside BIGINT), argmin is the PACKED spelling
+# min(d2*K + cid) % K with ties breaking on centroid id (identical in
+# both engines — struct-min has no DuckDB spelling; see _km_assign and
+# the packed-argmin property test), and centroid updates use the q55
+# mean spelling
 # floor(CAST(sum AS DOUBLE)/count). Init is deterministic: the vectors
 # with vec_id 0..K-1. The iterations are LAZY — no driver loop: each
 # assignment joins the element table against the previous (tiny)
@@ -946,10 +949,10 @@ def _km_recenter(el, assign):
     " GROUP BY cid) c ON n.cid = c.cid ORDER BY n.cid",
     doc="Two unrolled Lloyd k-means iterations (K=8, deterministic"
     " vec_id<K init) with bit-exact integer arithmetic: scaled-int"
-    " squared distances, struct-min argmin with cid tie-break, q55-rule"
-    " centroid means. Lazy iteration DAG — broadcast centroid joins, no"
-    " driver loop; output is per-cluster size + centroid checksums the"
-    " DuckDB CTE chain reproduces exactly.",
+    " squared distances, packed argmin (min(d2*K + cid) % K) with cid"
+    " tie-break, q55-rule centroid means. Lazy iteration DAG — broadcast"
+    " centroid joins, no driver loop; output is per-cluster size +"
+    " centroid checksums the DuckDB CTE chain reproduces exactly.",
 )
 def q77(spark, sf_dir):
     el = _km_el(spark, sf_dir).persist()
