@@ -769,3 +769,81 @@ def cluster_keep_docs(spark, sf_dir, labels=None):
         "doc_id"
     )
     return docs.join(drops, "doc_id", "left_anti").orderBy("doc_id")
+
+
+# The q69 label CTE chain (candidates -> jaccard verify -> symmetric
+# closure -> reachability), shared by q69/q70/q86 oracles.
+def _labels_cte_duck() -> str:
+    return (
+        _candidate_cte_duck() + ","
+        f" sh AS (SELECT doc_id, {shingle_set_expr('duck')} AS s"
+        " FROM documents),"
+        " jac AS (SELECT c.a_id, c.b_id,"
+        " CAST(floor(1000.0 * len(list_intersect(sa.s, sb.s))"
+        "   / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))))"
+        " AS BIGINT) AS j"
+        " FROM cand c JOIN sh sa ON sa.doc_id = c.a_id"
+        " JOIN sh sb ON sb.doc_id = c.b_id),"
+        " vp AS (SELECT a_id, b_id FROM jac"
+        f" WHERE j >= {NEAR_DUP_JACCARD_MILLIS}),"
+        " sym AS (SELECT a_id AS u, b_id AS v FROM vp"
+        " UNION ALL SELECT b_id, a_id FROM vp),"
+        " reach(u, v) AS (SELECT u, v FROM sym"
+        " UNION SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u),"
+        " labels AS (SELECT u AS doc_id,"
+        " CAST(least(u, min(v)) AS BIGINT) AS cluster_rep"
+        " FROM reach GROUP BY u)"
+    )
+
+
+@register(
+    "q86_split_leakage_audit",
+    "WITH RECURSIVE " + _labels_cte_duck() + ","
+    " ls AS (SELECT l.cluster_rep,"
+    " (SELECT CASE WHEN CAST(('0x' || substr(md5(CAST(l.doc_id AS"
+    " VARCHAR)), 1, 4)) AS INT) % 100 < 90 THEN 'train'"
+    " WHEN CAST(('0x' || substr(md5(CAST(l.doc_id AS VARCHAR)), 1, 4))"
+    " AS INT) % 100 < 95 THEN 'val' ELSE 'test' END) AS split"
+    " FROM labels l)"
+    " SELECT cluster_rep, count(*) AS n_members,"
+    " CAST(count(DISTINCT split) AS BIGINT) AS n_splits,"
+    " CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT)"
+    " AS n_train,"
+    " CAST(sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT)"
+    " AS n_val,"
+    " CAST(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT)"
+    " AS n_test,"
+    " (count(DISTINCT split) > 1) AS leaky"
+    " FROM ls GROUP BY cluster_rep ORDER BY cluster_rep",
+    doc="Cross-split contamination audit: every verified near-dup"
+    " cluster (q69 labels) tagged with how its members fall across the"
+    " q50 train/val/test split — a cluster spanning train AND test"
+    " means the eval set contains a near-copy of training data, the"
+    " exact leak eval-decontamination exists to prevent. The split is"
+    " the q50 hash expression over doc_id (no join to the corpus"
+    " needed); the rollup groups the TINY cluster-member table."
+    " Oracle: the q69 recursive-CTE labels + the same split CASE.",
+)
+def q86(spark, sf_dir):
+    from smartbulkcopy_spark.pipeline.text import split_col
+
+    labels = dedup_clusters(spark, sf_dir)
+    return (
+        labels.withColumn("split", split_col())
+        .groupBy("cluster_rep")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.countDistinct("split").alias("n_splits"),
+            F.sum(F.when(F.col("split") == "train", 1).otherwise(0)).alias(
+                "n_train"
+            ),
+            F.sum(F.when(F.col("split") == "val", 1).otherwise(0)).alias(
+                "n_val"
+            ),
+            F.sum(F.when(F.col("split") == "test", 1).otherwise(0)).alias(
+                "n_test"
+            ),
+        )
+        .withColumn("leaky", F.col("n_splits") > 1)
+        .orderBy("cluster_rep")
+    )

@@ -862,6 +862,35 @@ def q74(spark, sf_dir):
 
 KMEANS_K = 8
 
+# The k-means CTE chain (element explode -> init -> 2x [assign,
+# recenter]) shared by the q77 and q83 oracles.
+_KM_CTES_DUCK = (
+    "el AS (SELECT vec_id, CAST(t.i - 1 AS BIGINT) AS dim,"
+    " CAST(floor(CAST(embedding[t.i] AS DOUBLE) * 1000000.0) AS BIGINT)"
+    " AS v_e6 FROM embeddings,"
+    f" (SELECT unnest(range(1, {EMBED_DIM} + 1)) AS i) t),"
+    f" c0 AS (SELECT vec_id AS cid, dim, v_e6 AS c_e6 FROM el"
+    f" WHERE vec_id < {KMEANS_K}),"
+    " d1 AS (SELECT e.vec_id, c.cid,"
+    " CAST(sum((e.v_e6 - c.c_e6) * (e.v_e6 - c.c_e6)) AS BIGINT) AS d2"
+    " FROM el e JOIN c0 c ON e.dim = c.dim GROUP BY e.vec_id, c.cid),"
+    " a1 AS (SELECT vec_id, CAST(min(d2 * 8 + cid) % 8 AS BIGINT) AS cid"
+    " FROM d1 GROUP BY vec_id),"
+    " c1 AS (SELECT a.cid, e.dim,"
+    " CAST(floor(CAST(sum(e.v_e6) AS DOUBLE) / count(*)) AS BIGINT)"
+    " AS c_e6 FROM el e JOIN a1 a ON e.vec_id = a.vec_id"
+    " GROUP BY a.cid, e.dim),"
+    " d2s AS (SELECT e.vec_id, c.cid,"
+    " CAST(sum((e.v_e6 - c.c_e6) * (e.v_e6 - c.c_e6)) AS BIGINT) AS d2"
+    " FROM el e JOIN c1 c ON e.dim = c.dim GROUP BY e.vec_id, c.cid),"
+    " a2 AS (SELECT vec_id, CAST(min(d2 * 8 + cid) % 8 AS BIGINT) AS cid"
+    " FROM d2s GROUP BY vec_id),"
+    " c2 AS (SELECT a.cid, e.dim,"
+    " CAST(floor(CAST(sum(e.v_e6) AS DOUBLE) / count(*)) AS BIGINT)"
+    " AS c_e6 FROM el e JOIN a2 a ON e.vec_id = a.vec_id"
+    " GROUP BY a.cid, e.dim)"
+)
+
 
 def _km_el(spark, sf_dir):
     emb = spread(spark, table(spark, sf_dir, "embeddings"))
@@ -918,31 +947,8 @@ def _km_recenter(el, assign):
 
 @register(
     "q77_kmeans_lite",
-    "WITH el AS (SELECT vec_id, CAST(t.i - 1 AS BIGINT) AS dim,"
-    " CAST(floor(CAST(embedding[t.i] AS DOUBLE) * 1000000.0) AS BIGINT)"
-    " AS v_e6 FROM embeddings,"
-    f" (SELECT unnest(range(1, {EMBED_DIM} + 1)) AS i) t),"
-    f" c0 AS (SELECT vec_id AS cid, dim, v_e6 AS c_e6 FROM el"
-    f" WHERE vec_id < {KMEANS_K}),"
-    " d1 AS (SELECT e.vec_id, c.cid,"
-    " CAST(sum((e.v_e6 - c.c_e6) * (e.v_e6 - c.c_e6)) AS BIGINT) AS d2"
-    " FROM el e JOIN c0 c ON e.dim = c.dim GROUP BY e.vec_id, c.cid),"
-    " a1 AS (SELECT vec_id, CAST(min(d2 * 8 + cid) % 8 AS BIGINT) AS cid"
-    " FROM d1 GROUP BY vec_id),"
-    " c1 AS (SELECT a.cid, e.dim,"
-    " CAST(floor(CAST(sum(e.v_e6) AS DOUBLE) / count(*)) AS BIGINT)"
-    " AS c_e6 FROM el e JOIN a1 a ON e.vec_id = a.vec_id"
-    " GROUP BY a.cid, e.dim),"
-    " d2s AS (SELECT e.vec_id, c.cid,"
-    " CAST(sum((e.v_e6 - c.c_e6) * (e.v_e6 - c.c_e6)) AS BIGINT) AS d2"
-    " FROM el e JOIN c1 c ON e.dim = c.dim GROUP BY e.vec_id, c.cid),"
-    " a2 AS (SELECT vec_id, CAST(min(d2 * 8 + cid) % 8 AS BIGINT) AS cid"
-    " FROM d2s GROUP BY vec_id),"
-    " c2 AS (SELECT a.cid, e.dim,"
-    " CAST(floor(CAST(sum(e.v_e6) AS DOUBLE) / count(*)) AS BIGINT)"
-    " AS c_e6 FROM el e JOIN a2 a ON e.vec_id = a.vec_id"
-    " GROUP BY a.cid, e.dim)"
-    " SELECT n.cid, n.n_vecs, c.centroid_sum_e6, c.centroid_abs_e6"
+    "WITH " + _KM_CTES_DUCK
+    + " SELECT n.cid, n.n_vecs, c.centroid_sum_e6, c.centroid_abs_e6"
     " FROM (SELECT cid, count(*) AS n_vecs FROM a2 GROUP BY cid) n"
     " JOIN (SELECT cid, CAST(sum(c_e6) AS BIGINT) AS centroid_sum_e6,"
     " CAST(sum(abs(c_e6)) AS BIGINT) AS centroid_abs_e6 FROM c2"
@@ -970,3 +976,76 @@ def q77(spark, sf_dir):
         F.sum(F.abs("c_e6")).alias("centroid_abs_e6"),
     )
     return sizes.join(sums, "cid").orderBy("cid")
+
+
+@register(
+    "q83_cluster_pruned_sample",
+    "WITH " + _KM_CTES_DUCK + ","
+    " d3 AS (SELECT e.vec_id, c.cid,"
+    " CAST(sum((e.v_e6 - c.c_e6) * (e.v_e6 - c.c_e6)) AS BIGINT) AS d2"
+    " FROM el e JOIN c2 c ON e.dim = c.dim GROUP BY e.vec_id, c.cid),"
+    f" p3 AS (SELECT vec_id, min(d2 * {KMEANS_K} + cid) AS pk FROM d3"
+    " GROUP BY vec_id),"
+    f" a3 AS (SELECT vec_id, CAST(pk % {KMEANS_K} AS BIGINT) AS cid,"
+    f" CAST(pk // {KMEANS_K} AS BIGINT) AS d2 FROM p3),"
+    " r AS (SELECT vec_id, cid, d2,"
+    " row_number() OVER (PARTITION BY cid ORDER BY d2, vec_id) AS rn,"
+    " count(*) OVER (PARTITION BY cid) AS nc FROM a3)"
+    " SELECT vec_id, cid, d2, CAST(rn AS BIGINT) AS rnk FROM r"
+    " WHERE 2 * rn <= nc + 1 ORDER BY cid, rnk",
+    doc="Cluster-based corpus pruning (the SemDeDup / density-pruning"
+    " recipe): assign every vector to its final q77 k-means centroid,"
+    " keep the closest ceil(half) of each cluster by (d2, vec_id) —"
+    " dropping the far tail of every semantic cluster, which is where"
+    " near-duplicate and off-distribution examples concentrate."
+    " Distances reuse the bit-exact integer pipeline and the packed"
+    " argmin carries d2 along (pk DIV K) for free. The per-cluster"
+    " rank window is keyed by centroid id: in production K grows with"
+    " the corpus (SemDeDup uses ~10k-100k clusters), so partitions"
+    " stay bounded and no global window exists.",
+)
+def q83(spark, sf_dir):
+    from pyspark.sql import Window
+
+    el = _km_el(spark, sf_dir).persist()
+    el.count()  # six consumers across the 3 assigns + 2 recenters
+    c0 = el.where(F.col("vec_id") < KMEANS_K).select(
+        F.col("vec_id").alias("cid"), "dim", F.col("v_e6").alias("c_e6")
+    )
+    a1 = _km_assign(el, c0)
+    c1 = _km_recenter(el, a1)
+    a2 = _km_assign(el, c1)
+    c2 = _km_recenter(el, a2)
+    d3 = (
+        el.join(F.broadcast(c2), "dim")
+        .groupBy("vec_id", "cid")
+        .agg(
+            F.sum(
+                (F.col("v_e6") - F.col("c_e6"))
+                * (F.col("v_e6") - F.col("c_e6"))
+            ).alias("d2")
+        )
+    )
+    a3 = (
+        d3.groupBy("vec_id")
+        .agg(F.min(F.col("d2") * KMEANS_K + F.col("cid")).alias("pk"))
+        .select(
+            "vec_id",
+            (F.col("pk") % KMEANS_K).alias("cid"),
+            F.expr(f"pk DIV {KMEANS_K}").alias("d2"),
+        )
+    )
+    wr = Window.partitionBy("cid").orderBy("d2", "vec_id")
+    wc = Window.partitionBy("cid")
+    return (
+        a3.select(
+            "vec_id",
+            "cid",
+            "d2",
+            F.row_number().over(wr).cast("long").alias("rnk"),
+            F.count("*").over(wc).alias("nc"),
+        )
+        .where(2 * F.col("rnk") <= F.col("nc") + 1)
+        .select("vec_id", "cid", "d2", "rnk")
+        .orderBy("cid", "rnk")
+    )

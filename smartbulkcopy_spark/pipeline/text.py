@@ -1071,3 +1071,356 @@ def q76(spark, sf_dir):
         .agg(F.count("*").alias("n_docs"))
         .orderBy("lang", "quartile", "split")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-6 additions: the sampling / scoring / tokenizer-training operators
+# that sit between curation (dedup, quality) and the trainer. Same
+# determinism discipline as everything above: integer arithmetic for every
+# cross-row aggregate; sqrt is the one float primitive used (IEEE-754
+# requires sqrt to be correctly rounded, so — unlike ln/exp, whose last
+# ulp varies across libm builds — floor(sqrt(n)*1e6) is bit-identical on
+# both engines).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q84_mixture_weights",
+    "WITH s AS (SELECT lang, count(*) AS n_docs,"
+    " CAST(sum(" + TOKENS_SQL_DUCK + ") AS BIGINT) AS total_tokens"
+    " FROM documents GROUP BY lang),"
+    " w AS (SELECT *, CAST(floor(sqrt(n_docs) * 1000000.0) AS BIGINT)"
+    " AS w_e6 FROM s)"
+    " SELECT lang, n_docs, total_tokens,"
+    " CAST(n_docs * 1000000 // CAST(sum(n_docs) OVER () AS BIGINT)"
+    " AS BIGINT) AS prop_ppm,"
+    " CAST(w_e6 * 1000000 // CAST(sum(w_e6) OVER () AS BIGINT)"
+    " AS BIGINT) AS temp_ppm,"
+    " CAST(w_e6 * 1000000 // CAST(sum(w_e6) OVER () AS BIGINT) // 10"
+    " AS BIGINT) AS alloc_100k"
+    " FROM w ORDER BY lang",
+    doc="Temperature-based sampling weights per language domain"
+    " (alpha = 0.5, the multilingual-LM standard): proportional vs"
+    " temperature-flattened mixture shares in exact ppm, plus the doc"
+    " allocation for a 100k-example epoch. The corpus-wide pass is one"
+    " partial-aggregable groupBy; the share normalization is a window"
+    " over the HANDFUL of domain rows (never the corpus), and all"
+    " shares are integer ppm so engines agree bit-for-bit.",
+)
+def q84(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    s = docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(token_count()).alias("total_tokens"),
+    )
+    w = s.withColumn(
+        "w_e6", F.floor(F.sqrt(F.col("n_docs")) * 1000000.0).cast("long")
+    )
+    tot = Window.partitionBy()  # 5 domain rows, not the corpus
+    nd, we = F.col("n_docs"), F.col("w_e6")
+    return (
+        w.select(
+            "lang",
+            "n_docs",
+            "total_tokens",
+            F.expr("n_docs * 1000000").alias("nd6"),
+            F.expr("w_e6 * 1000000").alias("we6"),
+            F.sum(nd).over(tot).alias("tn"),
+            F.sum(we).over(tot).alias("tw"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "total_tokens",
+            F.expr("nd6 DIV tn").alias("prop_ppm"),
+            F.expr("we6 DIV tw").alias("temp_ppm"),
+            F.expr("we6 DIV tw DIV 10").alias("alloc_100k"),
+        )
+        .orderBy("lang")
+    )
+
+
+# Tokenized view of the corpus shared by q85/q87/q91 (the q48 spelling).
+_TOK_CTE_DUCK = (
+    "tok AS (SELECT doc_id, unnest(string_split(trim("
+    + NORM_SQL_DUCK + "), ' ')) AS token FROM documents"
+    f" WHERE trim({NORM_SQL_DUCK}) != '')"
+)
+
+
+def _tokens(spark, sf_dir):
+    docs = spread(spark, table(spark, sf_dir, "documents"))
+    n = F.trim(norm_text())
+    return (
+        docs.select("doc_id", n.alias("n"))
+        .where(F.col("n") != "")
+        .select("doc_id", F.explode(F.split(F.col("n"), " ")).alias("token"))
+    )
+
+
+@register(
+    "q85_oov_rate",
+    "WITH " + _TOK_CTE_DUCK + ","
+    " v AS (SELECT token FROM (SELECT token, count(*) AS tf FROM tok"
+    f" GROUP BY token ORDER BY tf DESC, token LIMIT {VOCAB_TOP_K})),"
+    " pd AS (SELECT t.doc_id, count(*) AS n_tokens,"
+    " CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
+    " AS n_oov FROM tok t LEFT JOIN v ON t.token = v.token"
+    " GROUP BY t.doc_id)"
+    " SELECT d.doc_id, CAST(coalesce(pd.n_tokens, 0) AS BIGINT)"
+    " AS n_tokens, CAST(coalesce(pd.n_oov, 0) AS BIGINT) AS n_oov,"
+    " CAST(CASE WHEN coalesce(pd.n_tokens, 0) = 0 THEN 0"
+    " ELSE 1000 * pd.n_oov // pd.n_tokens END AS BIGINT) AS oov_permille"
+    " FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id"
+    " ORDER BY d.doc_id",
+    doc="Per-document out-of-vocabulary rate against the corpus top-100"
+    " vocabulary (the q48 tokenization) — the cheap proxy for 'will the"
+    " tokenizer shred this document into bytes'. The vocabulary is a"
+    " bounded top-k, BROADCAST to the token stream (the explode is"
+    " row-local; the only corpus-keyed shuffle is the per-doc rollup),"
+    " and the rate is integer permille.",
+)
+def q85(spark, sf_dir):
+    toks = _tokens(spark, sf_dir)
+    vocab = (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("tf"))
+        .orderBy(F.col("tf").desc(), "token")
+        .limit(VOCAB_TOP_K)
+        .select("token", F.lit(1).alias("in_v"))
+    )
+    pd_ = (
+        toks.join(F.broadcast(vocab), "token", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.when(F.col("in_v").isNull(), 1).otherwise(0)).alias(
+                "n_oov"
+            ),
+        )
+    )
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    nt, no = F.col("pd.n_tokens"), F.col("pd.n_oov")
+    return (
+        docs.join(pd_.alias("pd"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(nt, F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce(no, F.lit(0)).cast("long").alias("n_oov"),
+            F.when(F.coalesce(nt, F.lit(0)) == 0, F.lit(0))
+            .otherwise(F.expr("1000 * pd.n_oov DIV pd.n_tokens"))
+            .cast("long")
+            .alias("oov_permille"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "q87_rarity_score",
+    "WITH " + _TOK_CTE_DUCK + ","
+    " df AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok"
+    " GROUP BY token),"
+    " sc AS (SELECT t.doc_id,"
+    " CAST(10000 * (SELECT count(*) FROM documents) // d.df AS BIGINT)"
+    " AS idf_e4 FROM tok t JOIN df d ON t.token = d.token)"
+    " SELECT doc_id, count(*) AS n_tokens,"
+    " CAST(sum(idf_e4) AS BIGINT) AS rarity_sum_e4,"
+    " CAST(CAST(sum(idf_e4) AS BIGINT) // count(*) AS BIGINT)"
+    " AS rarity_mean_e4"
+    " FROM sc GROUP BY doc_id ORDER BY doc_id",
+    doc="Per-document rarity score: mean inverse document frequency"
+    " (N*1e4 DIV df) over the document's token instances — the"
+    " integer-exact stand-in for unigram-LM surprisal (whose float ln"
+    " is NOT reproducible across libm builds; same rationale as q52's"
+    " idf). High scores mark jargon-dense / low-redundancy documents,"
+    " low scores boilerplate. df is a partial-aggregated groupBy; the"
+    " token->df join is vocabulary-sized (AQE broadcasts it); the"
+    " per-doc rollup is the only corpus-keyed shuffle.",
+)
+def q87(spark, sf_dir):
+    toks = _tokens(spark, sf_dir)
+    n_docs = table(spark, sf_dir, "documents").count()  # q52 pattern
+    df_ = toks.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    sc = toks.join(df_, "token").withColumn(
+        "idf_e4", F.expr(f"10000 * {n_docs}L DIV df")
+    )
+    return (
+        sc.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("idf_e4").alias("rarity_sum_e4"),
+        )
+        .withColumn(
+            "rarity_mean_e4", F.expr("rarity_sum_e4 DIV n_tokens")
+        )
+        .orderBy("doc_id")
+    )
+
+
+# q25's alpha-ratio quality signal, shared with the curriculum stager.
+_SCORE_SQL_DUCK = (
+    "CAST(floor(100.0 * length(regexp_replace(text, '[^A-Za-z]', '', 'g'))"
+    " / greatest(length(text), 1)) AS BIGINT)"
+)
+
+
+@register(
+    "q89_curriculum_stages",
+    "WITH sc AS (SELECT doc_id, " + _SCORE_SQL_DUCK + " AS score,"
+    " " + TOKENS_SQL_DUCK + " AS n_toks FROM documents),"
+    " r AS (SELECT *, row_number() OVER (ORDER BY score, doc_id) AS rn"
+    " FROM sc)"
+    " SELECT CAST(1 + ((rn - 1) * 4) // (SELECT count(*) FROM documents)"
+    " AS BIGINT) AS stage, count(*) AS n_docs,"
+    " min(score) AS min_score, max(score) AS max_score,"
+    " CAST(sum(n_toks) AS BIGINT) AS total_tokens"
+    " FROM r GROUP BY stage ORDER BY stage",
+    doc="Curriculum-learning stage assignment: documents ranked by the"
+    " q25 alpha-ratio quality score and cut into 4 equal stages"
+    " (stage = 1 + (rank-1)*4 DIV N, ties broken by doc_id). The rank"
+    " is computed SCALE-FREE — a histogram over the <=101 distinct"
+    " integer scores gives each score's global offset, and row_number"
+    " only ever runs per-score-partition — so no corpus-wide single-"
+    " partition window exists in the plan (the oracle uses the naive"
+    " global window; same total order by construction).",
+)
+def q89(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    n_all = docs.count()  # bounded scalar, q52 pattern
+    nlen = F.greatest(F.length("text"), F.lit(1))
+    alpha = F.length(F.regexp_replace(F.col("text"), "[^A-Za-z]", ""))
+    sc = docs.select(
+        "doc_id",
+        F.floor(100.0 * alpha / nlen).alias("score"),
+        token_count().alias("n_toks"),
+    )
+    hist = sc.groupBy("score").agg(F.count("*").alias("c"))
+    wb = Window.orderBy("score").rowsBetween(
+        Window.unboundedPreceding, -1
+    )  # window over the tiny score histogram, never the corpus
+    offs = hist.select(
+        "score", F.coalesce(F.sum("c").over(wb), F.lit(0)).alias("cb")
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("score").orderBy("doc_id")
+    )
+    ranked = sc.join(F.broadcast(offs), "score").withColumn(
+        "rn", F.col("cb") + rn
+    )
+    return (
+        ranked.withColumn(
+            "stage", F.expr(f"1 + ((rn - 1) * 4) DIV {n_all}L")
+        )
+        .groupBy("stage")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("score").alias("min_score"),
+            F.max("score").alias("max_score"),
+            F.sum("n_toks").alias("total_tokens"),
+        )
+        .orderBy("stage")
+    )
+
+
+# Power-of-two sequence-length buckets, one CASE spelling generated for
+# both engines so the boundaries cannot drift apart.
+_P2_BUCKETS = [2**i for i in range(13)]  # 1 .. 4096
+
+
+def _p2_case(col_sql: str) -> str:
+    whens = " ".join(
+        f"WHEN {col_sql} <= {b} THEN {b}" for b in _P2_BUCKETS
+    )
+    return (
+        f"CASE WHEN {col_sql} <= 0 THEN 0 {whens}"
+        f" ELSE {2 * _P2_BUCKETS[-1]} END"
+    )
+
+
+@register(
+    "q90_seqlen_histogram",
+    "WITH sc AS (SELECT CAST(" + _p2_case(TOKENS_SQL_DUCK) + " AS BIGINT)"
+    " AS bucket, " + TOKENS_SQL_DUCK + " AS n_toks FROM documents),"
+    " h AS (SELECT bucket, count(*) AS n_docs,"
+    " CAST(sum(n_toks) AS BIGINT) AS total_tokens FROM sc"
+    " GROUP BY bucket)"
+    " SELECT bucket, n_docs, total_tokens,"
+    " CAST(sum(n_docs) OVER (ORDER BY bucket) AS BIGINT) AS cum_docs,"
+    " CAST(CAST(sum(n_docs) OVER (ORDER BY bucket) AS BIGINT) * 1000000"
+    " // (SELECT count(*) FROM documents) AS BIGINT) AS cum_ppm"
+    " FROM h ORDER BY bucket",
+    doc="Token-length histogram in power-of-two buckets with cumulative"
+    " document share (ppm) — the pre-packing diagnostic that picks"
+    " max_seq_len: read off the bucket where cum_ppm crosses the"
+    " tolerable-truncation threshold. Bucketing is a row-local CASE"
+    " generated from ONE Python list for both engines; the cumulative"
+    " window runs over the ~13 bucket rows, never the corpus.",
+)
+def q90(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    n_all = docs.count()
+    sc = docs.select(token_count().alias("n_toks")).select(
+        F.expr(_p2_case("n_toks")).cast("long").alias("bucket"),
+        "n_toks",
+    )
+    h = sc.groupBy("bucket").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_toks").alias("total_tokens"),
+    )
+    wc = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, 0
+    )  # ~13 bucket rows
+    return (
+        h.select(
+            "bucket",
+            "n_docs",
+            "total_tokens",
+            F.sum("n_docs").over(wc).alias("cum_docs"),
+        )
+        .withColumn("cum_ppm", F.expr(f"cum_docs * 1000000 DIV {n_all}L"))
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "q91_bpe_merge_candidates",
+    "WITH tk AS (SELECT doc_id,"
+    f" regexp_extract_all({NORM_SQL_DUCK}, '{_BPE_PATTERN}') AS t"
+    " FROM documents),"
+    " pr AS (SELECT doc_id, t[i] || ' ' || t[i + 1] AS pair"
+    " FROM tk, unnest(range(1, len(t))) AS u(i))"
+    " SELECT pair, count(*) AS tf, count(DISTINCT doc_id) AS df"
+    " FROM pr GROUP BY pair ORDER BY tf DESC, pair LIMIT 20",
+    doc="The first BPE merge-rule pass of tokenizer training: frequency"
+    " of every ADJACENT pre-token pair (q38's GPT-2-style pre-"
+    " tokenization), top-20 by corpus frequency — rank 1 is the first"
+    " merge a BPE trainer would mint. Pair construction is a row-local"
+    " zip of the token array with its own tail (no self-join, no"
+    " shuffle of text); counting is a partial-aggregated groupBy on"
+    " the pair string and the top-k is TakeOrdered.",
+)
+def q91(spark, sf_dir):
+    docs = spread(spark, table(spark, sf_dir, "documents"))
+    t = F.regexp_extract_all(norm_text(), F.lit(_BPE_PATTERN), 0)
+    tl = F.col("t")
+    m = F.greatest(F.size(tl) - 1, F.lit(0))
+    pairs = F.when(
+        F.size(tl) >= 2,
+        F.zip_with(
+            F.slice(tl, 1, m),
+            F.slice(tl, 2, m),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select("doc_id", t.alias("t"))
+        .select("doc_id", F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(
+            F.count("*").alias("tf"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+        .orderBy(F.col("tf").desc(), "pair")
+        .limit(20)
+    )

@@ -979,6 +979,78 @@ def q72(spark, sf_dir):
     )
 
 
+# As-of join — the time-series operator the DataFrame API lacks as a
+# primitive (pandas merge_asof / kdb aj / QuestDB ASOF JOIN). Expressed
+# as a composition Catalyst CAN optimize: union the two sides, one
+# user-keyed window pass carries the most recent left-side row forward,
+# then filter to the right side. One shuffle on the join key, no range
+# explosion, no per-row Python. The oracle spells the identical window
+# (DuckDB's native ASOF JOIN has <=/tie semantics that differ subtly;
+# the window formulation is deterministic on both engines).
+@register(
+    "q88_asof_last_touch",
+    "WITH ev AS (SELECT event_id, user_id, event_type, epoch_us(ts)"
+    " AS tmic FROM events WHERE event_type IN ('click', 'purchase')),"
+    " lt AS (SELECT *,"
+    " last_value(CASE WHEN event_type = 'click' THEN event_id END"
+    " IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY tmic, event_id"
+    " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
+    " AS click_event_id,"
+    " last_value(CASE WHEN event_type = 'click' THEN tmic END"
+    " IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY tmic, event_id"
+    " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS click_tmic"
+    " FROM ev)"
+    " SELECT event_id, user_id, click_event_id,"
+    " CAST(tmic - click_tmic AS BIGINT) AS gap_us"
+    " FROM lt WHERE event_type = 'purchase' ORDER BY event_id",
+    doc="As-of join (last-touch attribution): every purchase event"
+    " paired with the most recent STRICTLY-EARLIER click by the same"
+    " user, plus the microsecond gap. Built as union -> one user-"
+    " partitioned ordered window carrying the last click forward ->"
+    " filter to purchases: a single shuffle on user_id, which is how"
+    " an as-of join against a 100 TB event stream has to run (per-key"
+    " ordered scan, never a range cross join). Total order (tmic,"
+    " event_id) makes ties deterministic; purchases with no prior"
+    " click keep NULL attribution.",
+)
+def q88(spark, sf_dir):
+    ev = (
+        table(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("click", "purchase"))
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.expr(_EV_MICROS).alias("tmic"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("tmic", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    click_id = F.when(F.col("event_type") == "click", F.col("event_id"))
+    click_t = F.when(F.col("event_type") == "click", F.col("tmic"))
+    return (
+        ev.withColumn(
+            "click_event_id", F.last(click_id, ignorenulls=True).over(w)
+        )
+        .withColumn(
+            "click_tmic", F.last(click_t, ignorenulls=True).over(w)
+        )
+        .where(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            "click_event_id",
+            (F.col("tmic") - F.col("click_tmic"))
+            .cast("long")
+            .alias("gap_us"),
+        )
+        .orderBy("event_id")
+    )
+
+
 # Phase-5 pipeline operators (q21+) register themselves on import. The
 # import sits at the bottom because pipeline modules import `register`/
 # `table` from this module (deliberate one-way late binding, not a cycle

@@ -82,6 +82,24 @@ ANNOTATED = {
     " window runs over distinct (type, count) histogram rows; the"
     " hourly rollup is the only corpus-sized shuffle and the median"
     " table re-enters as a BroadcastExchange.",
+    "q83_cluster_pruned_sample": "Cluster pruning rides the q77 DAG:"
+    " final centroids re-enter as a BroadcastExchange onto the"
+    " persisted element table; the keep-rank window partitions by"
+    " centroid id (bounded groups as K scales with the corpus) — no"
+    " global window, no vector shuffle.",
+    "q85_oov_rate": "Bounded top-k vocabulary re-enters as a"
+    " BroadcastExchange onto the exploded token stream; the only"
+    " corpus-keyed shuffle is the per-doc rollup.",
+    "q88_asof_last_touch": "As-of join as one user-keyed ordered window"
+    " over the unioned event stream: a single Exchange on user_id, no"
+    " range join, no BroadcastNestedLoop.",
+    "q89_curriculum_stages": "Scale-free global rank: cumulative"
+    " offsets computed over the <=101-row score histogram (tiny"
+    " window), broadcast back; row_number partitions by score — the"
+    " corpus never funnels through one window partition.",
+    "q91_bpe_merge_candidates": "Adjacent-pair mint: pair arrays are a"
+    " row-local zip (slice+zip_with) — no self-join; counts are"
+    " partial-aggregated and the top-20 is TakeOrderedAndProject.",
 }
 
 

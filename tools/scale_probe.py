@@ -48,6 +48,11 @@ PROBES = [
     "q73_doc_chunking",
     "q74_embedding_quantize",
     "q77_kmeans_lite",
+    "q83_cluster_pruned_sample",
+    "q85_oov_rate",
+    "q87_rarity_score",
+    "q88_asof_last_touch",
+    "q91_bpe_merge_candidates",
 ]
 
 
@@ -99,6 +104,29 @@ def inflate(spark, src_dir: str, out_dir: str) -> None:
     for c in vcopies[1:]:
         big = big.unionByName(c)
     big.write.mode("overwrite").parquet(f"{out_dir}/embeddings.parquet")
+
+    # events for the as-of probe: per-copy user-id spaces stay disjoint so
+    # per-user event series (the window partitions) grow in NUMBER, not
+    # length — the scaling a wider user population actually produces.
+    from smartbulkcopy_spark.queries import table as _table
+
+    ev = _table(spark, src_dir, "events")
+    n_ev = ev.count()
+    ecopies = [
+        ev.select(
+            (F.col("event_id") + k * n_ev).alias("event_id"),
+            "ts",
+            (F.col("user_id") + k * 1_000_000).alias("user_id"),
+            "event_type",
+            "value",
+            "props",
+        )
+        for k in range(INFLATE)
+    ]
+    big_ev = ecopies[0]
+    for c in ecopies[1:]:
+        big_ev = big_ev.unionByName(c)
+    big_ev.write.mode("overwrite").parquet(f"{out_dir}/events.parquet")
 
 
 def time_one(spark, fn, sf_dir: str) -> float:
