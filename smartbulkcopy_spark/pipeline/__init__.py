@@ -21,6 +21,7 @@ Importing this package registers q21+ in the main query registry.
 from smartbulkcopy_spark.pipeline import (  # noqa: F401  (self-registering)
     curate,
     dedup,
+    ensemble,
     ingest,
     multimodal,
     pack,

@@ -1,0 +1,110 @@
+"""Ensemble deduplication: the lexical (MinHash-LSH + exact-Jaccard) and
+semantic (hyperplane-bucketed cosine) near-dup detectors disagree in
+informative ways — lexical-only pairs are verbatim/templated copies whose
+embeddings drifted (paraphrase-destroying edits), semantic-only pairs are
+paraphrases sharing few shingles. A production curation pass runs BOTH and
+reviews the disagreement set; this module is that audit.
+
+No reference analog — Phase-5 pipeline operator (SURVEY §7.2). The
+documents and embeddings tables are id-aligned 1:1 (q57 reconciles them),
+so a (doc) pair and a (vec) pair with the same ids describe the same
+document pair.
+
+Scale design (100 TB): both pair sets come from their existing BUCKETED
+generators (LSH bands / hyperplane buckets — never all-pairs); this module
+adds only id-keyed joins on the two (tiny) verified pair sets.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from smartbulkcopy_spark.queries import register
+
+
+def _sem_pairs_cte_duck() -> str:
+    """q33's bucketed cosine pair chain with ensemble-local CTE names
+    (the lexical chain already owns `vp`/`sh`/`cand`)."""
+    from smartbulkcopy_spark.pipeline.similarity import (
+        NEAR_DUP_COS,
+        _dot_duck,
+        bucket_expr,
+    )
+
+    cos = (
+        f"{_dot_duck('x.embedding', 'y.embedding')}"
+        f" / (sqrt({_dot_duck('x.embedding', 'x.embedding')})"
+        f" * sqrt({_dot_duck('y.embedding', 'y.embedding')}))"
+    )
+    return (
+        " eb AS (SELECT vec_id, embedding,"
+        f" CAST({bucket_expr('duck')} AS BIGINT) AS bk FROM embeddings),"
+        " semvp AS (SELECT x.vec_id AS a_id, y.vec_id AS b_id"
+        " FROM eb x JOIN eb y ON x.bk = y.bk AND x.vec_id < y.vec_id"
+        f" WHERE {cos} >= {NEAR_DUP_COS})"
+    )
+
+
+def _lex_pairs_cte_duck() -> str:
+    """The q69 verified-pair chain (cand -> sh -> jac -> vp)."""
+    from smartbulkcopy_spark.pipeline.dedup import (
+        NEAR_DUP_JACCARD_MILLIS,
+        _candidate_cte_duck,
+        shingle_set_expr,
+    )
+
+    return (
+        _candidate_cte_duck() + ","
+        f" sh AS (SELECT doc_id, {shingle_set_expr('duck')} AS s"
+        " FROM documents),"
+        " jac AS (SELECT c.a_id, c.b_id,"
+        " CAST(floor(1000.0 * len(list_intersect(sa.s, sb.s))"
+        "   / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))))"
+        " AS BIGINT) AS j"
+        " FROM cand c JOIN sh sa ON sa.doc_id = c.a_id"
+        " JOIN sh sb ON sb.doc_id = c.b_id),"
+        " vp AS (SELECT a_id, b_id FROM jac"
+        f" WHERE j >= {NEAR_DUP_JACCARD_MILLIS})"
+    )
+
+
+@register(
+    "q94_ensemble_dedup",
+    "WITH " + _lex_pairs_cte_duck() + "," + _sem_pairs_cte_duck() + ","
+    " u AS (SELECT a_id, b_id FROM vp"
+    " UNION SELECT a_id, b_id FROM semvp)"
+    " SELECT u.a_id, u.b_id,"
+    " (l.a_id IS NOT NULL) AS lexical,"
+    " (s.a_id IS NOT NULL) AS semantic"
+    " FROM u LEFT JOIN vp l ON u.a_id = l.a_id AND u.b_id = l.b_id"
+    " LEFT JOIN semvp s ON u.a_id = s.a_id AND u.b_id = s.b_id"
+    " ORDER BY u.a_id, u.b_id",
+    doc="Ensemble near-dup audit: the union of the lexical verified-pair"
+    " set (q29/q69's banded-LSH + exact-Jaccard chain) and the semantic"
+    " pair set (q33's hyperplane-bucketed cosine), flagged by which"
+    " detector fired. lexical-only = verbatim/templated copies whose"
+    " embeddings drifted; semantic-only = paraphrases sharing few"
+    " shingles; both = hard duplicates. Both generators stay bucketed"
+    " (never all-pairs); this operator adds only id-keyed joins on the"
+    " two tiny verified pair sets.",
+)
+def q94(spark, sf_dir):
+    from smartbulkcopy_spark.pipeline.dedup import verified_pairs
+    from smartbulkcopy_spark.pipeline.similarity import q33
+
+    lex = verified_pairs(spark, sf_dir).select("a_id", "b_id")
+    sem = q33(spark, sf_dir).select("a_id", "b_id")
+    u = lex.union(sem).distinct()
+    lmark = lex.withColumn("lex", F.lit(True))
+    smark = sem.withColumn("sem", F.lit(True))
+    return (
+        u.join(lmark, ["a_id", "b_id"], "left")
+        .join(smark, ["a_id", "b_id"], "left")
+        .select(
+            "a_id",
+            "b_id",
+            F.coalesce(F.col("lex"), F.lit(False)).alias("lexical"),
+            F.coalesce(F.col("sem"), F.lit(False)).alias("semantic"),
+        )
+        .orderBy("a_id", "b_id")
+    )

@@ -1049,3 +1049,104 @@ def q83(spark, sf_dir):
         .select("vec_id", "cid", "d2", "rnk")
         .orderBy("cid", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental ANN ingestion — the vector-side analog of q63: a NEW batch
+# of embeddings arrives, and the question is which of them are already
+# semantically present in the indexed corpus. Candidate generation is the
+# IVF machinery (assign both sides to the INDEX's centroids, compare only
+# within the shared inverted list) — cost scales with batch x list, never
+# corpus x corpus. Batch membership is a deterministic id predicate so
+# the oracle sees the identical split.
+# ---------------------------------------------------------------------------
+
+BATCH_MOD = 10
+BATCH_REM = 7  # vec_id % 10 == 7 -> the "newly arrived" ~10% batch
+
+
+def _ingest_assign_cte(name: str, pred: str) -> str:
+    dist = (
+        f"-2.0 * {_dot_duck('e.embedding', 'c.cemb')}"
+        f" + {_dot_duck('c.cemb', 'c.cemb')}"
+    )
+    return (
+        f" d{name} AS (SELECT e.vec_id, c.cid, {dist} AS d"
+        f" FROM embeddings e CROSS JOIN cent c WHERE {pred}),"
+        f" {name} AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,"
+        " row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn"
+        f" FROM d{name}) WHERE rn = 1)"
+    )
+
+
+_IDX_PRED = f"e.vec_id % {BATCH_MOD} != {BATCH_REM}"
+_BAT_PRED = f"e.vec_id % {BATCH_MOD} = {BATCH_REM}"
+
+_INGEST_COS = (
+    f"{_dot_duck('be.embedding', 'ie.embedding')}"
+    f" / (sqrt({_dot_duck('be.embedding', 'be.embedding')})"
+    f" * sqrt({_dot_duck('ie.embedding', 'ie.embedding')}))"
+)
+
+
+@register(
+    "q93_incremental_ann_ingest",
+    "WITH cent AS (SELECT vec_id AS cid, embedding AS cemb"
+    f" FROM embeddings WHERE vec_id % {BATCH_MOD} != {BATCH_REM}"
+    f" ORDER BY vec_id LIMIT {N_CENTROIDS}),"
+    + _ingest_assign_cte("ai", _IDX_PRED) + ","
+    + _ingest_assign_cte("ab", _BAT_PRED) + ","
+    " m AS (SELECT b.vec_id, count(*) AS n FROM ab b"
+    " JOIN ai i ON b.cid = i.cid"
+    " JOIN embeddings be ON be.vec_id = b.vec_id"
+    " JOIN embeddings ie ON ie.vec_id = i.vec_id"
+    f" WHERE {_INGEST_COS} >= {NEAR_DUP_COS} GROUP BY b.vec_id)"
+    " SELECT b.vec_id, b.cid, CAST(coalesce(m.n, 0) AS BIGINT)"
+    " AS n_similar, (coalesce(m.n, 0) > 0) AS is_present"
+    " FROM ab b LEFT JOIN m ON b.vec_id = m.vec_id ORDER BY b.vec_id",
+    doc="Incremental ANN ingestion (q63 for vectors): assign the newly-"
+    " arrived batch (deterministic ~10% id slice) AND the indexed"
+    " corpus to the index's IVF centroids, then test each batch vector"
+    " for semantic presence (cosine >= threshold) against ONLY its own"
+    " inverted list. Assignment is a per-row argmin over broadcast"
+    " centroid literals (zero joins); the presence check joins on the"
+    " list id, so cost scales with batch x list size — the corpus is"
+    " never self-joined, and at production K (centroids grow with the"
+    " corpus) lists stay bounded.",
+)
+def q93(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings")
+    idx = emb.where(F.col("vec_id") % BATCH_MOD != BATCH_REM)
+    bat = emb.where(F.col("vec_id") % BATCH_MOD == BATCH_REM)
+    rows = idx.orderBy("vec_id").limit(N_CENTROIDS).collect()
+    cents = [(r["vec_id"], [float(v) for v in r["embedding"]]) for r in rows]
+
+    bi = bat.select(
+        "vec_id",
+        F.col("embedding").alias("b_emb"),
+        _assign_expr(cents).alias("cid"),
+    )
+    ii = idx.select(
+        F.col("embedding").alias("i_emb"),
+        _assign_expr(cents).alias("cid"),
+    )
+    be, ie = F.col("b_emb"), F.col("i_emb")
+    cos = dot_fold(be, ie) / (
+        F.sqrt(dot_fold(be, be)) * F.sqrt(dot_fold(ie, ie))
+    )
+    m = (
+        bi.join(ii, "cid")
+        .where(cos >= NEAR_DUP_COS)
+        .groupBy("vec_id")
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        bi.join(m, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cid",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_similar"),
+            (F.coalesce(F.col("n"), F.lit(0)) > 0).alias("is_present"),
+        )
+        .orderBy("vec_id")
+    )

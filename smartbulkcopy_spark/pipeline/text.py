@@ -1424,3 +1424,59 @@ def q91(spark, sf_dir):
         .orderBy(F.col("tf").desc(), "pair")
         .limit(20)
     )
+
+
+N_SHARDS = 32
+
+# Same md5-bucket family as the q50 split, 32-wide: the output-sharding
+# decision for writing a curated corpus as N self-contained shards.
+_SHARD_SPARK = (
+    "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10) AS INT)"
+    f" % {N_SHARDS}"
+)
+_SHARD_DUCK = (
+    "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT)"
+    f" % {N_SHARDS}"
+)
+
+
+@register(
+    "q92_shard_balance",
+    f"WITH s AS (SELECT CAST({_SHARD_DUCK} AS BIGINT) AS shard, n_chars"
+    " FROM documents),"
+    " h AS (SELECT shard, count(*) AS n_docs,"
+    " CAST(sum(n_chars) AS BIGINT) AS total_chars FROM s GROUP BY shard)"
+    " SELECT shard, n_docs, total_chars,"
+    " CAST(total_chars * 1000000 // (CAST(sum(total_chars) OVER ()"
+    " AS BIGINT)) AS BIGINT) AS bytes_ppm"
+    " FROM h ORDER BY shard",
+    doc="Output-shard layout audit: every document hash-assigned to one"
+    f" of {N_SHARDS} shards (md5(doc_id) buckets — reprocessing-stable,"
+    " joinable without a join, same family as the q50 split), with per-"
+    " shard byte share in exact ppm. The number a 100 TB export job"
+    " reads before writing: skewed ppm = skewed output files = stragglers"
+    " in every downstream consumer. One partial-agg pass; the"
+    " normalization window runs over the 32 shard rows.",
+)
+def q92(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    h = (
+        docs.select(F.expr(_SHARD_SPARK).cast("long").alias("shard"), "n_chars")
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+    return (
+        h.withColumn(
+            "tot", F.sum("total_chars").over(Window.partitionBy())
+        )
+        .select(
+            "shard",
+            "n_docs",
+            "total_chars",
+            F.expr("total_chars * 1000000 DIV tot").alias("bytes_ppm"),
+        )
+        .orderBy("shard")
+    )

@@ -1051,6 +1051,93 @@ def q88(spark, sf_dir):
     )
 
 
+# Interval (range) join — the other time-series shape Spark has no
+# primitive for. The naive spelling (join on user + BETWEEN) plans as a
+# BroadcastNestedLoopJoin or a skew-prone inequality sort-merge; the
+# scale-safe composition buckets both sides by a time grain at least as
+# wide as the interval, equi-joins on (user, bucket) — each interval
+# overlaps at most 2 buckets, so the probe side is exploded <=2x while
+# the build side keeps exactly one bucket per row (no duplicate matches
+# by construction) — and applies the exact range predicate after the
+# equi-join. The oracle is the naive inequality join: provably the same
+# result because bucket overlap is implied by the range predicate.
+RANGE_WINDOW_US = 600_000_000  # 10 minutes
+RANGE_BUCKET_US = 3_600_000_000  # 1 hour >= window, so <=2 buckets
+
+
+@register(
+    "q95_interval_click_attribution",
+    "WITH er AS (SELECT event_id, user_id, epoch_us(ts) AS t FROM events"
+    " WHERE event_type = 'error'),"
+    " cl AS (SELECT event_id AS cid, user_id, epoch_us(ts) AS tc"
+    " FROM events WHERE event_type = 'click'),"
+    " m AS (SELECT er.event_id, count(*) AS n FROM er JOIN cl"
+    " ON er.user_id = cl.user_id AND cl.tc > er.t"
+    f" AND cl.tc <= er.t + {RANGE_WINDOW_US} GROUP BY er.event_id)"
+    " SELECT er.event_id, er.user_id,"
+    " CAST(coalesce(m.n, 0) AS BIGINT) AS n_clicks"
+    " FROM er LEFT JOIN m ON er.event_id = m.event_id"
+    " ORDER BY er.event_id",
+    doc="Interval join via time-bucketing: for every error event, the"
+    " number of clicks by the same user within the following 10"
+    " minutes. Both sides bucket to the hour (>= the interval width);"
+    " the equi-join runs on (user_id, bucket) with the error side"
+    " exploded across its <=2 overlapping buckets and each click in"
+    " exactly ONE bucket (so no dedup step is needed); the exact range"
+    " predicate filters after the equi-join. No"
+    " BroadcastNestedLoopJoin, no unbounded inequality sort-merge —"
+    " the shape a 100 TB event stream requires. Oracle: the naive"
+    " inequality join, provably equivalent.",
+)
+def q95(spark, sf_dir):
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.expr(_EV_MICROS).alias("t"),
+    )
+    err = ev.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", "t"
+    )
+    err_b = err.withColumn(
+        "bucket",
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    F.expr(f"t DIV {RANGE_BUCKET_US}"),
+                    F.expr(f"(t + {RANGE_WINDOW_US}) DIV {RANGE_BUCKET_US}"),
+                )
+            )
+        ),
+    )
+    clk = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("cid"),
+        F.col("user_id").alias("c_user"),
+        F.col("t").alias("tc"),
+        F.expr(f"t DIV {RANGE_BUCKET_US}").alias("c_bucket"),
+    )
+    m = (
+        err_b.join(
+            clk,
+            (err_b.user_id == clk.c_user)
+            & (err_b.bucket == clk.c_bucket)
+            & (clk.tc > err_b.t)
+            & (clk.tc <= err_b.t + RANGE_WINDOW_US),
+        )
+        .groupBy("event_id")
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        err.join(m, "event_id", "left")
+        .select(
+            "event_id",
+            "user_id",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_clicks"),
+        )
+        .orderBy("event_id")
+    )
+
+
 # Phase-5 pipeline operators (q21+) register themselves on import. The
 # import sits at the bottom because pipeline modules import `register`/
 # `table` from this module (deliberate one-way late binding, not a cycle
@@ -1159,9 +1246,41 @@ LAST_GREEN = {
 }
 
 
+# Queue seniority for never-graded queries: the round-batch each was
+# registered in (round*10 + batch). When the never-graded backlog exceeds
+# the 27 rotating slots, the LONGEST-WAITING registrations must win the
+# window — reg_index alone interleaves modules arbitrarily (pipeline
+# import order), which in round 6 would have bumped r05 registrations
+# (q62/q79/q82) behind round-6 ones. Unlisted names sort last (newest).
+QUEUED_SINCE = {
+    **{n: 50 for n in (
+        "q57_embedding_coverage", "q61_curation_stats", "q62_pack_fill",
+        "q67_bucket_label_purity", "q69_dedup_clusters",
+        "q70_cluster_dedup_keep", "q71_trigram_novelty",
+        "q72_salted_skew_join", "q73_doc_chunking",
+        "q74_embedding_quantize", "q75_group_sample",
+        "q76_stratified_split_audit", "q77_kmeans_lite",
+        "q78_burst_detection", "q79_video_frame_sample",
+        "q80_decontaminated_redact", "q81_embedding_dedup_clusters",
+        "q82_jsonl_ingest_audit",
+    )},
+    **{n: 60 for n in (
+        "q83_cluster_pruned_sample", "q84_mixture_weights",
+        "q85_oov_rate", "q86_split_leakage_audit", "q87_rarity_score",
+        "q88_asof_last_touch", "q89_curriculum_stages",
+        "q90_seqlen_histogram", "q91_bpe_merge_candidates",
+    )},
+    **{n: 61 for n in (
+        "q92_shard_balance", "q93_incremental_ann_ingest",
+        "q94_ensemble_dedup", "q95_interval_click_attribution",
+    )},
+}
+
+
 def ordered_names() -> list[str]:
     """Window-aware emission order: TIER1 pinned, then least-recently-
-    driver-green first. See the block comment above."""
+    driver-green first (never-graded first, longest-queued winning
+    ties). See the block comments above."""
     assert all(_QNUM.match(n) for n in REGISTRY), "non-qNN_ registration"
     assert len(TIER1) == len(set(TIER1)), "duplicate tier-1 entry"
     missing = [n for n in TIER1 if n not in REGISTRY]
@@ -1169,7 +1288,11 @@ def ordered_names() -> list[str]:
     reg_index = {n: i for i, n in enumerate(REGISTRY)}
     rotation = sorted(
         (n for n in REGISTRY if n not in set(TIER1)),
-        key=lambda n: (LAST_GREEN.get(n, 0), reg_index[n]),
+        key=lambda n: (
+            LAST_GREEN.get(n, 0),
+            QUEUED_SINCE.get(n, 99),
+            reg_index[n],
+        ),
     )
     return TIER1 + rotation
 

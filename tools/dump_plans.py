@@ -100,6 +100,14 @@ ANNOTATED = {
     "q91_bpe_merge_candidates": "Adjacent-pair mint: pair arrays are a"
     " row-local zip (slice+zip_with) — no self-join; counts are"
     " partial-aggregated and the top-20 is TakeOrderedAndProject.",
+    "q93_incremental_ann_ingest": "Incremental vector ingest: both"
+    " sides assigned by per-row argmin over centroid LITERALS (no"
+    " assignment join), presence check equi-joined on the inverted-"
+    " list id — batch x list cost, no corpus self-join.",
+    "q95_interval_click_attribution": "Range join as (user, hour-"
+    " bucket) equi-join: error side exploded across its <=2 buckets,"
+    " click side single-bucketed, exact range filter post-join — no"
+    " BroadcastNestedLoopJoin in the plan.",
 }
 
 

@@ -53,6 +53,8 @@ PROBES = [
     "q87_rarity_score",
     "q88_asof_last_touch",
     "q91_bpe_merge_candidates",
+    "q93_incremental_ann_ingest",
+    "q95_interval_click_attribution",
 ]
 
 
