@@ -1,0 +1,142 @@
+"""Structural invariants of the round-6 operators (q83-q95) beyond the
+per-query DuckDB oracle equality (test_queries covers that): these pin
+the SEMANTIC contracts — rank contiguity, partition-of-members
+arithmetic, range-join equivalence against a brute force — that an
+oracle string shared with the implementation could not falsify on its
+own."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from smartbulkcopy_spark.queries import REGISTRY
+
+from .conftest import SF_SMOKE
+
+
+def _run(name, spark):
+    return REGISTRY[name].fn(spark, SF_SMOKE).toPandas()
+
+
+def test_q83_ranks_contiguous_and_sorted(spark):
+    df = _run("q83_cluster_pruned_sample", spark)
+    for cid, g in df.groupby("cid"):
+        ranks = sorted(g["rnk"])
+        assert ranks == list(range(1, len(g) + 1))
+        # keep-list is the closest prefix: d2 non-decreasing with rank
+        ordered = g.sort_values("rnk")["d2"].tolist()
+        assert ordered == sorted(ordered)
+
+
+def test_q84_temperature_flattens_shares(spark):
+    df = _run("q84_mixture_weights", spark)
+    assert df["prop_ppm"].sum() <= 1_000_000
+    assert df["temp_ppm"].sum() <= 1_000_000
+    # alpha=0.5 compresses the mixture: the biggest domain loses share,
+    # the smallest gains (equality only in the all-uniform corner)
+    big = df.loc[df["n_docs"].idxmax()]
+    small = df.loc[df["n_docs"].idxmin()]
+    assert big["temp_ppm"] <= big["prop_ppm"]
+    assert small["temp_ppm"] >= small["prop_ppm"]
+
+
+def test_q85_oov_bounds(spark):
+    df = _run("q85_oov_rate", spark)
+    assert (df["n_oov"] <= df["n_tokens"]).all()
+    assert df["oov_permille"].between(0, 1000).all()
+
+
+def test_q86_member_arithmetic(spark):
+    df = _run("q86_split_leakage_audit", spark)
+    assert (
+        df["n_train"] + df["n_val"] + df["n_test"] == df["n_members"]
+    ).all()
+    nz = (
+        (df[["n_train", "n_val", "n_test"]] > 0).sum(axis=1)
+    )
+    assert (df["n_splits"] == nz).all()
+    assert (df["leaky"] == (df["n_splits"] > 1)).all()
+
+
+def test_q88_strictly_prior_attribution(spark):
+    df = _run("q88_asof_last_touch", spark)
+    with_click = df[df["click_event_id"].notna()]
+    assert (with_click["gap_us"] > 0).all()
+    assert df[df["click_event_id"].isna()]["gap_us"].isna().all()
+
+
+def test_q89_stages_partition_ranked_corpus(spark):
+    df = _run("q89_curriculum_stages", spark).sort_values("stage")
+    from smartbulkcopy_spark.queries import table
+
+    n = table(spark, SF_SMOKE, "documents").count()
+    assert df["n_docs"].sum() == n
+    assert df["stage"].tolist() == list(range(1, len(df) + 1))
+    # rank order: every score in stage s+1 >= every score in stage s
+    maxes = df["max_score"].tolist()
+    mins = df["min_score"].tolist()
+    for prev_max, next_min in zip(maxes, mins[1:]):
+        assert next_min >= prev_max
+    assert df["n_docs"].max() - df["n_docs"].min() <= 1
+
+
+def test_q90_cumulative_closes_at_one(spark):
+    df = _run("q90_seqlen_histogram", spark).sort_values("bucket")
+    assert (df["bucket"] & (df["bucket"] - 1) == 0).all()  # powers of 2
+    assert df["cum_docs"].is_monotonic_increasing
+    assert df["cum_ppm"].iloc[-1] == 1_000_000
+
+
+def test_q91_pair_counts_dominate_doc_counts(spark):
+    df = _run("q91_bpe_merge_candidates", spark)
+    assert (df["tf"] >= df["df"]).all()
+    assert df["tf"].is_monotonic_decreasing
+
+
+def test_q92_shards_cover_corpus(spark):
+    df = _run("q92_shard_balance", spark)
+    from smartbulkcopy_spark.queries import table
+
+    assert df["n_docs"].sum() == table(spark, SF_SMOKE, "documents").count()
+    assert df["shard"].between(0, 31).all()
+    assert df["bytes_ppm"].sum() <= 1_000_000
+
+
+def test_q93_covers_exactly_the_batch(spark):
+    df = _run("q93_incremental_ann_ingest", spark)
+    from smartbulkcopy_spark.queries import table
+
+    emb = table(spark, SF_SMOKE, "embeddings")
+    n_batch = emb.where(F.col("vec_id") % 10 == 7).count()
+    assert len(df) == n_batch
+    assert (df["is_present"] == (df["n_similar"] > 0)).all()
+
+
+def test_q94_every_pair_has_a_detector(spark):
+    df = _run("q94_ensemble_dedup", spark)
+    assert (df["lexical"] | df["semantic"]).all()
+    assert (df["a_id"] < df["b_id"]).all()
+
+
+def test_q95_equals_bruteforce_interval_join(spark):
+    """The bucketed range join must equal the naive per-pair scan —
+    computed here in plain Python over the (small) smoke fixture."""
+    from smartbulkcopy_spark.queries import _EV_MICROS, table
+
+    ev = (
+        table(spark, SF_SMOKE, "events")
+        .select("event_id", "user_id", "event_type", F.expr(_EV_MICROS).alias("t"))
+        .toPandas()
+    )
+    errors = ev[ev["event_type"] == "error"]
+    clicks = ev[ev["event_type"] == "click"]
+    by_user = {u: sorted(g["t"]) for u, g in clicks.groupby("user_id")}
+    expect = {}
+    for r in errors.itertuples(index=False):
+        ts = by_user.get(r.user_id, [])
+        expect[r.event_id] = sum(
+            1 for t in ts if r.t < t <= r.t + 600_000_000
+        )
+    df = _run("q95_interval_click_attribution", spark)
+    got = dict(zip(df["event_id"], df["n_clicks"]))
+    assert got == expect
