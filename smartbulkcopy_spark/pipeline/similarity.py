@@ -1150,3 +1150,60 @@ def q93(spark, sf_dir):
         )
         .orderBy("vec_id")
     )
+
+
+# The q50 hash-split family applied to vec_id (documents and embeddings
+# are id-aligned 1:1, so this is the SAME split the documents get).
+_VSPLIT_SPARK = (
+    "CASE WHEN CAST(conv(substr(md5(CAST(vec_id AS STRING)), 1, 4),"
+    " 16, 10) AS INT) % 100 < 90 THEN 'train'"
+    " WHEN CAST(conv(substr(md5(CAST(vec_id AS STRING)), 1, 4),"
+    " 16, 10) AS INT) % 100 < 95 THEN 'val' ELSE 'test' END"
+)
+_VSPLIT_DUCK = (
+    "CASE WHEN CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 4))"
+    " AS INT) % 100 < 90 THEN 'train'"
+    " WHEN CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 4))"
+    " AS INT) % 100 < 95 THEN 'val' ELSE 'test' END"
+)
+
+
+@register(
+    "q98_split_label_balance",
+    f"WITH s AS (SELECT {_VSPLIT_DUCK} AS split, label FROM embeddings),"
+    " h AS (SELECT split, CAST(label AS BIGINT) AS label,"
+    " count(*) AS n_vecs FROM s GROUP BY split, label),"
+    " t AS (SELECT split, CAST(sum(n_vecs) AS BIGINT) AS split_total"
+    " FROM h GROUP BY split)"
+    " SELECT h.split, h.label, h.n_vecs,"
+    " CAST(h.n_vecs * 1000000 // t.split_total AS BIGINT) AS label_ppm"
+    " FROM h JOIN t ON h.split = t.split ORDER BY h.split, h.label",
+    doc="Class-balance audit across the hash split: per (split, label)"
+    " counts and each label's within-split share in ppm — the check"
+    " that a hash split did not concentrate a class in val/test (which"
+    " silently skews every eval metric). Uses the q50 split expression"
+    " on vec_id (id-aligned with documents, so it IS the document"
+    " split). One partial-agg pass; the share join is against the"
+    " 3-row split-total table, broadcast.",
+)
+def q98(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings")
+    h = (
+        emb.select(
+            F.expr(_VSPLIT_SPARK).alias("split"),
+            F.col("label").cast("long").alias("label"),
+        )
+        .groupBy("split", "label")
+        .agg(F.count("*").alias("n_vecs"))
+    )
+    t = h.groupBy("split").agg(F.sum("n_vecs").alias("split_total"))
+    return (
+        h.join(F.broadcast(t), "split")
+        .select(
+            "split",
+            "label",
+            "n_vecs",
+            F.expr("n_vecs * 1000000 DIV split_total").alias("label_ppm"),
+        )
+        .orderBy("split", "label")
+    )

@@ -1480,3 +1480,134 @@ def q92(spark, sf_dir):
         )
         .orderBy("shard")
     )
+
+
+PREFIX_TOKENS = 8
+
+
+@register(
+    "q96_template_prefix_detection",
+    "WITH p AS (SELECT source, array_to_string(list_slice("
+    f"string_split(trim({NORM_SQL_DUCK}), ' '), 1, {PREFIX_TOKENS}), ' ')"
+    " AS prefix FROM documents),"
+    " c AS (SELECT source, prefix, count(*) AS n_docs FROM p"
+    " GROUP BY source, prefix),"
+    " t AS (SELECT source, count(*) AS src_docs FROM documents"
+    " GROUP BY source),"
+    " r AS (SELECT c.source, c.prefix, c.n_docs, t.src_docs,"
+    " row_number() OVER (PARTITION BY c.source"
+    " ORDER BY c.n_docs DESC, c.prefix) AS rn"
+    " FROM c JOIN t ON c.source = t.source)"
+    " SELECT source, prefix, n_docs,"
+    " CAST(n_docs * 1000000 // src_docs AS BIGINT) AS share_ppm"
+    " FROM r WHERE rn = 1 ORDER BY source",
+    doc="Boilerplate/template detection: the most common 8-token"
+    " normalized document PREFIX per source, with its share of the"
+    " source in ppm — scraped corpora carry nav-bars and licence"
+    " headers as high-share prefixes, and this is the audit that finds"
+    " them before a stripping pass. Prefix extraction is row-local;"
+    " counts partial-aggregate on (source, prefix); the top-1 window"
+    " partitions by source over that source's DISTINCT prefixes (never"
+    " the corpus rows).",
+)
+def q96(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    prefix = F.array_join(
+        F.slice(F.split(F.trim(norm_text()), " "), 1, PREFIX_TOKENS), " "
+    )
+    c = (
+        docs.select("source", prefix.alias("prefix"))
+        .groupBy("source", "prefix")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    t = docs.groupBy("source").agg(F.count("*").alias("src_docs"))
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_docs").desc(), "prefix"
+    )
+    return (
+        c.join(F.broadcast(t), "source")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "source",
+            "prefix",
+            "n_docs",
+            F.expr("n_docs * 1000000 DIV src_docs").alias("share_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+COOC_VOCAB = 50
+COOC_TOP = 20
+
+
+@register(
+    "q97_token_cooccurrence",
+    "WITH " + _TOK_CTE_DUCK + ","
+    " v AS (SELECT token FROM (SELECT token, count(*) AS tf FROM tok"
+    f" GROUP BY token ORDER BY tf DESC, token LIMIT {COOC_VOCAB})),"
+    " d AS (SELECT DISTINCT t.doc_id, t.token FROM tok t"
+    " JOIN v ON t.token = v.token),"
+    " df AS (SELECT token, count(*) AS df FROM d GROUP BY token),"
+    " ab AS (SELECT a.token AS t1, b.token AS t2, count(*) AS n_ab"
+    " FROM d a JOIN d b ON a.doc_id = b.doc_id AND a.token < b.token"
+    " GROUP BY t1, t2)"
+    " SELECT t1, t2, n_ab,"
+    " CAST(fa.df AS BIGINT) AS n_a, CAST(fb.df AS BIGINT) AS n_b,"
+    " CAST(n_ab * (SELECT count(*) FROM documents) * 10000"
+    " // (fa.df * fb.df) AS BIGINT) AS pmi_e4"
+    " FROM ab JOIN df fa ON ab.t1 = fa.token"
+    " JOIN df fb ON ab.t2 = fb.token"
+    f" ORDER BY n_ab DESC, t1, t2 LIMIT {COOC_TOP}",
+    doc="Token association mining over the top-50 vocabulary: document-"
+    " level co-occurrence counts with an integer-exact PMI surrogate"
+    " (n_ab·N·1e4 DIV (n_a·n_b) — the pointwise mutual information"
+    " ratio without the float log whose last ulp drifts across libm"
+    " builds). The pair space is BOUNDED by construction: documents"
+    " are first thinned to their distinct top-vocab tokens (<=50 rows"
+    " per doc), the pair join is keyed by doc_id with that hard cap,"
+    " so at 100 TB cost is docs x vocab^2/2, never tokens^2.",
+)
+def q97(spark, sf_dir):
+    toks = _tokens(spark, sf_dir)
+    n_all = table(spark, sf_dir, "documents").count()
+    vocab = (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("tf"))
+        .orderBy(F.col("tf").desc(), "token")
+        .limit(COOC_VOCAB)
+        .select("token")
+    )
+    d = (
+        toks.join(F.broadcast(vocab), "token", "semi")
+        .select("doc_id", "token")
+        .distinct()
+    )
+    a = d.select("doc_id", F.col("token").alias("t1"))
+    b = d.select("doc_id", F.col("token").alias("t2"))
+    ab = (
+        a.join(b, "doc_id")
+        .where(F.col("t1") < F.col("t2"))
+        .groupBy("t1", "t2")
+        .agg(F.count("*").alias("n_ab"))
+    )
+    df_ = d.groupBy("token").agg(F.count("*").alias("df"))
+    fa = df_.select(F.col("token").alias("t1"), F.col("df").alias("n_a"))
+    fb = df_.select(F.col("token").alias("t2"), F.col("df").alias("n_b"))
+    return (
+        ab.join(F.broadcast(fa), "t1")
+        .join(F.broadcast(fb), "t2")
+        .select(
+            "t1",
+            "t2",
+            "n_ab",
+            "n_a",
+            "n_b",
+            F.expr(f"n_ab * {n_all}L * 10000 DIV (n_a * n_b)").alias(
+                "pmi_e4"
+            ),
+        )
+        .orderBy(F.col("n_ab").desc(), "t1", "t2")
+        .limit(COOC_TOP)
+    )

@@ -1274,6 +1274,10 @@ QUEUED_SINCE = {
         "q92_shard_balance", "q93_incremental_ann_ingest",
         "q94_ensemble_dedup", "q95_interval_click_attribution",
     )},
+    **{n: 62 for n in (
+        "q96_template_prefix_detection", "q97_token_cooccurrence",
+        "q98_split_label_balance",
+    )},
 }
 
 

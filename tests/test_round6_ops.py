@@ -140,3 +140,30 @@ def test_q95_equals_bruteforce_interval_join(spark):
     df = _run("q95_interval_click_attribution", spark)
     got = dict(zip(df["event_id"], df["n_clicks"]))
     assert got == expect
+
+
+def test_q96_one_row_per_source_with_share(spark):
+    df = _run("q96_template_prefix_detection", spark)
+    assert df["source"].is_unique
+    assert (df["share_ppm"] > 0).all()
+    assert (df["share_ppm"] <= 1_000_000).all()
+    # the reported prefix never exceeds 8 tokens
+    assert (df["prefix"].str.split(" ").str.len() <= 8).all()
+
+
+def test_q97_pair_support_bounds(spark):
+    df = _run("q97_token_cooccurrence", spark)
+    assert (df["t1"] < df["t2"]).all()
+    # co-occurrence support can't exceed either marginal
+    assert (df["n_ab"] <= df[["n_a", "n_b"]].min(axis=1)).all()
+    assert df["n_ab"].is_monotonic_decreasing
+
+
+def test_q98_shares_close_per_split(spark):
+    df = _run("q98_split_label_balance", spark)
+    from smartbulkcopy_spark.queries import table
+
+    assert df["n_vecs"].sum() == table(spark, SF_SMOKE, "embeddings").count()
+    for split, g in df.groupby("split"):
+        # floor-ppm shares sum to within |labels| ulps of exactly 1e6
+        assert 1_000_000 - len(g) < g["label_ppm"].sum() <= 1_000_000

@@ -108,6 +108,10 @@ ANNOTATED = {
     " bucket) equi-join: error side exploded across its <=2 buckets,"
     " click side single-bucketed, exact range filter post-join — no"
     " BroadcastNestedLoopJoin in the plan.",
+    "q97_token_cooccurrence": "Bounded association mining: the corpus"
+    " is LEFT-SEMI thinned to top-vocab tokens before the doc_id-"
+    " keyed pair join, so each join group is <=50 rows; df tables"
+    " re-enter as BroadcastExchanges.",
 }
 
 

@@ -55,6 +55,7 @@ PROBES = [
     "q91_bpe_merge_candidates",
     "q93_incremental_ann_ingest",
     "q95_interval_click_attribution",
+    "q97_token_cooccurrence",
 ]
 
 
