@@ -186,6 +186,15 @@ def main() -> None:
         ]
         for name, t1, t8, r in rows:
             lines.append(f"| {name} | {t1:.2f} | {t8:.2f} | {r:.1f}x |")
+        lines += [
+            "",
+            "Fixture caveat: q93 holds the centroid count at the fixture"
+            " K=8, so the 8x corpus makes every inverted list 8x longer"
+            " and the batch x list candidate space grows ~64x BY FIXTURE"
+            " CONSTRUCTION — its ratio measures that, not a join defect."
+            " In production K grows with the corpus (the operator's doc"
+            " and q83's note) and lists stay bounded.",
+        ]
         (REPO / "SCALE.md").write_text("\n".join(lines) + "\n")
         print("\n".join(lines))
     finally:
