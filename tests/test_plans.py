@@ -107,3 +107,50 @@ def test_q72_salt_spreads_join_and_avoids_broadcast(spark, sf_dir):
     assert key_lines and all("salt" in ln for ln in key_lines), key_lines
     # dimension replication: the explode of the salt sequence is present
     assert "explode(" in plan
+
+
+def test_q85_vocab_reenters_as_broadcast(spark, sf_dir):
+    """The bounded top-k vocabulary must come back onto the token stream
+    as a broadcast, not shuffle the token stream against it."""
+    spark.catalog.clearCache()
+    plan = explain_str(REGISTRY["q85_oov_rate"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q89_no_corpus_wide_window_partition(spark, sf_dir):
+    """The curriculum rank must never put the whole corpus in ONE window
+    partition: every window in the plan either partitions by `score`
+    (document side, parallel across scores) or runs over the tiny score
+    histogram (input already aggregated by score). A global window over
+    raw documents would show a Window whose child is the corpus scan
+    with an Exchange SinglePartition — assert no SinglePartition
+    exchange exists at all."""
+    spark.catalog.clearCache()
+    plan = explain_str(REGISTRY["q89_curriculum_stages"].fn(spark, sf_dir))
+    assert "Window" in plan
+    # any SinglePartition exchange must feed from an aggregate (the
+    # <=101-row score histogram), never directly from a file scan
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if "Exchange SinglePartition" in ln:
+            tail = "\n".join(lines[i : i + 6])
+            assert "HashAggregate" in tail or "Aggregate" in tail, tail
+
+
+def test_q95_range_join_is_equi_keyed(spark, sf_dir):
+    """The interval join must run as an equi-join on (user, bucket) with
+    the range predicate as a post-join condition — never a nested-loop
+    or a pure-inequality join."""
+    spark.catalog.clearCache()
+    plan = explain_str(REGISTRY["q95_interval_click_attribution"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "bucket" in plan
+    assert "explode(" in plan  # probe side fans out over its <=2 buckets
+
+
+def test_q97_pair_space_thinned_before_join(spark, sf_dir):
+    """Association mining must LEFT-SEMI thin tokens to the top vocab
+    BEFORE the doc-keyed pair join (the bounded-pair-space guarantee)."""
+    spark.catalog.clearCache()
+    plan = explain_str(REGISTRY["q97_token_cooccurrence"].fn(spark, sf_dir))
+    assert "LeftSemi" in plan
