@@ -433,17 +433,23 @@ def main() -> None:
     # actually tracks plan regressions.
     timings: dict[str, float] = {}
     for name, spec in sorted(REGISTRY.items()):
-        best = None
-        for _ in range(2):
+        runs: list[float] = []
+        # Two runs normally; a third ONLY when the first two disagree by
+        # >1.5x — that disagreement means one of them caught a JIT/GC
+        # hiccup (round 6 recorded q63 at 7.9s this way; steady-state is
+        # 2.3s), and a single tiebreak run bounds the extra cost to the
+        # noisy queries instead of 1.5x-ing the whole bench.
+        while len(runs) < 2 or (
+            len(runs) == 2 and max(runs) > 1.5 * min(runs)
+        ):
             t0 = time.perf_counter()
             run_one(spec.fn(spark, sf_dir))
-            secs = time.perf_counter() - t0
-            best = secs if best is None else min(best, secs)
+            runs.append(time.perf_counter() - t0)
             # LSH queries persist their signature tables (both self-join
             # sides read them); drop them between runs so timings stay
             # independent and storage doesn't accumulate dead cache.
             spark.catalog.clearCache()
-        timings[name] = round(best, 4)
+        timings[name] = round(min(runs), 4)
 
     copies = copy_benchmarks(spark, sf_dir)
 
