@@ -338,11 +338,13 @@ def emit_payloads(
 ) -> tuple[str, dict[str, object]]:
     """Build (compact-stdout-line, full-detail-dict). The compact line's
     query keys are the qNN prefixes (unique by construction — asserted),
-    copy/shape keys are the short forms above, and floats carry 2 decimals
+    copy/shape keys are the short forms above, and query timings carry 1 decimal
     so the whole line stays inside the driver's stdout tail."""
     shorts = {n.split("_", 1)[0]: v for n, v in timings.items()}
     assert len(shorts) == len(timings), "qNN prefixes must stay unique"
-    compact_queries = {k: round(v, 2) for k, v in sorted(shorts.items())}
+    # 1 decimal on the stdout line (100+ queries must fit the driver's
+    # ~2000-char tail); BENCH_DETAIL.json keeps 4-decimal timings.
+    compact_queries = {k: round(v, 1) for k, v in sorted(shorts.items())}
 
     compact_copy: dict[str, object] = {}
     for key, val in copies.items():

@@ -1207,3 +1207,56 @@ def q98(spark, sf_dir):
         )
         .orderBy("split", "label")
     )
+
+
+@register(
+    "q103_embedding_drift",
+    "WITH el AS (SELECT vec_id, CAST(t.i - 1 AS BIGINT) AS dim,"
+    " CAST(floor(CAST(embedding[t.i] AS DOUBLE) * 1000000.0) AS BIGINT)"
+    " AS v FROM embeddings,"
+    f" (SELECT unnest(range(1, {EMBED_DIM} + 1)) AS i) t),"
+    f" i AS (SELECT dim, CAST(floor(CAST(sum(v) AS DOUBLE) / count(*))"
+    f" AS BIGINT) AS mean_idx_e6 FROM el"
+    f" WHERE vec_id % {BATCH_MOD} != {BATCH_REM} GROUP BY dim),"
+    f" b AS (SELECT dim, CAST(floor(CAST(sum(v) AS DOUBLE) / count(*))"
+    f" AS BIGINT) AS mean_bat_e6 FROM el"
+    f" WHERE vec_id % {BATCH_MOD} = {BATCH_REM} GROUP BY dim)"
+    " SELECT i.dim, i.mean_idx_e6, b.mean_bat_e6,"
+    " abs(i.mean_idx_e6 - b.mean_bat_e6) AS drift_e6"
+    " FROM i JOIN b ON i.dim = b.dim ORDER BY i.dim",
+    doc="Embedding distribution drift monitor: per-dimension means of"
+    " the indexed corpus vs the newly-arrived batch (the q93 split),"
+    " with the absolute delta — the cheap canary that the upstream"
+    " embedding model changed or the data distribution shifted, which"
+    " silently invalidates every ANN index and semantic-dedup"
+    " threshold. q55 integer-mean rule throughout (floats floor-scaled"
+    " per row, associative integer sums); one (dim, partials) shuffle"
+    " per side and a 64-row join.",
+)
+def q103(spark, sf_dir):
+    el = _km_el(spark, sf_dir)
+    mean = F.floor(
+        F.sum("v_e6").cast("double") / F.count("*")
+    ).cast("long")
+    idx = (
+        el.where(F.col("vec_id") % BATCH_MOD != BATCH_REM)
+        .groupBy("dim")
+        .agg(mean.alias("mean_idx_e6"))
+    )
+    bat = (
+        el.where(F.col("vec_id") % BATCH_MOD == BATCH_REM)
+        .groupBy("dim")
+        .agg(mean.alias("mean_bat_e6"))
+    )
+    return (
+        idx.join(bat, "dim")
+        .select(
+            "dim",
+            "mean_idx_e6",
+            "mean_bat_e6",
+            F.abs(
+                F.col("mean_idx_e6") - F.col("mean_bat_e6")
+            ).alias("drift_e6"),
+        )
+        .orderBy("dim")
+    )

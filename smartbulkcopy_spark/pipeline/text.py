@@ -1611,3 +1611,128 @@ def q97(spark, sf_dir):
         .orderBy(F.col("n_ab").desc(), "t1", "t2")
         .limit(COOC_TOP)
     )
+
+
+# Static stopword policy list (the union of the q24 language-marker
+# words): a per-language-family function-word inventory. Static by
+# design — a data-derived list would make the filter drift under
+# reprocessing.
+STOPWORDS = (
+    "the", "and", "of", "a",
+    "der", "und", "nicht",
+    "le", "les", "est",
+    "el", "que", "los",
+)
+_STOP_IN = "(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
+
+
+@register(
+    "q99_stopword_ratio",
+    "WITH t AS (SELECT doc_id, lang, CASE WHEN trim(" + NORM_SQL_DUCK
+    + ") = '' THEN [] ELSE string_split(trim(" + NORM_SQL_DUCK
+    + "), ' ') END AS toks FROM documents)"
+    " SELECT doc_id, lang, CAST(len(toks) AS BIGINT) AS n_tokens,"
+    f" CAST(len(list_filter(toks, x -> x IN {_STOP_IN})) AS BIGINT)"
+    " AS n_stop,"
+    " CAST(CASE WHEN len(toks) = 0 THEN 0 ELSE"
+    f" 1000 * len(list_filter(toks, x -> x IN {_STOP_IN})) // len(toks)"
+    " END AS BIGINT) AS stop_permille"
+    " FROM t ORDER BY doc_id",
+    doc="Stopword-ratio quality signal (the C4/Gopher 'has function"
+    " words' filter): per-document share of tokens drawn from a STATIC"
+    " multilingual function-word list — natural prose carries a"
+    " nonzero floor of them, while keyword stuffing, tables, and code"
+    " sit near zero. Static list = reprocessing-stable policy. Pure"
+    " row-local array arithmetic, zero shuffle.",
+)
+def q99(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    n = F.trim(norm_text())
+    toks = F.when(
+        n == "", F.array().cast("array<string>")
+    ).otherwise(F.split(n, " "))
+    t = docs.select("doc_id", "lang", toks.alias("toks"))
+    n_stop = F.size(F.expr(f"filter(toks, x -> x IN {_STOP_IN})"))
+    nt = F.size("toks")
+    return t.select(
+        "doc_id",
+        "lang",
+        nt.cast("long").alias("n_tokens"),
+        n_stop.cast("long").alias("n_stop"),
+        F.when(nt == 0, F.lit(0))
+        .otherwise(F.expr(f"1000 * size(filter(toks, x -> x IN {_STOP_IN}))"
+                          " DIV size(toks)"))
+        .cast("long")
+        .alias("stop_permille"),
+    ).orderBy("doc_id")
+
+
+# Gopher-style quality rule thresholds (Rae et al. 2021 §A1.1, adapted
+# to the fixture's ranges: the published bounds are 50..100k tokens,
+# mean word length 3..10, >=80% alpha words).
+GOPHER_MIN_TOKENS = 20
+GOPHER_MAX_TOKENS = 100_000
+GOPHER_MIN_MWL_E2 = 300
+GOPHER_MAX_MWL_E2 = 1000
+GOPHER_MIN_ALPHA_PCT = 70
+
+
+@register(
+    "q100_gopher_rules",
+    "SELECT doc_id, " + TOKENS_SQL_DUCK + " AS n_tokens,"
+    " CAST(CASE WHEN " + TOKENS_SQL_DUCK + " = 0 THEN 0 ELSE"
+    " 100 * length(replace(trim(" + NORM_SQL_DUCK + "), ' ', ''))"
+    " // " + TOKENS_SQL_DUCK + " END AS BIGINT) AS mean_wordlen_e2,"
+    " CAST(floor(100.0 * length(regexp_replace(text, '[^A-Za-z]', '',"
+    " 'g')) / greatest(length(text), 1)) AS BIGINT) AS alpha_pct,"
+    " (" + TOKENS_SQL_DUCK + f" BETWEEN {GOPHER_MIN_TOKENS} AND"
+    f" {GOPHER_MAX_TOKENS}"
+    " AND CAST(CASE WHEN " + TOKENS_SQL_DUCK + " = 0 THEN 0 ELSE"
+    " 100 * length(replace(trim(" + NORM_SQL_DUCK + "), ' ', ''))"
+    " // " + TOKENS_SQL_DUCK + " END AS BIGINT)"
+    f" BETWEEN {GOPHER_MIN_MWL_E2} AND {GOPHER_MAX_MWL_E2}"
+    " AND CAST(floor(100.0 * length(regexp_replace(text, '[^A-Za-z]',"
+    " '', 'g')) / greatest(length(text), 1)) AS BIGINT)"
+    f" >= {GOPHER_MIN_ALPHA_PCT}) AS passes"
+    " FROM documents ORDER BY doc_id",
+    doc="The Gopher quality-rule battery (token-count bounds, mean word"
+    " length 3-10, alphabetic ratio) with a combined pass flag — the"
+    " standard pre-model heuristic gate, integer-exact: mean word"
+    " length is 100·chars DIV tokens over the normalized text (the"
+    " collapsed-whitespace char count IS the summed token length)."
+    " Pure row-local projection, zero shuffle, pipelines into the"
+    " curation chain at any scale.",
+)
+def q100(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    nt = token_count()
+    base = docs.select(
+        "doc_id",
+        "text",
+        nt.cast("long").alias("n_tokens"),
+        F.length(F.regexp_replace(F.trim(norm_text()), " ", ""))
+        .cast("long")
+        .alias("sum_len"),
+    )
+    mwl = F.when(F.col("n_tokens") == 0, F.lit(0)).otherwise(
+        F.expr("100 * sum_len DIV n_tokens")
+    )
+    alpha = F.floor(
+        100.0
+        * F.length(F.regexp_replace(F.col("text"), "[^A-Za-z]", ""))
+        / F.greatest(F.length("text"), F.lit(1))
+    )
+    scored = base.select(
+        "doc_id",
+        "n_tokens",
+        mwl.cast("long").alias("mean_wordlen_e2"),
+        alpha.cast("long").alias("alpha_pct"),
+    )
+    passes = (
+        F.col("n_tokens").between(GOPHER_MIN_TOKENS, GOPHER_MAX_TOKENS)
+        & F.col("mean_wordlen_e2").between(
+            GOPHER_MIN_MWL_E2, GOPHER_MAX_MWL_E2
+        )
+        & (F.col("alpha_pct") >= GOPHER_MIN_ALPHA_PCT)
+    )
+    return scored.withColumn("passes", passes).orderBy("doc_id")

@@ -1138,6 +1138,163 @@ def q95(spark, sf_dir):
     )
 
 
+HOUR_US = 3_600_000_000
+MINUTE_US = 60_000_000
+
+
+@register(
+    "q101_hourly_cohort_retention",
+    "WITH e AS (SELECT user_id, epoch_us(ts) // 3600000000 AS hr"
+    " FROM events),"
+    " c AS (SELECT user_id, min(hr) AS cohort_hr FROM e"
+    " GROUP BY user_id),"
+    " act AS (SELECT DISTINCT user_id, hr FROM e)"
+    " SELECT CAST(c.cohort_hr AS BIGINT) AS cohort_hr,"
+    " CAST(act.hr - c.cohort_hr AS BIGINT) AS offset_h,"
+    " CAST(count(DISTINCT act.user_id) AS BIGINT) AS n_users"
+    " FROM act JOIN c ON act.user_id = c.user_id"
+    " GROUP BY cohort_hr, offset_h ORDER BY cohort_hr, offset_h",
+    doc="Cohort retention matrix at hourly grain: users grouped by their"
+    " first-activity hour, counted in every (cohort, offset) cell they"
+    " were active in — the classic retention triangle, here over the"
+    " fixture's intraday event stream (production would truncate to"
+    " days/weeks with the same shape). Two user-keyed aggregations and"
+    " one user-keyed join — the matrix itself is (hours x hours) tiny;"
+    " user activity never fans out beyond its own distinct hours.",
+)
+def q101(spark, sf_dir):
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", F.expr(f"({_EV_MICROS}) DIV {HOUR_US}").alias("hr")
+    )
+    cohort = ev.groupBy("user_id").agg(F.min("hr").alias("cohort_hr"))
+    act = ev.distinct()
+    return (
+        act.join(cohort, "user_id")
+        .groupBy(
+            F.col("cohort_hr").cast("long").alias("cohort_hr"),
+            (F.col("hr") - F.col("cohort_hr")).cast("long").alias(
+                "offset_h"
+            ),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("cohort_hr", "offset_h")
+    )
+
+
+@register(
+    "q102_conversion_latency",
+    "WITH u AS (SELECT user_id,"
+    " min(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) AS s,"
+    " min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS p"
+    " FROM events GROUP BY user_id),"
+    " conv AS (SELECT (p - s) // 60000000 AS gap_min FROM u"
+    " WHERE s IS NOT NULL AND p IS NOT NULL AND p >= s),"
+    " h AS (SELECT gap_min, count(*) AS n_users FROM conv"
+    " GROUP BY gap_min)"
+    " SELECT CAST(gap_min AS BIGINT) AS gap_min,"
+    " CAST(n_users AS BIGINT) AS n_users,"
+    " CAST(sum(n_users) OVER (ORDER BY gap_min) AS BIGINT)"
+    " AS cum_users,"
+    " CAST(CAST(sum(n_users) OVER (ORDER BY gap_min) AS BIGINT)"
+    " * 1000000 // (SELECT count(*) FROM u WHERE s IS NOT NULL)"
+    " AS BIGINT) AS conv_cum_ppm"
+    " FROM h ORDER BY gap_min",
+    doc="Conversion-latency curve: minutes from a user's FIRST signup to"
+    " their FIRST subsequent purchase, as a minute-bucket histogram"
+    " with the cumulative converted share of the signup cohort in ppm"
+    " — read the median/p90 latency and the asymptotic conversion rate"
+    " straight off the curve. One user-keyed conditional-min"
+    " aggregation; the histogram and its cumulative window run over"
+    " minute buckets (bounded by the corpus time span, independent of"
+    " user count); the cohort size is a bounded driver scalar (q52"
+    " pattern — joining it on a constant key would plan as a"
+    " BroadcastNestedLoopJoin, which the plan suite forbids).",
+)
+def q102(spark, sf_dir):
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.expr(_EV_MICROS).alias("t")
+    )
+    u = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("t"))).alias(
+            "s"
+        ),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("t"))
+        ).alias("p"),
+    )
+    n_signup = u.where(F.col("s").isNotNull()).count()
+    conv = u.where(
+        F.col("s").isNotNull()
+        & F.col("p").isNotNull()
+        & (F.col("p") >= F.col("s"))
+    ).select(F.expr(f"(p - s) DIV {MINUTE_US}").alias("gap_min"))
+    h = conv.groupBy("gap_min").agg(F.count("*").alias("n_users"))
+    w = Window.orderBy("gap_min").rowsBetween(
+        Window.unboundedPreceding, 0
+    )  # minute-bucket histogram rows, never users
+    return (
+        h.select(
+            F.col("gap_min").cast("long").alias("gap_min"),
+            F.col("n_users").cast("long").alias("n_users"),
+            F.sum("n_users").over(w).cast("long").alias("cum_users"),
+        )
+        .withColumn(
+            "conv_cum_ppm",
+            F.expr(f"cum_users * 1000000 DIV {n_signup}L"),
+        )
+        .orderBy("gap_min")
+    )
+
+
+# ORC round-trip: the corpus must survive a columnar-format hop with
+# bit-identical content (ORC is Spark-native; the q20 parquet copy is
+# the same contract for the reference's own data plane). The oracle
+# reads the ORIGINAL parquet — equality proves the ORC write+read
+# preserved every row and byte of text.
+@register(
+    "q104_orc_corpus_roundtrip",
+    "SELECT lang, count(*) AS n_docs,"
+    " CAST(sum(n_chars) AS BIGINT) AS total_chars,"
+    " CAST(sum(CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT))"
+    " AS BIGINT) AS content_checksum"
+    " FROM documents GROUP BY lang ORDER BY lang",
+    doc="ORC source/sink parity: export the documents corpus to ORC,"
+    " read it back, and produce per-language row counts + an order-"
+    " insensitive integer content checksum (summed md5-prefix words)."
+    " The oracle computes the same from the ORIGINAL parquet, so a"
+    " hash match proves the columnar round-trip preserved every row"
+    " and every text byte. Write parallelism is the scan partitioning"
+    " (no sort, no single-writer funnel); the checksum is an"
+    " associative integer sum (q55 rule).",
+)
+def q104(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    docs = table(spark, sf_dir, "documents")
+    dest = tempfile.mkdtemp(prefix="sbc_q104_orc_")
+    try:
+        docs.write.mode("overwrite").orc(dest)
+        back = spark.read.orc(dest)
+        checksum = F.sum(
+            F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("long")
+        )
+        # aggregate fully before the temp dir disappears
+        out = (
+            back.groupBy("lang")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum("n_chars").alias("total_chars"),
+                checksum.alias("content_checksum"),
+            )
+            .orderBy("lang")
+        )
+        rows = out.collect()
+    finally:
+        shutil.rmtree(dest, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)
+
+
 # Phase-5 pipeline operators (q21+) register themselves on import. The
 # import sits at the bottom because pipeline modules import `register`/
 # `table` from this module (deliberate one-way late binding, not a cycle
@@ -1277,6 +1434,11 @@ QUEUED_SINCE = {
     **{n: 62 for n in (
         "q96_template_prefix_detection", "q97_token_cooccurrence",
         "q98_split_label_balance",
+    )},
+    **{n: 63 for n in (
+        "q99_stopword_ratio", "q100_gopher_rules",
+        "q101_hourly_cohort_retention", "q102_conversion_latency",
+        "q103_embedding_drift", "q104_orc_corpus_roundtrip",
     )},
 }
 

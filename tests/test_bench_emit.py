@@ -6,6 +6,7 @@ printed line must stay short no matter how many queries are registered
 from __future__ import annotations
 
 import json
+import re
 
 import bench
 from smartbulkcopy_spark.queries import REGISTRY
@@ -38,16 +39,21 @@ def worst_case_payloads():
 
 def test_line_fits_driver_tail():
     timings, copies = worst_case_payloads()
-    line, _ = bench.emit_payloads(timings, copies, 0.1)
+    line, doc_ = bench.emit_payloads(timings, copies, 0.1)
     assert len(line) <= bench.MAX_LINE
-    # and with generous headroom for future queries: the cap must survive
-    # another ~20 registrations at worst-case widths
+    # worst-case widths must NOT trigger the degrade path at the current
+    # registry size — the per-query dict belongs on the line
+    assert "truncated" not in json.loads(line)
+    # and with headroom for future queries: another ~20 registrations at
+    # worst-case widths must still emit a PARSEABLE line <= the cap
+    # (whether or not the degrade path drops the per-query dict)
     padded = dict(timings)
-    nxt = max(int(n[1:3]) for n in REGISTRY) + 1
+    nxt = max(int(re.match(r"q(\d+)", n).group(1)) for n in REGISTRY) + 1
     for i in range(nxt, nxt + 21):
         padded[f"q{i}_future_operator"] = 123.4567
     line2, _ = bench.emit_payloads(padded, copies, 0.1)
     assert len(line2) <= bench.MAX_LINE
+    assert json.loads(line2)["metric"] == "sum_of_query_wall_times"
 
 
 def test_line_is_parseable_json_with_qnn_keys():
@@ -82,7 +88,8 @@ def test_line_degrades_gracefully_on_overflow():
     headline metric rather than crashing and recording a null round."""
     timings, copies = worst_case_payloads()
     flood = dict(timings)
-    for i in range(100, 500):
+    nxt = max(int(re.match(r"q(\d+)", n).group(1)) for n in REGISTRY) + 1
+    for i in range(nxt, nxt + 400):
         flood[f"q{i}_future_operator"] = 123.4567
     line, detail = bench.emit_payloads(flood, copies, 0.1)
     assert len(line) <= bench.MAX_LINE

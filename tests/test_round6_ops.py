@@ -167,3 +167,75 @@ def test_q98_shares_close_per_split(spark):
     for split, g in df.groupby("split"):
         # floor-ppm shares sum to within |labels| ulps of exactly 1e6
         assert 1_000_000 - len(g) < g["label_ppm"].sum() <= 1_000_000
+
+
+def test_q99_stopword_bounds(spark):
+    df = _run("q99_stopword_ratio", spark)
+    assert (df["n_stop"] <= df["n_tokens"]).all()
+    assert df["stop_permille"].between(0, 1000).all()
+    # marker-injected synthetic prose: stopwords do occur
+    assert df["n_stop"].sum() > 0
+
+
+def test_q100_pass_flag_consistent(spark):
+    df = _run("q100_gopher_rules", spark)
+    recomputed = (
+        df["n_tokens"].between(20, 100_000)
+        & df["mean_wordlen_e2"].between(300, 1000)
+        & (df["alpha_pct"] >= 70)
+    )
+    assert (df["passes"] == recomputed).all()
+
+
+def test_q101_cohort_triangle(spark):
+    df = _run("q101_hourly_cohort_retention", spark)
+    assert (df["offset_h"] >= 0).all()
+    # offset 0 contains every user of the cohort (first activity is
+    # activity), so it is each cohort's maximal cell
+    for _, g in df.groupby("cohort_hr"):
+        peak = g.loc[g["offset_h"].idxmin()]
+        assert peak["offset_h"] == 0
+        assert peak["n_users"] == g["n_users"].max()
+
+
+def test_q102_curve_monotone(spark):
+    df = _run("q102_conversion_latency", spark).sort_values("gap_min")
+    assert df["cum_users"].is_monotonic_increasing
+    assert df["conv_cum_ppm"].is_monotonic_increasing
+    assert df["conv_cum_ppm"].iloc[-1] <= 1_000_000
+    assert df["cum_users"].iloc[-1] == df["n_users"].sum()
+
+
+def test_q103_drift_is_abs_delta(spark):
+    df = _run("q103_embedding_drift", spark)
+    assert len(df) == 64
+    assert (
+        df["drift_e6"] == (df["mean_idx_e6"] - df["mean_bat_e6"]).abs()
+    ).all()
+
+
+def test_q104_roundtrip_matches_parquet_source(spark):
+    """The ORC hop must preserve the corpus: the aggregate computed over
+    the round-tripped data equals the same aggregate straight off the
+    parquet source."""
+    import pyspark.sql.functions as FF
+
+    from smartbulkcopy_spark.queries import table
+
+    df = _run("q104_orc_corpus_roundtrip", spark)
+    src = (
+        table(spark, SF_SMOKE, "documents")
+        .groupBy("lang")
+        .agg(
+            FF.count("*").alias("n_docs"),
+            FF.sum("n_chars").alias("total_chars"),
+            FF.sum(
+                FF.conv(FF.substring(FF.md5("text"), 1, 8), 16, 10).cast(
+                    "long"
+                )
+            ).alias("content_checksum"),
+        )
+        .orderBy("lang")
+        .toPandas()
+    )
+    assert df.reset_index(drop=True).equals(src.reset_index(drop=True))

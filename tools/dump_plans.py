@@ -112,6 +112,10 @@ ANNOTATED = {
     " is LEFT-SEMI thinned to top-vocab tokens before the doc_id-"
     " keyed pair join, so each join group is <=50 rows; df tables"
     " re-enter as BroadcastExchanges.",
+    "q102_conversion_latency": "Latency curve: one user-keyed"
+    " conditional-min aggregate; the cumulative window runs over the"
+    " minute-bucket histogram (time-span-bounded), and the cohort"
+    " size enters as a single-row BroadcastExchange — no cross join.",
 }
 
 

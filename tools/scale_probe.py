@@ -56,6 +56,8 @@ PROBES = [
     "q93_incremental_ann_ingest",
     "q95_interval_click_attribution",
     "q97_token_cooccurrence",
+    "q99_stopword_ratio",
+    "q101_hourly_cohort_retention",
 ]
 
 
