@@ -39,6 +39,15 @@ from pyspark.sql.window import Window
 
 from smartbulkcopy_spark.queries import register, spread, table
 
+# The q50 split policy, from its single generator (q86's oracle derives
+# its spelling here so the split CANNOT drift from q50/q76/q92/q98).
+# Note: this import makes text.py register its queries before this
+# module's — harmless to the driver window (ordering inside a
+# QUEUED_SINCE batch never changes window membership).
+from smartbulkcopy_spark.pipeline.text import (  # noqa: E402
+    split_case_sql as _text_split_case_sql,
+)
+
 SHINGLE = 8
 R_ROWS = 4  # minhashes per band
 N_BANDS = 2
@@ -601,18 +610,57 @@ def verified_pairs(spark, sf_dir):
     )
 
 
-def _truncate_lineage(df, spark, reliable):
-    """Per-round lineage truncation for the iterative CC loop.
+class _ReliableRounds:
+    """Fault-tolerant per-round lineage truncation for cluster
+    deployments: each round's label table is written to the session's
+    checkpoint dir as parquet and read back (survives executor loss,
+    unlike localCheckpoint's executor-resident blocks), and the
+    PREVIOUS round's file is deleted as soon as the new round has
+    materialized. ``df.checkpoint(eager=True)`` would instead leak one
+    label-table snapshot per round — Spark reclaims RDD checkpoints
+    only via the async GC-driven cleaner, and only when
+    ``spark.cleaner.referenceTracking.cleanCheckpoints`` is enabled.
+    The FINAL round's file backs the returned DataFrame and is kept;
+    callers consume it into their own plan and may clear the run
+    directory afterwards."""
 
-    reliable=None (auto) uses a fault-tolerant checkpoint() iff the
-    session has a checkpoint dir configured, else localCheckpoint().
-    Both paths are eager, so each round's plan is computed exactly once.
-    """
+    def __init__(self, spark):
+        import uuid
+
+        base = spark.sparkContext.getCheckpointDir()
+        assert base is not None, "reliable rounds need a checkpoint dir"
+        self._spark = spark
+        self._dir = base.rstrip("/") + "/cc-" + uuid.uuid4().hex
+        self._n = 0
+        self._prev: str | None = None
+
+    def __call__(self, df):
+        path = f"{self._dir}/round-{self._n}"
+        self._n += 1
+        df.write.parquet(path)  # synchronous: fully durable on return
+        out = self._spark.read.parquet(path)
+        if self._prev is not None:
+            self._delete(self._prev)
+        self._prev = path
+        return out
+
+    def _delete(self, path: str) -> None:
+        jvm = self._spark._jvm
+        conf = self._spark.sparkContext._jsc.hadoopConfiguration()
+        p = jvm.org.apache.hadoop.fs.Path(path)
+        p.getFileSystem(conf).delete(p, True)
+
+
+def _round_truncator(spark, reliable):
+    """Pick the per-round lineage truncation: reliable=None (auto) uses
+    the fault-tolerant parquet rounds iff the session has a checkpoint
+    dir configured, else localCheckpoint(). Both are eager, so each
+    round's plan is computed exactly once."""
     if reliable is None:
         reliable = spark.sparkContext.getCheckpointDir() is not None
     if reliable:
-        return df.checkpoint(eager=True)
-    return df.localCheckpoint()
+        return _ReliableRounds(spark)
+    return lambda df: df.localCheckpoint()
 
 
 def connected_components(spark, pair_df, reliable=None):
@@ -623,9 +671,11 @@ def connected_components(spark, pair_df, reliable=None):
     graph is any near-dup pair set (Jaccard-verified text pairs,
     cosine-verified embedding pairs, ...) — orders of magnitude smaller
     than the corpus, so the iteration runs on (id, label) pairs only.
-    reliable: force fault-tolerant checkpoint() (True),
+    reliable: force fault-tolerant parquet rounds (True),
     localCheckpoint() (False), or auto-detect from the session's
-    checkpoint dir (None)."""
+    checkpoint dir (None). The reliable path deletes each superseded
+    round's file as the next materializes (see _ReliableRounds)."""
+    trunc = _round_truncator(spark, reliable)
     # .select() wraps caller-provided pairs in a fresh plan node, so the
     # persist/unpersist below never touches the caller's own cache state.
     edges = pair_df.select("a_id", "b_id").persist()
@@ -638,15 +688,13 @@ def connected_components(spark, pair_df, reliable=None):
         # Init fuses the first propagation round: every member appears as
         # u in the symmetric edge list, so label(u) = min(u, min neighbor)
         # is both the node inventory and one round of hash-min for free.
-        labels = _truncate_lineage(
+        labels = trunc(
             sym.groupBy("u")
             .agg(F.min("v").alias("mn"))
             .select(
                 F.col("u").alias("node"),
                 F.least(F.col("u"), F.col("mn")).alias("lbl"),
-            ),
-            spark,
-            reliable,
+            )
         )
         for _ in range(MAX_CC_ROUNDS):
             # candidate label for v: the smallest current label among its
@@ -659,16 +707,14 @@ def connected_components(spark, pair_df, reliable=None):
             cand = sym.join(
                 labels, sym["u"] == labels["node"]
             ).select(F.col("v").alias("node"), F.col("lbl"))
-            new_labels = _truncate_lineage(
+            new_labels = trunc(
                 labels.withColumn("own", F.lit(True))
                 .union(cand.withColumn("own", F.lit(False)))
                 .groupBy("node")
                 .agg(
                     F.min("lbl").alias("lbl"),
                     F.min(F.when(F.col("own"), F.col("lbl"))).alias("old"),
-                ),
-                spark,
-                reliable,
+                )
             )
             changed = new_labels.where(F.col("lbl") < F.col("old")).count()
             labels = new_labels.select("node", "lbl")
@@ -799,12 +845,9 @@ def _labels_cte_duck() -> str:
 @register(
     "q86_split_leakage_audit",
     "WITH RECURSIVE " + _labels_cte_duck() + ","
-    " ls AS (SELECT l.cluster_rep,"
-    " (SELECT CASE WHEN CAST(('0x' || substr(md5(CAST(l.doc_id AS"
-    " VARCHAR)), 1, 4)) AS INT) % 100 < 90 THEN 'train'"
-    " WHEN CAST(('0x' || substr(md5(CAST(l.doc_id AS VARCHAR)), 1, 4))"
-    " AS INT) % 100 < 95 THEN 'val' ELSE 'test' END) AS split"
-    " FROM labels l)"
+    " ls AS (SELECT cluster_rep, "
+    + _text_split_case_sql("duck", "doc_id")
+    + " AS split FROM labels)"
     " SELECT cluster_rep, count(*) AS n_members,"
     " CAST(count(DISTINCT split) AS BIGINT) AS n_splits,"
     " CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT)"

@@ -92,8 +92,13 @@ def q94(spark, sf_dir):
     from smartbulkcopy_spark.pipeline.dedup import verified_pairs
     from smartbulkcopy_spark.pipeline.similarity import q33
 
-    lex = verified_pairs(spark, sf_dir).select("a_id", "b_id")
-    sem = q33(spark, sf_dir).select("a_id", "b_id")
+    # Each pair set feeds TWO consumers (the union and its marker
+    # join); persist eagerly so the expensive verify chains run once
+    # (q33/q69 pattern — lazy persist would let the consumers race).
+    lex = verified_pairs(spark, sf_dir).select("a_id", "b_id").persist()
+    sem = q33(spark, sf_dir).select("a_id", "b_id").persist()
+    lex.count()
+    sem.count()
     u = lex.union(sem).distinct()
     lmark = lex.withColumn("lex", F.lit(True))
     smark = sem.withColumn("sem", F.lit(True))

@@ -30,25 +30,23 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-import os
-
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
+from pyspark.sql.utils import AnalysisException
+from pyspark.sql.window import Window
 
 from smartbulkcopy_spark.pipeline.text import norm_text
 from smartbulkcopy_spark.queries import register, table
-from smartbulkcopy_spark.sources.jsonl import DOCUMENTS_SCHEMA
+from smartbulkcopy_spark.sources.jsonl import (
+    DOCUMENTS_SCHEMA,
+    clean_line_ok,
+    parse_lines,
+)
 
-def required_ok():
-    """The shared clean-line rule (same as sources/jsonl.py): parsed AND
-    carries the required id/text fields. A function, not a module-level
-    Column — building a Column needs an active SparkContext."""
-    return (
-        F.col("d").isNotNull()
-        & F.col("d.doc_id").isNotNull()
-        & F.col("d.text").isNotNull()
-    )
+# The classify rule is LITERALLY the batch reader's (one definition in
+# sources/jsonl.py — the two paths cannot drift apart).
+required_ok = clean_line_ok
 
 
 def read_documents_stream(
@@ -56,32 +54,25 @@ def read_documents_stream(
 ) -> DataFrame:
     """Open a JSONL corpus directory as a stream of parsed lines.
 
-    Returns the raw+parsed shape (raw_line, d struct, ok flag); split it
-    with ``where(ok)`` / ``where(~ok)`` exactly like the batch reader —
-    one text scan, schema declared, nothing inferred."""
+    Returns the raw+parsed shape (raw_line, d struct, ok flag) via the
+    SAME ``parse_lines`` the batch reader uses — one text scan, schema
+    declared, nothing inferred."""
     reader = spark.readStream
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    lines = reader.text(path)
-    return lines.select(
-        F.col("value").alias("raw_line"),
-        F.from_json("value", DOCUMENTS_SCHEMA).alias("d"),
-    ).withColumn("ok", required_ok())
+    return parse_lines(reader.text(path))
 
 
 def _existing_fingerprints(spark: SparkSession, out_dir: str) -> DataFrame | None:
     """The ingested corpus's fingerprint index, or None before first
-    append. Columnar projection: reads one 16-byte column, never text."""
+    append. Columnar projection: reads one 16-byte column, never text.
+    Probed THROUGH Spark (not the driver's local filesystem) so the
+    index is found on any supported store (HDFS/S3/local alike); only
+    a missing/empty destination reads as None."""
     try:
-        if not any(
-            f.endswith(".parquet")
-            for _, _, files in os.walk(out_dir)
-            for f in files
-        ):
-            return None
-    except OSError:
+        return spark.read.parquet(out_dir).select("fingerprint")
+    except AnalysisException:
         return None
-    return spark.read.parquet(out_dir).select("fingerprint")
 
 
 def run_corpus_ingest(
@@ -101,25 +92,39 @@ def run_corpus_ingest(
         parsed = batch_df.select(
             F.col("raw_line"),
             F.from_json("raw_line", DOCUMENTS_SCHEMA).alias("d"),
-        )
-        rejects = parsed.where(~required_ok()).select("raw_line")
+        ).withColumn("ok", clean_line_ok())
+        rejects = parsed.where(~F.col("ok")).select("raw_line")
+        # dynamic overwrite of THIS batch's partition: a replayed batch
+        # (failure after the quarantine write but before the clean
+        # append) rewrites its own rejects instead of appending them a
+        # second time — the accounting identity survives restarts.
         (
             rejects.withColumn("batch_id", F.lit(batch_id).cast("long"))
-            .write.mode("append")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
             .parquet(quarantine_dir)
         )
         clean = (
-            parsed.where(required_ok())
+            parsed.where("ok")
             .select("d.*")
             .withColumn("n_chars", F.length("text").cast("long"))
             .withColumn("fingerprint", F.md5(norm_text()))
         )
-        # within-batch keep-first (min doc_id per fingerprint): the q21
-        # groupBy-join spelling — ids only on the keep-list side
-        keep = clean.groupBy("fingerprint").agg(
-            F.min("doc_id").alias("doc_id")
+        # within-batch keep-first: exactly ONE survivor per fingerprint
+        # (min doc_id, then full-row order for determinism). A rank, not
+        # a (fingerprint, doc_id) semi-join: the semi-join spelling
+        # keeps BOTH copies of a literally-duplicated line (same id,
+        # same text, twice in one landing file). Partitions are
+        # duplicate-family-sized, never the corpus.
+        wr = Window.partitionBy("fingerprint").orderBy(
+            "doc_id", "text", "lang", "source"
         )
-        fresh = clean.join(keep, ["fingerprint", "doc_id"], "left_semi")
+        fresh = (
+            clean.withColumn("rn", F.row_number().over(wr))
+            .where(F.col("rn") == 1)
+            .drop("rn")
+        )
         index = _existing_fingerprints(spark, out_dir)
         if index is not None:
             fresh = fresh.join(index, "fingerprint", "left_anti")

@@ -1152,20 +1152,13 @@ def q93(spark, sf_dir):
     )
 
 
-# The q50 hash-split family applied to vec_id (documents and embeddings
-# are id-aligned 1:1, so this is the SAME split the documents get).
-_VSPLIT_SPARK = (
-    "CASE WHEN CAST(conv(substr(md5(CAST(vec_id AS STRING)), 1, 4),"
-    " 16, 10) AS INT) % 100 < 90 THEN 'train'"
-    " WHEN CAST(conv(substr(md5(CAST(vec_id AS STRING)), 1, 4),"
-    " 16, 10) AS INT) % 100 < 95 THEN 'val' ELSE 'test' END"
-)
-_VSPLIT_DUCK = (
-    "CASE WHEN CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 4))"
-    " AS INT) % 100 < 90 THEN 'train'"
-    " WHEN CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 4))"
-    " AS INT) % 100 < 95 THEN 'val' ELSE 'test' END"
-)
+# The q50 hash-split POLICY applied to vec_id (documents and embeddings
+# are id-aligned 1:1, so this is the SAME split the documents get) —
+# derived from the one split generator, not re-spelled.
+from smartbulkcopy_spark.pipeline.text import split_case_sql  # noqa: E402
+
+_VSPLIT_SPARK = split_case_sql("spark", "vec_id")
+_VSPLIT_DUCK = split_case_sql("duck", "vec_id")
 
 
 @register(

@@ -113,25 +113,41 @@ def q23(spark, sf_dir):
 
 
 # Deterministic split assignment: bucket 0-89 train, 90-94 val, 95-99
-# test, from the first 4 hex chars of md5(doc_id). Hash-based (not
-# random) so the split is stable under reprocessing, joinable from any
-# table that knows doc_id, and identically computable by any engine —
-# the properties a 100 TB pipeline needs from its train/val/test split.
-_SPLIT_BUCKET_SPARK = (
-    "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10) AS INT)"
-    " % 100"
-)
-_SPLIT_BUCKET_DUCK = (
-    "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) % 100"
-)
+# test, from the first 4 hex chars of md5(id). Hash-based (not random)
+# so the split is stable under reprocessing, joinable from any table
+# that knows the id, and identically computable by any engine — the
+# properties a 100 TB pipeline needs from its train/val/test split.
+# ONE generator per policy: every consumer (q50/q76/q86/q92/q98,
+# curate's export) derives its spelling from these two functions, so a
+# policy change cannot leave a consumer computing a different split.
 
-# ONE spelling of the 90/5/5 split policy per engine — q50's audit and
-# curate.py's export must classify identically by construction.
-SPLIT_CASE_DUCK = (
-    f"CASE WHEN {_SPLIT_BUCKET_DUCK} < 90 THEN 'train'"
-    f" WHEN {_SPLIT_BUCKET_DUCK} < 95 THEN 'val'"
-    " ELSE 'test' END"
-)
+
+def hash_bucket_sql(engine: str, col: str, mod: int) -> str:
+    """The md5-prefix hash bucket, spelled for either engine."""
+    if engine == "spark":
+        return (
+            f"CAST(conv(substr(md5(CAST({col} AS STRING)), 1, 4),"
+            f" 16, 10) AS INT) % {mod}"
+        )
+    return (
+        f"CAST(('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 4))"
+        f" AS INT) % {mod}"
+    )
+
+
+def split_case_sql(engine: str, col: str = "doc_id") -> str:
+    """The 90/5/5 split policy as a CASE expression over `col`."""
+    b = hash_bucket_sql(engine, col, 100)
+    return (
+        f"CASE WHEN {b} < 90 THEN 'train'"
+        f" WHEN {b} < 95 THEN 'val'"
+        " ELSE 'test' END"
+    )
+
+
+_SPLIT_BUCKET_SPARK = hash_bucket_sql("spark", "doc_id", 100)
+_SPLIT_BUCKET_DUCK = hash_bucket_sql("duck", "doc_id", 100)
+SPLIT_CASE_DUCK = split_case_sql("duck", "doc_id")
 
 
 def split_col():
@@ -1430,14 +1446,8 @@ N_SHARDS = 32
 
 # Same md5-bucket family as the q50 split, 32-wide: the output-sharding
 # decision for writing a curated corpus as N self-contained shards.
-_SHARD_SPARK = (
-    "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10) AS INT)"
-    f" % {N_SHARDS}"
-)
-_SHARD_DUCK = (
-    "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT)"
-    f" % {N_SHARDS}"
-)
+_SHARD_SPARK = hash_bucket_sql("spark", "doc_id", N_SHARDS)
+_SHARD_DUCK = hash_bucket_sql("duck", "doc_id", N_SHARDS)
 
 
 @register(

@@ -1000,8 +1000,11 @@ def q72(spark, sf_dir):
     " IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY tmic, event_id"
     " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS click_tmic"
     " FROM ev)"
-    " SELECT event_id, user_id, click_event_id,"
-    " CAST(tmic - click_tmic AS BIGINT) AS gap_us"
+    " SELECT event_id, user_id,"
+    " CASE WHEN click_tmic < tmic THEN click_event_id END"
+    " AS click_event_id,"
+    " CASE WHEN click_tmic < tmic THEN CAST(tmic - click_tmic AS BIGINT)"
+    " END AS gap_us"
     " FROM lt WHERE event_type = 'purchase' ORDER BY event_id",
     doc="As-of join (last-touch attribution): every purchase event"
     " paired with the most recent STRICTLY-EARLIER click by the same"
@@ -1010,8 +1013,10 @@ def q72(spark, sf_dir):
     " filter to purchases: a single shuffle on user_id, which is how"
     " an as-of join against a 100 TB event stream has to run (per-key"
     " ordered scan, never a range cross join). Total order (tmic,"
-    " event_id) makes ties deterministic; purchases with no prior"
-    " click keep NULL attribution.",
+    " event_id) makes ties deterministic, and a click_tmic < tmic"
+    " guard masks a same-microsecond click (the ROWS frame alone"
+    " would attribute it with gap 0); purchases with no strictly-"
+    " prior click keep NULL attribution.",
 )
 def q88(spark, sf_dir):
     ev = (
@@ -1042,10 +1047,16 @@ def q88(spark, sf_dir):
         .select(
             "event_id",
             "user_id",
-            "click_event_id",
-            (F.col("tmic") - F.col("click_tmic"))
-            .cast("long")
-            .alias("gap_us"),
+            # strictly-earlier guard: a same-microsecond click (smaller
+            # event_id breaks the window tie) must not attribute
+            F.when(
+                F.col("click_tmic") < F.col("tmic"),
+                F.col("click_event_id"),
+            ).alias("click_event_id"),
+            F.when(
+                F.col("click_tmic") < F.col("tmic"),
+                (F.col("tmic") - F.col("click_tmic")).cast("long"),
+            ).alias("gap_us"),
         )
         .orderBy("event_id")
     )
@@ -1326,7 +1337,14 @@ DRIVER_WINDOW = 50
 _QNUM = re.compile(r"^q(\d+)_")
 
 TIER1 = [
-    *[n for n in REGISTRY if int(_QNUM.match(n).group(1)) <= 20],
+    # guarded match: an off-pattern registration must fall through to
+    # ordered_names()'s explicit assert, not blow up this comprehension
+    # with an opaque AttributeError at import time
+    *[
+        n
+        for n in REGISTRY
+        if (m := _QNUM.match(n)) and int(m.group(1)) <= 20
+    ],
     "q35_sessionization",
     "q45_sliding_window",
     "q46_session_window",

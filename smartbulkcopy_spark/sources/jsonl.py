@@ -38,6 +38,30 @@ DOCUMENTS_SCHEMA = T.StructType(
     ]
 )
 
+def clean_line_ok():
+    """THE clean-line rule, shared by the batch reader, the streaming
+    ingest, and the q82 audit: a line is clean only if it parsed AND
+    carries the required id/text fields (parsed-but-incomplete rows are
+    rejects too — they would otherwise vanish from corpus accounting).
+    A function, not a module-level Column — building a Column needs an
+    active SparkContext."""
+    return (
+        F.col("d").isNotNull()
+        & F.col("d.doc_id").isNotNull()
+        & F.col("d.text").isNotNull()
+    )
+
+
+def parse_lines(lines: DataFrame) -> DataFrame:
+    """Attach the declared-schema parse + clean flag to a text scan
+    (batch or streaming): (raw_line, d struct, ok). One definition so
+    the batch and streaming readers cannot drift apart."""
+    return lines.select(
+        F.col("value").alias("raw_line"),
+        F.from_json("value", DOCUMENTS_SCHEMA).alias("d"),
+    ).withColumn("ok", clean_line_ok())
+
+
 def read_documents_jsonl(
     spark: SparkSession, path: str
 ) -> tuple[DataFrame, DataFrame]:
@@ -46,23 +70,13 @@ def read_documents_jsonl(
     Returns ``(docs, rejects)``: clean rows with ``n_chars`` derived
     (matching the parquet table's column), and the quarantined raw lines
     for accounting. Both are lazy single-pass plans over the same text
-    scan; a line is clean only if it parsed AND carries the required
-    id/text fields (parsed-but-incomplete rows are rejects too — they
-    would otherwise vanish from corpus accounting).
+    scan, classified by the shared ``clean_line_ok`` rule.
     """
-    parsed = spark.read.text(path).select(
-        F.col("value").alias("raw_line"),
-        F.from_json("value", DOCUMENTS_SCHEMA).alias("d"),
-    )
-    ok = (
-        F.col("d").isNotNull()
-        & F.col("d.doc_id").isNotNull()
-        & F.col("d.text").isNotNull()
-    )
+    parsed = parse_lines(spark.read.text(path))
     clean = (
-        parsed.where(ok)
+        parsed.where("ok")
         .select("d.*")
         .withColumn("n_chars", F.length("text").cast("long"))
     )
-    rejects = parsed.where(~ok).select("raw_line")
+    rejects = parsed.where(~F.col("ok")).select("raw_line")
     return clean, rejects

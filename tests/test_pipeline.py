@@ -378,9 +378,31 @@ def test_dedup_clusters_reliable_checkpoint_matches_local(spark, sf_dir, tmp_pat
     local = dedup_clusters(spark, sf_dir, reliable=False).collect()
     assert local, "fixture must yield clusters"
     spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
-    assert dedup_clusters(spark, sf_dir, reliable=True).collect() == local
-    # auto mode detects the configured dir and takes the reliable path
-    assert dedup_clusters(spark, sf_dir, reliable=None).collect() == local
+    try:
+        assert (
+            dedup_clusters(spark, sf_dir, reliable=True).collect() == local
+        )
+        # auto mode detects the configured dir, takes the reliable path
+        assert (
+            dedup_clusters(spark, sf_dir, reliable=None).collect() == local
+        )
+        # superseded rounds are deleted as the loop advances: each run
+        # directory holds exactly ONE surviving round file (the final
+        # labels' backing store), not one snapshot per round
+        runs = list((tmp_path / "ckpt").glob("*/cc-*"))
+        assert runs, "reliable path must have created run dirs"
+        for run in runs:
+            assert len(list(run.glob("round-*"))) == 1, run
+    finally:
+        # UNSET the session checkpoint dir (no public API): leaving it
+        # configured silently flips every later reliable=None CC call in
+        # the shared session onto the checkpoint() path writing into this
+        # test's tmp_path — the same shared-session-pollution class as
+        # the q27 cache note in CLAUDE.md.
+        getattr(spark.sparkContext._jsc.sc(), "checkpointDir_$eq")(
+            spark.sparkContext._jvm.scala.Option.empty()
+        )
+        assert spark.sparkContext.getCheckpointDir() is None
 
 
 def test_dedup_pair_injection_single_materialization(spark, sf_dir):

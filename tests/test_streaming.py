@@ -277,6 +277,9 @@ def test_corpus_ingest_stream_dedup_and_quarantine(spark, sf_dir, tmp_path):
     with open(in_dir / "01.jsonl", "w") as f:
         for d in docs[half:] + [dup_of_0, within_batch_dup]:
             f.write(js.dumps(d) + "\n")
+        # the SAME line twice in one landing file (producer retry glued
+        # into one file): exactly one copy may survive
+        f.write(js.dumps(docs[half]) + "\n")
         f.write(bad[2] + "\n")
     # the file source orders batches by modification time: pin 00 older
     # so the keep-first expectation below is deterministic
@@ -316,6 +319,11 @@ def test_corpus_ingest_stream_dedup_and_quarantine(spark, sf_dir, tmp_path):
     assert sorted(r["raw_line"] for r in quarantined.collect()) == sorted(bad)
 
     # lost-checkpoint replay: fresh checkpoint, same input, nothing new
+    # in the corpus AND no duplicated quarantine rows (the reject write
+    # dynamically overwrites its own batch partition on replay)
     run_corpus_ingest(spark, str(in_dir), out, quar, str(tmp_path / "ck2"),
                       max_files_per_trigger=1)
     assert spark.read.parquet(out).count() == len(docs)
+    assert sorted(
+        r["raw_line"] for r in spark.read.parquet(quar).collect()
+    ) == sorted(bad)
