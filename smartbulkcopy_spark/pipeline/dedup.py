@@ -579,11 +579,14 @@ def q63(spark, sf_dir):
 # 100 TB-scale corpora. Every round checkpoints the label table so
 # lineage stays O(1) instead of growing one join per round (the classic
 # iterative-Spark failure mode): localCheckpoint() by default (fast,
-# executor-local blocks — fine on local[N] and for short jobs), or a
-# RELIABLE checkpoint() when the session has a checkpoint dir configured
-# (spark.sparkContext.setCheckpointDir), which survives executor loss —
-# the right setting for a 1000-executor cluster where losing one node
-# mid-iteration must not kill the job. For adversarial diameters the
+# executor-local blocks — fine on local[N] and for short jobs), or
+# RELIABLE managed parquet rounds when the session has a checkpoint dir
+# configured (spark.sparkContext.setCheckpointDir): each round's labels
+# are durably written and the superseded round's file is deleted as the
+# next materializes (see _ReliableRounds) — survives executor loss
+# without leaking a snapshot per round, the right setting for a
+# 1000-executor cluster where losing one node mid-iteration must not
+# kill the job. For adversarial diameters the
 # large-star/small-star variant (Kiveris et al., "Connected Components
 # in MapReduce and Beyond") halves path lengths per round; hash-min is
 # the right default for the shallow components dedup graphs produce.
