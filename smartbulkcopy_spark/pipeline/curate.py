@@ -163,3 +163,106 @@ def q61(spark, sf_dir):
         )
         .orderBy("split")
     )
+
+
+_FUNNEL_STAGES = [
+    (0, "raw"),
+    (1, "token_min"),
+    (2, "mixture"),
+    (3, "exact_dedup"),
+    (4, "near_dup"),
+]
+
+
+@register(
+    "q105_curation_funnel",
+    "WITH " + _candidate_cte_duck() + ","
+    f" sh AS (SELECT doc_id, {shingle_set_expr('duck')} AS s"
+    " FROM documents),"
+    " jac AS (SELECT c.a_id, c.b_id,"
+    " CAST(floor(1000.0 * len(list_intersect(sa.s, sb.s))"
+    "   / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))))"
+    " AS BIGINT) AS j"
+    " FROM cand c JOIN sh sa ON sa.doc_id = c.a_id"
+    " JOIN sh sb ON sb.doc_id = c.b_id),"
+    f" keepx AS (SELECT min(doc_id) AS doc_id FROM documents"
+    f" GROUP BY md5({NORM_SQL_DUCK})),"
+    " base AS (SELECT doc_id,"
+    f" CAST({TOKENS_SQL_DUCK} AS BIGINT) AS n_tokens,"
+    " CAST(substr(source, 4) AS INT) AS si,"
+    f" {_MIX_BUCKET_DUCK} AS mb FROM documents),"
+    f" s1 AS (SELECT doc_id FROM base WHERE n_tokens >= {MIN_TOKENS}),"
+    f" s2 AS (SELECT doc_id FROM base WHERE n_tokens >= {MIN_TOKENS}"
+    f" AND mb < {_MIX_RATE_SQL}),"
+    " s3 AS (SELECT s2.doc_id FROM s2 JOIN keepx k"
+    " ON k.doc_id = s2.doc_id),"
+    " s4 AS (SELECT doc_id FROM s3 WHERE doc_id NOT IN"
+    f" (SELECT b_id FROM jac WHERE j >= {NEAR_DUP_JACCARD_MILLIS})),"
+    " f AS ("
+    " SELECT 0 AS stage_id, 'raw' AS stage,"
+    " CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_surviving"
+    " UNION ALL SELECT 1, 'token_min',"
+    " CAST((SELECT count(*) FROM s1) AS BIGINT)"
+    " UNION ALL SELECT 2, 'mixture',"
+    " CAST((SELECT count(*) FROM s2) AS BIGINT)"
+    " UNION ALL SELECT 3, 'exact_dedup',"
+    " CAST((SELECT count(*) FROM s3) AS BIGINT)"
+    " UNION ALL SELECT 4, 'near_dup',"
+    " CAST((SELECT count(*) FROM s4) AS BIGINT))"
+    " SELECT CAST(stage_id AS BIGINT) AS stage_id, stage, n_surviving,"
+    " CAST(coalesce(lag(n_surviving) OVER (ORDER BY stage_id)"
+    " - n_surviving, 0) AS BIGINT) AS n_dropped"
+    " FROM f ORDER BY stage_id",
+    doc="The curation funnel: surviving-document counts after each"
+    " cumulative stage of the q61 pipeline (raw -> token minimum ->"
+    " mixture resampling -> exact dedup -> near-dup dedup), with the"
+    " per-stage drop — the operational readout every curation run"
+    " ships, showing exactly where the corpus shrinks. Stages share"
+    " one lazy plan prefix; the only expensive stage (the near-dup"
+    " drop list) is the same bucketed candidates + verify chain every"
+    " dedup consumer pays, and the funnel itself is five single-row"
+    " aggregates + a 5-row window.",
+)
+def q105(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    docs = table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        token_count().cast("long").alias("n_tokens"),
+        mix_keep_col().alias("mk"),
+    )
+    s1 = base.where(F.col("n_tokens") >= MIN_TOKENS)
+    s2 = s1.where("mk")
+    keep_exact = (
+        docs.groupBy(F.md5(norm_text()).alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    s3 = s2.join(keep_exact, "doc_id", "left_semi")
+    drops = (
+        verified_pairs(spark, sf_dir)
+        .select(F.col("b_id").alias("doc_id"))
+        .distinct()
+    )
+    s4 = s3.join(drops, "doc_id", "left_anti")
+    stages = [docs, s1, s2, s3, s4]
+    counts = None
+    for (sid, name), df in zip(_FUNNEL_STAGES, stages):
+        row = df.agg(F.count("*").cast("long").alias("n_surviving")).select(
+            F.lit(sid).cast("long").alias("stage_id"),
+            F.lit(name).alias("stage"),
+            "n_surviving",
+        )
+        counts = row if counts is None else counts.unionByName(row)
+    w = Window.orderBy("stage_id")  # 5 funnel rows, never documents
+    return (
+        counts.withColumn(
+            "n_dropped",
+            F.coalesce(
+                F.lag("n_surviving").over(w) - F.col("n_surviving"),
+                F.lit(0),
+            ).cast("long"),
+        )
+        .orderBy("stage_id")
+    )

@@ -156,11 +156,11 @@ def _candidate_cte_duck() -> str:
     )
 
 
-def banded_rows(spark, sf_dir):
-    """(doc_id, band) rows of the MinHash-LSH index: explode shingles ->
-    codegen md5 -> partial-aggregated MIN per hash slice -> band keys.
-    The signature pipeline runs ONCE; shuffles carry (doc_id, 8 x 8-char
-    minima) after map-side combine — document bodies never shuffle."""
+def signatures(spark, sf_dir):
+    """(doc_id, mh0..mh7) MinHash signatures: explode shingles ->
+    codegen md5 -> partial-aggregated MIN per hash slice. Shuffles carry
+    (doc_id, 8 x 8-char minima) after map-side combine — document
+    bodies never shuffle."""
     base = _normed(spark, sf_dir)
     shingles = base.select(
         "doc_id", F.explode(F.expr(SHINGLES_SPARK)).alias("sh")
@@ -170,7 +170,7 @@ def banded_rows(spark, sf_dir):
         F.md5(F.concat(F.lit("0:"), F.col("sh"))).alias("h0"),
         F.md5(F.concat(F.lit("1:"), F.col("sh"))).alias("h1"),
     )
-    sig = hashed.groupBy("doc_id").agg(
+    return hashed.groupBy("doc_id").agg(
         *[
             F.min(F.substring(f"h{k // 4}", 1 + 8 * (k % 4), 8)).alias(
                 f"mh{k}"
@@ -178,7 +178,13 @@ def banded_rows(spark, sf_dir):
             for k in range(K_HASHES)
         ]
     )
-    return sig.select(
+
+
+def banded_rows(spark, sf_dir):
+    """(doc_id, band) rows of the MinHash-LSH index: the signature
+    pipeline (see `signatures`) runs ONCE, then band keys derive
+    row-locally from the 8 minima."""
+    return signatures(spark, sf_dir).select(
         "doc_id",
         F.explode(
             F.array(*[F.expr(e) for e in _band_from_cols("spark")])
@@ -892,4 +898,125 @@ def q86(spark, sf_dir):
         )
         .withColumn("leaky", F.col("n_splits") > 1)
         .orderBy("cluster_rep")
+    )
+
+
+# Shared jac CTE (candidates -> shingle sets -> exact Jaccard), used by
+# several oracles below and in curate.py.
+def _jac_cte_duck() -> str:
+    return (
+        _candidate_cte_duck() + ","
+        f" sh AS (SELECT doc_id, {shingle_set_expr('duck')} AS s"
+        " FROM documents),"
+        " jac AS (SELECT c.a_id, c.b_id,"
+        " CAST(floor(1000.0 * len(list_intersect(sa.s, sb.s))"
+        "   / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))))"
+        " AS BIGINT) AS j"
+        " FROM cand c JOIN sh sa ON sa.doc_id = c.a_id"
+        " JOIN sh sb ON sb.doc_id = c.b_id)"
+    )
+
+
+@register(
+    "q106_dedup_provenance",
+    "WITH " + _jac_cte_duck() + ","
+    f" drops AS (SELECT a_id, b_id, j FROM jac"
+    f" WHERE j >= {NEAR_DUP_JACCARD_MILLIS}),"
+    " r AS (SELECT b_id, a_id, j,"
+    " row_number() OVER (PARTITION BY b_id ORDER BY j DESC, a_id)"
+    " AS rn FROM drops)"
+    " SELECT b_id AS dropped_doc_id, a_id AS kept_doc_id,"
+    " j AS j_millis FROM r WHERE rn = 1 ORDER BY dropped_doc_id",
+    doc="Dedup provenance map: for every document the pair-local"
+    " keep-list (q34) drops, the single pair that CAUSED the drop —"
+    " the strongest verified pair (max Jaccard, ties to the lower"
+    " kept id). This is the 'why was my document removed' audit"
+    " artifact a curation pipeline must be able to produce; note the"
+    " cited keeper may itself be dropped by ANOTHER pair — the"
+    " transitive survivor is q69's cluster representative. Rank"
+    " windows partition by the dropped id (duplicate-family-sized"
+    " groups); everything upstream is the shared bucketed"
+    " candidates + verify chain.",
+)
+def q106(spark, sf_dir):
+    drops = jaccard_pairs(spark, sf_dir).where(
+        F.col("jaccard_millis") >= NEAR_DUP_JACCARD_MILLIS
+    )
+    w = Window.partitionBy("b_id").orderBy(
+        F.col("jaccard_millis").desc(), "a_id"
+    )
+    return (
+        drops.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("b_id").alias("dropped_doc_id"),
+            F.col("a_id").alias("kept_doc_id"),
+            F.col("jaccard_millis").alias("j_millis"),
+        )
+        .orderBy("dropped_doc_id")
+    )
+
+
+def _sig_eq_duck() -> str:
+    terms = " + ".join(
+        f"CAST(sa.mh{k} = sb.mh{k} AS INT)" for k in range(K_HASHES)
+    )
+    return f"({terms})"
+
+
+@register(
+    "q107_minhash_estimate_quality",
+    "WITH " + _jac_cte_duck() + ","
+    " est AS (SELECT j.a_id, j.b_id, j.j,"
+    f" CAST(1000 * {_sig_eq_duck()} // {K_HASHES} AS BIGINT)"
+    " AS est_millis"
+    " FROM jac j JOIN sig sa ON sa.doc_id = j.a_id"
+    " JOIN sig sb ON sb.doc_id = j.b_id)"
+    " SELECT a_id, b_id, j AS j_millis, est_millis,"
+    " abs(j - est_millis) AS abs_err_millis"
+    " FROM est ORDER BY a_id, b_id",
+    doc="MinHash estimator quality audit: for every LSH candidate pair,"
+    " the signature-agreement Jaccard estimate (matching minima / 8,"
+    " the unbiased MinHash estimator) next to the exact shingle-set"
+    " Jaccard, with the absolute error — the measurement that"
+    " justifies (or re-tunes) the K_HASHES/band configuration before"
+    " scaling it to 100 TB. Signatures join to the tiny candidate"
+    " pair set by id; the exact side reuses the LEFT-SEMI-thinned"
+    " verify stage, so nothing corpus-sized is recomputed.",
+)
+def q107(spark, sf_dir):
+    jac = jaccard_pairs(spark, sf_dir)
+    sig = signatures(spark, sf_dir)
+    sa = sig.select(
+        F.col("doc_id").alias("a_id"),
+        *[F.col(f"mh{k}").alias(f"a{k}") for k in range(K_HASHES)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("b_id"),
+        *[F.col(f"mh{k}").alias(f"b{k}") for k in range(K_HASHES)],
+    )
+    eq = sum(
+        F.when(F.col(f"a{k}") == F.col(f"b{k}"), 1).otherwise(0)
+        for k in range(K_HASHES)
+    )
+    return (
+        jac.join(sa, "a_id")
+        .join(sb, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            F.col("jaccard_millis").alias("j_millis"),
+            (1000 * eq).cast("long").alias("est_raw"),
+        )
+        .select(
+            "a_id",
+            "b_id",
+            "j_millis",
+            F.expr(f"est_raw DIV {K_HASHES}").alias("est_millis"),
+        )
+        .withColumn(
+            "abs_err_millis",
+            F.abs(F.col("j_millis") - F.col("est_millis")),
+        )
+        .orderBy("a_id", "b_id")
     )

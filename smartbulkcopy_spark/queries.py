@@ -1458,6 +1458,10 @@ QUEUED_SINCE = {
         "q101_hourly_cohort_retention", "q102_conversion_latency",
         "q103_embedding_drift", "q104_orc_corpus_roundtrip",
     )},
+    **{n: 64 for n in (
+        "q105_curation_funnel", "q106_dedup_provenance",
+        "q107_minhash_estimate_quality",
+    )},
 }
 
 

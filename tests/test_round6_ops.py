@@ -239,3 +239,48 @@ def test_q104_roundtrip_matches_parquet_source(spark):
         .toPandas()
     )
     assert df.reset_index(drop=True).equals(src.reset_index(drop=True))
+
+
+def test_q105_funnel_monotone_and_consistent(spark):
+    df = _run("q105_curation_funnel", spark).sort_values("stage_id")
+    assert df["stage"].tolist() == [
+        "raw", "token_min", "mixture", "exact_dedup", "near_dup",
+    ]
+    surv = df["n_surviving"].tolist()
+    assert surv == sorted(surv, reverse=True)  # stages only ever drop
+    drops = df["n_dropped"].tolist()
+    assert drops[0] == 0
+    for i in range(1, len(surv)):
+        assert drops[i] == surv[i - 1] - surv[i]
+    # the funnel's terminal count equals the composed q61 corpus
+    from smartbulkcopy_spark.pipeline.curate import curated_docs
+
+    assert surv[-1] == curated_docs(spark, SF_SMOKE).count()
+
+
+def test_q106_provenance_covers_exactly_the_dropped(spark):
+    df = _run("q106_dedup_provenance", spark)
+    from smartbulkcopy_spark.queries import REGISTRY, table
+
+    kept = {
+        r["doc_id"]
+        for r in REGISTRY["q34_near_dup_dedup"].fn(spark, SF_SMOKE).collect()
+    }
+    all_ids = {
+        r["doc_id"]
+        for r in table(spark, SF_SMOKE, "documents").select("doc_id").collect()
+    }
+    assert set(df["dropped_doc_id"]) == all_ids - kept
+    assert df["dropped_doc_id"].is_unique
+    assert (df["j_millis"] >= 500).all()
+
+
+def test_q107_estimator_bounds(spark):
+    df = _run("q107_minhash_estimate_quality", spark)
+    assert df["est_millis"].between(0, 1000).all()
+    assert df["j_millis"].between(0, 1000).all()
+    assert (
+        df["abs_err_millis"] == (df["j_millis"] - df["est_millis"]).abs()
+    ).all()
+    # est quantizes to eighths
+    assert (df["est_millis"] % 125 == 0).all()
