@@ -1020,3 +1020,32 @@ def q107(spark, sf_dir):
         )
         .orderBy("a_id", "b_id")
     )
+
+
+@register(
+    "q108_jaccard_distribution",
+    "WITH " + _jac_cte_duck() + ""
+    " SELECT CAST(j // 100 AS BIGINT) AS decile,"
+    " count(*) AS n_pairs,"
+    " min(j) AS min_j_millis, max(j) AS max_j_millis"
+    " FROM jac GROUP BY decile ORDER BY decile",
+    doc="Near-dup threshold sensitivity: the exact-Jaccard distribution"
+    " of every LSH candidate pair in Jaccard deciles — the evidence for"
+    " (or against) the verification threshold before committing a 100 TB"
+    " dedup run: a mass of pairs just under the cut means the threshold"
+    " is doing real work; an empty gap means it is arbitrary. Reuses"
+    " the shared bucketed candidates + LEFT-SEMI-thinned verify chain;"
+    " the rollup groups the tiny candidate pair set by decile.",
+)
+def q108(spark, sf_dir):
+    jac = jaccard_pairs(spark, sf_dir)
+    return (
+        jac.select(F.expr("jaccard_millis DIV 100").alias("decile"), "jaccard_millis")
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.min("jaccard_millis").alias("min_j_millis"),
+            F.max("jaccard_millis").alias("max_j_millis"),
+        )
+        .orderBy("decile")
+    )

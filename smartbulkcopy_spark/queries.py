@@ -1257,6 +1257,62 @@ def q102(spark, sf_dir):
     )
 
 
+@register(
+    "q109_event_transitions",
+    "WITH s AS (SELECT user_id, event_type, epoch_us(ts) AS t, event_id"
+    " FROM events),"
+    " lagged AS (SELECT coalesce(lag(event_type) OVER"
+    " (PARTITION BY user_id ORDER BY t, event_id), '_start')"
+    " AS prev_type, event_type AS next_type FROM s),"
+    " m AS (SELECT prev_type, next_type, count(*) AS n FROM lagged"
+    " GROUP BY prev_type, next_type),"
+    " tot AS (SELECT prev_type, CAST(sum(n) AS BIGINT) AS t FROM m"
+    " GROUP BY prev_type)"
+    " SELECT m.prev_type, m.next_type, m.n AS n_transitions,"
+    " CAST(m.n * 1000000 // tot.t AS BIGINT) AS prob_ppm"
+    " FROM m JOIN tot ON m.prev_type = tot.prev_type"
+    " ORDER BY m.prev_type, m.next_type",
+    doc="Per-user event-type transition matrix (first-order Markov"
+    " estimate): every consecutive (prev, next) pair under the total"
+    " (ts, event_id) order per user, with the empirical transition"
+    " probability in exact ppm ('_start' marks each user's first"
+    " event). The lag window shuffles once on user_id; the matrix is"
+    " |types|^2 tiny, so the probability normalization joins against"
+    " a broadcast-sized per-prev total. The sequence-structure"
+    " statistic that drives session modeling and bot detection.",
+)
+def q109(spark, sf_dir):
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.expr(_EV_MICROS).alias("t"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    lagged = ev.select(
+        F.coalesce(F.lag("event_type").over(w), F.lit("_start")).alias(
+            "prev_type"
+        ),
+        F.col("event_type").alias("next_type"),
+    )
+    m = lagged.groupBy("prev_type", "next_type").agg(
+        F.count("*").alias("n_transitions")
+    )
+    tot = m.groupBy("prev_type").agg(
+        F.sum("n_transitions").alias("t")
+    )
+    return (
+        m.join(F.broadcast(tot), "prev_type")
+        .select(
+            "prev_type",
+            "next_type",
+            "n_transitions",
+            F.expr("n_transitions * 1000000 DIV t").alias("prob_ppm"),
+        )
+        .orderBy("prev_type", "next_type")
+    )
+
+
 # ORC round-trip: the corpus must survive a columnar-format hop with
 # bit-identical content (ORC is Spark-native; the q20 parquet copy is
 # the same contract for the reference's own data plane). The oracle
@@ -1461,6 +1517,9 @@ QUEUED_SINCE = {
     **{n: 64 for n in (
         "q105_curation_funnel", "q106_dedup_provenance",
         "q107_minhash_estimate_quality",
+    )},
+    **{n: 65 for n in (
+        "q108_jaccard_distribution", "q109_event_transitions",
     )},
 }
 

@@ -284,3 +284,22 @@ def test_q107_estimator_bounds(spark):
     ).all()
     # est quantizes to eighths
     assert (df["est_millis"] % 125 == 0).all()
+
+
+def test_q108_deciles_cover_all_candidates(spark):
+    df = _run("q108_jaccard_distribution", spark)
+    from smartbulkcopy_spark.pipeline.dedup import candidate_pairs
+
+    assert df["n_pairs"].sum() == candidate_pairs(spark, SF_SMOKE).count()
+    assert (df["min_j_millis"] >= df["decile"] * 100).all()
+    assert (df["max_j_millis"] < (df["decile"] + 1) * 100).all()
+
+
+def test_q109_rows_conserve_events(spark):
+    df = _run("q109_event_transitions", spark)
+    from smartbulkcopy_spark.queries import table
+
+    n_events = table(spark, SF_SMOKE, "events").count()
+    assert df["n_transitions"].sum() == n_events  # one row per event
+    for _, g in df.groupby("prev_type"):
+        assert 1_000_000 - len(g) < g["prob_ppm"].sum() <= 1_000_000
