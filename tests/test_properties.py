@@ -208,3 +208,54 @@ def test_packed_argmin_equals_lexicographic(d2s):
     expected = min(pairs, key=lambda p: (p[1], p[0]))[0]
     packed = min(d2 * KMEANS_K + cid for cid, d2 in pairs) % KMEANS_K
     assert packed == expected
+
+
+@given(n=st.integers(0, 10_000))
+@settings(deadline=None, max_examples=80)
+def test_p2_case_picks_smallest_covering_power(n):
+    """The generated power-of-two bucket CASE (q90) must assign every
+    token count its smallest covering power of two — evaluated through
+    DuckDB so the SQL itself is what is being checked."""
+    from smartbulkcopy_spark.pipeline.text import _P2_BUCKETS, _p2_case
+
+    (got,) = duckdb.sql(f"SELECT {_p2_case(str(n))}").fetchone()
+    if n <= 0:
+        assert got == 0
+    else:
+        covering = [b for b in _P2_BUCKETS if n <= b]
+        assert got == (covering[0] if covering else 2 * _P2_BUCKETS[-1])
+
+
+@given(doc_id=st.integers(0, 2**62), mod=st.sampled_from([32, 100]))
+@settings(deadline=None, max_examples=60)
+def test_hash_bucket_sql_matches_reference_md5(doc_id, mod):
+    """The duck spelling of the shared hash bucket (q50/q76/q86/q92/q98
+    family) must equal a direct Python md5 computation."""
+    import hashlib
+
+    from smartbulkcopy_spark.pipeline.text import hash_bucket_sql
+
+    (got,) = duckdb.sql(
+        "SELECT " + hash_bucket_sql("duck", str(doc_id), mod)
+    ).fetchone()
+    expect = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:4], 16) % mod
+    assert got == expect
+
+
+@given(n=st.integers(1, 5_000))
+@settings(deadline=None, max_examples=100)
+def test_curriculum_stage_formula_partitions_evenly(n):
+    """q89's stage formula (1 + (rank-1)*4 DIV N) must cut any corpus
+    into exactly min(4, N) contiguous stages whose sizes differ by at
+    most one and sum to N."""
+    from collections import Counter
+
+    stages = [1 + ((r - 1) * 4) // n for r in range(1, n + 1)]
+    sizes = Counter(stages)
+    assert sum(sizes.values()) == n
+    assert stages == sorted(stages)  # monotone in rank
+    assert len(sizes) == min(4, n)
+    assert set(sizes) <= {1, 2, 3, 4}
+    if n >= 4:  # below 4 docs the sparse stage ids are expected
+        assert set(sizes) == {1, 2, 3, 4}
+    assert max(sizes.values()) - min(sizes.values()) <= 1
