@@ -29,9 +29,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 
 from smartbulkcopy_spark.pipeline.dedup import (
-    _candidate_cte_duck,
+    _jac_cte_duck,
     NEAR_DUP_JACCARD_MILLIS,
-    shingle_set_expr,
     verified_pairs,
 )
 from smartbulkcopy_spark.pipeline.text import (
@@ -119,15 +118,7 @@ def curate(spark, sf_dir: str, out_dir: str):
 
 @register(
     "q61_curation_stats",
-    "WITH " + _candidate_cte_duck() + ","
-    f" sh AS (SELECT doc_id, {shingle_set_expr('duck')} AS s"
-    " FROM documents),"
-    " jac AS (SELECT c.a_id, c.b_id,"
-    " CAST(floor(1000.0 * len(list_intersect(sa.s, sb.s))"
-    "   / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))))"
-    " AS BIGINT) AS j"
-    " FROM cand c JOIN sh sa ON sa.doc_id = c.a_id"
-    " JOIN sh sb ON sb.doc_id = c.b_id),"
+    "WITH " + _jac_cte_duck() + ","
     f" keepx AS (SELECT min(doc_id) AS doc_id FROM documents"
     f" GROUP BY md5({NORM_SQL_DUCK})),"
     " base AS (SELECT doc_id,"
@@ -176,15 +167,7 @@ _FUNNEL_STAGES = [
 
 @register(
     "q105_curation_funnel",
-    "WITH " + _candidate_cte_duck() + ","
-    f" sh AS (SELECT doc_id, {shingle_set_expr('duck')} AS s"
-    " FROM documents),"
-    " jac AS (SELECT c.a_id, c.b_id,"
-    " CAST(floor(1000.0 * len(list_intersect(sa.s, sb.s))"
-    "   / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))))"
-    " AS BIGINT) AS j"
-    " FROM cand c JOIN sh sa ON sa.doc_id = c.a_id"
-    " JOIN sh sb ON sb.doc_id = c.b_id),"
+    "WITH " + _jac_cte_duck() + ","
     f" keepx AS (SELECT min(doc_id) AS doc_id FROM documents"
     f" GROUP BY md5({NORM_SQL_DUCK})),"
     " base AS (SELECT doc_id,"
@@ -217,11 +200,13 @@ _FUNNEL_STAGES = [
     " cumulative stage of the q61 pipeline (raw -> token minimum ->"
     " mixture resampling -> exact dedup -> near-dup dedup), with the"
     " per-stage drop — the operational readout every curation run"
-    " ships, showing exactly where the corpus shrinks. Stages share"
-    " one lazy plan prefix; the only expensive stage (the near-dup"
-    " drop list) is the same bucketed candidates + verify chain every"
-    " dedup consumer pays, and the funnel itself is five single-row"
-    " aggregates + a 5-row window.",
+    " ships, showing exactly where the corpus shrinks. SINGLE-PASS:"
+    " one corpus scan attaches boolean stage flags (the two id-only"
+    " keep/drop markers join onto it), one aggregate takes all five"
+    " conditional counts, and the 5-row funnel unpivots from that row"
+    " — the corpus is never re-scanned per stage, and the only"
+    " expensive input (the near-dup drop list) is the same bucketed"
+    " candidates + verify chain every dedup consumer pays.",
 )
 def q105(spark, sf_dir):
     from pyspark.sql.window import Window
@@ -232,29 +217,53 @@ def q105(spark, sf_dir):
         token_count().cast("long").alias("n_tokens"),
         mix_keep_col().alias("mk"),
     )
-    s1 = base.where(F.col("n_tokens") >= MIN_TOKENS)
-    s2 = s1.where("mk")
     keep_exact = (
         docs.groupBy(F.md5(norm_text()).alias("h"))
         .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
+        .select("doc_id", F.lit(True).alias("kx"))
     )
-    s3 = s2.join(keep_exact, "doc_id", "left_semi")
     drops = (
         verified_pairs(spark, sf_dir)
         .select(F.col("b_id").alias("doc_id"))
         .distinct()
+        .withColumn("dp", F.lit(True))
     )
-    s4 = s3.join(drops, "doc_id", "left_anti")
-    stages = [docs, s1, s2, s3, s4]
-    counts = None
-    for (sid, name), df in zip(_FUNNEL_STAGES, stages):
-        row = df.agg(F.count("*").cast("long").alias("n_surviving")).select(
-            F.lit(sid).cast("long").alias("stage_id"),
-            F.lit(name).alias("stage"),
-            "n_surviving",
+    flagged = (
+        base.join(keep_exact, "doc_id", "left")
+        .join(drops, "doc_id", "left")
+        .select(
+            (F.col("n_tokens") >= MIN_TOKENS).alias("f1"),
+            "mk",
+            F.coalesce(F.col("kx"), F.lit(False)).alias("kx"),
+            F.coalesce(F.col("dp"), F.lit(False)).alias("dp"),
         )
-        counts = row if counts is None else counts.unionByName(row)
+        .select(
+            "f1",
+            (F.col("f1") & F.col("mk")).alias("f2"),
+            (F.col("f1") & F.col("mk") & F.col("kx")).alias("f3"),
+            (
+                F.col("f1") & F.col("mk") & F.col("kx") & ~F.col("dp")
+            ).alias("f4"),
+        )
+    )
+
+    def _n(flag):
+        return F.sum(flag.cast("long")).cast("long")
+
+    row = flagged.agg(
+        F.count("*").cast("long").alias("n0"),
+        _n(F.col("f1")).alias("n1"),
+        _n(F.col("f2")).alias("n2"),
+        _n(F.col("f3")).alias("n3"),
+        _n(F.col("f4")).alias("n4"),
+    )
+    stack = ", ".join(
+        f"{sid}L, '{name}', n{sid}" for sid, name in _FUNNEL_STAGES
+    )
+    counts = row.selectExpr(
+        f"stack({len(_FUNNEL_STAGES)}, {stack})"
+        " AS (stage_id, stage, n_surviving)"
+    )
     w = Window.orderBy("stage_id")  # 5 funnel rows, never documents
     return (
         counts.withColumn(

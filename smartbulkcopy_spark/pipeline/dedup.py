@@ -156,12 +156,19 @@ def _candidate_cte_duck() -> str:
     )
 
 
-def signatures(spark, sf_dir):
+def signatures(spark, sf_dir, member_ids=None):
     """(doc_id, mh0..mh7) MinHash signatures: explode shingles ->
     codegen md5 -> partial-aggregated MIN per hash slice. Shuffles carry
     (doc_id, 8 x 8-char minima) after map-side combine — document
-    bodies never shuffle."""
+    bodies never shuffle.
+
+    member_ids: optional (doc_id) DataFrame — when given, the corpus is
+    LEFT-SEMI thinned to those ids BEFORE shingles are built (the
+    verify-stage rule: never compute per-doc features for the whole
+    corpus to decorate a tiny pair set)."""
     base = _normed(spark, sf_dir)
+    if member_ids is not None:
+        base = base.join(member_ids, "doc_id", "left_semi")
     shingles = base.select(
         "doc_id", F.explode(F.expr(SHINGLES_SPARK)).alias("sh")
     )
@@ -980,13 +987,24 @@ def _sig_eq_duck() -> str:
     " the unbiased MinHash estimator) next to the exact shingle-set"
     " Jaccard, with the absolute error — the measurement that"
     " justifies (or re-tunes) the K_HASHES/band configuration before"
-    " scaling it to 100 TB. Signatures join to the tiny candidate"
-    " pair set by id; the exact side reuses the LEFT-SEMI-thinned"
-    " verify stage, so nothing corpus-sized is recomputed.",
+    " scaling it to 100 TB. The exact side reuses the LEFT-SEMI-"
+    " thinned verify stage, and the signature side is thinned to the"
+    " SAME candidate member ids and persisted once before feeding both"
+    " join sides — nothing corpus-sized is recomputed to decorate the"
+    " tiny pair set.",
 )
 def q107(spark, sf_dir):
-    jac = jaccard_pairs(spark, sf_dir)
-    sig = signatures(spark, sf_dir)
+    # persist the pair set: it feeds the member-id derivation AND the
+    # final join (q33 eager-persist pattern)
+    jac = jaccard_pairs(spark, sf_dir).persist()
+    jac.count()
+    ids = (
+        jac.select(F.col("a_id").alias("doc_id"))
+        .union(jac.select(F.col("b_id").alias("doc_id")))
+        .distinct()
+    )
+    sig = signatures(spark, sf_dir, member_ids=ids).persist()
+    sig.count()  # two join sides read it below
     sa = sig.select(
         F.col("doc_id").alias("a_id"),
         *[F.col(f"mh{k}").alias(f"a{k}") for k in range(K_HASHES)],

@@ -1280,6 +1280,16 @@ _SCORE_SQL_DUCK = (
     " / greatest(length(text), 1)) AS BIGINT)"
 )
 
+N_STAGES = 4
+
+
+def stage_expr_sql(engine: str, n_expr: str, rank_col: str = "rn") -> str:
+    """The curriculum stage formula, one spelling per engine (the
+    property suite evaluates the duck spelling against a reference
+    implementation, so the REAL expression is what gets tested)."""
+    op = "DIV" if engine == "spark" else "//"
+    return f"1 + (({rank_col} - 1) * {N_STAGES}) {op} ({n_expr})"
+
 
 @register(
     "q89_curriculum_stages",
@@ -1287,8 +1297,9 @@ _SCORE_SQL_DUCK = (
     " " + TOKENS_SQL_DUCK + " AS n_toks FROM documents),"
     " r AS (SELECT *, row_number() OVER (ORDER BY score, doc_id) AS rn"
     " FROM sc)"
-    " SELECT CAST(1 + ((rn - 1) * 4) // (SELECT count(*) FROM documents)"
-    " AS BIGINT) AS stage, count(*) AS n_docs,"
+    " SELECT CAST("
+    + stage_expr_sql("duck", "SELECT count(*) FROM documents")
+    + " AS BIGINT) AS stage, count(*) AS n_docs,"
     " min(score) AS min_score, max(score) AS max_score,"
     " CAST(sum(n_toks) AS BIGINT) AS total_tokens"
     " FROM r GROUP BY stage ORDER BY stage",
@@ -1326,7 +1337,7 @@ def q89(spark, sf_dir):
     )
     return (
         ranked.withColumn(
-            "stage", F.expr(f"1 + ((rn - 1) * 4) DIV {n_all}L")
+            "stage", F.expr(stage_expr_sql("spark", f"{n_all}L"))
         )
         .groupBy("stage")
         .agg(

@@ -245,12 +245,21 @@ def test_hash_bucket_sql_matches_reference_md5(doc_id, mod):
 @given(n=st.integers(1, 5_000))
 @settings(deadline=None, max_examples=100)
 def test_curriculum_stage_formula_partitions_evenly(n):
-    """q89's stage formula (1 + (rank-1)*4 DIV N) must cut any corpus
-    into exactly min(4, N) contiguous stages whose sizes differ by at
-    most one and sum to N."""
+    """q89's REAL stage expression (the shared stage_expr_sql spelling,
+    evaluated through DuckDB over every rank) must cut any corpus into
+    exactly min(4, N) stages whose sizes differ by at most one and sum
+    to N, monotone in rank."""
     from collections import Counter
 
-    stages = [1 + ((r - 1) * 4) // n for r in range(1, n + 1)]
+    from smartbulkcopy_spark.pipeline.text import stage_expr_sql
+
+    stages = [
+        s
+        for (s,) in duckdb.sql(
+            f"SELECT {stage_expr_sql('duck', str(n))} FROM"
+            f" (SELECT unnest(range(1, {n} + 1)) AS rn) ORDER BY rn"
+        ).fetchall()
+    ]
     sizes = Counter(stages)
     assert sum(sizes.values()) == n
     assert stages == sorted(stages)  # monotone in rank
