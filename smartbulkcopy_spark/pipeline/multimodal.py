@@ -416,3 +416,119 @@ def q79(spark, sf_dir):
         "width",
         F.md5("sampled").alias("sampled_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image fingerprint: the average-hash (aHash) every image
+# dedup pipeline starts with — resize to 8x8, per-cell luminance, bit =
+# luminance above the image mean, 64-bit fingerprint. Near-identical
+# images (recompressions, small crops/recolors under a real codec)
+# collide or sit at small Hamming distance, so the fingerprint feeds the
+# SAME exact/banded dedup machinery the text side uses. Everything is
+# integer arithmetic (luminance = channel-byte sum, mean = floor), so
+# the DuckDB oracle re-derives the full 64-bit hash from the decode +
+# resize character arithmetic.
+# ---------------------------------------------------------------------------
+
+AHASH_CELLS = RESIZE_TO * RESIZE_TO  # 64
+
+
+def _resized_char_duck(p: str) -> str:
+    """The q41 nearest-neighbor index arithmetic: the 1-char slice of
+    the decoded buffer that lands at position `p` (0-based, row-major
+    pixel x channel) of the 8x8 resized buffer."""
+    rc = RESIZE_TO * CHANNELS
+    return (
+        f"substr(b, 1 + (((({p}) // {rc}) * h) // {RESIZE_TO})"
+        f" * w * {CHANNELS}"
+        f" + (((({p}) % {rc}) // {CHANNELS}) * w) // {RESIZE_TO}"
+        f" * {CHANNELS}"
+        f" + (({p}) % {CHANNELS}), 1)"
+    )
+
+
+def image_ahash(
+    df: DataFrame,
+    id_col: str,
+    blob_col: str,
+    codec: Callable[[bytes], tuple[int, int, int, bytes]] = fake_image_codec,
+) -> DataFrame:
+    """decode -> 8x8 NN resize -> 64-bit average hash, all through the
+    Arrow-batched pipeline. Returns (doc_id, ahash_hi, ahash_lo, n_set):
+    the hash is split into two 32-bit halves so neither engine touches
+    the BIGINT sign bit (bit 63 would)."""
+    resized = resize_image(
+        decode_image(df, id_col, blob_col, codec), RESIZE_TO, RESIZE_TO
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hi, lo, ns = [], [], []
+            for buf in pdf["pixels"]:
+                arr = np.frombuffer(bytes(buf), dtype=np.uint8).reshape(
+                    AHASH_CELLS, CHANNELS
+                )
+                lums = arr.sum(axis=1, dtype=np.int64)
+                mean = int(lums.sum()) // AHASH_CELLS
+                bits = lums > mean
+                h = sum(1 << j for j in range(32) if bits[j])
+                l = sum(1 << (j - 32) for j in range(32, 64) if bits[j])
+                hi.append(h)
+                lo.append(l)
+                ns.append(int(bits.sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "ahash_hi": pd.Series(hi, dtype="int64"),
+                    "ahash_lo": pd.Series(lo, dtype="int64"),
+                    "n_set": pd.Series(ns, dtype="int64"),
+                }
+            )
+
+    return resized.select("doc_id", "pixels").mapInPandas(
+        run, "doc_id bigint, ahash_hi bigint, ahash_lo bigint, n_set bigint"
+    )
+
+
+def _lum_duck(c: str) -> str:
+    """Cell luminance: the channel-byte sum of resized cell `c`."""
+    return " + ".join(
+        f"ord({_resized_char_duck(f'({c}) * {CHANNELS} + {k}')})"
+        for k in range(CHANNELS)
+    )
+
+
+@register(
+    "q110_image_ahash",
+    "WITH " + _DECODE_CTE + ","
+    " lums AS (SELECT doc_id,"
+    f" list_transform(range(0, {AHASH_CELLS}), c -> {_lum_duck('c')})"
+    " AS l FROM buf),"
+    " m AS (SELECT doc_id, l,"
+    f" CAST(list_sum(l) AS BIGINT) // {AHASH_CELLS} AS mean FROM lums)"
+    " SELECT doc_id,"
+    " CAST(list_sum(list_transform(range(0, 32), j ->"
+    " CASE WHEN l[j + 1] > mean THEN (CAST(1 AS BIGINT) << j)"
+    " ELSE 0 END)) AS BIGINT) AS ahash_hi,"
+    " CAST(list_sum(list_transform(range(32, 64), j ->"
+    " CASE WHEN l[j + 1] > mean THEN (CAST(1 AS BIGINT) << (j - 32))"
+    " ELSE 0 END)) AS BIGINT) AS ahash_lo,"
+    " CAST(len(list_filter(l, x -> x > mean)) AS BIGINT) AS n_set"
+    " FROM m ORDER BY doc_id",
+    doc="Perceptual image fingerprint (average-hash): decode -> 8x8"
+    " nearest-neighbor resize -> per-cell luminance -> 64-bit"
+    " above-mean bitmap, split into two 32-bit halves to stay clear of"
+    " the BIGINT sign bit. The fingerprint is the image-side analog of"
+    " the text content hash: exact-duplicate images collide, near-"
+    " duplicates sit at small Hamming distance, and the value feeds"
+    " the same groupBy/banded dedup machinery. Real vectorized numpy"
+    " in Arrow-batched mapInPandas (codec pluggable, fake by default);"
+    " the oracle re-derives every bit from the decode + resize"
+    " character arithmetic — integer luminance and floor mean, so the"
+    " hash is bit-exact across engines.",
+)
+def q110(spark, sf_dir):
+    return (
+        image_ahash(_blobs(spark, sf_dir), "doc_id", "blob")
+        .orderBy("doc_id")
+    )

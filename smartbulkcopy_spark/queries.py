@@ -1521,6 +1521,7 @@ QUEUED_SINCE = {
     **{n: 65 for n in (
         "q108_jaccard_distribution", "q109_event_transitions",
     )},
+    "q110_image_ahash": 66,
 }
 
 

@@ -303,3 +303,16 @@ def test_q109_rows_conserve_events(spark):
     assert df["n_transitions"].sum() == n_events  # one row per event
     for _, g in df.groupby("prev_type"):
         assert 1_000_000 - len(g) < g["prob_ppm"].sum() <= 1_000_000
+
+
+def test_q110_ahash_bit_accounting(spark):
+    df = _run("q110_image_ahash", spark)
+    assert df["ahash_hi"].between(0, 2**32 - 1).all()
+    assert df["ahash_lo"].between(0, 2**32 - 1).all()
+    # n_set equals the popcount of the two halves, and strictly-above-
+    # mean bits can never be all 64
+    pop = df["ahash_hi"].map(lambda v: bin(int(v)).count("1")) + df[
+        "ahash_lo"
+    ].map(lambda v: bin(int(v)).count("1"))
+    assert (df["n_set"] == pop).all()
+    assert (df["n_set"] < 64).all()
