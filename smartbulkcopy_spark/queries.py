@@ -1410,26 +1410,26 @@ TIER1 = [
 # (rows_match & schema_match & hash_match). Absent = never driver-graded.
 # Generated by tools/ledger.py; keep in lockstep with SURVEY.md §2.12.
 LAST_GREEN = {
-    "q01_scan_project": 5,
-    "q02_logical_partition_bucket": 5,
-    "q03_range_partition_predicate": 5,
-    "q04_ordered_scan_desc": 5,
-    "q05_rowcount": 5,
-    "q06_bucket_counts": 5,
-    "q07_ident_current": 5,
-    "q08_table_size_agg": 5,
-    "q09_inner_join_agg": 5,
-    "q10_left_join_agg": 5,
-    "q11_semi_join": 5,
-    "q12_except": 5,
-    "q13_union_distinct": 5,
-    "q14_topk": 5,
-    "q15_case_when": 5,
-    "q16_quotename": 5,
-    "q17_agg_sweep": 5,
-    "q18_tumbling_window": 5,
-    "q19_rate_delta_lag": 5,
-    "q20_copy_roundtrip": 5,
+    "q01_scan_project": 6,
+    "q02_logical_partition_bucket": 6,
+    "q03_range_partition_predicate": 6,
+    "q04_ordered_scan_desc": 6,
+    "q05_rowcount": 6,
+    "q06_bucket_counts": 6,
+    "q07_ident_current": 6,
+    "q08_table_size_agg": 6,
+    "q09_inner_join_agg": 6,
+    "q10_left_join_agg": 6,
+    "q11_semi_join": 6,
+    "q12_except": 6,
+    "q13_union_distinct": 6,
+    "q14_topk": 6,
+    "q15_case_when": 6,
+    "q16_quotename": 6,
+    "q17_agg_sweep": 6,
+    "q18_tumbling_window": 6,
+    "q19_rate_delta_lag": 6,
+    "q20_copy_roundtrip": 6,
     "q21_exact_dedup": 5,
     "q22_text_stats": 5,
     "q23_token_counts": 5,
@@ -1444,7 +1444,7 @@ LAST_GREEN = {
     "q32_binary_features": 5,
     "q33_embedding_near_dup": 5,
     "q34_near_dup_dedup": 5,
-    "q35_sessionization": 5,
+    "q35_sessionization": 6,
     "q36_ivf_assignment": 5,
     "q37_scalar_funcs": 5,
     "q38_bpe_token_counts": 5,
@@ -1454,8 +1454,8 @@ LAST_GREEN = {
     "q42_audio_frame_sample": 5,
     "q43_ann_bucketed_topk": 5,
     "q44_ivf_probe_topk": 5,
-    "q45_sliding_window": 5,
-    "q46_session_window": 5,
+    "q45_sliding_window": 6,
+    "q46_session_window": 6,
     "q47_ann_recall": 5,
     "q48_vocab_topk": 4,
     "q49_cross_source_neardups": 4,
@@ -1466,14 +1466,41 @@ LAST_GREEN = {
     "q54_embedding_norm_audit": 5,
     "q55_embedding_dim_stats": 5,
     "q56_mixture_resample": 4,
+    "q57_embedding_coverage": 6,
     "q58_event_funnel": 4,
     "q59_key_skew_histogram": 4,
     "q60_event_enrichment": 4,
+    "q61_curation_stats": 6,
+    "q62_pack_fill": 6,
     "q63_incremental_dedup": 4,
     "q64_json_props": 4,
     "q65_exact_length_quantiles": 4,
     "q66_intra_doc_repetition": 4,
+    "q67_bucket_label_purity": 6,
     "q68_eval_decontamination": 4,
+    "q69_dedup_clusters": 6,
+    "q70_cluster_dedup_keep": 6,
+    "q71_trigram_novelty": 6,
+    "q72_salted_skew_join": 6,
+    "q73_doc_chunking": 6,
+    "q74_embedding_quantize": 6,
+    "q75_group_sample": 6,
+    "q76_stratified_split_audit": 6,
+    "q77_kmeans_lite": 6,
+    "q78_burst_detection": 6,
+    "q79_video_frame_sample": 6,
+    "q80_decontaminated_redact": 6,
+    "q81_embedding_dedup_clusters": 6,
+    "q82_jsonl_ingest_audit": 6,
+    "q83_cluster_pruned_sample": 6,
+    "q84_mixture_weights": 6,
+    "q85_oov_rate": 6,
+    "q86_split_leakage_audit": 6,
+    "q87_rarity_score": 6,
+    "q88_asof_last_touch": 6,
+    "q89_curriculum_stages": 6,
+    "q90_seqlen_histogram": 6,
+    "q91_bpe_merge_candidates": 6,
 }
 
 
