@@ -89,6 +89,35 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+# Eagerly-persisted intermediates (tiny pair/signature sets feeding
+# multiple consumers of ONE returned plan) registered here so long-lived
+# sessions can reclaim them: the returned DataFrame must outlive the
+# builder call, so the builder itself cannot unpersist. bench.py/tests
+# call release_caches() (or clearCache) between queries; a production
+# session should call it once the consuming job finishes.
+_LIVE_CACHES: list[DataFrame] = []
+
+
+def eager(df: DataFrame) -> DataFrame:
+    """persist + materialize-before-fan-out (the q33 pattern: a lazy
+    persist lets multiple consumers race to materialize it
+    independently), tracked for later release_caches()."""
+    df = df.persist()
+    df.count()
+    _LIVE_CACHES.append(df)
+    return df
+
+
+def release_caches() -> int:
+    """Unpersist every eager() intermediate still cached; returns how
+    many were released. Safe to call at any point after the consuming
+    job's results are materialized."""
+    n = len(_LIVE_CACHES)
+    while _LIVE_CACHES:
+        _LIVE_CACHES.pop().unpersist()
+    return n
+
+
 def spread(spark: SparkSession, df: DataFrame) -> DataFrame:
     """Fan a narrow input out across cores before row-local heavy compute.
 
@@ -993,30 +1022,32 @@ def q72(spark, sf_dir):
     " AS tmic FROM events WHERE event_type IN ('click', 'purchase')),"
     " lt AS (SELECT *,"
     " last_value(CASE WHEN event_type = 'click' THEN event_id END"
-    " IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY tmic, event_id"
+    " IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY tmic,"
+    " CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END, event_id"
     " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
     " AS click_event_id,"
     " last_value(CASE WHEN event_type = 'click' THEN tmic END"
-    " IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY tmic, event_id"
+    " IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY tmic,"
+    " CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END, event_id"
     " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS click_tmic"
     " FROM ev)"
-    " SELECT event_id, user_id,"
-    " CASE WHEN click_tmic < tmic THEN click_event_id END"
-    " AS click_event_id,"
-    " CASE WHEN click_tmic < tmic THEN CAST(tmic - click_tmic AS BIGINT)"
-    " END AS gap_us"
+    " SELECT event_id, user_id, click_event_id,"
+    " CAST(tmic - click_tmic AS BIGINT) AS gap_us"
     " FROM lt WHERE event_type = 'purchase' ORDER BY event_id",
     doc="As-of join (last-touch attribution): every purchase event"
     " paired with the most recent STRICTLY-EARLIER click by the same"
-    " user, plus the microsecond gap. Built as union -> one user-"
-    " partitioned ordered window carrying the last click forward ->"
-    " filter to purchases: a single shuffle on user_id, which is how"
-    " an as-of join against a 100 TB event stream has to run (per-key"
-    " ordered scan, never a range cross join). Total order (tmic,"
-    " event_id) makes ties deterministic, and a click_tmic < tmic"
-    " guard masks a same-microsecond click (the ROWS frame alone"
-    " would attribute it with gap 0); purchases with no strictly-"
-    " prior click keep NULL attribution.",
+    " user (merge_asof allow_exact_matches=False semantics), plus the"
+    " microsecond gap. Built as union -> one user-partitioned ordered"
+    " window carrying the last click forward -> filter to purchases:"
+    " a single shuffle on user_id, which is how an as-of join against"
+    " a 100 TB event stream has to run (per-key ordered scan, never a"
+    " range cross join). Ordering (tmic, purchase-before-click,"
+    " event_id) keeps a same-microsecond click OUT of the purchase's"
+    " preceding frame, so a strictly-earlier click still attributes"
+    " even when a co-timestamped click exists (a post-hoc < guard"
+    " would mask it to NULL); among earlier ties the max event_id"
+    " click wins deterministically. Purchases with no strictly-prior"
+    " click keep NULL attribution.",
 )
 def q88(spark, sf_dir):
     ev = (
@@ -1029,9 +1060,12 @@ def q88(spark, sf_dir):
             F.expr(_EV_MICROS).alias("tmic"),
         )
     )
+    # Purchases sort BEFORE co-timestamped clicks so the 1-PRECEDING
+    # frame can only ever contain strictly-earlier clicks.
+    kind = F.when(F.col("event_type") == "purchase", 0).otherwise(1)
     w = (
         Window.partitionBy("user_id")
-        .orderBy("tmic", "event_id")
+        .orderBy("tmic", kind, "event_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     click_id = F.when(F.col("event_type") == "click", F.col("event_id"))
@@ -1047,16 +1081,10 @@ def q88(spark, sf_dir):
         .select(
             "event_id",
             "user_id",
-            # strictly-earlier guard: a same-microsecond click (smaller
-            # event_id breaks the window tie) must not attribute
-            F.when(
-                F.col("click_tmic") < F.col("tmic"),
-                F.col("click_event_id"),
-            ).alias("click_event_id"),
-            F.when(
-                F.col("click_tmic") < F.col("tmic"),
-                (F.col("tmic") - F.col("click_tmic")).cast("long"),
-            ).alias("gap_us"),
+            "click_event_id",
+            (F.col("tmic") - F.col("click_tmic")).cast("long").alias(
+                "gap_us"
+            ),
         )
         .orderBy("event_id")
     )
@@ -1206,8 +1234,9 @@ def q101(spark, sf_dir):
     " CAST(n_users AS BIGINT) AS n_users,"
     " CAST(sum(n_users) OVER (ORDER BY gap_min) AS BIGINT)"
     " AS cum_users,"
-    " CAST(CAST(sum(n_users) OVER (ORDER BY gap_min) AS BIGINT)"
-    " * 1000000 // (SELECT count(*) FROM u WHERE s IS NOT NULL)"
+    " CAST(CASE WHEN (SELECT count(*) FROM u WHERE s IS NOT NULL) = 0"
+    " THEN 0 ELSE CAST(sum(n_users) OVER (ORDER BY gap_min) AS BIGINT)"
+    " * 1000000 // (SELECT count(*) FROM u WHERE s IS NOT NULL) END"
     " AS BIGINT) AS conv_cum_ppm"
     " FROM h ORDER BY gap_min",
     doc="Conversion-latency curve: minutes from a user's FIRST signup to"
@@ -1251,7 +1280,14 @@ def q102(spark, sf_dir):
         )
         .withColumn(
             "conv_cum_ppm",
-            F.expr(f"cum_users * 1000000 DIV {n_signup}L"),
+            # empty-cohort guard (q85 n_tokens=0 pattern): Spark DIV 0
+            # yields NULL while DuckDB // 0 errors — define the edge
+            # identically on both engines instead
+            F.expr(
+                f"cum_users * 1000000 DIV {n_signup}L"
+                if n_signup
+                else "0L"
+            ),
         )
         .orderBy("gap_min")
     )
@@ -1549,6 +1585,9 @@ QUEUED_SINCE = {
         "q108_jaccard_distribution", "q109_event_transitions",
     )},
     "q110_image_ahash": 66,
+    **{n: 70 for n in (
+        "q111_image_near_dup", "q112_simhash_near_dup",
+    )},
 }
 
 

@@ -65,6 +65,71 @@ def test_q88_strictly_prior_attribution(spark):
     assert df[df["click_event_id"].isna()]["gap_us"].isna().all()
 
 
+def test_q88_same_microsecond_click_does_not_mask_earlier(
+    spark, tmp_path
+):
+    """A purchase with BOTH a co-timestamped click and a strictly-earlier
+    click must attribute to the earlier click (merge_asof
+    allow_exact_matches=False), not get NULL because the co-timestamped
+    click shadowed it in the window frame; ties among earlier clicks go
+    to the max event_id. Runs the registered builder AND its DuckDB
+    oracle on the synthetic corner so both spellings are pinned."""
+    import duckdb
+    import pandas as pd
+
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    us = pd.Timedelta(microseconds=1)
+    ev = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 4, 5, 6, 7],
+            "ts": [
+                base,  # u1 click (earlier)
+                base + 5 * us,  # u1 click (co-timestamped w/ purchase)
+                base + 5 * us,  # u1 purchase -> must attribute to e1
+                base,  # u2 purchase, no prior click -> NULL
+                base + 2 * us,  # u3 click tie a
+                base + 2 * us,  # u3 click tie b (max event_id wins)
+                base + 9 * us,  # u3 purchase -> e6, gap 7
+            ],
+            "user_id": [1, 1, 1, 2, 3, 3, 3],
+            "event_type": [
+                "click", "click", "purchase", "purchase",
+                "click", "click", "purchase",
+            ],
+            "value": [0.0] * 7,
+            "props": ["{}"] * 7,
+        }
+    )
+    d = tmp_path / "sf_q88"
+    d.mkdir()
+    ev.to_parquet(d / "events.parquet", index=False)
+
+    got = (
+        REGISTRY["q88_asof_last_touch"].fn(spark, str(d))
+        .toPandas()
+        .set_index("event_id")
+    )
+    assert got.loc[3, "click_event_id"] == 1
+    assert got.loc[3, "gap_us"] == 5
+    assert pd.isna(got.loc[4, "click_event_id"])
+    assert got.loc[7, "click_event_id"] == 6
+    assert got.loc[7, "gap_us"] == 7
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM"
+        f" read_parquet('{d / 'events.parquet'}')"
+    )
+    odf = (
+        con.execute(REGISTRY["q88_asof_last_touch"].oracle)
+        .df()
+        .set_index("event_id")
+    )
+    assert odf.loc[3, "click_event_id"] == 1
+    assert odf.loc[7, "click_event_id"] == 6
+    assert pd.isna(odf.loc[4, "click_event_id"])
+
+
 def test_q89_stages_partition_ranked_corpus(spark):
     df = _run("q89_curriculum_stages", spark).sort_values("stage")
     from smartbulkcopy_spark.queries import table
