@@ -209,6 +209,13 @@ _FUNNEL_STAGES = [
     " candidates + verify chain every dedup consumer pays.",
 )
 def q105(spark, sf_dir):
+    return curation_funnel(spark, sf_dir)
+
+
+def curation_funnel(spark, sf_dir, pairs=None):
+    """q105 as a composable builder: pairs = optional precomputed
+    verified-pair DataFrame (a_id, b_id) — see `dedup_report`, which
+    persists one LSH+verify chain and feeds all four dedup audits."""
     from pyspark.sql.window import Window
 
     docs = table(spark, sf_dir, "documents")
@@ -222,9 +229,10 @@ def q105(spark, sf_dir):
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id", F.lit(True).alias("kx"))
     )
+    if pairs is None:
+        pairs = verified_pairs(spark, sf_dir)
     drops = (
-        verified_pairs(spark, sf_dir)
-        .select(F.col("b_id").alias("doc_id"))
+        pairs.select(F.col("b_id").alias("doc_id"))
         .distinct()
         .withColumn("dp", F.lit(True))
     )
@@ -275,3 +283,40 @@ def q105(spark, sf_dir):
         )
         .orderBy("stage_id")
     )
+
+
+def dedup_report(spark, sf_dir):
+    """All four dedup audits from ONE materialization of the expensive
+    chain: candidates -> exact Jaccard -> verified pairs runs once
+    (eager-persisted), then the funnel (q105), provenance map (q106),
+    MinHash-estimator quality (q107), and threshold distribution (q108)
+    are derived from the shared pair table — the composed form a
+    production curation run uses, where per-query isolation (each
+    registered audit recomputing the chain, ~4x the cost) is only a
+    grading convention. Answers are identical to the registered queries;
+    tests/test_pipeline.py pins both that and the single-materialization
+    plan shape. Release the persisted intermediates afterwards with
+    queries.release_caches()."""
+    from smartbulkcopy_spark.pipeline.dedup import (
+        NEAR_DUP_JACCARD_MILLIS,
+        dedup_provenance,
+        jaccard_distribution,
+        jaccard_pairs,
+        minhash_estimate_quality,
+    )
+    from smartbulkcopy_spark.queries import eager
+
+    jac = eager(jaccard_pairs(spark, sf_dir))
+    vp = jac.where(
+        F.col("jaccard_millis") >= NEAR_DUP_JACCARD_MILLIS
+    ).select("a_id", "b_id")
+    return {
+        "funnel": curation_funnel(spark, sf_dir, pairs=vp),
+        "provenance": dedup_provenance(spark, sf_dir, jac=jac),
+        "estimator_quality": minhash_estimate_quality(
+            spark, sf_dir, jac=jac
+        ),
+        "threshold_distribution": jaccard_distribution(
+            spark, sf_dir, jac=jac
+        ),
+    }

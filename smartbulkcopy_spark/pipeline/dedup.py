@@ -37,7 +37,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql.window import Window
 
-from smartbulkcopy_spark.queries import register, spread, table
+from smartbulkcopy_spark.queries import eager, register, spread, table
 
 # The q50 split policy, from its single generator (q86's oracle derives
 # its spelling here so the split CANNOT drift from q50/q76/q92/q98).
@@ -315,6 +315,194 @@ def q28(spark, sf_dir):
     return per_bit.select("doc_id", sim.cast("bigint").alias("simhash16"))
 
 
+# ---------------------------------------------------------------------------
+# SimHash near-duplicate pairs — the consumer that makes the SimHash
+# signature family (q28) an actual dedup detector. q28's 16-bit hash is
+# right for a compact per-doc quality signal but too coarse to band at
+# corpus scale (a 16-bit space saturates: banding 5k fixture docs into
+# 2x8-bit bands already yields ~780k candidates — quadratic death at
+# 100 TB). The detector therefore computes the standard 64-BIT SimHash
+# (per-bit majority over 64-bit token hashes, same definition, wider
+# space), bands it 4x16 exactly like the image-ahash side (q111), and
+# verifies candidates on exact Hamming distance. Catches
+# token-multiset-preserving edits (reorderings, small substitutions)
+# that shingle-based MinHash scores low, complementing q27/q29.
+# ---------------------------------------------------------------------------
+
+SIMHASH64_HAMMING_MAX = 8  # of 64 bits; fixture verifies pairs at every SF
+
+
+def simhash64(spark, sf_dir):
+    """(doc_id, sim_hi, sim_lo): 64-bit SimHash as two 32-bit halves
+    (BIGINT sign-bit rule, q110 convention). One md5 per token occurrence
+    via explode; the 64 per-bit majority counters partial-aggregate
+    (map-side combine) before the single (doc_id)-keyed shuffle."""
+    docs = spread(spark, table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(r"split(trim(coalesce(text, '')), '\\s+')")
+        ).alias("t"),
+    )
+    th = toks.select(
+        "doc_id",
+        F.expr("CAST(conv(substr(md5(t), 1, 8), 16, 10) AS BIGINT)").alias(
+            "th_hi"
+        ),
+        F.expr("CAST(conv(substr(md5(t), 9, 8), 16, 10) AS BIGINT)").alias(
+            "th_lo"
+        ),
+    )
+    per_bit = th.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.expr(f"(shiftright(th_hi, {j}) & 1) = 1"), 1
+                ).otherwise(-1)
+            ).alias(f"h{j}")
+            for j in range(32)
+        ],
+        *[
+            F.sum(
+                F.when(
+                    F.expr(f"(shiftright(th_lo, {j}) & 1) = 1"), 1
+                ).otherwise(-1)
+            ).alias(f"l{j}")
+            for j in range(32)
+        ],
+    )
+    sim_hi = sum(
+        F.when(F.col(f"h{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        for j in range(32)
+    )
+    sim_lo = sum(
+        F.when(F.col(f"l{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        for j in range(32)
+    )
+    return per_bit.select(
+        "doc_id",
+        sim_hi.cast("bigint").alias("sim_hi"),
+        sim_lo.cast("bigint").alias("sim_lo"),
+    )
+
+
+def _simhash64_cte_duck() -> str:
+    """tk/hs/sim CTEs: the 64-bit SimHash as sim(doc_id, sim_hi, sim_lo)
+    — md5 once per token, then per-bit majority folds."""
+    half = (
+        "CAST(list_sum(list_transform(range(0, 32), j ->"
+        " CASE WHEN list_sum(list_transform({h}, x ->"
+        " CASE WHEN ((x >> j) & 1) = 1 THEN 1 ELSE -1 END)) > 0"
+        " THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS BIGINT)"
+    )
+    return (
+        f" tk AS (SELECT doc_id, {_TOKENS_DUCK} AS ts FROM documents),"
+        " hs AS (SELECT doc_id,"
+        " list_transform(ts, t ->"
+        " CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)) AS hh,"
+        " list_transform(ts, t ->"
+        " CAST(('0x' || substr(md5(t), 9, 8)) AS BIGINT)) AS hl"
+        " FROM tk),"
+        " sim AS (SELECT doc_id,"
+        + half.format(h="hh")
+        + " AS sim_hi,"
+        + half.format(h="hl")
+        + " AS sim_lo FROM hs)"
+    )
+
+
+def simhash_near_dup_pairs(spark, sf_dir):
+    """(a_id, b_id, hamming) SimHash near-dup pairs: 64-bit signature ->
+    4x16-bit bands -> in-bucket candidate pairs (capped) -> Hamming
+    verify. Identical scale shape to q27/q111: after the signature
+    aggregation everything is (id, two longs); wide operations key on
+    (band_idx, band_val) and ids, hot buckets capped."""
+    sim = eager(simhash64(spark, sf_dir))
+    bands = sim.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                F.expr("sim_lo & 65535"),
+                F.expr("shiftright(sim_lo, 16) & 65535"),
+                F.expr("sim_hi & 65535"),
+                F.expr("shiftright(sim_hi, 16) & 65535"),
+            )
+        ).alias("band_idx", "band_val"),
+    )
+    bc = F.count("*").over(Window.partitionBy("band_idx", "band_val"))
+    buckets = (
+        bands.withColumn("bc", bc)
+        .where((F.col("bc") > 1) & (F.col("bc") <= MAX_BAND_BUCKET))
+        .groupBy("band_idx", "band_val")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+    )
+    pairs = F.expr(
+        "flatten(transform(ds, (a, i) ->"
+        " transform(slice(ds, i + 2, size(ds)), b -> struct(a, b))))"
+    )
+    cand = (
+        buckets.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.a").alias("a_id"), F.col("p.b").alias("b_id"))
+        .distinct()
+    )
+    a = sim.select(
+        F.col("doc_id").alias("a_id"),
+        F.col("sim_hi").alias("hi_a"),
+        F.col("sim_lo").alias("lo_a"),
+    )
+    b = sim.select(
+        F.col("doc_id").alias("b_id"),
+        F.col("sim_hi").alias("hi_b"),
+        F.col("sim_lo").alias("lo_b"),
+    )
+    ham = F.expr("bit_count(hi_a ^ hi_b) + bit_count(lo_a ^ lo_b)")
+    return (
+        cand.join(a, "a_id")
+        .join(b, "b_id")
+        .select("a_id", "b_id", ham.cast("long").alias("hamming"))
+        .where(F.col("hamming") <= SIMHASH64_HAMMING_MAX)
+    )
+
+
+@register(
+    "q112_simhash_near_dup",
+    "WITH" + _simhash64_cte_duck() + ","
+    " bands AS (SELECT doc_id, t.b AS band_idx,"
+    " CASE WHEN t.b = 0 THEN (sim_lo & 65535)"
+    " WHEN t.b = 1 THEN ((sim_lo >> 16) & 65535)"
+    " WHEN t.b = 2 THEN (sim_hi & 65535)"
+    " ELSE ((sim_hi >> 16) & 65535) END AS band_val"
+    " FROM sim CROSS JOIN (VALUES (0), (1), (2), (3)) AS t(b)),"
+    " bsz AS (SELECT band_idx, band_val FROM bands"
+    " GROUP BY band_idx, band_val"
+    f" HAVING count(*) > 1 AND count(*) <= {MAX_BAND_BUCKET}),"
+    " cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id"
+    " FROM bands x JOIN bsz s"
+    " ON x.band_idx = s.band_idx AND x.band_val = s.band_val"
+    " JOIN bands y ON x.band_idx = y.band_idx"
+    " AND x.band_val = y.band_val AND x.doc_id < y.doc_id),"
+    " ham AS (SELECT c.a_id, c.b_id,"
+    " CAST(bit_count(xor(a.sim_hi, b.sim_hi))"
+    " + bit_count(xor(a.sim_lo, b.sim_lo)) AS BIGINT) AS hamming"
+    " FROM cand c JOIN sim a ON a.doc_id = c.a_id"
+    " JOIN sim b ON b.doc_id = c.b_id)"
+    " SELECT a_id, b_id, hamming FROM ham"
+    f" WHERE hamming <= {SIMHASH64_HAMMING_MAX} ORDER BY a_id, b_id",
+    doc="SimHash near-duplicate pairs — the banded consumer that turns"
+    " the SimHash family (q28) into a third dedup detector beside"
+    " MinHash-Jaccard (q27/q29) and embedding cosine (q33): 64-bit"
+    " per-bit-majority signature over token hashes, 4x16-bit bands"
+    " (q27/q111 pattern, hot buckets capped, never all-pairs), exact"
+    f" Hamming <= {SIMHASH64_HAMMING_MAX}/64 verify on the tiny"
+    " candidate set. Catches token-multiset-preserving edits"
+    " (reorderings, small substitutions) that shingle-Jaccard scores"
+    " low. Oracle re-derives signature, bands, cap, and Hamming"
+    " bit-for-bit.",
+)
+def q112(spark, sf_dir):
+    return simhash_near_dup_pairs(spark, sf_dir).orderBy("a_id", "b_id")
+
+
 @register(
     "q29_ngram_jaccard",
     "WITH " + _candidate_cte_duck() + ","
@@ -347,8 +535,9 @@ def jaccard_pairs(spark, sf_dir):
     point of having an LSH filter stage at all. The semi-join key side
     is id-only and broadcast-sized (AQE converts it at runtime), so no
     document bodies shuffle to apply the thinning."""
-    cand = candidate_pairs(spark, sf_dir).persist()
-    cand.count()  # materialize before fan-out (see q33 for the pattern)
+    # eager: materialize before fan-out (q33 pattern), tracked so a
+    # long-lived session can queries.release_caches() afterwards
+    cand = eager(candidate_pairs(spark, sf_dir))
     ids = (
         cand.select(F.col("a_id").alias("doc_id"))
         .union(cand.select(F.col("b_id").alias("doc_id")))
@@ -539,9 +728,8 @@ def q63(spark, sf_dir):
         )
         .select(F.col("doc_id").alias("new_id"), "old_id")
         .distinct()
-        .persist()
     )
-    cand.count()  # eager: probe + both id-thinning filters read it
+    cand = eager(cand)  # probe + both id-thinning filters read it
     ids = (
         cand.select(F.col("old_id").alias("doc_id"))
         .union(cand.select(F.col("new_id").alias("doc_id")))
@@ -636,9 +824,10 @@ class _ReliableRounds:
     label-table snapshot per round — Spark reclaims RDD checkpoints
     only via the async GC-driven cleaner, and only when
     ``spark.cleaner.referenceTracking.cleanCheckpoints`` is enabled.
-    The FINAL round's file backs the returned DataFrame and is kept;
-    callers consume it into their own plan and may clear the run
-    directory afterwards."""
+    ``close()`` removes the whole run directory; connected_components
+    calls it after hopping the final labels off the run dir via
+    localCheckpoint, so a long-lived session never accumulates one
+    label-table snapshot per call."""
 
     def __init__(self, spark):
         import uuid
@@ -666,6 +855,11 @@ class _ReliableRounds:
         p = jvm.org.apache.hadoop.fs.Path(path)
         p.getFileSystem(conf).delete(p, True)
 
+    def close(self) -> None:
+        """Remove the whole run directory (incl. the final round)."""
+        self._delete(self._dir)
+        self._prev = None
+
 
 def _round_truncator(spark, reliable):
     """Pick the per-round lineage truncation: reliable=None (auto) uses
@@ -676,17 +870,34 @@ def _round_truncator(spark, reliable):
         reliable = spark.sparkContext.getCheckpointDir() is not None
     if reliable:
         return _ReliableRounds(spark)
-    return lambda df: df.localCheckpoint()
+
+    def _local(df):
+        return df.localCheckpoint()
+
+    _local.close = lambda: None
+    return _local
 
 
-def connected_components(spark, pair_df, reliable=None):
-    """Hash-min label propagation over an undirected edge list.
+def connected_components(spark, pair_df, reliable=None, budget=None):
+    """Hash-min label propagation over an undirected edge list, with a
+    pointer-doubling fallback for adversarial diameters.
 
     pair_df: DataFrame with columns (a_id, b_id) — one row per edge.
     Returns (node, lbl) where lbl = min node id of the component. The
     graph is any near-dup pair set (Jaccard-verified text pairs,
     cosine-verified embedding pairs, ...) — orders of magnitude smaller
     than the corpus, so the iteration runs on (id, label) pairs only.
+
+    budget: hash-min rounds before switching to the doubling phase
+    (default MAX_CC_ROUNDS). Hash-min converges in O(diameter) rounds —
+    right for the shallow components dedup graphs produce; a corpus of
+    chained boilerplate can exceed any fixed budget, so past it each
+    round additionally shortcuts lbl(v) <- lbl(lbl(v)) (pointer
+    doubling, one extra id-keyed self-join per round), which halves
+    remaining path lengths and settles ANY diameter in O(log d) extra
+    rounds. Convergence is still certified by a full propagate round
+    reporting zero changes, so the exit state is a hash-min fixpoint
+    (= exact component minima) regardless of which phase reached it.
     reliable: force fault-tolerant parquet rounds (True),
     localCheckpoint() (False), or auto-detect from the session's
     checkpoint dir (None). The reliable path deletes each superseded
@@ -712,19 +923,44 @@ def connected_components(spark, pair_df, reliable=None):
                 F.least(F.col("u"), F.col("mn")).alias("lbl"),
             )
         )
-        for _ in range(MAX_CC_ROUNDS):
+        if budget is None:
+            budget = MAX_CC_ROUNDS
+        # Doubling rounds halve the longest remaining chain, so 64 more
+        # rounds settle any graph addressable by 64-bit ids.
+        for rnd in range(budget + 64):
+            base = labels
+            if rnd >= budget:
+                # Doubling phase: shortcut each node's label through its
+                # label's own label. Every label value IS a node id of
+                # the same component (init and every round take minima
+                # of node ids), so the left join hits except at roots.
+                par = labels.select(
+                    F.col("node").alias("pn"), F.col("lbl").alias("plbl")
+                )
+                base = trunc(
+                    labels.join(par, labels["lbl"] == par["pn"], "left")
+                    .select(
+                        "node",
+                        F.least(
+                            F.col("lbl"),
+                            F.coalesce(F.col("plbl"), F.col("lbl")),
+                        ).alias("lbl"),
+                    )
+                )
             # candidate label for v: the smallest current label among its
             # neighbors u; labels only ever decrease, so min(old,
             # candidates) is monotone and the fixpoint is exactly
             # min-id-in-component. The per-node OLD label rides the same
             # aggregation (each node contributes exactly one own=true
             # row), so convergence is a filter-count on the checkpointed
-            # result — no per-round join.
+            # result — no per-round join. ("old" is the post-doubling
+            # label: zero changes certifies a propagate fixpoint, which
+            # is the exact component minima no matter how we got there.)
             cand = sym.join(
-                labels, sym["u"] == labels["node"]
+                base, sym["u"] == base["node"]
             ).select(F.col("v").alias("node"), F.col("lbl"))
             new_labels = trunc(
-                labels.withColumn("own", F.lit(True))
+                base.withColumn("own", F.lit(True))
                 .union(cand.withColumn("own", F.lit(False)))
                 .groupBy("node")
                 .agg(
@@ -736,13 +972,23 @@ def connected_components(spark, pair_df, reliable=None):
             labels = new_labels.select("node", "lbl")
             if changed == 0:
                 break
-        else:
+        else:  # pragma: no cover — unreachable: doubling is O(log d)
             raise RuntimeError(
                 f"connected_components did not converge in"
-                f" {MAX_CC_ROUNDS} rounds"
+                f" {budget} + 64 rounds"
             )
+        if isinstance(trunc, _ReliableRounds):
+            # Hop the final labels off the run dir so close() below can
+            # remove EVERY file this call created: the returned frame
+            # must not depend on leaked snapshots. The handoff window
+            # (executor loss between here and the caller's consumption)
+            # costs one re-run of this call; the durability that
+            # mattered — surviving executor loss across the O(rounds)
+            # iteration — is already banked.
+            labels = labels.localCheckpoint()
     finally:
         edges.unpersist()
+        trunc.close()
     return labels
 
 
@@ -946,7 +1192,16 @@ def _jac_cte_duck() -> str:
     " candidates + verify chain.",
 )
 def q106(spark, sf_dir):
-    drops = jaccard_pairs(spark, sf_dir).where(
+    return dedup_provenance(spark, sf_dir)
+
+
+def dedup_provenance(spark, sf_dir, jac=None):
+    """q106 as a composable builder: jac = optional precomputed exact-
+    Jaccard pair table (see `dedup_report` in pipeline/curate.py, which
+    persists one chain and feeds all four audits)."""
+    if jac is None:
+        jac = jaccard_pairs(spark, sf_dir)
+    drops = jac.where(
         F.col("jaccard_millis") >= NEAR_DUP_JACCARD_MILLIS
     )
     w = Window.partitionBy("b_id").orderBy(
@@ -994,17 +1249,22 @@ def _sig_eq_duck() -> str:
     " tiny pair set.",
 )
 def q107(spark, sf_dir):
-    # persist the pair set: it feeds the member-id derivation AND the
-    # final join (q33 eager-persist pattern)
-    jac = jaccard_pairs(spark, sf_dir).persist()
-    jac.count()
+    return minhash_estimate_quality(spark, sf_dir)
+
+
+def minhash_estimate_quality(spark, sf_dir, jac=None):
+    """q107 as a composable builder: jac = optional precomputed
+    (already-persisted) exact-Jaccard pair table."""
+    if jac is None:
+        # eager pair set: it feeds the member-id derivation AND the
+        # final join (q33 pattern; release via queries.release_caches())
+        jac = eager(jaccard_pairs(spark, sf_dir))
     ids = (
         jac.select(F.col("a_id").alias("doc_id"))
         .union(jac.select(F.col("b_id").alias("doc_id")))
         .distinct()
     )
-    sig = signatures(spark, sf_dir, member_ids=ids).persist()
-    sig.count()  # two join sides read it below
+    sig = eager(signatures(spark, sf_dir, member_ids=ids))  # 2 join sides
     sa = sig.select(
         F.col("doc_id").alias("a_id"),
         *[F.col(f"mh{k}").alias(f"a{k}") for k in range(K_HASHES)],
@@ -1056,7 +1316,14 @@ def q107(spark, sf_dir):
     " the rollup groups the tiny candidate pair set by decile.",
 )
 def q108(spark, sf_dir):
-    jac = jaccard_pairs(spark, sf_dir)
+    return jaccard_distribution(spark, sf_dir)
+
+
+def jaccard_distribution(spark, sf_dir, jac=None):
+    """q108 as a composable builder: jac = optional precomputed exact-
+    Jaccard pair table."""
+    if jac is None:
+        jac = jaccard_pairs(spark, sf_dir)
     return (
         jac.select(F.expr("jaccard_millis DIV 100").alias("decile"), "jaccard_millis")
         .groupBy("decile")

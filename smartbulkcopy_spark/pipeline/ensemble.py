@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 
-from smartbulkcopy_spark.queries import register
+from smartbulkcopy_spark.queries import eager, register
 
 
 def _sem_pairs_cte_duck() -> str:
@@ -93,12 +93,11 @@ def q94(spark, sf_dir):
     from smartbulkcopy_spark.pipeline.similarity import q33
 
     # Each pair set feeds TWO consumers (the union and its marker
-    # join); persist eagerly so the expensive verify chains run once
-    # (q33/q69 pattern — lazy persist would let the consumers race).
-    lex = verified_pairs(spark, sf_dir).select("a_id", "b_id").persist()
-    sem = q33(spark, sf_dir).select("a_id", "b_id").persist()
-    lex.count()
-    sem.count()
+    # join); eager() so the expensive verify chains run once (q33/q69
+    # pattern — a lazy persist would let the consumers race) and the
+    # cache is tracked for queries.release_caches() in long sessions.
+    lex = eager(verified_pairs(spark, sf_dir).select("a_id", "b_id"))
+    sem = eager(q33(spark, sf_dir).select("a_id", "b_id"))
     u = lex.union(sem).distinct()
     lmark = lex.withColumn("lex", F.lit(True))
     smark = sem.withColumn("sem", F.lit(True))

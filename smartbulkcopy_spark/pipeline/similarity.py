@@ -29,7 +29,7 @@ import math
 
 import pyspark.sql.functions as F
 
-from smartbulkcopy_spark.queries import register, spread, table
+from smartbulkcopy_spark.queries import eager, register, spread, table
 
 N_PLANES = 8  # 8-bit bucket space
 NEAR_DUP_COS = 0.3  # tuned to the fixture: 22 in-bucket pairs at sf0.01
@@ -375,11 +375,12 @@ def q33(spark, sf_dir):
         "vec_id",
         "embedding",
         bucket_col().cast("bigint").alias("bk"),
-    ).persist()  # both self-join sides read it; signature computed once
+    )  # both self-join sides read it; signature computed once
     # Materialize EAGERLY: a lazy persist lets both join sides race to
     # fill the cache, each paying the full signature fold (same failure
-    # mode measured at ~2x in the dedup pipeline).
-    bucketed.count()
+    # mode measured at ~2x in the dedup pipeline). eager() tracks the
+    # cache for queries.release_caches() in long-lived sessions.
+    bucketed = eager(bucketed)
     x = bucketed.select(
         F.col("vec_id").alias("a_id"), F.col("embedding").alias("ea"), "bk"
     )
@@ -961,8 +962,7 @@ def _km_recenter(el, assign):
     " centroid checksums the DuckDB CTE chain reproduces exactly.",
 )
 def q77(spark, sf_dir):
-    el = _km_el(spark, sf_dir).persist()
-    el.count()  # four consumers (2 assigns, 2 recenters) — q33 pattern
+    el = eager(_km_el(spark, sf_dir))  # 4 consumers (2 assigns, 2 recenters)
     c0 = el.where(F.col("vec_id") < KMEANS_K).select(
         F.col("vec_id").alias("cid"), "dim", F.col("v_e6").alias("c_e6")
     )
@@ -1007,8 +1007,7 @@ def q77(spark, sf_dir):
 def q83(spark, sf_dir):
     from pyspark.sql import Window
 
-    el = _km_el(spark, sf_dir).persist()
-    el.count()  # six consumers across the 3 assigns + 2 recenters
+    el = eager(_km_el(spark, sf_dir))  # 6 consumers: 3 assigns + 2 recenters
     c0 = el.where(F.col("vec_id") < KMEANS_K).select(
         F.col("vec_id").alias("cid"), "dim", F.col("v_e6").alias("c_e6")
     )
@@ -1115,10 +1114,18 @@ _INGEST_COS = (
     " corpus) lists stay bounded.",
 )
 def q93(spark, sf_dir):
+    return incremental_ann_ingest(spark, sf_dir)
+
+
+def incremental_ann_ingest(spark, sf_dir, k=N_CENTROIDS):
+    """q93 with a parameterized centroid count: production grows K with
+    the corpus so inverted lists stay bounded — tools/scale_probe.py
+    probes exactly that configuration (K scaled with the inflation
+    factor) instead of the fixture K."""
     emb = table(spark, sf_dir, "embeddings")
     idx = emb.where(F.col("vec_id") % BATCH_MOD != BATCH_REM)
     bat = emb.where(F.col("vec_id") % BATCH_MOD == BATCH_REM)
-    rows = idx.orderBy("vec_id").limit(N_CENTROIDS).collect()
+    rows = idx.orderBy("vec_id").limit(k).collect()
     cents = [(r["vec_id"], [float(v) for v in r["embedding"]]) for r in rows]
 
     bi = bat.select(

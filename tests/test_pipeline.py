@@ -386,13 +386,13 @@ def test_dedup_clusters_reliable_checkpoint_matches_local(spark, sf_dir, tmp_pat
         assert (
             dedup_clusters(spark, sf_dir, reliable=None).collect() == local
         )
-        # superseded rounds are deleted as the loop advances: each run
-        # directory holds exactly ONE surviving round file (the final
-        # labels' backing store), not one snapshot per round
+        # the reliable path really ran (it creates the checkpoint base),
+        # and every run directory is removed before the call returns
+        # (the final labels hop off via localCheckpoint): a long-lived
+        # session must not leak one label-table snapshot per call
+        assert (tmp_path / "ckpt").exists()
         runs = list((tmp_path / "ckpt").glob("*/cc-*"))
-        assert runs, "reliable path must have created run dirs"
-        for run in runs:
-            assert len(list(run.glob("round-*"))) == 1, run
+        assert not runs, f"reliable run dirs leaked: {runs}"
     finally:
         # UNSET the session checkpoint dir (no public API): leaving it
         # configured silently flips every later reliable=None CC call in
@@ -449,6 +449,123 @@ def test_dedup_pair_injection_single_materialization(spark, sf_dir):
         assert not (kept_ids & drop_ids)
     finally:
         pairs.unpersist()
+
+
+def test_dedup_report_single_chain_materialization(spark, sf_dir):
+    """The composed dedup_report() must (a) answer identically to the four
+    registered audit queries and (b) compute the candidates->Jaccard
+    verify chain ONCE: every audit plan reads the persisted pair table
+    (InMemoryTableScan) and none contains the banding bucket stage
+    (collect_list) that a recomputed candidate pipeline would carry."""
+    import pandas as pd
+
+    from smartbulkcopy_spark.pipeline.curate import dedup_report
+    from smartbulkcopy_spark.queries import REGISTRY, release_caches
+
+    spark.catalog.clearCache()  # plan-shape check: no stale caches
+    release_caches()
+    expected = {
+        "funnel": "q105_curation_funnel",
+        "provenance": "q106_dedup_provenance",
+        "estimator_quality": "q107_minhash_estimate_quality",
+        "threshold_distribution": "q108_jaccard_distribution",
+    }
+    base = {
+        k: REGISTRY[q].fn(spark, sf_dir).toPandas()
+        for k, q in expected.items()
+    }
+    spark.catalog.clearCache()
+    release_caches()
+    report = dedup_report(spark, sf_dir)
+    try:
+        assert set(report) == set(expected)
+
+        def node_classes(node, out):
+            # real executed tree only: an InMemoryTableScanExec is a LEAF
+            # (the cached build plan appears in its toString but not as
+            # children), so cached stages are naturally excluded. AQE
+            # wrapper nodes hold their plan as a field, not a child.
+            name = node.getClass().getSimpleName()
+            out.append(name)
+            if name == "AdaptiveSparkPlanExec":
+                return node_classes(node.inputPlan(), out)
+            for i in range(node.children().size()):
+                node_classes(node.children().apply(i), out)
+            return out
+
+        for k, df in report.items():
+            plan = df._jdf.queryExecution().executedPlan()
+            classes = node_classes(plan, [])
+            assert any(
+                c.startswith("InMemoryTableScan") for c in classes
+            ), (k, classes)
+            # the banding bucket stage (collect_list -> ObjectHashAggregate)
+            # must not re-run in ANY audit: the chain is computed once
+            assert not any(
+                c.startswith("ObjectHashAggregate") for c in classes
+            ), (k, classes)
+            pd.testing.assert_frame_equal(
+                df.toPandas(), base[k], check_dtype=True
+            )
+    finally:
+        release_caches()
+
+
+def test_release_caches_reclaims_eager_intermediates(spark, sf_dir):
+    """Builders that eager()-persist multi-consumer intermediates (q94's
+    pair sets, q107's signatures, jaccard_pairs' candidates) must leave
+    them reclaimable: release_caches() unpersists every tracked cache so
+    a long-lived session doesn't accumulate dead InMemoryRelations (the
+    q27 plan-flake class documented in CLAUDE.md)."""
+    from smartbulkcopy_spark.queries import REGISTRY, release_caches
+
+    spark.catalog.clearCache()
+    release_caches()  # drain anything earlier tests left behind
+    jsc = spark.sparkContext._jsc.sc()
+    # baseline: earlier tests' localCheckpoint RDDs (untracked by design
+    # — they ARE the lineage truncation) may still be registered
+    baseline = jsc.getPersistentRDDs().size()
+    REGISTRY["q94_ensemble_dedup"].fn(spark, sf_dir).collect()
+    assert jsc.getPersistentRDDs().size() > baseline
+    assert release_caches() >= 2  # lex + sem at minimum
+    # <= not ==: the ContextCleaner may concurrently reap baseline
+    # localCheckpoint RDDs whose Python references died
+    assert jsc.getPersistentRDDs().size() <= baseline
+    assert release_caches() == 0  # idempotent
+
+
+def test_cc_doubling_fallback_converges_past_budget(spark, sf_dir):
+    """A path graph of diameter far beyond the hash-min budget must still
+    converge (pointer-doubling fallback: O(log d) extra rounds) with the
+    exact component-minimum labels, and the fallback must agree with the
+    pure hash-min result on the real fixture graph."""
+    from smartbulkcopy_spark.pipeline.dedup import (
+        connected_components,
+        dedup_clusters,
+        verified_pairs,
+    )
+
+    # 0-1-2-...-120: diameter 120 >> budget 3. Hash-min alone would need
+    # 120 rounds; budget 3 forces the doubling phase almost immediately.
+    n = 121
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], ["a_id", "b_id"]
+    )
+    labels = connected_components(spark, path, reliable=False, budget=3)
+    got = {r["node"]: r["lbl"] for r in labels.collect()}
+    assert got == {i: 0 for i in range(n)}
+
+    # Identical labels to pure hash-min on the q69 fixture graph (its
+    # diameter is tiny, so budget=0 exercises doubling on real data).
+    base = dedup_clusters(spark, sf_dir, reliable=False).collect()
+    pairs = verified_pairs(spark, sf_dir)
+    doubled = connected_components(spark, pairs, reliable=False, budget=0)
+    via_fallback = sorted(
+        (r["node"], r["lbl"]) for r in doubled.collect()
+    )
+    assert via_fallback == sorted(
+        (r["doc_id"], r["cluster_rep"]) for r in base
+    )
 
 
 def test_q80_redaction_eliminates_leakage(spark, sf_dir):
