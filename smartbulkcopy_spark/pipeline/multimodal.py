@@ -31,7 +31,7 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
-from smartbulkcopy_spark.queries import register, table
+from smartbulkcopy_spark.queries import eager, register, table
 
 FEATURE_SCHEMA = "doc_id bigint, n_bytes bigint, blob_md5 string"
 
@@ -498,23 +498,33 @@ def _lum_duck(c: str) -> str:
     )
 
 
+def _ahash_cte_duck() -> str:
+    """decode -> resize-char luminance -> 64-bit average hash as an
+    `ah(doc_id, ahash_hi, ahash_lo, n_set)` CTE chain — the single
+    source for the q110 fingerprint and the q111 banded consumer."""
+    return (
+        _DECODE_CTE + ","
+        " lums AS (SELECT doc_id,"
+        f" list_transform(range(0, {AHASH_CELLS}), c -> {_lum_duck('c')})"
+        " AS l FROM buf),"
+        " m AS (SELECT doc_id, l,"
+        f" CAST(list_sum(l) AS BIGINT) // {AHASH_CELLS} AS mean FROM lums),"
+        " ah AS (SELECT doc_id,"
+        " CAST(list_sum(list_transform(range(0, 32), j ->"
+        " CASE WHEN l[j + 1] > mean THEN (CAST(1 AS BIGINT) << j)"
+        " ELSE 0 END)) AS BIGINT) AS ahash_hi,"
+        " CAST(list_sum(list_transform(range(32, 64), j ->"
+        " CASE WHEN l[j + 1] > mean THEN (CAST(1 AS BIGINT) << (j - 32))"
+        " ELSE 0 END)) AS BIGINT) AS ahash_lo,"
+        " CAST(len(list_filter(l, x -> x > mean)) AS BIGINT) AS n_set"
+        " FROM m)"
+    )
+
+
 @register(
     "q110_image_ahash",
-    "WITH " + _DECODE_CTE + ","
-    " lums AS (SELECT doc_id,"
-    f" list_transform(range(0, {AHASH_CELLS}), c -> {_lum_duck('c')})"
-    " AS l FROM buf),"
-    " m AS (SELECT doc_id, l,"
-    f" CAST(list_sum(l) AS BIGINT) // {AHASH_CELLS} AS mean FROM lums)"
-    " SELECT doc_id,"
-    " CAST(list_sum(list_transform(range(0, 32), j ->"
-    " CASE WHEN l[j + 1] > mean THEN (CAST(1 AS BIGINT) << j)"
-    " ELSE 0 END)) AS BIGINT) AS ahash_hi,"
-    " CAST(list_sum(list_transform(range(32, 64), j ->"
-    " CASE WHEN l[j + 1] > mean THEN (CAST(1 AS BIGINT) << (j - 32))"
-    " ELSE 0 END)) AS BIGINT) AS ahash_lo,"
-    " CAST(len(list_filter(l, x -> x > mean)) AS BIGINT) AS n_set"
-    " FROM m ORDER BY doc_id",
+    "WITH " + _ahash_cte_duck()
+    + " SELECT doc_id, ahash_hi, ahash_lo, n_set FROM ah ORDER BY doc_id",
     doc="Perceptual image fingerprint (average-hash): decode -> 8x8"
     " nearest-neighbor resize -> per-cell luminance -> 64-bit"
     " above-mean bitmap, split into two 32-bit halves to stay clear of"
@@ -532,3 +542,138 @@ def q110(spark, sf_dir):
         image_ahash(_blobs(spark, sf_dir), "doc_id", "blob")
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Image near-duplicate detection over the q110 fingerprint — the banded
+# candidate generation + Hamming verify that closes the image dedup
+# loop. Identical scale shape to the text side's MinHash-LSH (q27/q29):
+# the 64-bit ahash splits into 4 x 16-bit bands; two images sharing ANY
+# band become a candidate pair (generated per-bucket, never all-pairs,
+# hot buckets capped); candidates verify on exact Hamming distance,
+# which touches only the tiny (id, hash) pair set. A recompressed /
+# lightly-edited image under a real codec perturbs a few luminance
+# cells -> a few hash bits -> at least one band usually survives intact,
+# the textbook aHash banding trade-off.
+# ---------------------------------------------------------------------------
+
+AHASH_BAND_BITS = 16
+AHASH_BANDS = 4  # 64-bit hash = 2 bands per 32-bit half
+IMAGE_HAMMING_MAX = 12  # fixture: verified pairs at every SF, exact dups at 0
+
+# Same hot-bucket cap (and rationale) as the text LSH side: an over-cap
+# band bucket is a cluster of near-identical images that exact/grouped
+# dedup already handles linearly.
+from smartbulkcopy_spark.pipeline.dedup import MAX_BAND_BUCKET  # noqa: E402
+
+
+def _ahash_band_duck(b: int) -> str:
+    half = "ahash_hi" if b < 2 else "ahash_lo"
+    return f"(({half} >> {AHASH_BAND_BITS * (b % 2)}) & 65535)"
+
+
+def image_near_dup_pairs(spark, sf_dir):
+    """(a_id, b_id, hamming) image near-dup pairs: ahash -> 4x16-bit
+    bands -> in-bucket candidate pairs (capped) -> Hamming verify.
+
+    The fingerprint table is eager()-persisted: it feeds the banding AND
+    both verify join sides, and it is the only stage that touches image
+    bytes — everything after is (id, two longs). At 100 TB the hash
+    table is ~16 bytes/image and the only wide operations key on
+    (band_idx, band_val) and ids."""
+    ah = eager(
+        image_ahash(_blobs(spark, sf_dir), "doc_id", "blob").select(
+            "doc_id", "ahash_hi", "ahash_lo"
+        )
+    )
+    bands = ah.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.expr(
+                        f"shiftright({'ahash_hi' if b < 2 else 'ahash_lo'},"
+                        f" {AHASH_BAND_BITS * (b % 2)}) & 65535"
+                    )
+                    for b in range(AHASH_BANDS)
+                ]
+            )
+        ).alias("band_idx", "band_val"),
+    )
+    from pyspark.sql.window import Window
+
+    bc = F.count("*").over(Window.partitionBy("band_idx", "band_val"))
+    buckets = (
+        bands.withColumn("bc", bc)
+        .where((F.col("bc") > 1) & (F.col("bc") <= MAX_BAND_BUCKET))
+        .groupBy("band_idx", "band_val")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+    )
+    pairs = F.expr(
+        "flatten(transform(ds, (a, i) ->"
+        " transform(slice(ds, i + 2, size(ds)), b -> struct(a, b))))"
+    )
+    cand = (
+        buckets.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.a").alias("a_id"), F.col("p.b").alias("b_id"))
+        .distinct()
+    )
+    a = ah.select(
+        F.col("doc_id").alias("a_id"),
+        F.col("ahash_hi").alias("hi_a"),
+        F.col("ahash_lo").alias("lo_a"),
+    )
+    b = ah.select(
+        F.col("doc_id").alias("b_id"),
+        F.col("ahash_hi").alias("hi_b"),
+        F.col("ahash_lo").alias("lo_b"),
+    )
+    ham = F.expr("bit_count(hi_a ^ hi_b) + bit_count(lo_a ^ lo_b)")
+    return (
+        cand.join(a, "a_id")
+        .join(b, "b_id")
+        .select("a_id", "b_id", ham.cast("long").alias("hamming"))
+        .where(F.col("hamming") <= IMAGE_HAMMING_MAX)
+    )
+
+
+@register(
+    "q111_image_near_dup",
+    "WITH " + _ahash_cte_duck() + ","
+    " bands AS (SELECT doc_id, t.b AS band_idx,"
+    + " CASE "
+    + " ".join(
+        f"WHEN t.b = {b} THEN {_ahash_band_duck(b)}"
+        for b in range(AHASH_BANDS)
+    )
+    + " END AS band_val"
+    " FROM ah CROSS JOIN (VALUES (0), (1), (2), (3)) AS t(b)),"
+    " bsz AS (SELECT band_idx, band_val FROM bands"
+    " GROUP BY band_idx, band_val"
+    f" HAVING count(*) > 1 AND count(*) <= {MAX_BAND_BUCKET}),"
+    " cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id"
+    " FROM bands x JOIN bsz s"
+    " ON x.band_idx = s.band_idx AND x.band_val = s.band_val"
+    " JOIN bands y ON x.band_idx = y.band_idx"
+    " AND x.band_val = y.band_val AND x.doc_id < y.doc_id),"
+    " ham AS (SELECT c.a_id, c.b_id,"
+    " CAST(bit_count(xor(a.ahash_hi, b.ahash_hi))"
+    " + bit_count(xor(a.ahash_lo, b.ahash_lo)) AS BIGINT) AS hamming"
+    " FROM cand c JOIN ah a ON a.doc_id = c.a_id"
+    " JOIN ah b ON b.doc_id = c.b_id)"
+    " SELECT a_id, b_id, hamming FROM ham"
+    f" WHERE hamming <= {IMAGE_HAMMING_MAX} ORDER BY a_id, b_id",
+    doc="Image near-duplicate pairs over the q110 perceptual fingerprint:"
+    " the 64-bit average-hash splits into 4 x 16-bit bands (the q27"
+    " LSH banding pattern), images sharing any band bucket become"
+    " candidates (per-bucket pair explosion, hot buckets capped, never"
+    " all-pairs), and candidates verify on exact Hamming distance <="
+    f" {IMAGE_HAMMING_MAX} of 64 bits — exact duplicates land at 0,"
+    " recompressions/light edits at small distances. Closes the image"
+    " dedup loop: the verified pairs feed the same keep-list /"
+    " connected-component machinery as the text side. Oracle re-derives"
+    " bands, buckets, cap, and Hamming bit-for-bit from the decode"
+    " arithmetic.",
+)
+def q111(spark, sf_dir):
+    return image_near_dup_pairs(spark, sf_dir).orderBy("a_id", "b_id")

@@ -154,3 +154,49 @@ def test_q97_pair_space_thinned_before_join(spark, sf_dir):
     spark.catalog.clearCache()
     plan = explain_str(REGISTRY["q97_token_cooccurrence"].fn(spark, sf_dir))
     assert "LeftSemi" in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["q111_image_near_dup", "q112_simhash_near_dup"],
+)
+def test_hash_banded_near_dup_cap_before_collect_list(spark, sf_dir, name):
+    """The q27 invariants, for the two hash-banded detectors: the
+    hot-bucket cap (window count filter on `bc`) precedes every
+    collect_list, exactly ONE exchange keys the (band_idx, band_val)
+    space, and the fingerprint table re-enters the verify joins from the
+    cache (InMemoryTableScan) instead of recomputing the signature."""
+    spark.catalog.clearCache()
+    from smartbulkcopy_spark.queries import release_caches
+
+    release_caches()
+    plan = explain_str(REGISTRY[name].fn(spark, sf_dir))
+    assert "Window" in plan
+    filt = plan.find("bc#")
+    coll = plan.find("collect_list")
+    assert filt != -1 and coll != -1
+    assert filt < coll, "bucket-size filter must precede collect_list"
+    band_exchanges = [
+        ln
+        for ln in plan.splitlines()
+        if "hashpartitioning(band_idx" in ln
+    ]
+    assert len(band_exchanges) == 1, band_exchanges
+    assert "InMemoryTableScan" in plan
+    release_caches()
+
+
+@pytest.mark.parametrize(
+    "name", ["q94_ensemble_dedup", "q107_minhash_estimate_quality"]
+)
+def test_multi_consumer_pair_sets_read_from_cache(spark, sf_dir, name):
+    """Operators whose pair sets feed multiple consumers must read them
+    back as InMemoryTableScans — a plan without the cache would recompute
+    the verify chain per consumer."""
+    spark.catalog.clearCache()
+    from smartbulkcopy_spark.queries import release_caches
+
+    release_caches()
+    plan = explain_str(REGISTRY[name].fn(spark, sf_dir))
+    assert "InMemoryTableScan" in plan
+    release_caches()
