@@ -353,13 +353,25 @@ def emit_payloads(
         compact_copy[_short_copy_key(key)] = (
             round(val, 2) if isinstance(val, float) else val
         )
+    # Shape booleans compress to a pass-count on the line (the registry
+    # outgrew spelling ~10 keys inline at 112 queries): all-green is the
+    # common case and one number; any regression lists ONLY the failing
+    # short keys. Full names + values stay in BENCH_DETAIL.json.
     shape = copies.get("shape", {})
-    compact_copy["shape"] = {
+    bools = {
         SHAPE_KEY_SHORT.get(k, k): v
         for k, v in shape.items()
-        if k != "note"
+        if k != "note" and isinstance(v, bool)
     }
-    compact_copy["shape"]["note"] = "see BENCH_DETAIL.json"
+    compact_shape: dict[str, object] = {
+        "pass": sum(bools.values()),
+        "of": len(bools),
+    }
+    failing = sorted(k for k, v in bools.items() if not v)
+    if failing:
+        compact_shape["false"] = failing
+    compact_shape["note"] = "see BENCH_DETAIL.json"
+    compact_copy["shape"] = compact_shape
 
     total = round(sum(timings.values()), 2)
     payload = {

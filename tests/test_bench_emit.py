@@ -72,6 +72,23 @@ def test_line_is_parseable_json_with_qnn_keys():
     assert set(inv) == {"heap", "part", "ord", "ordpart"}
     assert doc["copy"]["part_8x_rps"] == 1234567
     assert doc["copy"]["shape"]["note"] == "see BENCH_DETAIL.json"
+    # shape compresses to a pass-count when all booleans hold...
+    n_bools = sum(
+        isinstance(v, bool) for v in copies["shape"].values()
+    )
+    assert doc["copy"]["shape"]["pass"] == n_bools
+    assert doc["copy"]["shape"]["of"] == n_bools
+    assert "false" not in doc["copy"]["shape"]
+    # ...and names only the regressing keys otherwise
+    bad = dict(copies)
+    bad["shape"] = dict(copies["shape"])
+    bad["shape"]["partitioned_beats_heap_8x"] = False
+    line_bad, _ = bench.emit_payloads(timings, bad, 0.1)
+    shape_bad = json.loads(line_bad)["copy"]["shape"]
+    assert shape_bad["pass"] == n_bools - 1
+    assert shape_bad["false"] == ["part_gt_heap_8x"] or len(
+        shape_bad["false"]
+    ) == 1
 
 
 def test_detail_keeps_full_names_and_note():

@@ -116,6 +116,40 @@ ANNOTATED = {
     " conditional-min aggregate; the cumulative window runs over the"
     " minute-bucket histogram (time-span-bounded), and the cohort"
     " size enters as a single-row BroadcastExchange — no cross join.",
+    "q94_ensemble_dedup": "Ensemble audit: BOTH verify chains (lexical"
+    " LSH+Jaccard, semantic bucketed cosine) materialize once into"
+    " InMemoryRelations; the union and the two marker joins read the"
+    " caches — id-keyed joins on two tiny pair sets, nothing"
+    " corpus-sized recomputes per consumer.",
+    "q105_curation_funnel": "Single-pass funnel: one corpus scan"
+    " attaches boolean stage flags (two id-only marker joins), ONE"
+    " aggregate takes all five conditional counts, and the 5-row"
+    " funnel unpivots from that row — the tiny-window warning applies"
+    " to 5 rows, never documents.",
+    "q106_dedup_provenance": "Provenance map: the rank window"
+    " partitions by the dropped id (duplicate-family-sized groups);"
+    " upstream is the shared persisted candidates + thinned verify"
+    " chain.",
+    "q107_minhash_estimate_quality": "Estimator audit: the Jaccard"
+    " pair set persists once (InMemoryRelation feeding the member-id"
+    " derivation AND the final join); signatures are LEFT-SEMI"
+    " thinned to candidate members before the agreement join.",
+    "q108_jaccard_distribution": "Threshold sensitivity: the decile"
+    " rollup partial-aggregates the tiny candidate pair set; the"
+    " expensive input is the same shared verify chain.",
+    "q110_image_ahash": "Perceptual fingerprint: decode -> resize ->"
+    " 64-bit hash entirely inside Arrow-batched mapInPandas (one"
+    " Python crossing per batch); zero shuffles, partitioning"
+    " inherited from the scan.",
+    "q111_image_near_dup": "Image near-dup: the ahash table persists"
+    " once (banding + both verify sides read the cache); banding"
+    " explodes to (band_idx, band_val, id), hot buckets capped BEFORE"
+    " the in-bucket pair explosion; Hamming verify joins ids only.",
+    "q112_simhash_near_dup": "SimHash near-dup: 64 per-bit majority"
+    " counters partial-aggregate (map-side combine) before the one"
+    " (doc_id)-keyed shuffle; banding/cap/pair explosion and the"
+    " Hamming verify run on (id, two longs) — token text never"
+    " shuffles.",
 }
 
 

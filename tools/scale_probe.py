@@ -58,7 +58,38 @@ PROBES = [
     "q97_token_cooccurrence",
     "q99_stopword_ratio",
     "q101_hourly_cohort_retention",
+    "q94_ensemble_dedup",
+    "q105_curation_funnel",
+    "q106_dedup_provenance",
+    "q107_minhash_estimate_quality",
+    "q108_jaccard_distribution",
+    "q110_image_ahash",
+    "q111_image_near_dup",
+    "q112_simhash_near_dup",
 ]
+
+
+def _probe_fns(name):
+    """(fn_1x, fn_8x) for a probe: normally the registered builder at
+    both scales. q93 is the exception — production grows the centroid
+    count with the corpus (bounded inverted lists), so the 8x probe
+    uses K*INFLATE centroids instead of measuring the fixture-K
+    artifact (64x batch x list growth by construction)."""
+    from smartbulkcopy_spark.pipeline.similarity import (
+        N_CENTROIDS,
+        incremental_ann_ingest,
+    )
+    from smartbulkcopy_spark.queries import REGISTRY
+
+    if name == "q93_incremental_ann_ingest":
+        return (
+            lambda spark, d: incremental_ann_ingest(spark, d, k=N_CENTROIDS),
+            lambda spark, d: incremental_ann_ingest(
+                spark, d, k=N_CENTROIDS * INFLATE
+            ),
+        )
+    fn = REGISTRY[name].fn
+    return fn, fn
 
 
 ALPHABET = "abcdefghijklmnopqrstuvwxyz"
@@ -157,14 +188,14 @@ def main() -> None:
         inflate(spark, base, big)
         rows = []
         for name in PROBES:
-            fn = REGISTRY[name].fn
+            fn1, fn8 = _probe_fns(name)
             # warm BOTH scales: first-touch (file listing, codegen for the
             # plan's constants) costs several seconds and would otherwise
             # be charged entirely to the 8x measurement
-            time_one(spark, fn, base)
-            time_one(spark, fn, big)
-            t1 = time_one(spark, fn, base)
-            t8 = time_one(spark, fn, big)
+            time_one(spark, fn1, base)
+            time_one(spark, fn8, big)
+            t1 = time_one(spark, fn1, base)
+            t8 = time_one(spark, fn8, big)
             rows.append((name, t1, t8, t8 / max(t1, 1e-9)))
 
         preamble = (
@@ -190,12 +221,10 @@ def main() -> None:
             lines.append(f"| {name} | {t1:.2f} | {t8:.2f} | {r:.1f}x |")
         lines += [
             "",
-            "Fixture caveat: q93 holds the centroid count at the fixture"
-            " K=8, so the 8x corpus makes every inverted list 8x longer"
-            " and the batch x list candidate space grows ~64x BY FIXTURE"
-            " CONSTRUCTION — its ratio measures that, not a join defect."
-            " In production K grows with the corpus (the operator's doc"
-            " and q83's note) and lists stay bounded.",
+            "q93 probes the PRODUCTION configuration: the centroid count"
+            f" scales with the corpus (K={INFLATE}x at the {INFLATE}x"
+            " scale, `incremental_ann_ingest(k=...)`), keeping inverted"
+            " lists bounded the way a real index deployment does.",
         ]
         (REPO / "SCALE.md").write_text("\n".join(lines) + "\n")
         print("\n".join(lines))
