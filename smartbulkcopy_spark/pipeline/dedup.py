@@ -386,9 +386,11 @@ def simhash64(spark, sf_dir):
     )
 
 
-def _simhash64_cte_duck() -> str:
-    """tk/hs/sim CTEs: the 64-bit SimHash as sim(doc_id, sim_hi, sim_lo)
-    — md5 once per token, then per-bit majority folds."""
+def _simhash64_cte_duck(p: str = "") -> str:
+    """tk/hs/sim CTEs: the 64-bit SimHash as {p}sim(doc_id, sim_hi,
+    sim_lo) — md5 once per token, then per-bit majority folds. CTE
+    names are prefixable so multi-chain oracles (q115) can compose
+    this beside the lexical/semantic chains without collisions."""
     half = (
         "CAST(list_sum(list_transform(range(0, 32), j ->"
         " CASE WHEN list_sum(list_transform({h}, x ->"
@@ -396,18 +398,46 @@ def _simhash64_cte_duck() -> str:
         " THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS BIGINT)"
     )
     return (
-        f" tk AS (SELECT doc_id, {_TOKENS_DUCK} AS ts FROM documents),"
-        " hs AS (SELECT doc_id,"
+        f" {p}tk AS (SELECT doc_id, {_TOKENS_DUCK} AS ts FROM documents),"
+        f" {p}hs AS (SELECT doc_id,"
         " list_transform(ts, t ->"
         " CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)) AS hh,"
         " list_transform(ts, t ->"
         " CAST(('0x' || substr(md5(t), 9, 8)) AS BIGINT)) AS hl"
-        " FROM tk),"
-        " sim AS (SELECT doc_id,"
+        f" FROM {p}tk),"
+        f" {p}sim AS (SELECT doc_id,"
         + half.format(h="hh")
         + " AS sim_hi,"
         + half.format(h="hl")
-        + " AS sim_lo FROM hs)"
+        + f" AS sim_lo FROM {p}hs)"
+    )
+
+
+def simhash_pairs_cte_duck(p: str = "") -> str:
+    """Full q112 chain ending in {p}ham(a_id, b_id, hamming): signature
+    -> 4x16-bit bands -> capped in-bucket candidates -> Hamming. The
+    single source for the q112 oracle and any composed consumer."""
+    return (
+        _simhash64_cte_duck(p) + ","
+        f" {p}bands AS (SELECT doc_id, t.b AS band_idx,"
+        " CASE WHEN t.b = 0 THEN (sim_lo & 65535)"
+        " WHEN t.b = 1 THEN ((sim_lo >> 16) & 65535)"
+        " WHEN t.b = 2 THEN (sim_hi & 65535)"
+        " ELSE ((sim_hi >> 16) & 65535) END AS band_val"
+        f" FROM {p}sim CROSS JOIN (VALUES (0), (1), (2), (3)) AS t(b)),"
+        f" {p}bsz AS (SELECT band_idx, band_val FROM {p}bands"
+        " GROUP BY band_idx, band_val"
+        f" HAVING count(*) > 1 AND count(*) <= {MAX_BAND_BUCKET}),"
+        f" {p}cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id"
+        f" FROM {p}bands x JOIN {p}bsz s"
+        " ON x.band_idx = s.band_idx AND x.band_val = s.band_val"
+        f" JOIN {p}bands y ON x.band_idx = y.band_idx"
+        " AND x.band_val = y.band_val AND x.doc_id < y.doc_id),"
+        f" {p}ham AS (SELECT c.a_id, c.b_id,"
+        " CAST(bit_count(xor(a.sim_hi, b.sim_hi))"
+        " + bit_count(xor(a.sim_lo, b.sim_lo)) AS BIGINT) AS hamming"
+        f" FROM {p}cand c JOIN {p}sim a ON a.doc_id = c.a_id"
+        f" JOIN {p}sim b ON b.doc_id = c.b_id)"
     )
 
 
@@ -466,27 +496,8 @@ def simhash_near_dup_pairs(spark, sf_dir):
 
 @register(
     "q112_simhash_near_dup",
-    "WITH" + _simhash64_cte_duck() + ","
-    " bands AS (SELECT doc_id, t.b AS band_idx,"
-    " CASE WHEN t.b = 0 THEN (sim_lo & 65535)"
-    " WHEN t.b = 1 THEN ((sim_lo >> 16) & 65535)"
-    " WHEN t.b = 2 THEN (sim_hi & 65535)"
-    " ELSE ((sim_hi >> 16) & 65535) END AS band_val"
-    " FROM sim CROSS JOIN (VALUES (0), (1), (2), (3)) AS t(b)),"
-    " bsz AS (SELECT band_idx, band_val FROM bands"
-    " GROUP BY band_idx, band_val"
-    f" HAVING count(*) > 1 AND count(*) <= {MAX_BAND_BUCKET}),"
-    " cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id"
-    " FROM bands x JOIN bsz s"
-    " ON x.band_idx = s.band_idx AND x.band_val = s.band_val"
-    " JOIN bands y ON x.band_idx = y.band_idx"
-    " AND x.band_val = y.band_val AND x.doc_id < y.doc_id),"
-    " ham AS (SELECT c.a_id, c.b_id,"
-    " CAST(bit_count(xor(a.sim_hi, b.sim_hi))"
-    " + bit_count(xor(a.sim_lo, b.sim_lo)) AS BIGINT) AS hamming"
-    " FROM cand c JOIN sim a ON a.doc_id = c.a_id"
-    " JOIN sim b ON b.doc_id = c.b_id)"
-    " SELECT a_id, b_id, hamming FROM ham"
+    "WITH" + simhash_pairs_cte_duck()
+    + " SELECT a_id, b_id, hamming FROM ham"
     f" WHERE hamming <= {SIMHASH64_HAMMING_MAX} ORDER BY a_id, b_id",
     doc="SimHash near-duplicate pairs — the banded consumer that turns"
     " the SimHash family (q28) into a third dedup detector beside"
@@ -1334,3 +1345,44 @@ def jaccard_distribution(spark, sf_dir, jac=None):
         )
         .orderBy("decile")
     )
+
+
+@register(
+    "q113_cluster_size_histogram",
+    "WITH RECURSIVE " + _labels_cte_duck() + ","
+    " sizes AS (SELECT cluster_rep, count(*) AS sz FROM labels"
+    " GROUP BY cluster_rep),"
+    " h AS (SELECT sz AS cluster_size,"
+    " CAST(count(*) AS BIGINT) AS n_clusters,"
+    " CAST(sum(sz) AS BIGINT) AS n_docs FROM sizes GROUP BY sz"
+    " UNION ALL SELECT 1,"
+    " CAST((SELECT count(*) FROM documents)"
+    " - (SELECT count(*) FROM labels) AS BIGINT),"
+    " CAST((SELECT count(*) FROM documents)"
+    " - (SELECT count(*) FROM labels) AS BIGINT))"
+    " SELECT CAST(cluster_size AS BIGINT) AS cluster_size, n_clusters,"
+    " n_docs FROM h ORDER BY cluster_size",
+    doc="Duplicate-family size distribution: how many verified near-dup"
+    " clusters exist at each member count, plus the singleton row"
+    " (documents in no verified pair, counted as size-1 families) —"
+    " the capacity-planning readout before a 100 TB dedup commit: the"
+    " mass in large families bounds what transitive dedup can reclaim"
+    " beyond pair-local keep-lists, and a heavy tail flags templated"
+    " boilerplate. Rollups run on the tiny cluster-label table; the"
+    " corpus contributes only its count. Oracle: the q69 recursive-CTE"
+    " labels re-aggregated.",
+)
+def q113(spark, sf_dir):
+    labels = dedup_clusters(spark, sf_dir)
+    sizes = labels.groupBy("cluster_rep").agg(F.count("*").alias("sz"))
+    hist = sizes.groupBy(F.col("sz").cast("long").alias("cluster_size")).agg(
+        F.count("*").alias("n_clusters"),
+        F.sum("sz").cast("long").alias("n_docs"),
+    )
+    n_total = table(spark, sf_dir, "documents").count()
+    n_members = labels.count()
+    singletons = spark.createDataFrame(
+        [(1, n_total - n_members, n_total - n_members)],
+        "cluster_size long, n_clusters long, n_docs long",
+    )
+    return hist.unionByName(singletons).orderBy("cluster_size")

@@ -19,6 +19,10 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 
+from smartbulkcopy_spark.pipeline.dedup import (
+    SIMHASH64_HAMMING_MAX,
+    simhash_pairs_cte_duck,
+)
 from smartbulkcopy_spark.queries import eager, register
 
 
@@ -111,4 +115,65 @@ def q94(spark, sf_dir):
             F.coalesce(F.col("sem"), F.lit(False)).alias("semantic"),
         )
         .orderBy("a_id", "b_id")
+    )
+
+
+@register(
+    "q115_detector_agreement",
+    "WITH " + _lex_pairs_cte_duck() + "," + _sem_pairs_cte_duck() + ","
+    + simhash_pairs_cte_duck("sx")
+    + ", sxvp AS (SELECT a_id, b_id FROM sxham"
+    f" WHERE hamming <= {SIMHASH64_HAMMING_MAX}),"
+    " u AS (SELECT a_id, b_id FROM vp"
+    " UNION SELECT a_id, b_id FROM semvp"
+    " UNION SELECT a_id, b_id FROM sxvp),"
+    " m AS (SELECT u.a_id, u.b_id,"
+    " (l.a_id IS NOT NULL) AS lexical,"
+    " (s.a_id IS NOT NULL) AS semantic,"
+    " (x.a_id IS NOT NULL) AS simhash"
+    " FROM u LEFT JOIN vp l ON u.a_id = l.a_id AND u.b_id = l.b_id"
+    " LEFT JOIN semvp s ON u.a_id = s.a_id AND u.b_id = s.b_id"
+    " LEFT JOIN sxvp x ON u.a_id = x.a_id AND u.b_id = x.b_id)"
+    " SELECT lexical, semantic, simhash,"
+    " CAST(count(*) AS BIGINT) AS n_pairs"
+    " FROM m GROUP BY lexical, semantic, simhash"
+    " ORDER BY lexical, semantic, simhash",
+    doc="Three-detector agreement matrix: every verified near-dup pair"
+    " from the lexical (MinHash + exact Jaccard), semantic (bucketed"
+    " cosine), and SimHash (64-bit Hamming) detectors, rolled up by"
+    " which detector combination fired — the calibration readout that"
+    " decides whether the detectors are redundant (mass on the"
+    " all-true cell) or complementary (mass on single-detector cells)"
+    " before paying for all three at 100 TB. Each pair set comes from"
+    " its existing bucketed generator and persists once; the matrix"
+    " itself is <= 7 rows from id-keyed joins on the tiny pair sets.",
+)
+def q115(spark, sf_dir):
+    from smartbulkcopy_spark.pipeline.dedup import (
+        simhash_near_dup_pairs,
+        verified_pairs,
+    )
+    from smartbulkcopy_spark.pipeline.similarity import q33
+
+    lex = eager(verified_pairs(spark, sf_dir).select("a_id", "b_id"))
+    sem = eager(q33(spark, sf_dir).select("a_id", "b_id"))
+    shp = eager(
+        simhash_near_dup_pairs(spark, sf_dir).select("a_id", "b_id")
+    )
+    u = lex.union(sem).union(shp).distinct()
+    lm = lex.withColumn("lex", F.lit(True))
+    sm = sem.withColumn("sem", F.lit(True))
+    xm = shp.withColumn("shx", F.lit(True))
+    return (
+        u.join(lm, ["a_id", "b_id"], "left")
+        .join(sm, ["a_id", "b_id"], "left")
+        .join(xm, ["a_id", "b_id"], "left")
+        .select(
+            F.coalesce(F.col("lex"), F.lit(False)).alias("lexical"),
+            F.coalesce(F.col("sem"), F.lit(False)).alias("semantic"),
+            F.coalesce(F.col("shx"), F.lit(False)).alias("simhash"),
+        )
+        .groupBy("lexical", "semantic", "simhash")
+        .agg(F.count("*").alias("n_pairs"))
+        .orderBy("lexical", "semantic", "simhash")
     )

@@ -677,3 +677,117 @@ def image_near_dup_pairs(spark, sf_dir):
 )
 def q111(spark, sf_dir):
     return image_near_dup_pairs(spark, sf_dir).orderBy("a_id", "b_id")
+
+
+# Incremental image ingestion — the q63 shape for the image modality:
+# a new image batch bands against the EXISTING corpus's ahash index, so
+# the join is new-batch x index on (band_idx, band_val); the corpus is
+# never re-self-joined. Batch boundary mirrors q63's id split.
+from smartbulkcopy_spark.pipeline.dedup import (  # noqa: E402
+    INCREMENTAL_SPLIT_ID,
+)
+
+
+@register(
+    "q114_incremental_image_dedup",
+    "WITH " + _ahash_cte_duck() + ","
+    " bands AS (SELECT doc_id, t.b AS band_idx,"
+    + " CASE "
+    + " ".join(
+        f"WHEN t.b = {b} THEN {_ahash_band_duck(b)}"
+        for b in range(AHASH_BANDS)
+    )
+    + " END AS band_val"
+    " FROM ah CROSS JOIN (VALUES (0), (1), (2), (3)) AS t(b)),"
+    f" old AS (SELECT * FROM bands WHERE doc_id < {INCREMENTAL_SPLIT_ID}),"
+    f" nw AS (SELECT * FROM bands WHERE doc_id >= {INCREMENTAL_SPLIT_ID}),"
+    " osz AS (SELECT band_idx, band_val FROM old"
+    " GROUP BY band_idx, band_val"
+    f" HAVING count(*) <= {MAX_BAND_BUCKET}),"
+    " cand2 AS (SELECT DISTINCT o.doc_id AS old_id, n.doc_id AS new_id"
+    " FROM nw n JOIN osz s"
+    " ON n.band_idx = s.band_idx AND n.band_val = s.band_val"
+    " JOIN old o ON o.band_idx = n.band_idx"
+    " AND o.band_val = n.band_val),"
+    " ham2 AS (SELECT c.new_id, c.old_id,"
+    " CAST(bit_count(xor(a.ahash_hi, b.ahash_hi))"
+    " + bit_count(xor(a.ahash_lo, b.ahash_lo)) AS BIGINT) AS hamming"
+    " FROM cand2 c JOIN ah a ON a.doc_id = c.old_id"
+    " JOIN ah b ON b.doc_id = c.new_id)"
+    " SELECT new_id, min(old_id) AS dup_of,"
+    " min(hamming) AS best_hamming FROM ham2"
+    f" WHERE hamming <= {IMAGE_HAMMING_MAX}"
+    " GROUP BY new_id ORDER BY new_id",
+    doc="Incremental image-ingestion dedup (q63 for the image modality):"
+    " which images of a NEW batch are perceptual near-duplicates of"
+    " the EXISTING corpus. The batch bands against the corpus's ahash"
+    " index on (band_idx, band_val) — hot index buckets capped BEFORE"
+    " the join — and only cross-side candidates verify on Hamming"
+    f" distance <= {IMAGE_HAMMING_MAX}. Cost scales with batch x"
+    " band-collision rate, never corpus squared: a daily image crawl"
+    " dedups against 100 TB already ingested. dup_of (min matching"
+    " corpus id) and best_hamming (closest match) are independent"
+    " aggregates, mirroring q63's convention.",
+)
+def q114(spark, sf_dir):
+    ah = eager(
+        image_ahash(_blobs(spark, sf_dir), "doc_id", "blob").select(
+            "doc_id", "ahash_hi", "ahash_lo"
+        )
+    )
+    bands = ah.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.expr(
+                        f"shiftright({'ahash_hi' if b < 2 else 'ahash_lo'},"
+                        f" {AHASH_BAND_BITS * (b % 2)}) & 65535"
+                    )
+                    for b in range(AHASH_BANDS)
+                ]
+            )
+        ).alias("band_idx", "band_val"),
+    )
+    old = bands.where(F.col("doc_id") < INCREMENTAL_SPLIT_ID)
+    new = bands.where(F.col("doc_id") >= INCREMENTAL_SPLIT_ID)
+    osz = (
+        old.groupBy("band_idx", "band_val")
+        .agg(F.count("*").alias("bc"))
+        .where(F.col("bc") <= MAX_BAND_BUCKET)
+        .select("band_idx", "band_val")
+    )
+    cand = (
+        new.join(osz, ["band_idx", "band_val"], "left_semi")
+        .join(
+            old.select(
+                F.col("doc_id").alias("old_id"), "band_idx", "band_val"
+            ),
+            ["band_idx", "band_val"],
+        )
+        .select(F.col("doc_id").alias("new_id"), "old_id")
+        .distinct()
+    )
+    a = ah.select(
+        F.col("doc_id").alias("old_id"),
+        F.col("ahash_hi").alias("hi_a"),
+        F.col("ahash_lo").alias("lo_a"),
+    )
+    b = ah.select(
+        F.col("doc_id").alias("new_id"),
+        F.col("ahash_hi").alias("hi_b"),
+        F.col("ahash_lo").alias("lo_b"),
+    )
+    ham = F.expr("bit_count(hi_a ^ hi_b) + bit_count(lo_a ^ lo_b)")
+    return (
+        cand.join(a, "old_id")
+        .join(b, "new_id")
+        .select("new_id", "old_id", ham.cast("long").alias("hamming"))
+        .where(F.col("hamming") <= IMAGE_HAMMING_MAX)
+        .groupBy("new_id")
+        .agg(
+            F.min("old_id").alias("dup_of"),
+            F.min("hamming").alias("best_hamming"),
+        )
+        .orderBy("new_id")
+    )

@@ -1757,3 +1757,84 @@ def q100(spark, sf_dir):
         & (F.col("alpha_pct") >= GOPHER_MIN_ALPHA_PCT)
     )
     return scored.withColumn("passes", passes).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# PII detection audit. Patterns deliberately stay inside the
+# RE2-AND-Java-compatible subset (character classes, bounded repeats,
+# alternation — no lookaround, no backreferences) so Spark (Java regex)
+# and DuckDB (RE2) count the same matches; tests/test_round7_ops.py
+# drives both engines over a synthetic corpus with real hits, since the
+# fixture corpus is digit-free and audits clean (itself the meaningful
+# answer: a training corpus SHOULD audit clean before release).
+# ---------------------------------------------------------------------------
+
+PII_PATTERNS = {
+    "n_emails": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "n_phones": r"[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}",
+    "n_ipv4": r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}",
+}
+
+
+def pii_counts(df, text_col: str = "text"):
+    """Append per-class PII match counts + a has_pii flag to a corpus
+    frame. Pure row-local regexp counting (whole-stage codegen, zero
+    shuffle) — the pattern set is the policy artifact; swap in the
+    production list without touching the plumbing."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    out = df
+    for name, pat in PII_PATTERNS.items():
+        out = out.withColumn(
+            name,
+            F.size(
+                F.regexp_extract_all(t, F.lit(pat), F.lit(0))
+            ).cast("long"),
+        )
+    total = sum(F.col(n) for n in PII_PATTERNS)
+    return out.withColumn(
+        "pii_total", total.cast("long")
+    ).withColumn("has_pii", total > 0)
+
+
+def _pii_duck() -> str:
+    cols = ", ".join(
+        f"CAST(len(regexp_extract_all(coalesce(text, ''), '{pat}'))"
+        f" AS BIGINT) AS {name}"
+        for name, pat in PII_PATTERNS.items()
+    )
+    total = " + ".join(PII_PATTERNS)
+    return (
+        f"SELECT doc_id, {cols} FROM documents"
+    ), total
+
+
+@register(
+    "q116_pii_audit",
+    "WITH p AS (" + _pii_duck()[0] + ")"
+    f" SELECT doc_id, n_emails, n_phones, n_ipv4,"
+    f" CAST({_pii_duck()[1]} AS BIGINT) AS pii_total,"
+    f" ({_pii_duck()[1]}) > 0 AS has_pii"
+    " FROM p ORDER BY doc_id",
+    doc="PII detection audit: per-document counts of email / phone /"
+    " IPv4 pattern matches plus the release-gating has_pii flag — the"
+    " scrubbing pass every training corpus runs before release (here"
+    " it proves the fixture corpus is clean, zero hits everywhere,"
+    " which is the answer the audit exists to certify). Patterns are"
+    " confined to the RE2-and-Java common regex subset so both engines"
+    " count identically; pure row-local projection, zero shuffle, the"
+    " pattern list is a swappable policy artifact.",
+)
+def q116(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    return (
+        pii_counts(docs)
+        .select(
+            "doc_id",
+            "n_emails",
+            "n_phones",
+            "n_ipv4",
+            "pii_total",
+            "has_pii",
+        )
+        .orderBy("doc_id")
+    )
