@@ -1446,26 +1446,43 @@ TIER1 = [
 # (rows_match & schema_match & hash_match). Absent = never driver-graded.
 # Generated by tools/ledger.py; keep in lockstep with SURVEY.md §2.12.
 LAST_GREEN = {
-    "q01_scan_project": 6,
-    "q02_logical_partition_bucket": 6,
-    "q03_range_partition_predicate": 6,
-    "q04_ordered_scan_desc": 6,
-    "q05_rowcount": 6,
-    "q06_bucket_counts": 6,
-    "q07_ident_current": 6,
-    "q08_table_size_agg": 6,
-    "q09_inner_join_agg": 6,
-    "q10_left_join_agg": 6,
-    "q11_semi_join": 6,
-    "q12_except": 6,
-    "q13_union_distinct": 6,
-    "q14_topk": 6,
-    "q15_case_when": 6,
-    "q16_quotename": 6,
-    "q17_agg_sweep": 6,
-    "q18_tumbling_window": 6,
-    "q19_rate_delta_lag": 6,
-    "q20_copy_roundtrip": 6,
+    "q01_scan_project": 7,
+    "q02_logical_partition_bucket": 7,
+    "q03_range_partition_predicate": 7,
+    "q04_ordered_scan_desc": 7,
+    "q05_rowcount": 7,
+    "q06_bucket_counts": 7,
+    "q07_ident_current": 7,
+    "q08_table_size_agg": 7,
+    "q09_inner_join_agg": 7,
+    "q100_gopher_rules": 7,
+    "q101_hourly_cohort_retention": 7,
+    "q102_conversion_latency": 7,
+    "q103_embedding_drift": 7,
+    "q104_orc_corpus_roundtrip": 7,
+    "q105_curation_funnel": 7,
+    "q106_dedup_provenance": 7,
+    "q107_minhash_estimate_quality": 7,
+    "q108_jaccard_distribution": 7,
+    "q109_event_transitions": 7,
+    "q10_left_join_agg": 7,
+    "q110_image_ahash": 7,
+    "q111_image_near_dup": 7,
+    "q112_simhash_near_dup": 7,
+    "q113_cluster_size_histogram": 7,
+    "q114_incremental_image_dedup": 7,
+    "q115_detector_agreement": 7,
+    "q116_pii_audit": 7,
+    "q11_semi_join": 7,
+    "q12_except": 7,
+    "q13_union_distinct": 7,
+    "q14_topk": 7,
+    "q15_case_when": 7,
+    "q16_quotename": 7,
+    "q17_agg_sweep": 7,
+    "q18_tumbling_window": 7,
+    "q19_rate_delta_lag": 7,
+    "q20_copy_roundtrip": 7,
     "q21_exact_dedup": 5,
     "q22_text_stats": 5,
     "q23_token_counts": 5,
@@ -1480,7 +1497,7 @@ LAST_GREEN = {
     "q32_binary_features": 5,
     "q33_embedding_near_dup": 5,
     "q34_near_dup_dedup": 5,
-    "q35_sessionization": 6,
+    "q35_sessionization": 7,
     "q36_ivf_assignment": 5,
     "q37_scalar_funcs": 5,
     "q38_bpe_token_counts": 5,
@@ -1490,8 +1507,8 @@ LAST_GREEN = {
     "q42_audio_frame_sample": 5,
     "q43_ann_bucketed_topk": 5,
     "q44_ivf_probe_topk": 5,
-    "q45_sliding_window": 6,
-    "q46_session_window": 6,
+    "q45_sliding_window": 7,
+    "q46_session_window": 7,
     "q47_ann_recall": 5,
     "q48_vocab_topk": 4,
     "q49_cross_source_neardups": 4,
@@ -1503,8 +1520,8 @@ LAST_GREEN = {
     "q55_embedding_dim_stats": 5,
     "q56_mixture_resample": 4,
     "q57_embedding_coverage": 6,
-    "q58_event_funnel": 4,
-    "q59_key_skew_histogram": 4,
+    "q58_event_funnel": 7,
+    "q59_key_skew_histogram": 7,
     "q60_event_enrichment": 4,
     "q61_curation_stats": 6,
     "q62_pack_fill": 6,
@@ -1537,6 +1554,14 @@ LAST_GREEN = {
     "q89_curriculum_stages": 6,
     "q90_seqlen_histogram": 6,
     "q91_bpe_merge_candidates": 6,
+    "q92_shard_balance": 7,
+    "q93_incremental_ann_ingest": 7,
+    "q94_ensemble_dedup": 7,
+    "q95_interval_click_attribution": 7,
+    "q96_template_prefix_detection": 7,
+    "q97_token_cooccurrence": 7,
+    "q98_split_label_balance": 7,
+    "q99_stopword_ratio": 7,
 }
 
 
@@ -1587,6 +1612,10 @@ QUEUED_SINCE = {
     "q110_image_ahash": 66,
     **{n: 70 for n in (
         "q111_image_near_dup", "q112_simhash_near_dup",
+    )},
+    **{n: 71 for n in (
+        "q113_cluster_size_histogram", "q114_incremental_image_dedup",
+        "q115_detector_agreement", "q116_pii_audit",
     )},
 }
 

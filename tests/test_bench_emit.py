@@ -86,9 +86,7 @@ def test_line_is_parseable_json_with_qnn_keys():
     line_bad, _ = bench.emit_payloads(timings, bad, 0.1)
     shape_bad = json.loads(line_bad)["copy"]["shape"]
     assert shape_bad["pass"] == n_bools - 1
-    assert shape_bad["false"] == ["part_gt_heap_8x"] or len(
-        shape_bad["false"]
-    ) == 1
+    assert shape_bad["false"] == ["part_beats_heap_8x"]
 
 
 def test_detail_keeps_full_names_and_note():
