@@ -1763,10 +1763,11 @@ def q100(spark, sf_dir):
 # PII detection audit. Patterns deliberately stay inside the
 # RE2-AND-Java-compatible subset (character classes, bounded repeats,
 # alternation — no lookaround, no backreferences) so Spark (Java regex)
-# and DuckDB (RE2) count the same matches; tests/test_round7_ops.py
-# drives both engines over a synthetic corpus with real hits, since the
-# fixture corpus is digit-free and audits clean (itself the meaningful
-# answer: a training corpus SHOULD audit clean before release).
+# and DuckDB (RE2) count the same matches; tests/test_round8_ops.py
+# drives both engines over a synthetic corpus with real hits (plus
+# pinned hand-checked counts), since the fixture corpus is digit-free
+# and audits clean (itself the meaningful answer: a training corpus
+# SHOULD audit clean before release).
 # ---------------------------------------------------------------------------
 
 PII_PATTERNS = {

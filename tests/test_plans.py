@@ -187,7 +187,12 @@ def test_hash_banded_near_dup_cap_before_collect_list(spark, sf_dir, name):
 
 
 @pytest.mark.parametrize(
-    "name", ["q94_ensemble_dedup", "q107_minhash_estimate_quality"]
+    "name",
+    [
+        "q94_ensemble_dedup",
+        "q107_minhash_estimate_quality",
+        "q115_detector_agreement",
+    ],
 )
 def test_multi_consumer_pair_sets_read_from_cache(spark, sf_dir, name):
     """Operators whose pair sets feed multiple consumers must read them
@@ -200,3 +205,26 @@ def test_multi_consumer_pair_sets_read_from_cache(spark, sf_dir, name):
     plan = explain_str(REGISTRY[name].fn(spark, sf_dir))
     assert "InMemoryTableScan" in plan
     release_caches()
+
+
+def test_q114_batch_joins_index_only(spark, sf_dir):
+    """Incremental image dedup must join the NEW batch against the
+    capped corpus index (q63's batch x index asymmetry), never self-join
+    the corpus: both split filters appear in the plan, the hot-bucket
+    cap (bc) exists, the batch side is LEFT-SEMI thinned to surviving
+    buckets, and the eager ahash table re-enters from cache instead of
+    re-running the decode pipeline per consumer."""
+    spark.catalog.clearCache()
+    from smartbulkcopy_spark.pipeline.dedup import INCREMENTAL_SPLIT_ID
+    from smartbulkcopy_spark.queries import release_caches
+
+    release_caches()
+    plan = explain_str(
+        REGISTRY["q114_incremental_image_dedup"].fn(spark, sf_dir)
+    )
+    release_caches()
+    assert f"< {INCREMENTAL_SPLIT_ID}" in plan, "corpus-side split filter"
+    assert f">= {INCREMENTAL_SPLIT_ID}" in plan, "batch-side split filter"
+    assert "LeftSemi" in plan
+    assert "bc#" in plan, "hot-bucket cap aggregate"
+    assert "InMemoryTableScan" in plan

@@ -1,0 +1,322 @@
+"""Structural + cross-engine invariants of the round-7-final operators
+(q113–q116) beyond the shared-spelling DuckDB oracle in test_queries:
+q116's regex parity is exercised on a corpus with REAL PII hits (the
+fixture corpus is digit-free, so its all-zeros green proves nothing
+about Java-regex vs RE2 dialect agreement), q113's histogram is checked
+against document-count arithmetic, q114 against a recomputed ahash
+table and a crafted cross-split corpus, and q115 against a crafted
+corpus designed to light up five distinct agreement-matrix cells."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pyspark.sql.functions as F
+import pytest
+
+from smartbulkcopy_spark.queries import REGISTRY, release_caches, table
+
+from .conftest import SF_SMOKE
+
+
+def _run(name, spark, sf_dir=SF_SMOKE):
+    return REGISTRY[name].fn(spark, sf_dir).toPandas()
+
+
+def _write_documents(path, rows):
+    """rows: list of (doc_id, text) — fills the remaining fixture columns."""
+    pd.DataFrame(
+        {
+            "doc_id": [r[0] for r in rows],
+            "text": [r[1] for r in rows],
+            "lang": ["en"] * len(rows),
+            "source": ["src0"] * len(rows),
+            "n_chars": [len(r[1] or "") for r in rows],
+        }
+    ).to_parquet(path / "documents.parquet", index=False)
+
+
+# ---------------------------------------------------------------------------
+# q116 — PII audit: cross-engine count parity on a corpus with real hits.
+# ---------------------------------------------------------------------------
+
+PII_CORPUS = [
+    (1, "contact john.doe+tag@example-mail.co.uk or sales@acme.io now"),
+    (2, "call 555-123-4567 or 555.123.4567; mixed 555-123.4567 works"),
+    (3, "hosts 10.0.0.1 and 999.999.999.999 then 1.2.3.4.5 overlap"),
+    (4, "overlapping candidates a@b.cd@e.fg and trailing dot x@y.zw."),
+    (5, "no pii: 123-456-789 and 12.34.56 and user@host (no tld)"),
+    (6, "boundary555-123-4567tail plus ip1.2.3.4glued a@bc bare"),
+    (7, None),
+    (8, "email A_B%c-d@x-y.z.museum, ip 001.002.003.004, ph 000.000.0000"),
+]
+
+
+def test_q116_pii_cross_engine_on_real_hits(spark, tmp_path):
+    """The round-7 registration was only ever oracle-checked on the
+    digit-free fixture (every count 0). This drives the registered Spark
+    builder AND the registered oracle SQL over a corpus with real
+    emails/phones/IPv4s plus the edge cases where regex dialects diverge
+    (boundary-adjacent matches, overlapping candidates, 1.2.3.4.5) and
+    asserts the frames are identical."""
+    d = tmp_path / "sf_q116"
+    d.mkdir()
+    _write_documents(d, PII_CORPUS)
+    spec = REGISTRY["q116_pii_audit"]
+    got = spec.fn(spark, str(d)).toPandas()
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{d / 'documents.parquet'}')"
+    )
+    want = con.execute(spec.oracle).arrow().to_pandas()
+    con.close()
+
+    got = got.sort_values("doc_id").reset_index(drop=True)
+    want = want.sort_values("doc_id").reset_index(drop=True)
+    assert list(got.columns) == list(want.columns)
+    for col in got.columns:
+        assert got[col].tolist() == want[col].tolist(), col
+
+    # the corpus must actually exercise every pattern class (a zero
+    # column would make this test as vacuous as the fixture corpus)
+    assert got["n_emails"].sum() >= 4
+    assert got["n_phones"].sum() >= 4
+    assert got["n_ipv4"].sum() >= 4
+    assert bool(got.loc[got["doc_id"] == 5, "has_pii"].iloc[0]) is False
+    assert bool(got.loc[got["doc_id"] == 7, "has_pii"].iloc[0]) is False
+
+
+def test_q116_known_counts(spark, tmp_path):
+    """Pin the exact per-class counts for the hand-checkable rows so a
+    future pattern edit that changes semantics (not just dialect) fails
+    loudly rather than drifting both engines together."""
+    d = tmp_path / "sf_q116b"
+    d.mkdir()
+    _write_documents(d, PII_CORPUS)
+    got = (
+        REGISTRY["q116_pii_audit"]
+        .fn(spark, str(d))
+        .toPandas()
+        .set_index("doc_id")
+    )
+    # doc 2: three phone spellings, no 4-dot runs -> no ipv4
+    assert got.loc[2, "n_phones"] == 3 and got.loc[2, "n_ipv4"] == 0
+    # doc 3: 10.0.0.1, 999.999.999.999, and the leftmost 1.2.3.4 of
+    # 1.2.3.4.5 (non-overlapping scan leaves the trailing .5 unmatched)
+    assert got.loc[3, "n_ipv4"] == 3
+    # doc 6: patterns are unanchored -> glued matches still fire
+    assert got.loc[6, "n_phones"] == 1 and got.loc[6, "n_ipv4"] == 1
+    assert got.loc[6, "n_emails"] == 0
+    # doc 7: NULL text coalesces to zero counts, has_pii False
+    assert got.loc[7, "pii_total"] == 0
+
+
+# ---------------------------------------------------------------------------
+# q113 — cluster-size histogram: document-count arithmetic.
+# ---------------------------------------------------------------------------
+
+
+def test_q113_histogram_accounts_for_every_document(spark):
+    from smartbulkcopy_spark.pipeline.dedup import dedup_clusters
+
+    df = _run("q113_cluster_size_histogram", spark)
+    n_total = table(spark, SF_SMOKE, "documents").count()
+    n_members = dedup_clusters(spark, SF_SMOKE).count()
+
+    # every document lands in exactly one family: the histogram's doc
+    # mass must equal the corpus size, with singletons = non-members
+    assert df["n_docs"].sum() == n_total
+    ones = df[df["cluster_size"] == 1]
+    assert len(ones) == 1
+    assert ones["n_clusters"].iloc[0] == ones["n_docs"].iloc[0] == (
+        n_total - n_members
+    )
+    multi = df[df["cluster_size"] >= 2]
+    assert len(multi) > 0, "fixture must yield at least one real cluster"
+    assert (
+        multi["n_docs"] == multi["cluster_size"] * multi["n_clusters"]
+    ).all()
+    assert multi["n_docs"].sum() == n_members
+
+
+# ---------------------------------------------------------------------------
+# q114 — incremental image dedup: crafted cross-split corpus + recompute.
+# ---------------------------------------------------------------------------
+
+
+def test_q114_crafted_cross_split_corpus(spark, tmp_path):
+    """Exact-duplicate texts produce identical fake blobs, hence
+    identical ahashes: a new-batch copy of a corpus image must report
+    dup_of = the smallest matching corpus id at Hamming 0; a unique new
+    image must be absent; corpus-side rows never appear as new_id."""
+    from smartbulkcopy_spark.pipeline.dedup import INCREMENTAL_SPLIT_ID
+
+    base = INCREMENTAL_SPLIT_ID
+    t_a = "the shared image payload text that both batches contain"
+    rows = [
+        (base - 3, t_a),  # corpus copy 1
+        (base - 2, t_a),  # corpus copy 2 (same blob, larger id)
+        (base - 1, "a corpus-only unique payload never repeated"),
+        (base + 1, t_a),  # new-batch copy -> dup of base-3
+        (base + 2, "a new-batch unique payload never seen before"),
+        (base + 3, t_a),  # second new copy -> ALSO dup of base-3
+    ]
+    d = tmp_path / "sf_q114"
+    d.mkdir()
+    _write_documents(d, rows)
+    got = (
+        REGISTRY["q114_incremental_image_dedup"]
+        .fn(spark, str(d))
+        .toPandas()
+    )
+    release_caches()
+    assert got["new_id"].tolist() == [base + 1, base + 3]
+    assert got["dup_of"].tolist() == [base - 3, base - 3]
+    assert got["best_hamming"].tolist() == [0, 0]
+
+
+def test_q114_contract_vs_recomputed_ahash(spark):
+    """On the shared fixture: new_id/dup_of respect the split, and both
+    aggregates are consistent with a direct recomputation of the ahash
+    table — best_hamming must be an achievable distance to SOME corpus
+    image and no worse than the distance to the named dup_of."""
+    from smartbulkcopy_spark.pipeline.dedup import INCREMENTAL_SPLIT_ID
+    from smartbulkcopy_spark.pipeline.multimodal import (
+        IMAGE_HAMMING_MAX,
+        _blobs,
+        image_ahash,
+    )
+
+    df = _run("q114_incremental_image_dedup", spark)
+    release_caches()
+    assert len(df) > 0, "fixture must yield cross-split image dups"
+    assert (df["new_id"] >= INCREMENTAL_SPLIT_ID).all()
+    assert (df["dup_of"] < INCREMENTAL_SPLIT_ID).all()
+    assert df["best_hamming"].between(0, IMAGE_HAMMING_MAX).all()
+
+    ah = {
+        r["doc_id"]: (r["ahash_hi"], r["ahash_lo"])
+        for r in image_ahash(_blobs(spark, SF_SMOKE), "doc_id", "blob")
+        .select("doc_id", "ahash_hi", "ahash_lo")
+        .collect()
+    }
+
+    def ham(a, b):
+        return bin(ah[a][0] ^ ah[b][0]).count("1") + bin(
+            ah[a][1] ^ ah[b][1]
+        ).count("1")
+
+    old_ids = [i for i in ah if i < INCREMENTAL_SPLIT_ID]
+    for row in df.itertuples():
+        d_named = ham(row.new_id, row.dup_of)
+        assert d_named <= IMAGE_HAMMING_MAX, (row.new_id, row.dup_of)
+        assert row.best_hamming <= d_named
+        achievable = {ham(row.new_id, o) for o in old_ids}
+        assert row.best_hamming in achievable, row.new_id
+
+
+# ---------------------------------------------------------------------------
+# q115 — detector agreement matrix: crafted corpus lighting five cells.
+# ---------------------------------------------------------------------------
+
+
+def _one_hot(dim, n=64):
+    v = [0.0] * n
+    v[dim] = 1.0
+    return v
+
+
+def test_q115_matrix_cells_on_crafted_corpus(spark, tmp_path):
+    """Five distinct (lexical, semantic, simhash) cells, each produced
+    by one deliberately-constructed pair. Identical embeddings force the
+    semantic detector (same hyperplane bucket, cosine 1); one-hot
+    embeddings on disjoint dims force it off (cosine 0); identical
+    normalized text fires lexical+simhash; a token permutation preserves
+    the SimHash signature while destroying char-8-gram Jaccard; disjoint
+    vocabularies keep unrelated pairs out of every detector."""
+    texts = {
+        # (True, True, True): identical text, identical embedding
+        1: "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        2: "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        # (False, True, False): disjoint texts, identical embedding
+        3: "solar lunar orbit comet nebula quasar photon plasma drift",
+        4: "violin cello oboe bassoon timpani piccolo trumpet marimba",
+        # (False, False, True): permuted tokens, disjoint embeddings
+        5: "maple willow cedar spruce aspen poplar walnut hazel birch",
+        6: "birch hazel walnut poplar aspen spruce cedar willow maple",
+        # (False, True, True): permuted tokens, identical embedding
+        7: "copper nickel cobalt zinc silver golden iron chrome lead",
+        8: "lead chrome iron golden silver zinc cobalt nickel copper",
+        # (True, False, True): same normalized text, disjoint embeddings
+        9: "zulu yankee xray whiskey victor uniform tango sierra romeo",
+        10: "zulu  yankee   xray whiskey victor uniform tango sierra romeo",
+    }
+    emb_dim = {1: 0, 2: 0, 3: 1, 4: 1, 5: 2, 6: 3, 7: 4, 8: 4, 9: 5, 10: 6}
+    d = tmp_path / "sf_q115"
+    d.mkdir()
+    _write_documents(d, sorted(texts.items()))
+    pd.DataFrame(
+        {
+            "vec_id": sorted(emb_dim),
+            "embedding": [_one_hot(emb_dim[i]) for i in sorted(emb_dim)],
+            "label": [0] * len(emb_dim),
+        }
+    ).astype({"label": "int32"}).to_parquet(
+        d / "embeddings.parquet", index=False
+    )
+
+    got = REGISTRY["q115_detector_agreement"].fn(spark, str(d)).toPandas()
+    release_caches()
+    cells = {
+        (r.lexical, r.semantic, r.simhash): r.n_pairs
+        for r in got.itertuples()
+    }
+    assert cells == {
+        (True, True, True): 1,
+        (False, True, False): 1,
+        (False, False, True): 1,
+        (False, True, True): 1,
+        (True, False, True): 1,
+    }
+
+
+def test_q115_marginals_match_detector_pair_sets(spark):
+    """On the shared fixture: each detector's marginal in the matrix
+    must equal the size of its standalone verified pair set, and the
+    matrix total must equal the union — catches a wiring mistake where
+    one detector's chain is joined on the wrong keys."""
+    from smartbulkcopy_spark.pipeline.dedup import (
+        simhash_near_dup_pairs,
+        verified_pairs,
+    )
+    from smartbulkcopy_spark.pipeline.similarity import q33
+
+    got = _run("q115_detector_agreement", spark)
+    release_caches()
+    lex = {
+        (r.a_id, r.b_id)
+        for r in verified_pairs(spark, SF_SMOKE)
+        .select("a_id", "b_id")
+        .collect()
+    }
+    sem = {
+        (r.a_id, r.b_id)
+        for r in q33(spark, SF_SMOKE).select("a_id", "b_id").collect()
+    }
+    shx = {
+        (r.a_id, r.b_id)
+        for r in simhash_near_dup_pairs(spark, SF_SMOKE)
+        .select("a_id", "b_id")
+        .collect()
+    }
+    release_caches()
+
+    def marginal(col):
+        return got.loc[got[col], "n_pairs"].sum()
+
+    assert marginal("lexical") == len(lex)
+    assert marginal("semantic") == len(sem)
+    assert marginal("simhash") == len(shx)
+    assert got["n_pairs"].sum() == len(lex | sem | shx)

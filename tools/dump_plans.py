@@ -150,6 +150,23 @@ ANNOTATED = {
     " (doc_id)-keyed shuffle; banding/cap/pair explosion and the"
     " Hamming verify run on (id, two longs) — token text never"
     " shuffles.",
+    "q113_cluster_size_histogram": "Family-size histogram: the CC"
+    " label table (pair-graph-sized, never corpus-sized) feeds two"
+    " tiny rollups; the corpus contributes only a count, and the"
+    " singleton row unions in as a literal — no corpus shuffle.",
+    "q114_incremental_image_dedup": "Incremental image dedup: batch"
+    " bands equi-join the capped corpus index (both split filters"
+    " pushed to the ahash cache scan), batch side LEFT-SEMI thinned"
+    " to surviving buckets — batch x collision cost, corpus never"
+    " self-joins; the eager ahash table re-enters all three joins"
+    " from cache.",
+    "q115_detector_agreement": "Agreement matrix: each detector chain"
+    " (lexical, cosine, SimHash) materializes exactly once into an"
+    " InMemoryRelation; union + three marker joins run id-keyed on"
+    " the tiny pair sets and the rollup is <=7 rows.",
+    "q116_pii_audit": "PII audit: per-class regexp_count is a pure"
+    " row-local projection in whole-stage codegen — zero shuffles"
+    " besides the final order; the pattern list is data, not plan.",
 }
 
 

@@ -66,6 +66,10 @@ PROBES = [
     "q110_image_ahash",
     "q111_image_near_dup",
     "q112_simhash_near_dup",
+    "q113_cluster_size_histogram",
+    "q114_incremental_image_dedup",
+    "q115_detector_agreement",
+    "q116_pii_audit",
 ]
 
 
