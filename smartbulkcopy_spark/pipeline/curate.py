@@ -320,3 +320,57 @@ def dedup_report(spark, sf_dir):
             spark, sf_dir, jac=jac
         ),
     }
+
+
+def detector_report(spark, sf_dir):
+    """The full three-detector curation readout from ONE materialization
+    of each detector chain: the lexical Jaccard pair table, the semantic
+    (bucketed-cosine) pair set, and the SimHash pair set each persist
+    exactly once, then the four dedup audits (q105-q108), the
+    lexical-x-semantic ensemble (q94), and the three-detector agreement
+    matrix (q115) all derive from the shared state. Registered per-query
+    isolation recomputes the lexical chain 6x and the other two chains
+    2x each — a grading convention, not the production shape; answers
+    are identical to the registered queries (pinned in
+    tests/test_pipeline.py alongside the single-materialization plan
+    shape). Release the persisted intermediates afterwards with
+    queries.release_caches()."""
+    from smartbulkcopy_spark.pipeline.dedup import (
+        NEAR_DUP_JACCARD_MILLIS,
+        dedup_provenance,
+        jaccard_distribution,
+        jaccard_pairs,
+        minhash_estimate_quality,
+        simhash_near_dup_pairs,
+    )
+    from smartbulkcopy_spark.pipeline.ensemble import (
+        detector_agreement,
+        ensemble_pairs,
+    )
+    from smartbulkcopy_spark.pipeline.similarity import q33
+    from smartbulkcopy_spark.queries import eager
+
+    jac = eager(jaccard_pairs(spark, sf_dir))
+    # vp feeds five consumers (funnel drops + two unions + two marker
+    # joins) — persist the thinned id pairs, not just the jac table.
+    vp = eager(
+        jac.where(
+            F.col("jaccard_millis") >= NEAR_DUP_JACCARD_MILLIS
+        ).select("a_id", "b_id")
+    )
+    sem = eager(q33(spark, sf_dir).select("a_id", "b_id"))
+    shx = eager(
+        simhash_near_dup_pairs(spark, sf_dir).select("a_id", "b_id")
+    )
+    return {
+        "funnel": curation_funnel(spark, sf_dir, pairs=vp),
+        "provenance": dedup_provenance(spark, sf_dir, jac=jac),
+        "estimator_quality": minhash_estimate_quality(
+            spark, sf_dir, jac=jac
+        ),
+        "threshold_distribution": jaccard_distribution(
+            spark, sf_dir, jac=jac
+        ),
+        "ensemble": ensemble_pairs(vp, sem),
+        "agreement": detector_agreement(vp, sem, shx),
+    }

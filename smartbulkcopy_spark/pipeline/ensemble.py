@@ -102,6 +102,13 @@ def q94(spark, sf_dir):
     # cache is tracked for queries.release_caches() in long sessions.
     lex = eager(verified_pairs(spark, sf_dir).select("a_id", "b_id"))
     sem = eager(q33(spark, sf_dir).select("a_id", "b_id"))
+    return ensemble_pairs(lex, sem)
+
+
+def ensemble_pairs(lex, sem):
+    """(a_id, b_id, lexical, semantic) over two verified pair frames.
+    Callers must have persisted the inputs — each feeds the union AND
+    its own marker join (q94 and detector_report do; see eager())."""
     u = lex.union(sem).distinct()
     lmark = lex.withColumn("lex", F.lit(True))
     smark = sem.withColumn("sem", F.lit(True))
@@ -160,10 +167,17 @@ def q115(spark, sf_dir):
     shp = eager(
         simhash_near_dup_pairs(spark, sf_dir).select("a_id", "b_id")
     )
-    u = lex.union(sem).union(shp).distinct()
+    return detector_agreement(lex, sem, shp)
+
+
+def detector_agreement(lex, sem, shx):
+    """(lexical, semantic, simhash, n_pairs) agreement matrix over
+    three verified pair frames. Callers must have persisted the inputs
+    — each feeds the union AND its own marker join."""
+    u = lex.union(sem).union(shx).distinct()
     lm = lex.withColumn("lex", F.lit(True))
     sm = sem.withColumn("sem", F.lit(True))
-    xm = shp.withColumn("shx", F.lit(True))
+    xm = shx.withColumn("shx", F.lit(True))
     return (
         u.join(lm, ["a_id", "b_id"], "left")
         .join(sm, ["a_id", "b_id"], "left")

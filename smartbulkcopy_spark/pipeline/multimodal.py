@@ -637,31 +637,40 @@ def image_near_dup_pairs(spark, sf_dir):
     )
 
 
+def _image_pairs_cte_duck() -> str:
+    """The q111 chain (ahash -> bands -> capped buckets -> candidate
+    pairs -> Hamming) as a `ham(a_id, b_id, hamming)` CTE — the single
+    source for the q111 pair oracle and the q117 transitive consumer."""
+    return (
+        _ahash_cte_duck() + ","
+        " bands AS (SELECT doc_id, t.b AS band_idx,"
+        + " CASE "
+        + " ".join(
+            f"WHEN t.b = {b} THEN {_ahash_band_duck(b)}"
+            for b in range(AHASH_BANDS)
+        )
+        + " END AS band_val"
+        " FROM ah CROSS JOIN (VALUES (0), (1), (2), (3)) AS t(b)),"
+        " bsz AS (SELECT band_idx, band_val FROM bands"
+        " GROUP BY band_idx, band_val"
+        f" HAVING count(*) > 1 AND count(*) <= {MAX_BAND_BUCKET}),"
+        " cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id"
+        " FROM bands x JOIN bsz s"
+        " ON x.band_idx = s.band_idx AND x.band_val = s.band_val"
+        " JOIN bands y ON x.band_idx = y.band_idx"
+        " AND x.band_val = y.band_val AND x.doc_id < y.doc_id),"
+        " ham AS (SELECT c.a_id, c.b_id,"
+        " CAST(bit_count(xor(a.ahash_hi, b.ahash_hi))"
+        " + bit_count(xor(a.ahash_lo, b.ahash_lo)) AS BIGINT) AS hamming"
+        " FROM cand c JOIN ah a ON a.doc_id = c.a_id"
+        " JOIN ah b ON b.doc_id = c.b_id)"
+    )
+
+
 @register(
     "q111_image_near_dup",
-    "WITH " + _ahash_cte_duck() + ","
-    " bands AS (SELECT doc_id, t.b AS band_idx,"
-    + " CASE "
-    + " ".join(
-        f"WHEN t.b = {b} THEN {_ahash_band_duck(b)}"
-        for b in range(AHASH_BANDS)
-    )
-    + " END AS band_val"
-    " FROM ah CROSS JOIN (VALUES (0), (1), (2), (3)) AS t(b)),"
-    " bsz AS (SELECT band_idx, band_val FROM bands"
-    " GROUP BY band_idx, band_val"
-    f" HAVING count(*) > 1 AND count(*) <= {MAX_BAND_BUCKET}),"
-    " cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id"
-    " FROM bands x JOIN bsz s"
-    " ON x.band_idx = s.band_idx AND x.band_val = s.band_val"
-    " JOIN bands y ON x.band_idx = y.band_idx"
-    " AND x.band_val = y.band_val AND x.doc_id < y.doc_id),"
-    " ham AS (SELECT c.a_id, c.b_id,"
-    " CAST(bit_count(xor(a.ahash_hi, b.ahash_hi))"
-    " + bit_count(xor(a.ahash_lo, b.ahash_lo)) AS BIGINT) AS hamming"
-    " FROM cand c JOIN ah a ON a.doc_id = c.a_id"
-    " JOIN ah b ON b.doc_id = c.b_id)"
-    " SELECT a_id, b_id, hamming FROM ham"
+    "WITH " + _image_pairs_cte_duck()
+    + " SELECT a_id, b_id, hamming FROM ham"
     f" WHERE hamming <= {IMAGE_HAMMING_MAX} ORDER BY a_id, b_id",
     doc="Image near-duplicate pairs over the q110 perceptual fingerprint:"
     " the 64-bit average-hash splits into 4 x 16-bit bands (the q27"
@@ -790,4 +799,64 @@ def q114(spark, sf_dir):
             F.min("hamming").alias("best_hamming"),
         )
         .orderBy("new_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Transitive image dedup — the q69/q70 analog for the image modality.
+# q111 emits verified pairwise matches; a burst of N recompressions of
+# one image forms an N-clique (or a chain, when successive edits drift
+# past the Hamming bound pairwise but neighbor within it), and the
+# cluster-correct decision keeps exactly ONE survivor per connected
+# component. Reuses dedup.connected_components: the iteration runs on
+# the (id, label) pair graph only — orders of magnitude smaller than
+# the corpus — and the corpus pays one id-keyed left join at the end.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q117_image_dedup_keep",
+    "WITH RECURSIVE " + _image_pairs_cte_duck() + ","
+    " ivp AS (SELECT a_id, b_id FROM ham"
+    f" WHERE hamming <= {IMAGE_HAMMING_MAX}),"
+    " isym AS (SELECT a_id AS u, b_id AS v FROM ivp"
+    " UNION ALL SELECT b_id, a_id FROM ivp),"
+    " ireach(u, v) AS (SELECT u, v FROM isym"
+    " UNION SELECT r.u, s.v FROM ireach r JOIN isym s ON r.v = s.u),"
+    " ilabels AS (SELECT u AS doc_id,"
+    " CAST(least(u, min(v)) AS BIGINT) AS rep FROM ireach GROUP BY u)"
+    " SELECT d.doc_id,"
+    " CAST(coalesce(l.rep, d.doc_id) AS BIGINT) AS img_rep,"
+    " (l.doc_id IS NULL OR l.rep = d.doc_id) AS keep"
+    " FROM documents d LEFT JOIN ilabels l ON d.doc_id = l.doc_id"
+    " ORDER BY d.doc_id",
+    doc="Transitive image dedup keep-list (q69/q70 for the image"
+    " modality): connected components over the q111 verified perceptual"
+    " pair graph label every image with its family's min doc_id"
+    " (img_rep = itself outside the graph), and keep = 'is the family"
+    " representative' — a burst of N recompressions of one image"
+    " collapses to exactly one survivor, which pairwise keep-lists"
+    " cannot guarantee. Label propagation (hash-min + pointer-doubling"
+    " fallback) iterates on the tiny (id, label) pair graph only; the"
+    " corpus contributes one id-keyed left join. Oracle: recursive-CTE"
+    " reachability over the same bit-exact pair chain.",
+)
+def q117(spark, sf_dir):
+    from smartbulkcopy_spark.pipeline.dedup import connected_components
+
+    pairs = image_near_dup_pairs(spark, sf_dir).select("a_id", "b_id")
+    labels = connected_components(spark, pairs).select(
+        F.col("node").alias("doc_id"), F.col("lbl").alias("rep")
+    )
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    return (
+        docs.join(labels, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("rep", "doc_id").cast("long").alias("img_rep"),
+            (F.col("rep").isNull() | (F.col("rep") == F.col("doc_id"))).alias(
+                "keep"
+            ),
+        )
+        .orderBy("doc_id")
     )

@@ -1839,3 +1839,103 @@ def q116(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+# PII redaction — the excision pass completing q116's counting audit
+# (the q53/q80 redaction pattern). Classes are applied in a FIXED
+# sequence (email -> phone -> IPv4) on both engines, each stage counting
+# on its own input text, so a span matched by two classes (an IPv4
+# inside an email's local part) is attributed to exactly one class
+# identically everywhere. The sentinel contains no digit/@/dot, so a
+# replacement can never complete a new match; `residual` re-audits the
+# final text against every class and is the oracle-checked proof of
+# zero remaining hits (q80's re-audit property, also pinned in
+# tests/test_round8_ops.py on a corpus with real PII).
+
+PII_SENTINEL = "<PII>"
+_PII_ORDER = ["n_emails", "n_phones", "n_ipv4"]
+
+
+def pii_redact(df, text_col: str = "text"):
+    """Append per-class removal counts, the redacted text, its md5, and
+    the residual re-audit count. Pure row-local projection — zero
+    shuffle; the staged texts are pre-projected columns so each regex
+    runs once per row (HOF re-evaluation rule does not apply: these are
+    plain projections, not lambda-bound expressions)."""
+    out = df.withColumn("_t0", F.coalesce(F.col(text_col), F.lit("")))
+    cur = "_t0"
+    for i, name in enumerate(_PII_ORDER):
+        pat = PII_PATTERNS[name]
+        nxt = f"_t{i + 1}"
+        out = out.withColumn(
+            name, F.regexp_count(F.col(cur), F.lit(pat)).cast("long")
+        ).withColumn(
+            nxt, F.regexp_replace(F.col(cur), pat, PII_SENTINEL)
+        )
+        cur = nxt
+    residual = sum(
+        F.regexp_count(F.col(cur), F.lit(p)) for p in PII_PATTERNS.values()
+    )
+    return (
+        out.withColumn("redacted_md5", F.md5(F.col(cur)))
+        .withColumn("residual", residual.cast("long"))
+        .drop("_t0", "_t1", "_t2", "_t3")
+    )
+
+
+def _pii_redact_duck() -> str:
+    """Staged CTE chain mirroring pii_redact's sequence exactly."""
+    stages = ["SELECT doc_id, coalesce(text, '') AS t0 FROM documents"]
+    prev = "t0"
+    ctes = [f"s0 AS ({stages[0]})"]
+    for i, name in enumerate(_PII_ORDER):
+        pat = PII_PATTERNS[name]
+        nxt = f"t{i + 1}"
+        ctes.append(
+            f"s{i + 1} AS (SELECT *,"
+            f" CAST(len(regexp_extract_all({prev}, '{pat}')) AS BIGINT)"
+            f" AS {name},"
+            f" regexp_replace({prev}, '{pat}', '{PII_SENTINEL}', 'g')"
+            f" AS {nxt} FROM s{i})"
+        )
+        prev = nxt
+    residual = " + ".join(
+        f"len(regexp_extract_all({prev}, '{p}'))"
+        for p in PII_PATTERNS.values()
+    )
+    return (
+        ", ".join(ctes)
+        + f", fin AS (SELECT *, md5({prev}) AS redacted_md5,"
+        f" CAST({residual} AS BIGINT) AS residual FROM s3)"
+    )
+
+
+@register(
+    "q118_pii_redaction",
+    "WITH " + _pii_redact_duck()
+    + " SELECT doc_id, n_emails, n_phones, n_ipv4, redacted_md5,"
+    " residual FROM fin ORDER BY doc_id",
+    doc="PII redaction (the excision pass completing q116's audit):"
+    " every email/phone/IPv4 span replaced by a sentinel in a fixed"
+    " class order, emitting per-class removal counts, the md5"
+    " fingerprint of the scrubbed text (the verifiable release"
+    " artifact), and a residual re-audit count that the oracle proves"
+    " is zero — the q80 re-audit property. Row-local regex projection,"
+    " zero shuffle; the staged texts are pre-projected columns so each"
+    " pattern runs once per row. Sentinel chosen so no replacement can"
+    " complete a new match.",
+)
+def q118(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    return (
+        pii_redact(docs)
+        .select(
+            "doc_id",
+            "n_emails",
+            "n_phones",
+            "n_ipv4",
+            "redacted_md5",
+            "residual",
+        )
+        .orderBy("doc_id")
+    )

@@ -1617,6 +1617,8 @@ QUEUED_SINCE = {
         "q113_cluster_size_histogram", "q114_incremental_image_dedup",
         "q115_detector_agreement", "q116_pii_audit",
     )},
+    "q117_image_dedup_keep": 80,
+    "q118_pii_redaction": 80,
 }
 
 

@@ -626,3 +626,59 @@ def test_q80_redaction_eliminates_leakage(spark, sf_dir):
             if " ".join(t[i : i + DECON_N]) in ev:
                 residual += 1
     assert residual == 0
+
+
+def test_detector_report_single_chain_materialization(spark, sf_dir):
+    """The composed detector_report() must (a) answer identically to the
+    six registered queries it subsumes (q105-q108 audits + q94 ensemble
+    + q115 agreement) and (b) materialize each detector chain ONCE:
+    every returned plan reads persisted pair tables (InMemoryTableScan)
+    and none re-runs a banding bucket stage (ObjectHashAggregate)."""
+    import pandas as pd
+
+    from smartbulkcopy_spark.pipeline.curate import detector_report
+    from smartbulkcopy_spark.queries import REGISTRY, release_caches
+
+    spark.catalog.clearCache()
+    release_caches()
+    expected = {
+        "funnel": "q105_curation_funnel",
+        "provenance": "q106_dedup_provenance",
+        "estimator_quality": "q107_minhash_estimate_quality",
+        "threshold_distribution": "q108_jaccard_distribution",
+        "ensemble": "q94_ensemble_dedup",
+        "agreement": "q115_detector_agreement",
+    }
+    base = {}
+    for k, q in expected.items():
+        base[k] = REGISTRY[q].fn(spark, sf_dir).toPandas()
+        release_caches()  # q94/q115 eager their own chains
+    spark.catalog.clearCache()
+    release_caches()
+    report = detector_report(spark, sf_dir)
+    try:
+        assert set(report) == set(expected)
+
+        def node_classes(node, out):
+            name = node.getClass().getSimpleName()
+            out.append(name)
+            if name == "AdaptiveSparkPlanExec":
+                return node_classes(node.inputPlan(), out)
+            for i in range(node.children().size()):
+                node_classes(node.children().apply(i), out)
+            return out
+
+        for k, df in report.items():
+            plan = df._jdf.queryExecution().executedPlan()
+            classes = node_classes(plan, [])
+            assert any(
+                c.startswith("InMemoryTableScan") for c in classes
+            ), (k, classes)
+            assert not any(
+                c.startswith("ObjectHashAggregate") for c in classes
+            ), (k, classes)
+            pd.testing.assert_frame_equal(
+                df.toPandas(), base[k], check_dtype=True
+            )
+    finally:
+        release_caches()

@@ -320,3 +320,135 @@ def test_q115_marginals_match_detector_pair_sets(spark):
     assert marginal("semantic") == len(sem)
     assert marginal("simhash") == len(shx)
     assert got["n_pairs"].sum() == len(lex | sem | shx)
+
+
+# ---------------------------------------------------------------------------
+# q117 — transitive image dedup keep-list.
+# ---------------------------------------------------------------------------
+
+
+def test_q117_crafted_families_keep_one_survivor(spark, tmp_path):
+    """Identical texts produce identical fake blobs (Hamming-0 cliques):
+    a 3-burst family and a 2-burst family must each keep exactly their
+    min-id member, the singleton keeps itself."""
+    rows = [
+        (1, "a family payload repeated three times in this corpus"),
+        (2, "a family payload repeated three times in this corpus"),
+        (3, "a family payload repeated three times in this corpus"),
+        (4, "a second family payload repeated twice in this corpus"),
+        (5, "a second family payload repeated twice in this corpus"),
+        (6, "a unique payload that matches nothing else here at all"),
+    ]
+    d = tmp_path / "sf_q117"
+    d.mkdir()
+    _write_documents(d, rows)
+    got = (
+        REGISTRY["q117_image_dedup_keep"]
+        .fn(spark, str(d))
+        .toPandas()
+        .set_index("doc_id")
+    )
+    release_caches()
+    assert got["img_rep"].tolist() == [1, 1, 1, 4, 4, 6]
+    assert got["keep"].tolist() == [True, False, False, True, False, True]
+
+
+def test_q117_labels_consistent_with_q111_pairs(spark):
+    """On the shared fixture: both endpoints of every verified image
+    pair carry the SAME family label (transitivity), keep is exactly
+    'is own representative', and the survivor count equals corpus size
+    minus (members - families)."""
+    got = _run("q117_image_dedup_keep", spark).set_index("doc_id")
+    pairs = _run("q111_image_near_dup", spark)
+    release_caches()
+    assert len(pairs) > 0
+    for r in pairs.itertuples():
+        assert got.loc[r.a_id, "img_rep"] == got.loc[r.b_id, "img_rep"]
+    assert (got["keep"] == (got.index == got["img_rep"])).all()
+    members = set(pairs["a_id"]) | set(pairs["b_id"])
+    n_families = got.loc[sorted(members), "img_rep"].nunique()
+    assert got["keep"].sum() == len(got) - len(members) + n_families
+
+
+# ---------------------------------------------------------------------------
+# q118 — PII redaction: cross-engine parity + the re-audit property.
+# ---------------------------------------------------------------------------
+
+
+def test_q118_redaction_cross_engine_on_real_hits(spark, tmp_path):
+    """Full-frame cross-engine equality on the real-hit corpus: staged
+    class order, removal counts, redacted md5, and residual must all
+    agree between Spark (Java regex) and DuckDB (RE2)."""
+    d = tmp_path / "sf_q118"
+    d.mkdir()
+    _write_documents(d, PII_CORPUS)
+    spec = REGISTRY["q118_pii_redaction"]
+    got = spec.fn(spark, str(d)).toPandas()
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{d / 'documents.parquet'}')"
+    )
+    want = con.execute(spec.oracle).arrow().to_pandas()
+    con.close()
+
+    got = got.sort_values("doc_id").reset_index(drop=True)
+    want = want.sort_values("doc_id").reset_index(drop=True)
+    assert list(got.columns) == list(want.columns)
+    for col in got.columns:
+        assert got[col].tolist() == want[col].tolist(), col
+    assert got["n_emails"].sum() >= 4
+    assert got["n_phones"].sum() >= 4
+    assert got["n_ipv4"].sum() >= 4
+
+
+def test_q118_residual_zero_and_md5_changes_only_hit_docs(spark, tmp_path):
+    """The q80 re-audit property: after redaction NO pattern matches the
+    scrubbed text (residual == 0 for every document), and the redacted
+    md5 differs from the original text's md5 exactly for documents that
+    had hits. Counts must agree with q116 except where class order
+    attributes an overlapping span (none in this corpus)."""
+    import hashlib
+
+    d = tmp_path / "sf_q118b"
+    d.mkdir()
+    _write_documents(d, PII_CORPUS)
+    got = (
+        REGISTRY["q118_pii_redaction"]
+        .fn(spark, str(d))
+        .toPandas()
+        .set_index("doc_id")
+    )
+    audit = (
+        REGISTRY["q116_pii_audit"]
+        .fn(spark, str(d))
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert (got["residual"] == 0).all()
+    for doc_id, text in PII_CORPUS:
+        orig_md5 = hashlib.md5((text or "").encode()).hexdigest()
+        changed = got.loc[doc_id, "redacted_md5"] != orig_md5
+        assert changed == bool(audit.loc[doc_id, "has_pii"]), doc_id
+    # no overlapping-class spans in this corpus -> counts match q116
+    for col in ("n_emails", "n_phones", "n_ipv4"):
+        assert got[col].tolist() == audit[col].tolist(), col
+
+
+def test_q118_overlap_attributed_to_first_class(spark, tmp_path):
+    """An IPv4-shaped span inside an email's local part is consumed by
+    the email stage (fixed class order), so the ipv4 count must NOT see
+    it — the deterministic-attribution contract both engines share."""
+    d = tmp_path / "sf_q118c"
+    d.mkdir()
+    _write_documents(d, [(1, "mail 1.2.3.4@host.com and ip 5.6.7.8 end")])
+    got = (
+        REGISTRY["q118_pii_redaction"]
+        .fn(spark, str(d))
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert got.loc[1, "n_emails"] == 1
+    assert got.loc[1, "n_ipv4"] == 1  # only 5.6.7.8 survives to its stage
+    assert got.loc[1, "residual"] == 0

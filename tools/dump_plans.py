@@ -167,6 +167,14 @@ ANNOTATED = {
     "q116_pii_audit": "PII audit: per-class regexp_count is a pure"
     " row-local projection in whole-stage codegen — zero shuffles"
     " besides the final order; the pattern list is data, not plan.",
+    "q117_image_dedup_keep": "Transitive image keep-list: hash-min"
+    " label propagation iterates on the tiny verified image pair"
+    " graph (id, label) only; the corpus pays one id-keyed left join"
+    " at the end — no corpus-sized shuffle inside the loop.",
+    "q118_pii_redaction": "PII excision: the staged redactions are"
+    " pre-projected columns in one whole-stage-codegen projection —"
+    " each pattern runs once per row, zero shuffles besides the final"
+    " order.",
 }
 
 

@@ -70,6 +70,8 @@ PROBES = [
     "q114_incremental_image_dedup",
     "q115_detector_agreement",
     "q116_pii_audit",
+    "q117_image_dedup_keep",
+    "q118_pii_redaction",
 ]
 
 
