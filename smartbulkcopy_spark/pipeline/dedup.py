@@ -1386,3 +1386,102 @@ def q113(spark, sf_dir):
         "cluster_size long, n_clusters long, n_docs long",
     )
     return hist.unionByName(singletons).orderBy("cluster_size")
+
+
+# ---------------------------------------------------------------------------
+# Cross-document repeated-substring spans — the distributed form of
+# exact-substring dedup (the suffix-array method of Lee et al.,
+# "Deduplicating Training Data Makes Language Models Better"): hash
+# every L-char window of the normalized text, keep the hashes seen in
+# >= 2 distinct documents, and merge each document's hit positions into
+# maximal overlapping spans. The emitted spans are the "what to cut"
+# artifact that document-level dedup (q21/q34/q70) cannot produce: two
+# documents sharing one long boilerplate paragraph keep their unique
+# remainders. One shuffle keys the gram-hash space (singleton hashes —
+# the vast majority — die in the partial aggregate); the span merge is
+# a per-document window bounded by document length. Per-position md5 is
+# map-side linear work, the honest distributed substitute for a suffix
+# array, which cannot be built across a 100 TB corpus.
+# ---------------------------------------------------------------------------
+
+CROSSDOC_L = 40  # span granularity: repeated runs of >= 40 normalized chars
+
+
+@register(
+    "q119_crossdoc_repeated_spans",
+    f"WITH nn AS (SELECT doc_id, {NORM_DUCK} AS n FROM documents),"
+    f" lg AS (SELECT doc_id, n FROM nn WHERE length(n) >= {CROSSDOC_L}),"
+    " g0 AS (SELECT doc_id, n,"
+    f" unnest(range(1, length(n) - {CROSSDOC_L} + 2)) AS pos FROM lg),"
+    " g AS (SELECT doc_id, pos,"
+    f" md5(substr(n, CAST(pos AS INT), {CROSSDOC_L})) AS h FROM g0),"
+    " dup AS (SELECT h FROM g GROUP BY h"
+    " HAVING count(DISTINCT doc_id) >= 2),"
+    " hit AS (SELECT doc_id, pos FROM g JOIN dup USING (h)),"
+    " fl AS (SELECT doc_id, pos,"
+    f" CASE WHEN pos > lag(pos) OVER w + {CROSSDOC_L} THEN 1 ELSE 0 END"
+    " AS brk FROM hit WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),"
+    " isl AS (SELECT doc_id, pos, sum(brk)"
+    " OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM fl),"
+    " sp AS (SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,"
+    f" CAST(max(pos) + {CROSSDOC_L} - 1 AS BIGINT) AS span_end,"
+    " CAST(count(*) AS BIGINT) AS n_grams"
+    " FROM isl GROUP BY doc_id, island)"
+    " SELECT doc_id, span_start, span_end,"
+    " span_end - span_start + 1 AS span_len, n_grams FROM sp"
+    " ORDER BY doc_id, span_start",
+    doc="Cross-document repeated-substring spans (distributed exact-"
+    f"substring dedup): every {CROSSDOC_L}-char window of the"
+    " normalized text is hashed; hashes occurring in >= 2 distinct"
+    " documents mark their positions, and per-document positions merge"
+    " into maximal overlapping spans (interval-union gaps-and-islands)."
+    " The sub-document artifact that document-level dedup cannot emit:"
+    " shared boilerplate is excised, unique remainders survive. One"
+    " gram-hash shuffle (singletons die map-side), doc-length-bounded"
+    " windows; linear in corpus size.",
+)
+def q119(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    L = CROSSDOC_L
+    base = docs.select("doc_id", F.expr(NORM_SPARK).alias("n")).where(
+        F.length("n") >= L
+    )
+    # length(n) >= L guarantees sequence() is ascending and non-empty
+    # (Spark's sequence DESCENDS when stop < start — never feed it one).
+    grams = base.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, length(n) - {L - 1}),"
+                f" i -> md5(substr(n, i, {L})))"
+            )
+        ).alias("i0", "h"),
+    ).select("doc_id", (F.col("i0") + 1).cast("long").alias("pos"), "h")
+    dup = (
+        grams.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("h")
+    )
+    hits = grams.join(dup, "h", "left_semi").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    brk = F.when(F.col("pos") > F.lag("pos").over(w) + L, 1).otherwise(0)
+    isl = hits.withColumn("brk", brk).withColumn(
+        "island", F.sum("brk").over(w)
+    )
+    return (
+        isl.groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + L - 1).cast("long").alias("span_end"),
+            F.count("*").alias("n_grams"),
+        )
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_len"),
+            "n_grams",
+        )
+        .orderBy("doc_id", "span_start")
+    )

@@ -1619,6 +1619,7 @@ QUEUED_SINCE = {
     )},
     "q117_image_dedup_keep": 80,
     "q118_pii_redaction": 80,
+    "q119_crossdoc_repeated_spans": 80,
 }
 
 

@@ -452,3 +452,73 @@ def test_q118_overlap_attributed_to_first_class(spark, tmp_path):
     assert got.loc[1, "n_emails"] == 1
     assert got.loc[1, "n_ipv4"] == 1  # only 5.6.7.8 survives to its stage
     assert got.loc[1, "residual"] == 0
+
+
+# ---------------------------------------------------------------------------
+# q119 — cross-document repeated-substring spans.
+# ---------------------------------------------------------------------------
+
+
+def test_q119_crafted_shared_paragraph(spark, tmp_path):
+    """Two documents sharing one long paragraph must each report exactly
+    one span covering the shared region (positions in normalized text);
+    a document with no 40-char overlap reports nothing."""
+    from smartbulkcopy_spark.pipeline.dedup import CROSSDOC_L
+
+    shared = "this exact boilerplate paragraph appears in two documents"
+    assert len(shared) >= CROSSDOC_L + 10
+    prefix = "unrelated opening words here: "
+    rows = [
+        (1, shared + " plus a unique ending for document one only"),
+        (2, prefix + shared),
+        (3, "a wholly unique document with no overlap of that size"),
+    ]
+    d = tmp_path / "sf_q119"
+    d.mkdir()
+    _write_documents(d, rows)
+    got = (
+        REGISTRY["q119_crossdoc_repeated_spans"]
+        .fn(spark, str(d))
+        .toPandas()
+    )
+    n_grams = len(shared) - CROSSDOC_L + 1
+    expect = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "span_start": [1, len(prefix) + 1],
+            "span_end": [len(shared), len(prefix) + len(shared)],
+            "span_len": [len(shared), len(shared)],
+            "n_grams": [n_grams, n_grams],
+        }
+    )
+    pd.testing.assert_frame_equal(
+        got.astype("int64"), expect.astype("int64")
+    )
+
+
+def test_q119_spans_actually_repeat(spark):
+    """On the shared fixture: every reported span's full text must occur
+    verbatim (normalized) in at least one OTHER document — the defining
+    property an oracle sharing the same spelling cannot falsify."""
+    from smartbulkcopy_spark.pipeline.dedup import NORM_SPARK
+
+    spans = _run("q119_crossdoc_repeated_spans", spark)
+    assert len(spans) > 0, "fixture must contain repeated substrings"
+    norm = {
+        r["doc_id"]: r["n"]
+        for r in table(spark, SF_SMOKE, "documents")
+        .select("doc_id", F.expr(NORM_SPARK).alias("n"))
+        .collect()
+    }
+    from smartbulkcopy_spark.pipeline.dedup import CROSSDOC_L
+
+    for row in spans.itertuples():
+        text = norm[row.doc_id][row.span_start - 1 : row.span_end]
+        assert len(text) == row.span_len
+        # interval-merged spans can bridge non-hit grams, and each hit
+        # may repeat in a DIFFERENT partner — but the span's first and
+        # last grams are hits by construction, so those must recur
+        for gram in (text[:CROSSDOC_L], text[-CROSSDOC_L:]):
+            assert any(
+                gram in n for d, n in norm.items() if d != row.doc_id
+            ), (row.doc_id, gram)

@@ -175,6 +175,11 @@ ANNOTATED = {
     " pre-projected columns in one whole-stage-codegen projection —"
     " each pattern runs once per row, zero shuffles besides the final"
     " order.",
+    "q119_crossdoc_repeated_spans": "Exact-substring dedup: per-"
+    " position gram hashing is map-side codegen; ONE shuffle keys the"
+    " gram-hash space (singleton hashes die in the partial aggregate),"
+    " the hit semi-join reuses the same key, and the span merge is a"
+    " per-document window bounded by document length.",
 }
 
 

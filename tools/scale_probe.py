@@ -72,6 +72,7 @@ PROBES = [
     "q116_pii_audit",
     "q117_image_dedup_keep",
     "q118_pii_redaction",
+    "q119_crossdoc_repeated_spans",
 ]
 
 
