@@ -340,11 +340,26 @@ def emit_payloads(
     query keys are the qNN prefixes (unique by construction — asserted),
     copy/shape keys are the short forms above, and query timings carry 1 decimal
     so the whole line stays inside the driver's stdout tail."""
-    shorts = {n.split("_", 1)[0]: v for n, v in timings.items()}
-    assert len(shorts) == len(timings), "qNN prefixes must stay unique"
-    # 1 decimal on the stdout line (100+ queries must fit the driver's
-    # ~2000-char tail); BENCH_DETAIL.json keeps 4-decimal timings.
-    compact_queries = {k: round(v, 1) for k, v in sorted(shorts.items())}
+    nums: dict[int, float] = {}
+    for n, v in timings.items():
+        m = re.match(r"q(\d+)", n)
+        assert m, f"non-qNN registration: {n}"
+        k = int(m.group(1))
+        assert k not in nums, "qNN prefixes must stay unique"
+        nums[k] = round(v, 1)
+    ks = sorted(nums)
+    # 1 decimal on the stdout line; BENCH_DETAIL.json keeps 4-decimal
+    # timings under full names. At 120+ registrations the per-query dict
+    # ("q118":1.2 x N) no longer fits the driver's ~2000-char tail, so
+    # contiguous query numbers emit as a dense array: "q1st" is the
+    # first query number, "t"[i] the timing of query q1st+i.
+    if ks == list(range(ks[0], ks[0] + len(ks))):
+        compact_queries: dict[str, object] = {
+            "q1st": ks[0],
+            "t": [nums[k] for k in ks],
+        }
+    else:  # gapped registration numbers: fall back to explicit keys
+        compact_queries = {f"q{k}": nums[k] for k in ks}
 
     compact_copy: dict[str, object] = {}
     for key, val in copies.items():
@@ -407,7 +422,9 @@ def emit_payloads(
         "copy": copies,
         "sf": sf,
         "key_map": {
-            "queries": "stdout line uses the qNN prefix of each name here",
+            "queries": "stdout line packs timings as a dense array:"
+            " queries.t[i] = timing of query number queries.q1st + i"
+            " (full names + 4-decimal timings here)",
             "copy": {v: k for k, v in COPY_KEY_SHORT.items()},
             "shape": {v: k for k, v in SHAPE_KEY_SHORT.items()},
         },

@@ -26,5 +26,6 @@ from smartbulkcopy_spark.pipeline import (  # noqa: F401  (self-registering)
     multimodal,
     pack,
     similarity,
+    sketch,
     text,
 )

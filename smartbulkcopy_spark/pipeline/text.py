@@ -1939,3 +1939,93 @@ def q118(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Hashed linear quality classifier — the fastText/logistic-regression
+# quality-filter shape applied at corpus scale: tokens feature-hash into
+# a fixed bucket space, each bucket carries a learned weight, and the
+# document score is the weight sum. The weight TABLE here is a
+# deterministic placeholder (multiplicative-hash integers) so the
+# oracle can re-derive it; a production deployment loads trained
+# weights from parquet into the same broadcast join — the plan shape
+# (explode -> broadcast weight join -> partial-agg sum) is the real
+# one, and is exactly what survives 100 TB: the weight table is a few
+# MB broadcast once, tokens never shuffle (the partial sum collapses
+# each partition's (doc_id, score) before the one doc-keyed exchange).
+# ---------------------------------------------------------------------------
+
+VOCAB_BUCKETS = 4096
+_W_MULT = 2654435761  # Knuth multiplicative constant
+_W_MOD = 2003
+_W_OFF = 1001  # centers weights on 0: range -1001..+1001
+
+
+def hashed_weights(spark):
+    """(bucket, w) deterministic weight table — swap for a parquet read
+    of trained weights in production; consumers are unchanged."""
+    return spark.range(VOCAB_BUCKETS).select(
+        F.col("id").alias("bucket"),
+        ((F.col("id") * _W_MULT) % _W_MOD - _W_OFF).alias("w"),
+    )
+
+
+@register(
+    "q120_hashed_linear_quality",
+    "WITH wt AS (SELECT i AS bucket,"
+    f" (i * {_W_MULT}) % {_W_MOD} - {_W_OFF} AS w"
+    f" FROM (SELECT unnest(range(0, {VOCAB_BUCKETS})) AS i) t),"
+    " tok AS (SELECT doc_id, unnest(string_split(trim("
+    + NORM_SQL_DUCK + "), ' ')) AS t FROM documents"
+    f" WHERE trim({NORM_SQL_DUCK}) != ''),"
+    " bk AS (SELECT doc_id,"
+    f" CAST(('0x'||substr(md5(t),1,4)) AS INT) % {VOCAB_BUCKETS}"
+    " AS bucket FROM tok),"
+    " sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,"
+    " CAST(sum(w) AS BIGINT) AS score"
+    " FROM bk JOIN wt USING (bucket) GROUP BY doc_id)"
+    " SELECT d.doc_id,"
+    " CAST(coalesce(sc.n_tokens, 0) AS BIGINT) AS n_tokens,"
+    " CAST(coalesce(sc.score, 0) AS BIGINT) AS score,"
+    " coalesce(sc.score, 0) >= 0 AS keep"
+    " FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id",
+    doc="Hashed linear quality classifier: whitespace tokens feature-"
+    f"hash (md5 -> 16 bits -> mod {VOCAB_BUCKETS}) into a bucketed"
+    " weight table, the document score is the integer weight sum, keep"
+    " = score >= 0 — the fastText-style learned quality gate shape."
+    " Weights are a deterministic placeholder the oracle re-derives;"
+    " production swaps in trained weights via the same broadcast join."
+    " Integer weights make the sum order-independent; the weight table"
+    " broadcasts (a few MB at any corpus size) and per-partition"
+    " partial sums collapse before the single doc-keyed shuffle.",
+)
+def q120(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", norm_text().alias("n"))
+    tok = base.where(F.trim(F.col("n")) != "").select(
+        "doc_id", F.explode(F.split(F.trim(F.col("n")), " ")).alias("t")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5("t"), 1, 4), 16, 10).cast("long")
+        % VOCAB_BUCKETS
+    )
+    scored = (
+        tok.select("doc_id", bucket.alias("bucket"))
+        .join(F.broadcast(hashed_weights(spark)), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("w").alias("score"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("score", F.lit(0)).cast("long").alias("score"),
+            (F.coalesce("score", F.lit(0)) >= 0).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )

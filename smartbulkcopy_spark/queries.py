@@ -1620,6 +1620,10 @@ QUEUED_SINCE = {
     "q117_image_dedup_keep": 80,
     "q118_pii_redaction": 80,
     "q119_crossdoc_repeated_spans": 80,
+    "q120_hashed_linear_quality": 80,
+    **{n: 81 for n in (
+        "q121_hll_distinct_tokens", "q122_cms_heavy_hitters",
+    )},
 }
 
 

@@ -42,29 +42,35 @@ def test_line_fits_driver_tail():
     line, doc_ = bench.emit_payloads(timings, copies, 0.1)
     assert len(line) <= bench.MAX_LINE
     # worst-case widths must NOT trigger the degrade path at the current
-    # registry size — the per-query dict belongs on the line
+    # registry size — the per-query timings belong on the line
     assert "truncated" not in json.loads(line)
-    # and with headroom for future queries: another ~20 registrations at
-    # worst-case widths must still emit a PARSEABLE line <= the cap
-    # (whether or not the degrade path drops the per-query dict)
+    # and with headroom for future queries: another ~60 registrations at
+    # worst-case widths must still fit WITHOUT dropping the timings
     padded = dict(timings)
     nxt = max(int(re.match(r"q(\d+)", n).group(1)) for n in REGISTRY) + 1
-    for i in range(nxt, nxt + 21):
+    for i in range(nxt, nxt + 61):
         padded[f"q{i}_future_operator"] = 123.4567
     line2, _ = bench.emit_payloads(padded, copies, 0.1)
     assert len(line2) <= bench.MAX_LINE
-    assert json.loads(line2)["metric"] == "sum_of_query_wall_times"
+    doc2 = json.loads(line2)
+    assert doc2["metric"] == "sum_of_query_wall_times"
+    assert "truncated" not in doc2
 
 
-def test_line_is_parseable_json_with_qnn_keys():
+def test_line_is_parseable_json_with_dense_timings():
     timings, copies = worst_case_payloads()
     line, detail = bench.emit_payloads(timings, copies, 0.1)
     doc = json.loads(line)
     assert doc["metric"] == "sum_of_query_wall_times"
     assert doc["unit"] == "sec"
     assert doc["sf"] == 0.1
-    assert len(doc["queries"]) == len(REGISTRY)
-    assert all(k.startswith("q") and len(k) <= 4 for k in doc["queries"])
+    # contiguous registration numbers pack as a dense array: t[i] is
+    # the timing of query number q1st + i
+    assert doc["queries"]["q1st"] == 1
+    assert len(doc["queries"]["t"]) == len(REGISTRY)
+    assert doc["queries"]["t"][0] == round(
+        timings["q01_scan_project"], 1
+    )
     # the sum survives 2-decimal compaction to cent precision
     assert abs(doc["value"] - sum(timings.values())) < 0.01
     # compact copy keys round-trip through the detail key_map

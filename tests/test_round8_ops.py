@@ -522,3 +522,170 @@ def test_q119_spans_actually_repeat(spark):
             assert any(
                 gram in n for d, n in norm.items() if d != row.doc_id
             ), (row.doc_id, gram)
+
+
+# ---------------------------------------------------------------------------
+# q120 — hashed linear quality classifier.
+# ---------------------------------------------------------------------------
+
+
+def test_q120_score_matches_pure_python_recompute(spark, tmp_path):
+    """Recompute bucket and weight per token in pure Python (hashlib
+    md5) — a third spelling independent of both engines — and assert
+    the registered scores match exactly."""
+    import hashlib
+
+    from smartbulkcopy_spark.pipeline.text import (
+        _W_MOD,
+        _W_MULT,
+        _W_OFF,
+        VOCAB_BUCKETS,
+    )
+
+    rows = [
+        (1, "Quick Brown fox  jumps over the LAZY dog"),
+        (2, "   "),
+        (3, None),
+        (4, "single"),
+    ]
+    d = tmp_path / "sf_q120"
+    d.mkdir()
+    _write_documents(d, rows)
+    got = (
+        REGISTRY["q120_hashed_linear_quality"]
+        .fn(spark, str(d))
+        .toPandas()
+        .set_index("doc_id")
+    )
+
+    def score(text):
+        toks = (text or "").lower().split()
+        s = 0
+        for t in toks:
+            b = int(hashlib.md5(t.encode()).hexdigest()[:4], 16) % (
+                VOCAB_BUCKETS
+            )
+            s += (b * _W_MULT) % _W_MOD - _W_OFF
+        return len(toks), s
+
+    for doc_id, text in rows:
+        n, s = score(text)
+        assert got.loc[doc_id, "n_tokens"] == n, doc_id
+        assert got.loc[doc_id, "score"] == s, doc_id
+        assert got.loc[doc_id, "keep"] == (s >= 0), doc_id
+
+
+def test_q120_weight_table_broadcasts(spark, sf_dir):
+    """The weight join must be a BroadcastHashJoin (the weight table is
+    a few MB at ANY corpus size) — a shuffled weight join would key the
+    full exploded token space."""
+    from tests.test_plans import explain_str
+
+    spark.catalog.clearCache()
+    plan = explain_str(
+        REGISTRY["q120_hashed_linear_quality"].fn(spark, sf_dir)
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastExchange" in plan
+
+
+# ---------------------------------------------------------------------------
+# q121/q122 — sketches: pure-Python recompute (third spelling) + bounds.
+# ---------------------------------------------------------------------------
+
+
+def _hll_python(tokens):
+    import hashlib
+    import math
+
+    from smartbulkcopy_spark.pipeline.sketch import (
+        HLL_ALPHA_PPM,
+        HLL_LIN,
+        HLL_M,
+        HLL_RAW_CUTOVER,
+    )
+
+    regs = [0] * HLL_M
+    for t in set(tokens):
+        hx = hashlib.md5(t.encode()).hexdigest()
+        reg = int(hx[:2], 16)
+        v = int(hx[2:10], 16)
+        rank = 33 if v == 0 else 33 - v.bit_length()
+        regs[reg] = max(regs[reg], rank)
+    z = 0.0
+    for m in regs:
+        z += 2.0 ** (-m)
+    raw = math.floor(((HLL_ALPHA_PPM / 1000000.0) * HLL_M * HLL_M) / z)
+    n_zero = sum(1 for m in regs if m == 0)
+    if n_zero > 0 and raw <= HLL_RAW_CUTOVER:
+        est = HLL_LIN[n_zero - 1]
+    else:
+        est = raw
+    return est, n_zero
+
+
+def test_q121_matches_pure_python_recompute(spark):
+    got = _run("q121_hll_distinct_tokens", spark).iloc[0]
+    from smartbulkcopy_spark.pipeline.dedup import NORM_SPARK
+
+    tokens = [
+        t
+        for r in table(spark, SF_SMOKE, "documents")
+        .select(F.expr(NORM_SPARK).alias("n"))
+        .collect()
+        if r["n"].strip()
+        for t in r["n"].strip().split(" ")
+    ]
+    est, n_zero = _hll_python(tokens)
+    assert got["exact_distinct"] == len(set(tokens))
+    assert got["estimate"] == est
+    assert got["n_zero_registers"] == n_zero
+    # m=256 raw estimator: relative error ~1.04/sqrt(m) = 6.5%; allow 4x
+    assert got["err_ppm"] < 260_000
+
+
+def test_q122_count_min_never_underestimates(spark):
+    got = _run("q122_cms_heavy_hitters", spark)
+    assert len(got) == 20
+    assert (got["overestimate"] >= 0).all()
+    assert (got["cms_estimate"] >= got["tf_exact"]).all()
+    # top-k ordering: descending exact frequency
+    assert got["tf_exact"].is_monotonic_decreasing
+
+
+def test_q122_matches_pure_python_recompute(spark, tmp_path):
+    import hashlib
+    from collections import Counter
+
+    from smartbulkcopy_spark.pipeline.sketch import CMS_D, CMS_W
+
+    rows = [
+        (1, "apple banana apple cherry apple banana"),
+        (2, "banana date elderberry fig grape apple"),
+        (3, "cherry cherry cherry date banana"),
+    ]
+    d = tmp_path / "sf_q122"
+    d.mkdir()
+    _write_documents(d, rows)
+    got = (
+        REGISTRY["q122_cms_heavy_hitters"]
+        .fn(spark, str(d))
+        .toPandas()
+        .set_index("token")
+    )
+    tokens = [t for _, txt in rows for t in txt.split(" ")]
+    tf = Counter(tokens)
+
+    def bucket(r, t):
+        return int(
+            hashlib.md5(f"{r}:{t}".encode()).hexdigest()[:4], 16
+        ) % CMS_W
+
+    counters = Counter()
+    for t in tokens:
+        for r in range(CMS_D):
+            counters[(r, bucket(r, t))] += 1
+    for t in got.index:
+        want = min(counters[(r, bucket(r, t))] for r in range(CMS_D))
+        assert got.loc[t, "cms_estimate"] == want, t
+        assert got.loc[t, "tf_exact"] == tf[t], t

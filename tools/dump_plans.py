@@ -180,6 +180,18 @@ ANNOTATED = {
     " gram-hash space (singleton hashes die in the partial aggregate),"
     " the hit semi-join reuses the same key, and the span merge is a"
     " per-document window bounded by document length.",
+    "q120_hashed_linear_quality": "Learned quality gate shape: the"
+    " bucketed weight table enters as a BroadcastExchange (a few MB at"
+    " any corpus size), exploded tokens join it map-side, and partial"
+    " sums collapse before the single doc-keyed shuffle.",
+    "q121_hll_distinct_tokens": "HLL sketch: register maxima partial-"
+    " aggregate map-side before a 256-key shuffle; the harmonic fold"
+    " runs over one collected 256-element array — the exact-distinct"
+    " scalar attaches driver-side, never as a constant-key join.",
+    "q122_cms_heavy_hitters": "Count-Min sketch: counter counts"
+    " partial-aggregate before one (row, column) shuffle bounded by"
+    " d*w; the probe joins the 4096-row counter table as a"
+    " BroadcastExchange; top-k is TakeOrderedAndProject.",
 }
 
 

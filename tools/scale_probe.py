@@ -73,6 +73,9 @@ PROBES = [
     "q117_image_dedup_keep",
     "q118_pii_redaction",
     "q119_crossdoc_repeated_spans",
+    "q120_hashed_linear_quality",
+    "q121_hll_distinct_tokens",
+    "q122_cms_heavy_hitters",
 ]
 
 
