@@ -1485,3 +1485,61 @@ def q119(spark, sf_dir):
         )
         .orderBy("doc_id", "span_start")
     )
+
+
+@register(
+    "q124_source_dedup_rates",
+    "WITH " + _candidate_cte_duck() + ","
+    f" sh AS (SELECT doc_id, {shingle_set_expr('duck')} AS s"
+    " FROM documents),"
+    " jac AS (SELECT c.a_id, c.b_id,"
+    " CAST(floor(1000.0 * len(list_intersect(sa.s, sb.s))"
+    "   / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))))"
+    " AS BIGINT) AS j"
+    " FROM cand c JOIN sh sa ON sa.doc_id = c.a_id"
+    " JOIN sh sb ON sb.doc_id = c.b_id),"
+    f" vp AS (SELECT a_id, b_id FROM jac"
+    f" WHERE j >= {NEAR_DUP_JACCARD_MILLIS}),"
+    " mem AS (SELECT a_id AS doc_id FROM vp"
+    " UNION SELECT b_id FROM vp)"
+    " SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,"
+    " CAST(count(m.doc_id) AS BIGINT) AS n_dup_members,"
+    " CAST(count(m.doc_id) * 1000000 // count(*) AS BIGINT)"
+    " AS dup_ppm"
+    " FROM documents d LEFT JOIN mem m ON d.doc_id = m.doc_id"
+    " GROUP BY d.source ORDER BY d.source",
+    doc="Per-source near-duplication rate: for each ingestion source,"
+    " how many documents sit in at least one verified near-dup pair"
+    " (the q29/q69 chain) and the rate in ppm — the triage readout"
+    " that tells a curation run WHICH feed is flooding the corpus with"
+    " boilerplate before paying for transitive dedup on all of it."
+    " The member-id set is tiny (pair-graph-sized); the corpus pays"
+    " one id-keyed left join and a per-source rollup bounded by the"
+    " source count.",
+)
+def q124(spark, sf_dir):
+    pairs = verified_pairs(spark, sf_dir)
+    mem = (
+        pairs.select(F.col("a_id").alias("doc_id"))
+        .union(pairs.select(F.col("b_id").alias("doc_id")))
+        .distinct()
+        .withColumn("is_mem", F.lit(1))
+    )
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        docs.join(mem, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count("is_mem").alias("n_dup_members"),
+        )
+        .select(
+            "source",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_dup_members").cast("long").alias("n_dup_members"),
+            F.expr("n_dup_members * 1000000L DIV n_docs")
+            .cast("long")
+            .alias("dup_ppm"),
+        )
+        .orderBy("source")
+    )

@@ -25,13 +25,15 @@ from smartbulkcopy_spark.pipeline.text import NORM_SQL_DUCK, norm_text
 from smartbulkcopy_spark.queries import register, table
 
 # ---------------------------------------------------------------------------
-# HyperLogLog distinct-token estimate (m = 256 registers, raw estimator).
-# Register index = first md5 byte; rank = leading-zero count + 1 of the
-# next 32 md5 bits. The raw harmonic estimate is emitted WITHOUT the
-# small-range linear-counting correction: ln() is libm-dependent and
-# would break bit-exact cross-engine floors, so n_zero_registers is
-# emitted alongside for consumers that apply corrections. bin() strips
-# leading zeros identically in both engines (bit_length = length(bin)).
+# HyperLogLog distinct-token estimate (m = 256 registers). Register
+# index = first md5 byte; rank = leading-zero count + 1 of the next 32
+# md5 bits. The raw harmonic estimate uses only exact powers of two and
+# an order-fixed fold; the standard small-range linear-counting branch
+# (floor(m * ln(m/V))) would need libm ln — which differs across
+# engines in the last ulp — so its 256 possible outputs are precomputed
+# once in Python (HLL_LIN) and embedded as integer literals in BOTH
+# engines. bin() strips leading zeros identically in both engines
+# (bit_length = length(bin)).
 # ---------------------------------------------------------------------------
 
 HLL_M = 256
@@ -272,3 +274,168 @@ def q122(spark, sf_dir):
         F.col("cms").cast("long").alias("cms_estimate"),
         (F.col("cms") - F.col("tf")).cast("long").alias("overestimate"),
     ).orderBy(F.col("tf_exact").desc(), "token")
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter decontamination screen — the third classic sketch, in the
+# role it actually plays at 100 TB: exact eval-overlap joins (q68) key
+# the full training-gram space, but a Bloom filter of the eval set's
+# 5-gram hashes is a few KB that screens the corpus with NO false
+# negatives. The filter is k=3 md5-salted bit positions in an m=2^15
+# bit space; the Spark-native bitmap is the distinct SET-BIT table
+# (<= m rows), broadcast to the probe side. The registered query runs
+# the screen AND the exact join side by side (the q107/q121/q122
+# estimator-audit pattern): bloom_flagged >= exact_hits always (no
+# false negatives — property-tested), and false_pos measures the m/k
+# sizing before a production run. Pure integer + md5: hash-exact.
+# ---------------------------------------------------------------------------
+
+BLOOM_M = 32768  # 2^15 bits
+BLOOM_K = 3
+
+from smartbulkcopy_spark.pipeline.text import (  # noqa: E402
+    DECON_EVAL_SOURCE,
+    DECON_N,
+)
+
+
+def _bloom_bit_spark(j: int):
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{j}:"), F.col("gh"))), 1, 4
+            ),
+            16,
+            10,
+        ).cast("long")
+        % BLOOM_M
+    )
+
+
+def _bloom_bit_duck(j: str) -> str:
+    return (
+        f"CAST(('0x'||substr(md5(CAST({j} AS VARCHAR)||':'||gh),1,4))"
+        f" AS INT) % {BLOOM_M}"
+    )
+
+
+def _grams_duck() -> str:
+    return (
+        "tokd AS (SELECT doc_id, source, string_split(trim("
+        + NORM_SQL_DUCK + "), ' ') AS t FROM documents"
+        f" WHERE trim({NORM_SQL_DUCK}) != ''),"
+        " gd AS (SELECT doc_id, source, unnest(list_transform("
+        f"range(1, len(t) - {DECON_N - 1} + 1),"
+        f" i -> md5(array_to_string(list_slice(t, i, i + {DECON_N - 1}),"
+        f" ' ')))) AS gh FROM tokd WHERE len(t) >= {DECON_N})"
+    )
+
+
+@register(
+    "q123_bloom_decontamination",
+    "WITH " + _grams_duck() + ","
+    " ev AS (SELECT DISTINCT gh FROM gd"
+    f" WHERE source = '{DECON_EVAL_SOURCE}'),"
+    " bits AS (SELECT DISTINCT "
+    + _bloom_bit_duck("jj.j")
+    + " AS bit FROM ev CROSS JOIN (VALUES (0), (1), (2)) AS jj(j)),"
+    " tr AS (SELECT DISTINCT doc_id, gh FROM gd"
+    f" WHERE source != '{DECON_EVAL_SOURCE}'),"
+    " pb AS (SELECT doc_id, gh, jj.j AS j,"
+    + _bloom_bit_duck("jj.j")
+    + " AS bit FROM tr CROSS JOIN (VALUES (0), (1), (2)) AS jj(j)),"
+    " flag AS (SELECT doc_id, gh FROM pb JOIN bits USING (bit)"
+    f" GROUP BY doc_id, gh HAVING count(*) = {BLOOM_K}),"
+    " bl AS (SELECT doc_id, count(*) AS bloom_flagged FROM flag"
+    " GROUP BY doc_id),"
+    " exj AS (SELECT doc_id, count(*) AS exact_hits FROM tr"
+    " JOIN ev USING (gh) GROUP BY doc_id),"
+    " base AS (SELECT doc_id, count(*) AS n_grams FROM tr"
+    " GROUP BY doc_id)"
+    " SELECT b.doc_id, CAST(b.n_grams AS BIGINT) AS n_grams,"
+    " CAST(coalesce(bl.bloom_flagged, 0) AS BIGINT) AS bloom_flagged,"
+    " CAST(coalesce(exj.exact_hits, 0) AS BIGINT) AS exact_hits,"
+    " CAST(coalesce(bl.bloom_flagged, 0)"
+    " - coalesce(exj.exact_hits, 0) AS BIGINT) AS false_pos"
+    " FROM base b LEFT JOIN bl USING (doc_id)"
+    " LEFT JOIN exj USING (doc_id) ORDER BY b.doc_id",
+    doc="Bloom-filter decontamination screen vs the exact 5-gram join:"
+    f" the eval source's gram hashes set k={BLOOM_K} md5-salted bits in"
+    f" an m={BLOOM_M}-bit space; a training gram is flagged iff ALL its"
+    " bits are set. The set-bit table (<= m rows, a few KB serialized)"
+    " broadcasts to the probe — at 100 TB this replaces the full"
+    " training-gram shuffle the exact join needs, with zero false"
+    " negatives (bloom_flagged >= exact_hits, property-tested) and the"
+    " false_pos column measuring the m/k sizing. Distinct per-doc grams"
+    " on both paths keep the two counts comparable; pure integer + md5"
+    " arithmetic is hash-exact across engines.",
+)
+def q123(spark, sf_dir):
+    from smartbulkcopy_spark.queries import spread
+
+    docs = spread(spark, table(spark, sf_dir, "documents"))
+    n = F.trim(norm_text())
+    tok = (
+        docs.select("doc_id", "source", n.alias("nn"))
+        .where(F.col("nn") != "")
+        .select("doc_id", "source", F.split(F.col("nn"), " ").alias("t"))
+        .where(F.size("t") >= DECON_N)
+    )
+    grams = tok.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(t) - {DECON_N - 1}),"
+                f" i -> md5(array_join(slice(t, i, {DECON_N}), ' ')))"
+            )
+        ).alias("gh"),
+    )
+    ev = (
+        grams.where(F.col("source") == DECON_EVAL_SOURCE)
+        .select("gh")
+        .distinct()
+    )
+    jbits = F.array(*[_bloom_bit_spark(j) for j in range(BLOOM_K)])
+    bits = ev.select(F.explode(jbits).alias("bit")).distinct()
+    tr = (
+        grams.where(F.col("source") != DECON_EVAL_SOURCE)
+        .select("doc_id", "gh")
+        .distinct()
+    )
+    probe = tr.select("doc_id", "gh", F.explode(jbits).alias("bit"))
+    flagged = (
+        probe.join(F.broadcast(bits), "bit", "left_semi")
+        .groupBy("doc_id", "gh")
+        .agg(F.count("*").alias("nb"))
+        .where(F.col("nb") == BLOOM_K)
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("bloom_flagged"))
+    )
+    exact = (
+        tr.join(ev, "gh", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("exact_hits"))
+    )
+    base = tr.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    return (
+        base.join(flagged, "doc_id", "left")
+        .join(exact, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_grams").cast("long").alias("n_grams"),
+            F.coalesce("bloom_flagged", F.lit(0))
+            .cast("long")
+            .alias("bloom_flagged"),
+            F.coalesce("exact_hits", F.lit(0))
+            .cast("long")
+            .alias("exact_hits"),
+            (
+                F.coalesce("bloom_flagged", F.lit(0))
+                - F.coalesce("exact_hits", F.lit(0))
+            )
+            .cast("long")
+            .alias("false_pos"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1624,6 +1624,9 @@ QUEUED_SINCE = {
     **{n: 81 for n in (
         "q121_hll_distinct_tokens", "q122_cms_heavy_hitters",
     )},
+    **{n: 82 for n in (
+        "q123_bloom_decontamination", "q124_source_dedup_rates",
+    )},
 }
 
 

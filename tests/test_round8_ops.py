@@ -689,3 +689,85 @@ def test_q122_matches_pure_python_recompute(spark, tmp_path):
         want = min(counters[(r, bucket(r, t))] for r in range(CMS_D))
         assert got.loc[t, "cms_estimate"] == want, t
         assert got.loc[t, "tf_exact"] == tf[t], t
+
+
+# ---------------------------------------------------------------------------
+# q123 — Bloom decontamination screen.
+# ---------------------------------------------------------------------------
+
+
+def test_q123_no_false_negatives_and_exact_side_matches_q68(spark):
+    """The Bloom guarantee: every exact eval-overlapping gram is
+    flagged (bloom_flagged >= exact_hits, false_pos >= 0); and the
+    exact side must agree with q68's distinct-gram counts."""
+    got = _run("q123_bloom_decontamination", spark).set_index("doc_id")
+    assert (got["false_pos"] >= 0).all()
+    assert (got["bloom_flagged"] >= got["exact_hits"]).all()
+    assert (got["bloom_flagged"] <= got["n_grams"]).all()
+    q68 = _run("q68_eval_decontamination", spark).set_index("doc_id")
+    for doc_id, row in q68.iterrows():
+        assert got.loc[doc_id, "exact_hits"] == row["n_shared_grams"]
+    # docs q68 omits (no hits) must carry exact_hits == 0 here
+    assert (
+        got.loc[~got.index.isin(q68.index), "exact_hits"] == 0
+    ).all()
+
+
+def test_q123_flags_planted_contamination(spark, tmp_path):
+    """A training document containing a verbatim eval 5-gram must be
+    flagged by BOTH paths; a clean one by neither (false positives are
+    possible in principle but astronomically unlikely for 2 grams in a
+    2^15-bit space)."""
+    import pandas as pd
+
+    from smartbulkcopy_spark.pipeline.text import DECON_EVAL_SOURCE
+
+    eval_text = "the quick brown fox jumps over the lazy dog today"
+    rows = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                eval_text,
+                "prefix words then the quick brown fox jumps right on",
+                "completely disjoint vocabulary sentence nothing shared",
+            ],
+            "lang": ["en"] * 3,
+            "source": [DECON_EVAL_SOURCE, "train", "train"],
+            "n_chars": [0, 0, 0],
+        }
+    )
+    d = tmp_path / "sf_q123"
+    d.mkdir()
+    rows.to_parquet(d / "documents.parquet", index=False)
+    got = (
+        REGISTRY["q123_bloom_decontamination"]
+        .fn(spark, str(d))
+        .toPandas()
+        .set_index("doc_id")
+    )
+    # doc 2 shares exactly one 5-gram: "the quick brown fox jumps"
+    assert got.loc[2, "exact_hits"] == 1
+    assert got.loc[2, "bloom_flagged"] >= 1
+    assert got.loc[3, "exact_hits"] == 0
+    assert got.loc[3, "bloom_flagged"] == 0
+
+
+# ---------------------------------------------------------------------------
+# q124 — per-source near-dup rates.
+# ---------------------------------------------------------------------------
+
+
+def test_q124_rates_account_for_corpus_and_members(spark):
+    from smartbulkcopy_spark.pipeline.dedup import verified_pairs
+
+    got = _run("q124_source_dedup_rates", spark)
+    n_total = table(spark, SF_SMOKE, "documents").count()
+    pairs = verified_pairs(spark, SF_SMOKE).toPandas()
+    members = set(pairs["a_id"]) | set(pairs["b_id"])
+    assert got["n_docs"].sum() == n_total
+    assert got["n_dup_members"].sum() == len(members)
+    assert (got["n_dup_members"] <= got["n_docs"]).all()
+    assert (
+        got["dup_ppm"]
+        == (got["n_dup_members"] * 1_000_000) // got["n_docs"]
+    ).all()

@@ -192,6 +192,13 @@ ANNOTATED = {
     " partial-aggregate before one (row, column) shuffle bounded by"
     " d*w; the probe joins the 4096-row counter table as a"
     " BroadcastExchange; top-k is TakeOrderedAndProject.",
+    "q123_bloom_decontamination": "Bloom screen: the eval set-bit"
+    " table (<= 2^15 rows) broadcasts to the probe side (LEFT-SEMI"
+    " on bit); the exact comparison join reuses the deduped gram"
+    " hashes — (16-byte hash, doc_id) shuffles, never text.",
+    "q124_source_dedup_rates": "Source triage: the verified pair"
+    " member set is pair-graph-sized; the corpus pays one id-keyed"
+    " left join and a rollup bounded by the source count.",
 }
 
 

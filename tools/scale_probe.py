@@ -76,6 +76,8 @@ PROBES = [
     "q120_hashed_linear_quality",
     "q121_hll_distinct_tokens",
     "q122_cms_heavy_hitters",
+    "q123_bloom_decontamination",
+    "q124_source_dedup_rates",
 ]
 
 
