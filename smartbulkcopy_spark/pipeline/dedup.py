@@ -45,8 +45,13 @@ from smartbulkcopy_spark.queries import eager, register, spread, table
 # module's — harmless to the driver window (ordering inside a
 # QUEUED_SINCE batch never changes window membership).
 from smartbulkcopy_spark.pipeline.text import (  # noqa: E402
+    TOKENS_SQL_DUCK as _TEXT_TOKENS_SQL_DUCK,
     split_case_sql as _text_split_case_sql,
 )
+
+
+def _text_tokens_sql_duck() -> str:
+    return _TEXT_TOKENS_SQL_DUCK
 
 SHINGLE = 8
 R_ROWS = 4  # minhashes per band
@@ -1542,4 +1547,48 @@ def q124(spark, sf_dir):
             .alias("dup_ppm"),
         )
         .orderBy("source")
+    )
+
+
+@register(
+    "q125_cluster_keep_best",
+    "WITH RECURSIVE " + _labels_cte_duck() + ","
+    " fam AS (SELECT d.doc_id,"
+    " CAST(coalesce(l.cluster_rep, d.doc_id) AS BIGINT) AS family_rep,"
+    " CAST(" + _text_tokens_sql_duck() + " AS BIGINT) AS n_tokens"
+    " FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id)"
+    " SELECT doc_id, family_rep, n_tokens,"
+    " (row_number() OVER (PARTITION BY family_rep"
+    " ORDER BY n_tokens DESC, doc_id) = 1) AS keep"
+    " FROM fam ORDER BY doc_id",
+    doc="Quality-aware transitive dedup: keep the LONGEST member of each"
+    " verified near-dup family (token count, min doc_id breaking ties)"
+    " instead of q70's min-id convention — the production choice, since"
+    " near-dup families usually contain one full document plus"
+    " truncated/boilerplate variants. Labels come from the same"
+    " connected-component chain; the rank window partitions by family"
+    " rep (duplicate-family-sized groups, singletons are their own"
+    " partition), so no corpus-wide window state.",
+)
+def q125(spark, sf_dir):
+    from smartbulkcopy_spark.pipeline.text import token_count
+
+    labels = dedup_clusters(spark, sf_dir)
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", token_count().cast("long").alias("n_tokens")
+    )
+    fam = docs.join(labels, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("cluster_rep", "doc_id")
+        .cast("long")
+        .alias("family_rep"),
+        "n_tokens",
+    )
+    w = Window.partitionBy("family_rep").orderBy(
+        F.col("n_tokens").desc(), "doc_id"
+    )
+    return (
+        fam.withColumn("keep", F.row_number().over(w) == 1)
+        .select("doc_id", "family_rep", "n_tokens", "keep")
+        .orderBy("doc_id")
     )

@@ -771,3 +771,27 @@ def test_q124_rates_account_for_corpus_and_members(spark):
         got["dup_ppm"]
         == (got["n_dup_members"] * 1_000_000) // got["n_docs"]
     ).all()
+
+
+# ---------------------------------------------------------------------------
+# q125 — quality-aware cluster keep-best.
+# ---------------------------------------------------------------------------
+
+
+def test_q125_keeps_exactly_the_longest_member_per_family(spark):
+    got = _run("q125_cluster_keep_best", spark)
+    release_caches()
+    by_fam = got.groupby("family_rep")
+    # exactly one survivor per family (singletons included)
+    assert (by_fam["keep"].sum() == 1).all()
+    for _, fam in by_fam:
+        kept = fam[fam["keep"]]
+        best = fam.sort_values(
+            ["n_tokens", "doc_id"], ascending=[False, True]
+        ).iloc[0]
+        assert kept["doc_id"].iloc[0] == best["doc_id"]
+    # same FAMILIES as q70 (only the survivor choice differs): the
+    # number of survivors must match q70's keep-list length
+    q70 = _run("q70_cluster_dedup_keep", spark)
+    release_caches()
+    assert got["keep"].sum() == len(q70)

@@ -199,6 +199,10 @@ ANNOTATED = {
     "q124_source_dedup_rates": "Source triage: the verified pair"
     " member set is pair-graph-sized; the corpus pays one id-keyed"
     " left join and a rollup bounded by the source count.",
+    "q125_cluster_keep_best": "Quality-aware keep-list: the rank"
+    " window partitions by family rep (duplicate-family-sized groups)"
+    " — no corpus-wide window state; labels come from the shared CC"
+    " chain on the tiny pair graph.",
 }
 
 

@@ -78,6 +78,7 @@ PROBES = [
     "q122_cms_heavy_hitters",
     "q123_bloom_decontamination",
     "q124_source_dedup_rates",
+    "q125_cluster_keep_best",
 ]
 
 
