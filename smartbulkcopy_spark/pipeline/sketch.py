@@ -439,3 +439,142 @@ def q123(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Grouped HLL: distinct users per hour over the event stream — the form
+# the sketch actually ships in (one register set PER GROUP, merged by
+# per-register max, so hourly sketches also union into daily/weekly
+# ones for free). Same register/rank/fold/linear-counting machinery as
+# q121, exercised per group; exact per-hour countDistinct rides along
+# as the audit. Timestamps stay in the NTZ domain (trunc_hour_ntz) so
+# the group keys are session-timezone-independent.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q126_hourly_hll_users",
+    "WITH ev AS (SELECT date_trunc('hour', ts) AS w, user_id"
+    " FROM events),"
+    " h AS (SELECT w,"
+    " CAST(('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,2)) AS INT)"
+    " AS reg,"
+    " CAST(('0x'||substr(md5(CAST(user_id AS VARCHAR)),3,8)) AS BIGINT)"
+    " AS v FROM ev),"
+    " r AS (SELECT w, reg, max(CASE WHEN v = 0 THEN 33"
+    " ELSE 33 - length(bin(v)) END) AS mr FROM h GROUP BY w, reg),"
+    " hrs AS (SELECT DISTINCT w FROM ev),"
+    " grid AS (SELECT hrs.w, t.reg FROM hrs"
+    f" CROSS JOIN (SELECT unnest(range(0, {HLL_M})) AS reg) t),"
+    " fr2 AS (SELECT g.w, g.reg, coalesce(r.mr, 0) AS m FROM grid g"
+    " LEFT JOIN r ON r.w = g.w AND r.reg = g.reg),"
+    " arr AS (SELECT w, list(m ORDER BY reg) AS ms FROM fr2"
+    " GROUP BY w),"
+    " est0 AS (SELECT w,"
+    " CAST(len(list_filter(ms, x -> x = 0)) AS BIGINT)"
+    " AS n_zero_registers,"
+    " CAST(floor(((" + f"{HLL_ALPHA_PPM}.0 / 1000000.0) * {HLL_M}.0"
+    f" * {HLL_M}.0)"
+    " / list_reduce(list_prepend(0.0, list_transform(ms,"
+    " x -> power(2.0, -x))), (acc, x) -> acc + x)) AS BIGINT)"
+    " AS raw FROM arr),"
+    " est AS (SELECT w, n_zero_registers,"
+    " CASE WHEN n_zero_registers > 0 AND raw <= "
+    f"{HLL_RAW_CUTOVER} THEN"
+    f" (CAST({HLL_LIN} AS BIGINT[]))[CAST(n_zero_registers AS INT)]"
+    " ELSE raw END AS estimate FROM est0),"
+    " ex AS (SELECT w, CAST(count(DISTINCT user_id) AS BIGINT)"
+    " AS exact_users FROM ev GROUP BY w)"
+    " SELECT est.w, n_zero_registers, estimate, exact_users,"
+    " CAST(abs(estimate - exact_users) * 1000000"
+    " // exact_users AS BIGINT) AS err_ppm"
+    " FROM est JOIN ex ON est.w = ex.w ORDER BY est.w",
+    doc="Per-hour distinct-user HyperLogLog vs the exact count — the"
+    " grouped form the sketch ships in at 100 TB: one 256-register set"
+    " per hour, built by per-(hour, register) max (partial-aggregated"
+    " map-side), mergeable upward into daily/weekly sketches by the"
+    " same max. The register grid materializes by exploding a"
+    " 256-element literal per hour (never a cross join); fold and"
+    " linear-counting branch are the q121 machinery per group; hour"
+    " keys stay in the NTZ domain.",
+)
+def q126(spark, sf_dir):
+    from smartbulkcopy_spark.queries import trunc_hour_ntz
+
+    ev = table(spark, sf_dir, "events").select(
+        trunc_hour_ntz("ts").alias("w"), "user_id"
+    )
+    uh = F.md5(F.col("user_id").cast("string"))
+    h = ev.select(
+        "w",
+        F.conv(F.substring(uh, 1, 2), 16, 10).cast("int").alias("reg"),
+        F.conv(F.substring(uh, 3, 8), 16, 10).cast("long").alias("v"),
+    )
+    rank = F.when(F.col("v") == 0, F.lit(33)).otherwise(
+        F.lit(33) - F.length(F.expr("bin(v)"))
+    )
+    r = (
+        h.select("w", "reg", rank.alias("rank"))
+        .groupBy("w", "reg")
+        .agg(F.max("rank").alias("mr"))
+    )
+    grid = (
+        ev.select("w")
+        .distinct()
+        .select(
+            "w",
+            F.explode(
+                F.array(*[F.lit(i) for i in range(HLL_M)])
+            ).alias("reg"),
+        )
+    )
+    fr = grid.join(r, ["w", "reg"], "left").select(
+        "w", "reg", F.coalesce("mr", F.lit(0)).alias("m")
+    )
+    one = fr.groupBy("w").agg(
+        F.expr(
+            "transform(sort_array(collect_list(struct(reg, m))), x -> x.m)"
+        ).alias("ms")
+    )
+    z = F.expr(
+        "aggregate(transform(ms, x -> power(2.0D, -x)),"
+        " 0.0D, (acc, x) -> acc + x)"
+    )
+    raw = F.floor(
+        F.lit((HLL_ALPHA_PPM / 1000000.0) * HLL_M * HLL_M) / z
+    ).cast("long")
+    staged = one.select(
+        "w",
+        F.expr("size(filter(ms, x -> x = 0))")
+        .cast("long")
+        .alias("n_zero_registers"),
+        raw.alias("raw"),
+    )
+    lin = F.element_at(
+        F.array(*[F.lit(x) for x in HLL_LIN]),
+        F.col("n_zero_registers").cast("int"),
+    ).cast("long")
+    est = staged.select(
+        "w",
+        "n_zero_registers",
+        F.when(
+            (F.col("n_zero_registers") > 0)
+            & (F.col("raw") <= HLL_RAW_CUTOVER),
+            lin,
+        )
+        .otherwise(F.col("raw"))
+        .alias("estimate"),
+    )
+    exact = ev.groupBy("w").agg(
+        F.countDistinct("user_id").cast("long").alias("exact_users")
+    )
+    return (
+        est.join(exact, "w")
+        .withColumn(
+            "err_ppm",
+            F.expr(
+                "abs(estimate - exact_users) * 1000000L DIV exact_users"
+            ).cast("long"),
+        )
+        .orderBy("w")
+    )

@@ -1626,7 +1626,7 @@ QUEUED_SINCE = {
     )},
     **{n: 82 for n in (
         "q123_bloom_decontamination", "q124_source_dedup_rates",
-        "q125_cluster_keep_best",
+        "q125_cluster_keep_best", "q126_hourly_hll_users",
     )},
 }
 

@@ -795,3 +795,32 @@ def test_q125_keeps_exactly_the_longest_member_per_family(spark):
     q70 = _run("q70_cluster_dedup_keep", spark)
     release_caches()
     assert got["keep"].sum() == len(q70)
+
+
+# ---------------------------------------------------------------------------
+# q126 — grouped HLL (per-hour distinct users).
+# ---------------------------------------------------------------------------
+
+
+def test_q126_matches_pure_python_per_group(spark):
+    """Recompute each hour's register set and estimate in pure Python
+    (third spelling) from the raw events parquet; every row must match,
+    and at fixture scale (few users/hour) the linear-counting branch
+    should be essentially exact."""
+    import pandas as pd
+
+    got = _run("q126_hourly_hll_users", spark)
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")[
+        ["ts", "user_id"]
+    ]
+    ev["w"] = ev["ts"].dt.floor("h")
+    by_hour = ev.groupby("w")["user_id"].agg(lambda s: set(s))
+    assert len(got) == len(by_hour)
+    for row in got.itertuples():
+        users = by_hour[row.w]
+        est, n_zero = _hll_python([str(u) for u in users])
+        assert row.exact_users == len(users), row.w
+        assert row.estimate == est, row.w
+        assert row.n_zero_registers == n_zero, row.w
+    # tiny per-hour cardinalities -> linear counting is near-exact
+    assert (got["err_ppm"] < 100_000).all()

@@ -203,6 +203,10 @@ ANNOTATED = {
     " window partitions by family rep (duplicate-family-sized groups)"
     " — no corpus-wide window state; labels come from the shared CC"
     " chain on the tiny pair graph.",
+    "q126_hourly_hll_users": "Grouped HLL: per-(hour, register) maxima"
+    " partial-aggregate map-side; the register grid explodes a"
+    " 256-element literal per hour (never a cross join), and each"
+    " hour's fold runs over one collected 256-element array.",
 }
 
 

@@ -79,6 +79,7 @@ PROBES = [
     "q123_bloom_decontamination",
     "q124_source_dedup_rates",
     "q125_cluster_keep_best",
+    "q126_hourly_hll_users",
 ]
 
 
