@@ -90,3 +90,40 @@ def test_json_int_is_integer_strict(spark):
         r["k"] for r in df.select(json_int("props", "$.k").alias("k")).collect()
     ]
     assert got == [5, -7, None, None, None, None]
+
+
+def test_round_closeout_discipline():
+    """The recurring late-registration gap (rounds 5-7): a new
+    registration is only DONE when it carries a QUEUED_SINCE seniority
+    entry AND appears in the plan/scale tooling. Pin it: every
+    registered query must be ledger-known (QUEUED_SINCE or LAST_GREEN),
+    and every registration from round 7 on (batch >= 70) must have a
+    dump_plans annotation and a scale_probe entry."""
+    import importlib.util
+    from pathlib import Path
+
+    from smartbulkcopy_spark.queries import LAST_GREEN, QUEUED_SINCE
+
+    def load(name):
+        p = Path(__file__).parents[1] / "tools" / f"{name}.py"
+        spec = importlib.util.spec_from_file_location(name, p)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod
+
+    ANNOTATED = load("dump_plans").ANNOTATED
+    OPS = load("scale_probe").PROBES
+
+    unknown = [
+        n
+        for n in REGISTRY
+        if n not in QUEUED_SINCE and n not in LAST_GREEN
+    ]
+    assert not unknown, f"registrations missing ledger entries: {unknown}"
+    assert set(QUEUED_SINCE) <= set(REGISTRY)
+
+    recent = [n for n, b in QUEUED_SINCE.items() if b >= 70]
+    missing_plan = [n for n in recent if n not in ANNOTATED]
+    missing_scale = [n for n in recent if n not in OPS]
+    assert not missing_plan, f"no dump_plans annotation: {missing_plan}"
+    assert not missing_scale, f"no scale_probe entry: {missing_scale}"
