@@ -1592,3 +1592,328 @@ def q125(spark, sf_dir):
         .select("doc_id", "family_rep", "n_tokens", "keep")
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filtering exact similarity self-join (PPJoin-style). The LSH
+# family above is probabilistic: a near-dup pair can be missed when no
+# band collides. When the pipeline contract requires EVERY pair above
+# the threshold (legal takedown sweeps, benchmark-contamination audits),
+# the classic scale path is prefix filtering (Chaudhuri et al. 2006,
+# Xiao et al. PPJoin 2008): order the vocabulary by ascending document
+# frequency, keep only each document's first
+# |d| - ceil(t*|d|) + 1 rarest tokens (its "prefix"), and join documents
+# on shared PREFIX tokens only — any pair with Jaccard >= t provably
+# shares a prefix token, so the join is lossless, yet the inverted index
+# holds the rare half of each document instead of every token. A length
+# filter (min/max size ratio >= t) prunes candidates before the exact
+# verify. All arithmetic is integer and the token order is
+# (doc_frequency, token) — engine-identical, so the oracle reproduces
+# the exact pair set.
+# ---------------------------------------------------------------------------
+
+PF_T_MILLIS = 500  # Jaccard threshold: keep pairs with J >= 0.5
+# Prefix-token inverted lists larger than this are stopword-like tokens
+# that slipped into prefixes of short documents; their quadratic pair
+# mass is boilerplate (same argument as MAX_BAND_BUCKET). Applied
+# identically by both engines.
+PF_MAX_LIST = 1024
+
+# Integer ceil(t*n) with t in millis: (t*n + 999) DIV 1000.
+_PF_PREFIX_LEN_SPARK = (
+    f"size(arr) - (({PF_T_MILLIS} * size(arr) + 999) DIV 1000) + 1"
+)
+
+
+@register(
+    "q128_prefix_filter_join",
+    "WITH tok AS (SELECT DISTINCT doc_id, unnest(string_split(trim("
+    + NORM_DUCK + "), ' ')) AS t FROM documents"
+    f" WHERE trim({NORM_DUCK}) != ''),"
+    " dfq AS (SELECT t, count(*) AS dfreq FROM tok GROUP BY t),"
+    " rk AS (SELECT k.doc_id, k.t,"
+    " row_number() OVER (PARTITION BY k.doc_id"
+    " ORDER BY d.dfreq, k.t) AS rn,"
+    " count(*) OVER (PARTITION BY k.doc_id) AS n"
+    " FROM tok k JOIN dfq d ON d.t = k.t),"
+    " pre AS (SELECT doc_id, t, n FROM rk"
+    f" WHERE rn <= n - ({PF_T_MILLIS} * n + 999) // 1000 + 1),"
+    " lst AS (SELECT t FROM pre GROUP BY t"
+    f" HAVING count(*) > 1 AND count(*) <= {PF_MAX_LIST}),"
+    " cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id,"
+    " x.n AS na, y.n AS nb"
+    " FROM pre x JOIN lst l ON x.t = l.t"
+    " JOIN pre y ON x.t = y.t AND x.doc_id < y.doc_id),"
+    " cf AS (SELECT a_id, b_id FROM cand"
+    f" WHERE 1000 * least(na, nb) >= {PF_T_MILLIS} * greatest(na, nb)),"
+    " st AS (SELECT doc_id, list_distinct(string_split(trim("
+    + NORM_DUCK + "), ' ')) AS s FROM documents"
+    f" WHERE trim({NORM_DUCK}) != ''),"
+    " ver AS (SELECT c.a_id, c.b_id,"
+    " CAST(floor(1000.0 * len(list_intersect(sa.s, sb.s))"
+    "   / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))))"
+    " AS BIGINT) AS jaccard_millis"
+    " FROM cf c JOIN st sa ON sa.doc_id = c.a_id"
+    " JOIN st sb ON sb.doc_id = c.b_id)"
+    " SELECT a_id, b_id, jaccard_millis FROM ver"
+    f" WHERE jaccard_millis >= {PF_T_MILLIS}"
+    " ORDER BY a_id, b_id",
+    doc="EXACT Jaccard >= 0.5 similarity self-join over whitespace-token"
+    " sets via prefix filtering (PPJoin-style): vocabulary ordered by"
+    " ascending document frequency, each document indexes only its"
+    " |d| - ceil(t|d|) + 1 rarest tokens, candidates share a prefix"
+    " token (provably lossless for J >= t), a min/max-size length filter"
+    " prunes before the exact verify. The guaranteed-complete"
+    " counterpart to the probabilistic LSH chain (q27/q29): no pair"
+    " above threshold can be missed, yet the inverted index carries only"
+    " rare-half tokens and over-cap stopword lists are dropped"
+    " identically by both engines.",
+)
+def q128(spark, sf_dir):
+    return prefix_filter_pairs(spark, sf_dir)
+
+
+def prefix_filter_pairs(spark, sf_dir):
+    """(a_id, b_id, jaccard_millis) — every pair with token-set Jaccard
+    >= PF_T_MILLIS/1000, found without any all-pairs comparison.
+
+    Scale shape: two token-table shuffles build the frequency-ordered
+    prefixes (token -> dfreq join, then doc_id regroup — the textbook
+    PPJoin cost, both keyed and partial-aggregated); the inverted index
+    holds PREFIX tokens only (the rarest ~half of each document, so
+    list sizes are small by construction and capped at PF_MAX_LIST);
+    the in-list pair explosion is the q27 bucket pattern (sorted
+    collect_list + row-local nested transform, never an inequality
+    self-join); the exact verify LEFT-SEMI thins the corpus to
+    candidate members first (q29 rule). Document bodies never shuffle —
+    only (token, doc_id, n) prefix rows and id pairs."""
+    base = _normed(spark, sf_dir).where(F.trim("n") != "")
+    tok = base.select(
+        "doc_id", F.explode(F.split(F.trim("n"), " ")).alias("t")
+    ).distinct()
+    dfq = tok.groupBy("t").agg(F.count("*").alias("dfreq"))
+    per_doc = (
+        tok.join(dfq, "t")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list(F.struct("dfreq", "t"))).alias("arr"))
+    )
+    pre = per_doc.select(
+        "doc_id",
+        F.size("arr").alias("n"),
+        F.explode(
+            F.expr(f"slice(arr, 1, {_PF_PREFIX_LEN_SPARK})")
+        ).alias("s"),
+    ).select("doc_id", "n", F.col("s.t").alias("t"))
+    list_count = F.count("*").over(Window.partitionBy("t"))
+    buckets = (
+        pre.withColumn("bc", list_count)
+        .where((F.col("bc") > 1) & (F.col("bc") <= PF_MAX_LIST))
+        .groupBy("t")
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "n"))).alias("ds"))
+    )
+    pair_expr = F.expr(
+        "flatten(transform(ds, (a, i) ->"
+        " transform(slice(ds, i + 2, size(ds)), b -> struct(a, b))))"
+    )
+    cand = (
+        buckets.select(F.explode(pair_expr).alias("p"))
+        .select(
+            F.col("p.a.doc_id").alias("a_id"),
+            F.col("p.b.doc_id").alias("b_id"),
+            F.col("p.a.n").alias("na"),
+            F.col("p.b.n").alias("nb"),
+        )
+        .distinct()
+        .where(
+            1000 * F.least("na", "nb")
+            >= PF_T_MILLIS * F.greatest("na", "nb")
+        )
+        .select("a_id", "b_id")
+    )
+    # eager: the id set feeds the probe plus both thinning filters
+    cand = eager(cand)
+    ids = (
+        cand.select(F.col("a_id").alias("doc_id"))
+        .union(cand.select(F.col("b_id").alias("doc_id")))
+        .distinct()
+    )
+    sets = (
+        base.join(ids, "doc_id", "left_semi")
+        .select(
+            "doc_id",
+            F.array_distinct(F.split(F.trim("n"), " ")).alias("s"),
+        )
+    )
+    a = sets.select(F.col("doc_id").alias("a_id"), F.col("s").alias("sa"))
+    b = sets.select(F.col("doc_id").alias("b_id"), F.col("s").alias("sb"))
+    inter = F.size(F.array_intersect("sa", "sb"))
+    union = F.size("sa") + F.size("sb") - inter
+    return (
+        cand.join(a, "a_id")
+        .join(b, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            F.floor(1000.0 * inter / union)
+            .cast("bigint")
+            .alias("jaccard_millis"),
+        )
+        .where(F.col("jaccard_millis") >= PF_T_MILLIS)
+        .orderBy("a_id", "b_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Containment join: the ASYMMETRIC dup relation Jaccard misses. A tweet
+# quoted inside an article, a truncated variant of a full document, a
+# chapter extracted from a book — all have tiny Jaccard (the union is
+# container-sized) but containment |A∩B|/|A| near 1. Prefix filtering
+# adapts: a pair with |A∩B| >= ceil(t|A|) must share one of A's
+# |A| - ceil(t|A|) + 1 rarest tokens, provided the CONTAINER indexes its
+# full token list (single-sided prefix, asymmetric index). A's prefix
+# tokens are globally rarest-first, so the joined inverted lists stay
+# small; hot stopword lists are capped identically in both engines.
+# ---------------------------------------------------------------------------
+
+CONT_T_MILLIS = 600  # containment threshold: |A∩B| / |A| >= 0.6
+CONT_MAX_LIST = 1024
+
+
+@register(
+    "q129_containment_join",
+    "WITH tok AS (SELECT DISTINCT doc_id, unnest(string_split(trim("
+    + NORM_DUCK + "), ' ')) AS t FROM documents"
+    f" WHERE trim({NORM_DUCK}) != ''),"
+    " dfq AS (SELECT t, count(*) AS dfreq FROM tok GROUP BY t),"
+    " rk AS (SELECT k.doc_id, k.t,"
+    " row_number() OVER (PARTITION BY k.doc_id"
+    " ORDER BY d.dfreq, k.t) AS rn,"
+    " count(*) OVER (PARTITION BY k.doc_id) AS n"
+    " FROM tok k JOIN dfq d ON d.t = k.t),"
+    " lst AS (SELECT t FROM rk GROUP BY t"
+    f" HAVING count(*) > 1 AND count(*) <= {CONT_MAX_LIST}),"
+    " pre AS (SELECT doc_id, t, n FROM rk"
+    f" WHERE rn <= n - ({CONT_T_MILLIS} * n + 999) // 1000 + 1),"
+    " cand AS (SELECT DISTINCT x.doc_id AS contained_id,"
+    " y.doc_id AS container_id"
+    " FROM pre x JOIN lst l ON x.t = l.t"
+    " JOIN rk y ON x.t = y.t AND x.doc_id != y.doc_id"
+    " AND (y.n > x.n OR (y.n = x.n AND x.doc_id < y.doc_id))),"
+    " st AS (SELECT doc_id, list_distinct(string_split(trim("
+    + NORM_DUCK + "), ' ')) AS s FROM documents"
+    f" WHERE trim({NORM_DUCK}) != ''),"
+    " ver AS (SELECT c.contained_id, c.container_id,"
+    " CAST(floor(1000.0 * len(list_intersect(sa.s, sb.s)) / len(sa.s))"
+    " AS BIGINT) AS containment_millis"
+    " FROM cand c JOIN st sa ON sa.doc_id = c.contained_id"
+    " JOIN st sb ON sb.doc_id = c.container_id)"
+    " SELECT contained_id, container_id, containment_millis FROM ver"
+    f" WHERE containment_millis >= {CONT_T_MILLIS}"
+    " ORDER BY contained_id, container_id",
+    doc="EXACT containment join (|A∩B|/|A| >= 0.6): finds the asymmetric"
+    " duplicates Jaccard misses — excerpts, truncations, quotes inside"
+    " larger documents. Single-sided prefix filter (the contained side"
+    " indexes its rarest |A|-ceil(t|A|)+1 tokens; the container side is"
+    " fully indexed), provably lossless; prefix tokens are globally"
+    " rarest-first so joined lists stay small, hot lists capped"
+    " identically in both engines. Directed output: contained -> its"
+    " no-smaller container (doc_id order breaking size ties).",
+)
+def q129(spark, sf_dir):
+    return containment_pairs(spark, sf_dir)
+
+
+def containment_pairs(spark, sf_dir):
+    """(contained_id, container_id, containment_millis), directed toward
+    the no-smaller container.
+
+    Scale shape: ONE tokenize + dfreq-join + per-doc regroup builds the
+    frequency-ordered arrays; posexplode emits each doc's full ranked
+    token list once, tagged with its prefix membership, so the bipartite
+    (prefix-member x full-member) candidate explosion happens ROW-LOCAL
+    inside each token bucket (q27 bucket pattern generalized — never a
+    token-table self-join, which would recompute or cache the whole
+    chain). The count window shares the groupBy's token partitioning;
+    over-cap stopword lists drop BEFORE any array is collected. The
+    exact verify LEFT-SEMI thins the corpus to candidate members."""
+    base = _normed(spark, sf_dir).where(F.trim("n") != "")
+    tok = base.select(
+        "doc_id", F.explode(F.split(F.trim("n"), " ")).alias("t")
+    ).distinct()
+    dfq = tok.groupBy("t").agg(F.count("*").alias("dfreq"))
+    arrs = (
+        tok.join(dfq, "t")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list(F.struct("dfreq", "t"))).alias("arr"))
+    )
+    full = arrs.select(
+        "doc_id",
+        F.size("arr").alias("n"),
+        F.posexplode("arr").alias("pos", "s"),
+    ).select(
+        "doc_id",
+        "n",
+        (F.col("pos") + 1).alias("rn"),
+        F.col("s.t").alias("t"),
+    )
+    in_prefix = F.expr(
+        f"rn <= n - (({CONT_T_MILLIS} * n + 999) DIV 1000) + 1"
+    )
+    list_count = F.count("*").over(Window.partitionBy("t"))
+    grouped = (
+        full.withColumn("bc", list_count)
+        .where((F.col("bc") > 1) & (F.col("bc") <= CONT_MAX_LIST))
+        .groupBy("t")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("doc_id", "n"))
+            ).alias("ds"),
+            F.sort_array(
+                F.collect_list(
+                    F.when(in_prefix, F.struct("doc_id", "n"))
+                )
+            ).alias("pa"),
+        )
+    )
+    pair_expr = F.expr(
+        "flatten(transform(pa, a -> transform("
+        " filter(ds, b -> b.doc_id != a.doc_id AND (b.n > a.n"
+        " OR (b.n = a.n AND a.doc_id < b.doc_id))),"
+        " b -> named_struct('cid', a.doc_id, 'bid', b.doc_id))))"
+    )
+    cand = eager(
+        grouped.select(F.explode(pair_expr).alias("p"))
+        .select(
+            F.col("p.cid").alias("contained_id"),
+            F.col("p.bid").alias("container_id"),
+        )
+        .distinct()
+    )
+    ids = (
+        cand.select(F.col("contained_id").alias("doc_id"))
+        .union(cand.select(F.col("container_id").alias("doc_id")))
+        .distinct()
+    )
+    sets = base.join(ids, "doc_id", "left_semi").select(
+        "doc_id", F.array_distinct(F.split(F.trim("n"), " ")).alias("s")
+    )
+    a = sets.select(
+        F.col("doc_id").alias("contained_id"), F.col("s").alias("sa")
+    )
+    b = sets.select(
+        F.col("doc_id").alias("container_id"), F.col("s").alias("sb")
+    )
+    inter = F.size(F.array_intersect("sa", "sb"))
+    return (
+        cand.join(a, "contained_id")
+        .join(b, "container_id")
+        .select(
+            "contained_id",
+            "container_id",
+            F.floor(1000.0 * inter / F.size("sa"))
+            .cast("bigint")
+            .alias("containment_millis"),
+        )
+        .where(F.col("containment_millis") >= CONT_T_MILLIS)
+        .orderBy("contained_id", "container_id")
+    )

@@ -163,3 +163,106 @@ def q62(spark, sf_dir):
         )
         .orderBy("pack_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Systematic PPS (probability-proportional-to-size) sampling. q56 keeps
+# a Bernoulli fraction per source and q75 draws k uniform docs per
+# source; neither draws an EXACT-size sample weighted by document size —
+# the standard primitive for eval-set carving and inspection draws where
+# long documents should be proportionally represented. Systematic PPS
+# does it deterministically with pure integer math: order the corpus by
+# a salted hash (a reprocessing-stable shuffle), take the exclusive
+# cumulative token-weight C_i, and select each document with
+# multiplicity floor((C_i+w_i)*K/T) - floor(C_i*K/T) — the number of
+# multiples of T/K its weight span crosses. Multiplicities always sum to
+# exactly K, a doc's selection probability is proportional to its
+# weight, and docs heavier than T/K are drawn with multiplicity > 1.
+# The cumsum is the same two-phase block decomposition as pack_offsets
+# (the hash PREFIX is the block key, so block order equals hash order
+# and no corpus-wide window ever runs); the oracle uses the naive
+# single-window spelling the block form provably equals.
+# ---------------------------------------------------------------------------
+
+PPS_K = 128
+
+
+@register(
+    "q130_pps_token_sample",
+    "WITH t AS (SELECT doc_id,"
+    f" CAST({TOKENS_SQL_DUCK} AS BIGINT) AS n_tokens,"
+    " md5('pps:' || CAST(doc_id AS VARCHAR)) AS hk FROM documents),"
+    " c AS (SELECT doc_id, n_tokens, hk,"
+    " CAST(coalesce(sum(n_tokens) OVER (ORDER BY hk, doc_id"
+    " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)"
+    " AS cum_prev,"
+    " CAST(sum(n_tokens) OVER () AS BIGINT) AS total FROM t)"
+    " SELECT doc_id, n_tokens, cum_prev,"
+    f" CAST((cum_prev + n_tokens) * {PPS_K} // total"
+    f" - cum_prev * {PPS_K} // total AS BIGINT) AS multiplicity"
+    " FROM c"
+    f" WHERE (cum_prev + n_tokens) * {PPS_K} // total"
+    f" > cum_prev * {PPS_K} // total"
+    " ORDER BY doc_id",
+    doc="Systematic PPS sample of exactly K=128 draws, weight = token"
+    " count: corpus ordered by salted md5 (reprocessing-stable), each"
+    " doc selected with multiplicity = #multiples of T/K its cumulative"
+    " weight span crosses — multiplicities sum to exactly K, selection"
+    " probability proportional to length, all integer arithmetic. The"
+    " cumulative sum is the pack_offsets two-phase block decomposition"
+    " keyed on the hash PREFIX (block order = hash order), so no"
+    " corpus-wide single-partition window; the oracle runs the naive"
+    " global-window spelling the block form provably equals.",
+)
+def q130(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        token_count().cast("long").alias("n_tokens"),
+        F.md5(
+            F.concat(F.lit("pps:"), F.col("doc_id").cast("string"))
+        ).alias("hk"),
+    )
+    # block key = 2-hex-char hash prefix: 256 blocks whose lexicographic
+    # order is consistent with the full sort key, so the two-phase
+    # decomposition reproduces the global order's prefix sums
+    t = docs.withColumn("block_id", F.substring("hk", 1, 2))
+    w_local = (
+        Window.partitionBy("block_id")
+        .orderBy("hk", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = t.withColumn(
+        "local_prev", F.coalesce(F.sum("n_tokens").over(w_local), F.lit(0))
+    )
+    w_blocks = Window.orderBy("block_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    block_prefix = (
+        t.groupBy("block_id")
+        .agg(F.sum("n_tokens").alias("block_total"))
+        .withColumn(
+            "block_prev",
+            F.coalesce(F.sum("block_total").over(w_blocks), F.lit(0)),
+        )
+    )
+    # bounded global scalar (256 block totals -> one number), attached
+    # driver-side per the q52/q102 convention — never a lit==lit join
+    total = (
+        block_prefix.agg(F.sum("block_total").alias("t")).collect()[0]["t"]
+    )
+    cum = local.join(
+        F.broadcast(block_prefix.select("block_id", "block_prev")),
+        "block_id",
+    ).select(
+        "doc_id",
+        "n_tokens",
+        (F.col("block_prev") + F.col("local_prev")).alias("cum_prev"),
+    )
+    lo = F.expr(f"cum_prev * {PPS_K} DIV {total}")
+    hi = F.expr(f"(cum_prev + n_tokens) * {PPS_K} DIV {total}")
+    return (
+        cum.withColumn("multiplicity", (hi - lo).cast("long"))
+        .where(F.col("multiplicity") > 0)
+        .select("doc_id", "n_tokens", "cum_prev", "multiplicity")
+        .orderBy("doc_id")
+    )

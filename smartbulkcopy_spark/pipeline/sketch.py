@@ -578,3 +578,165 @@ def q126(spark, sf_dir):
         )
         .orderBy("w")
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV (bottom-k) cross-source overlap matrix. HLL can union but not
+# intersect; the bottom-k sketch can: keep each source's k smallest
+# distinct-token md5s, and for a pair estimate Jaccard as the fraction
+# of the union's k smallest hashes present in BOTH sketches. At 100 TB
+# this estimates the full source x source token-overlap matrix from
+# 20 sketches of k hashes each, where the exact answer joins the entire
+# token space. Everything is exact-set arithmetic over md5 strings
+# (lexicographic = numeric order at fixed width), so both engines agree
+# bit-for-bit; the exact Jaccard rides along as the audit. Spark avoids
+# the inequality self-join (BNLJ) by collecting the 20 (source, sketch)
+# structs into one row and exploding pairs row-local (the q111 bucket
+# pattern); the oracle uses a plain SQL self-join.
+# ---------------------------------------------------------------------------
+
+KMV_K = 256
+
+
+@register(
+    "q127_kmv_source_overlap",
+    "WITH tokS AS (SELECT DISTINCT source, unnest(string_split(trim("
+    + NORM_SQL_DUCK + "), ' ')) AS t FROM documents"
+    f" WHERE trim({NORM_SQL_DUCK}) != ''),"
+    " hs AS (SELECT source, md5(t) AS h FROM tokS),"
+    " rk AS (SELECT source, h, row_number()"
+    " OVER (PARTITION BY source ORDER BY h) AS rn FROM hs),"
+    f" ka AS (SELECT source, list(h ORDER BY h) AS kv FROM rk"
+    f" WHERE rn <= {KMV_K} GROUP BY source),"
+    " pr AS (SELECT x.source AS source_a, y.source AS source_b,"
+    " x.kv AS kva, y.kv AS kvb FROM ka x JOIN ka y"
+    " ON x.source < y.source),"
+    " es AS (SELECT source_a, source_b,"
+    f" list_sort(list_distinct(list_concat(kva, kvb)))[1:{KMV_K}] AS u,"
+    " kva, kvb FROM pr),"
+    " km AS (SELECT source_a, source_b,"
+    " CAST(1000 * len(list_filter(u, e -> list_contains(kva, e)"
+    " AND list_contains(kvb, e))) // len(u) AS BIGINT)"
+    " AS kmv_jaccard_millis FROM es),"
+    " ex AS (SELECT a.source AS source_a, b.source AS source_b,"
+    " count(*) AS inter FROM tokS a JOIN tokS b"
+    " ON a.t = b.t AND a.source < b.source"
+    " GROUP BY a.source, b.source),"
+    " sz AS (SELECT source, count(*) AS n FROM tokS GROUP BY source)"
+    " SELECT km.source_a, km.source_b, km.kmv_jaccard_millis,"
+    " CAST(1000 * coalesce(ex.inter, 0)"
+    " // (sa.n + sb.n - coalesce(ex.inter, 0)) AS BIGINT)"
+    " AS exact_jaccard_millis,"
+    " CAST(abs(km.kmv_jaccard_millis - 1000 * coalesce(ex.inter, 0)"
+    " // (sa.n + sb.n - coalesce(ex.inter, 0))) AS BIGINT)"
+    " AS err_millis"
+    " FROM km LEFT JOIN ex ON km.source_a = ex.source_a"
+    " AND km.source_b = ex.source_b"
+    " JOIN sz sa ON sa.source = km.source_a"
+    " JOIN sz sb ON sb.source = km.source_b"
+    " ORDER BY km.source_a, km.source_b",
+    doc="Cross-source token-overlap matrix via KMV (bottom-k) sketches"
+    f" (k={KMV_K}): each source keeps its k smallest distinct-token"
+    " md5s; a pair's Jaccard estimate is the fraction of the union's k"
+    " smallest hashes present in both sketches — the set-INTERSECTION"
+    " capability HLL lacks, estimating the full source x source matrix"
+    " from KBs per source where the exact answer joins the whole token"
+    " space. The exact Jaccard rides along as the audit; md5 order is"
+    " engine-identical, all arithmetic integer. Spark explodes pairs"
+    " from one collected row (never an inequality self-join).",
+)
+def q127(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    docs = table(spark, sf_dir, "documents")
+    base = docs.select("source", norm_text().alias("n"))
+    tok = (
+        base.where(F.trim(F.col("n")) != "")
+        .select(
+            "source", F.explode(F.split(F.trim(F.col("n")), " ")).alias("t")
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("source").orderBy("h")
+    kmv = (
+        tok.select("source", F.md5("t").alias("h"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= KMV_K)
+        .groupBy("source")
+        .agg(F.sort_array(F.collect_list("h")).alias("kv"))
+    )
+    one = kmv.agg(
+        F.sort_array(F.collect_list(F.struct("source", "kv"))).alias("ss")
+    )
+    pairs = one.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ss, (a, i) ->"
+                " transform(slice(ss, i + 2, size(ss)),"
+                " b -> struct(a, b))))"
+            )
+        ).alias("p")
+    ).select(
+        F.col("p.a.source").alias("source_a"),
+        F.col("p.b.source").alias("source_b"),
+        F.col("p.a.kv").alias("kva"),
+        F.col("p.b.kv").alias("kvb"),
+    )
+    u = F.expr(f"slice(array_sort(array_union(kva, kvb)), 1, {KMV_K})")
+    km = pairs.select(
+        "source_a",
+        "source_b",
+        F.expr(
+            f"1000 * size(array_intersect(array_intersect("
+            f"slice(array_sort(array_union(kva, kvb)), 1, {KMV_K}), kva),"
+            f" kvb)) DIV size(slice(array_sort(array_union(kva, kvb)),"
+            f" 1, {KMV_K}))"
+        )
+        .cast("long")
+        .alias("kmv_jaccard_millis"),
+    )
+    # exact side: per-token source sets explode to pairs row-local
+    pt = tok.groupBy("t").agg(
+        F.sort_array(F.collect_set("source")).alias("ss")
+    )
+    ex = (
+        pt.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ss, (a, i) ->"
+                    " transform(slice(ss, i + 2, size(ss)),"
+                    " b -> struct(a, b))))"
+                )
+            ).alias("p")
+        )
+        .select(
+            F.col("p.a").alias("source_a"), F.col("p.b").alias("source_b")
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sz = tok.groupBy("source").agg(F.count("*").alias("n"))
+    sa = sz.select(F.col("source").alias("source_a"), F.col("n").alias("na"))
+    sb = sz.select(F.col("source").alias("source_b"), F.col("n").alias("nb"))
+    out = (
+        km.join(ex, ["source_a", "source_b"], "left")
+        .join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "kmv_jaccard_millis",
+            F.expr(
+                "1000 * coalesce(inter, 0L)"
+                " DIV (na + nb - coalesce(inter, 0L))"
+            )
+            .cast("long")
+            .alias("exact_jaccard_millis"),
+        )
+    )
+    return out.withColumn(
+        "err_millis",
+        F.expr("abs(kmv_jaccard_millis - exact_jaccard_millis)").cast(
+            "long"
+        ),
+    ).orderBy("source_a", "source_b")

@@ -2029,3 +2029,107 @@ def q120(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary-growth (Heaps' law) audit. Tokenizer and dedup decisions
+# both hinge on how fast the corpus keeps minting new types: a healthy
+# crawl's vocabulary grows ~ n^beta (beta < 1); a flattening curve means
+# the corpus went repetitive (boilerplate flood), a super-linear burst
+# means an encoding/tokenization regression. The cumulative-distinct
+# curve is the canonical scale trap (distinct-over-prefix is quadratic
+# if done naively, and a running set is single-threaded); the scalable
+# form is per-token FIRST OCCURRENCE (a min-aggregate, map-side
+# combined) bucketed into doc_id blocks, then a cumsum over the tiny
+# bucket table — the whole corpus is touched exactly once.
+# ---------------------------------------------------------------------------
+
+VG_BLOCK = 64  # docs per growth bucket
+
+
+@register(
+    "q131_vocab_growth",
+    "WITH nd AS (SELECT doc_id, " + NORM_SQL_DUCK + " AS n FROM documents),"
+    f" d AS (SELECT doc_id, doc_id // {VG_BLOCK} AS bucket_id,"
+    " CASE WHEN trim(n) = '' THEN 0"
+    " ELSE len(string_split(trim(n), ' ')) END AS n_tokens FROM nd),"
+    " tok AS (SELECT doc_id, unnest(string_split(trim(n), ' ')) AS t"
+    " FROM nd WHERE trim(n) != ''),"
+    f" fo AS (SELECT t, min(doc_id) // {VG_BLOCK} AS bucket_id FROM tok"
+    " GROUP BY t),"
+    " nt AS (SELECT bucket_id, count(*) AS n_new_types FROM fo"
+    " GROUP BY bucket_id),"
+    " bk AS (SELECT bucket_id, count(*) AS n_docs,"
+    " CAST(sum(n_tokens) AS BIGINT) AS bucket_tokens FROM d"
+    " GROUP BY bucket_id)"
+    " SELECT bk.bucket_id, bk.n_docs,"
+    " CAST(coalesce(nt.n_new_types, 0) AS BIGINT) AS n_new_types,"
+    " CAST(sum(coalesce(nt.n_new_types, 0))"
+    " OVER (ORDER BY bk.bucket_id) AS BIGINT) AS cum_types,"
+    " bk.bucket_tokens,"
+    " CAST(sum(bk.bucket_tokens) OVER (ORDER BY bk.bucket_id)"
+    " AS BIGINT) AS cum_tokens"
+    " FROM bk LEFT JOIN nt ON nt.bucket_id = bk.bucket_id"
+    " ORDER BY bk.bucket_id",
+    doc="Heaps'-law vocabulary-growth curve: per doc_id-block bucket,"
+    " the count of never-before-seen token types, cumulative type count"
+    " and cumulative token count. Scalable spelling of cumulative-"
+    "distinct: each type contributes one (first-occurrence) row via a"
+    " map-side-combined min-aggregate — the corpus is scanned once, no"
+    " running set, no prefix re-scans; the only windows run over the"
+    " ~#docs/64 bucket rows. A flattening curve flags boilerplate"
+    " floods; a burst flags tokenization regressions.",
+)
+def q131(spark, sf_dir):
+    nd = table(spark, sf_dir, "documents").select(
+        "doc_id", norm_text().alias("n")
+    )
+    d = nd.select(
+        "doc_id",
+        F.expr(f"doc_id DIV {VG_BLOCK}").alias("bucket_id"),
+        F.when(F.trim("n") == "", F.lit(0))
+        .otherwise(F.size(F.split(F.trim("n"), " ")))
+        .alias("n_tokens"),
+    )
+    tok = nd.where(F.trim("n") != "").select(
+        "doc_id", F.explode(F.split(F.trim("n"), " ")).alias("t")
+    )
+    nt = (
+        tok.groupBy("t")
+        .agg(F.expr(f"min(doc_id) DIV {VG_BLOCK}").alias("bucket_id"))
+        .groupBy("bucket_id")
+        .agg(F.count("*").alias("n_new_types"))
+    )
+    bk = d.groupBy("bucket_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("bucket_tokens"),
+    )
+    w = Window.orderBy("bucket_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        bk.join(nt, "bucket_id", "left")
+        .select(
+            "bucket_id",
+            "n_docs",
+            F.coalesce("n_new_types", F.lit(0)).cast("long").alias(
+                "n_new_types"
+            ),
+            "bucket_tokens",
+        )
+        .withColumn(
+            "cum_types", F.sum("n_new_types").over(w).cast("long")
+        )
+        .withColumn(
+            "cum_tokens", F.sum("bucket_tokens").over(w).cast("long")
+        )
+        .select(
+            "bucket_id",
+            "n_docs",
+            "n_new_types",
+            "cum_types",
+            "bucket_tokens",
+            "cum_tokens",
+        )
+        .orderBy("bucket_id")
+    )

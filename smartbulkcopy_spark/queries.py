@@ -1628,6 +1628,11 @@ QUEUED_SINCE = {
         "q123_bloom_decontamination", "q124_source_dedup_rates",
         "q125_cluster_keep_best", "q126_hourly_hll_users",
     )},
+    "q127_kmv_source_overlap": 83,
+    "q128_prefix_filter_join": 84,
+    "q129_containment_join": 84,
+    "q130_pps_token_sample": 84,
+    "q131_vocab_growth": 84,
 }
 
 

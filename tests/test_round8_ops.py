@@ -824,3 +824,301 @@ def test_q126_matches_pure_python_per_group(spark):
         assert row.n_zero_registers == n_zero, row.w
     # tiny per-hour cardinalities -> linear counting is near-exact
     assert (got["err_ppm"] < 100_000).all()
+
+
+# ---------------------------------------------------------------------------
+# q127 — KMV cross-source overlap.
+# ---------------------------------------------------------------------------
+
+
+def test_q127_matches_pure_python_recompute(spark):
+    """Recompute every pair's KMV estimate and exact Jaccard in pure
+    Python (third spelling) from the raw parquet."""
+    import hashlib
+    import re as _re
+
+    import pandas as pd
+
+    from smartbulkcopy_spark.pipeline.sketch import KMV_K
+
+    got = _run("q127_kmv_source_overlap", spark)
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    toks = {}
+    for _, r in docs.iterrows():
+        n = _re.sub(r"\s+", " ", (r["text"] or "").lower()).strip()
+        if n:
+            toks.setdefault(r["source"], set()).update(n.split(" "))
+    kmv = {
+        s: sorted(hashlib.md5(t.encode()).hexdigest() for t in ts)[
+            :KMV_K
+        ]
+        for s, ts in toks.items()
+    }
+    assert len(got) == len(toks) * (len(toks) - 1) // 2
+    for row in got.itertuples():
+        a, b = set(kmv[row.source_a]), set(kmv[row.source_b])
+        u = sorted(a | b)[:KMV_K]
+        est = 1000 * sum(1 for h in u if h in a and h in b) // len(u)
+        ta, tb = toks[row.source_a], toks[row.source_b]
+        exact = 1000 * len(ta & tb) // len(ta | tb)
+        assert row.kmv_jaccard_millis == est, (row.source_a, row.source_b)
+        assert row.exact_jaccard_millis == exact
+        assert row.err_millis == abs(est - exact)
+
+
+# ---------------------------------------------------------------------------
+# q128 — prefix-filter exact similarity join.
+# ---------------------------------------------------------------------------
+
+
+def _token_sets(docs: pd.DataFrame) -> dict:
+    import re as _re
+
+    out = {}
+    for _, r in docs.iterrows():
+        n = _re.sub(r"\s+", " ", (r["text"] or "").lower()).strip()
+        if n:
+            out[r["doc_id"]] = set(n.split(" "))
+    return out
+
+
+def test_q128_matches_bruteforce_all_pairs(spark):
+    """The completeness claim IS the operator: brute-force every pair's
+    token Jaccard in pure Python and assert the prefix-filtered join
+    found exactly the >= 0.5 set — no missed pair, no extra, identical
+    millis. Also proves the smoke corpus never hits PF_MAX_LIST, so the
+    lossless path (not the cap escape) is what's being exercised."""
+    from collections import Counter
+
+    from smartbulkcopy_spark.pipeline.dedup import PF_MAX_LIST, PF_T_MILLIS
+
+    got = _run("q128_prefix_filter_join", spark)
+    release_caches()
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    sets = _token_sets(docs)
+
+    # cap head-room: recompute prefix-list sizes the operator's way
+    dfreq = Counter(t for s in sets.values() for t in s)
+    lists = Counter()
+    for ts in sets.values():
+        n = len(ts)
+        p = n - (PF_T_MILLIS * n + 999) // 1000 + 1
+        for t in sorted(ts, key=lambda x: (dfreq[x], x))[:p]:
+            lists[t] += 1
+    assert max(lists.values()) <= PF_MAX_LIST
+
+    want = []
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(sets[a] & sets[b])
+            j = 1000 * inter // (len(sets[a]) + len(sets[b]) - inter)
+            if j >= PF_T_MILLIS:
+                want.append((a, b, j))
+    assert (
+        list(got.itertuples(index=False, name=None)) == sorted(want)
+    )
+    assert len(want) > 0  # vacuous otherwise
+
+
+def test_q128_cross_engine_on_crafted_near_dups(spark, tmp_path):
+    """Drive the registered builder AND oracle SQL over a corpus built
+    to straddle the threshold: exact dup (j=1000), a just-above pair,
+    a just-below pair (shares rare tokens but j<500 — candidate killed
+    by verify), and a disjoint doc."""
+    d = tmp_path / "sf_q128"
+    d.mkdir()
+    base = "alpha bravo charlie delta echo foxtrot golf hotel"
+    rows = [
+        (1, base),
+        (2, base),  # exact dup: j=1000
+        (3, base + " india juliet"),  # 8/10 = j=800
+        (4, "alpha bravo kilo lima mike november oscar papa"),  # 2/14
+        (5, "zulu yankee xray whiskey victor uniform"),
+        (6, "  Alpha   BRAVO charlie delta echo foxtrot golf hotel "),
+    ]
+    _write_documents(d, rows)
+    spec = REGISTRY["q128_prefix_filter_join"]
+    got = spec.fn(spark, str(d)).toPandas()
+    release_caches()
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{d / 'documents.parquet'}')"
+    )
+    want = con.execute(spec.oracle).arrow().to_pandas()
+    con.close()
+
+    assert list(got.columns) == list(want.columns)
+    assert (
+        got.values.tolist() == want.values.tolist()
+    )
+    pairs = {(r.a_id, r.b_id): r.jaccard_millis for r in got.itertuples()}
+    # normalization makes doc 6 an exact dup of 1 and 2
+    assert pairs[(1, 2)] == 1000
+    assert pairs[(1, 6)] == 1000 and pairs[(2, 6)] == 1000
+    assert pairs[(1, 3)] == 800 and pairs[(2, 3)] == 800
+    assert (1, 4) not in pairs and (4, 5) not in pairs
+
+
+# ---------------------------------------------------------------------------
+# q129 — containment join.
+# ---------------------------------------------------------------------------
+
+
+def test_q129_matches_bruteforce_all_pairs(spark):
+    """Brute-force every DIRECTED pair's containment in pure Python and
+    assert the prefix-filtered join found exactly the >= 0.6 set toward
+    the no-smaller container."""
+    from smartbulkcopy_spark.pipeline.dedup import CONT_T_MILLIS
+
+    got = _run("q129_containment_join", spark)
+    release_caches()
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    sets = _token_sets(docs)
+
+    want = []
+    for a, sa in sets.items():
+        for b, sb in sets.items():
+            if a == b:
+                continue
+            if len(sb) > len(sa) or (len(sb) == len(sa) and a < b):
+                c = 1000 * len(sa & sb) // len(sa)
+                if c >= CONT_T_MILLIS:
+                    want.append((a, b, c))
+    assert list(got.itertuples(index=False, name=None)) == sorted(want)
+    assert len(want) > 0
+
+
+def test_q129_finds_asymmetric_dups_jaccard_misses(spark, tmp_path):
+    """Crafted corpus: a short doc fully quoted inside a 4x-larger
+    container has Jaccard 0.25 (below every lexical near-dup threshold
+    in the repo) but containment 1.0; cross-check both engines."""
+    d = tmp_path / "sf_q129"
+    d.mkdir()
+    quoted = "alpha bravo charlie delta echo"
+    container = (
+        quoted + " one two three four five six seven eight nine ten"
+        " eleven twelve thirteen fourteen fifteen"
+    )
+    rows = [
+        (1, quoted),
+        (2, container),                            # cont(1->2)=1000, J=250
+        (3, "alpha bravo charlie kilo lima mike"),  # cont(1->3)=600 boundary
+        (4, "alpha bravo kilo lima mike november"),  # cont(1->4)=400, below
+        (5, "zulu yankee xray whiskey"),
+        (6, "zulu yankee xray whiskey"),             # equal size: 5->6 only
+        (7, None),
+    ]
+    _write_documents(d, rows)
+    spec = REGISTRY["q129_containment_join"]
+    got = spec.fn(spark, str(d)).toPandas()
+    release_caches()
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{d / 'documents.parquet'}')"
+    )
+    want = con.execute(spec.oracle).arrow().to_pandas()
+    con.close()
+
+    assert list(got.columns) == list(want.columns)
+    assert got.values.tolist() == want.values.tolist()
+    pairs = {
+        (r.contained_id, r.container_id): r.containment_millis
+        for r in got.itertuples()
+    }
+    assert pairs[(1, 2)] == 1000  # the Jaccard-invisible full quote
+    assert pairs[(1, 3)] == 600   # threshold boundary is inclusive
+    assert (1, 4) not in pairs
+    assert pairs[(5, 6)] == 1000 and (6, 5) not in pairs
+
+
+# ---------------------------------------------------------------------------
+# q130 — systematic PPS token sample.
+# ---------------------------------------------------------------------------
+
+
+def test_q130_matches_pure_python_and_sums_to_k(spark):
+    """Third spelling: recompute the systematic PPS draw in pure Python
+    (naive single cumsum over the hash order) and assert identical rows;
+    the multiplicity total must be EXACTLY K — the property that makes
+    systematic sampling a fixed-size design, not Bernoulli."""
+    import hashlib
+    import re as _re
+
+    from smartbulkcopy_spark.pipeline.pack import PPS_K
+
+    got = _run("q130_pps_token_sample", spark)
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    rows = []
+    for _, r in docs.iterrows():
+        n = _re.sub(r"\s+", " ", (r["text"] or "").lower()).strip()
+        w = len(n.split(" ")) if n else 0
+        hk = hashlib.md5(f"pps:{r['doc_id']}".encode()).hexdigest()
+        rows.append((hk, r["doc_id"], w))
+    rows.sort()
+    total = sum(w for _, _, w in rows)
+    want, cum = [], 0
+    for hk, d, w in rows:
+        m = (cum + w) * PPS_K // total - cum * PPS_K // total
+        if m > 0:
+            want.append((d, w, cum, m))
+        cum += w
+    want.sort()
+    assert list(got.itertuples(index=False, name=None)) == want
+    assert got["multiplicity"].sum() == PPS_K
+    # PPS property: every doc heavier than T/K is deterministically drawn
+    step = total / PPS_K
+    heavy = {d for _, d, w in rows if w > step}
+    assert heavy <= set(got["doc_id"])
+
+
+# ---------------------------------------------------------------------------
+# q131 — vocabulary growth curve.
+# ---------------------------------------------------------------------------
+
+
+def test_q131_matches_naive_running_set(spark):
+    """Third spelling: the literal definition — walk docs in doc_id
+    order keeping a running set of seen types — must equal the
+    first-occurrence min-aggregate formulation bucket for bucket."""
+    import re as _re
+
+    from smartbulkcopy_spark.pipeline.text import VG_BLOCK
+
+    got = _run("q131_vocab_growth", spark)
+    docs = (
+        pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+        .sort_values("doc_id")
+    )
+    seen = set()
+    bucket = {}
+    for _, r in docs.iterrows():
+        b = r["doc_id"] // VG_BLOCK
+        n = _re.sub(r"\s+", " ", (r["text"] or "").lower()).strip()
+        ts = n.split(" ") if n else []
+        st = bucket.setdefault(b, [0, 0, 0])
+        st[0] += 1
+        st[2] += len(ts)
+        for t in ts:
+            if t not in seen:
+                seen.add(t)
+                st[1] += 1
+    want, ct, ck = [], 0, 0
+    for b in sorted(bucket):
+        nd, nn, bt = bucket[b]
+        ct += nn
+        ck += bt
+        want.append((b, nd, nn, ct, bt, ck))
+    assert list(got.itertuples(index=False, name=None)) == want
+    assert got["cum_types"].iloc[-1] == len(seen)
+    # growth must be sub-linear on a natural corpus (Heaps beta < 1):
+    # the last bucket mints fewer new types per token than the first
+    first, last = got.iloc[0], got.iloc[-1]
+    assert (
+        last["n_new_types"] * first["bucket_tokens"]
+        < first["n_new_types"] * last["bucket_tokens"]
+    )

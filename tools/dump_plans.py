@@ -207,6 +207,31 @@ ANNOTATED = {
     " partial-aggregate map-side; the register grid explodes a"
     " 256-element literal per hour (never a cross join), and each"
     " hour's fold runs over one collected 256-element array.",
+    "q127_kmv_source_overlap": "KMV sketch matrix: bottom-k per source"
+    " via a source-partitioned rank window; the 20 (source, sketch)"
+    " structs collect into ONE row and pairs explode row-local (the"
+    " q111 bucket pattern — never an inequality self-join/BNLJ); the"
+    " exact audit explodes per-token source sets the same way.",
+    "q128_prefix_filter_join": "PPJoin prefix filter: two token-table"
+    " shuffles (dfreq join, doc regroup) build rare-token prefixes;"
+    " the inverted index holds prefix tokens only, a count window"
+    " drops over-cap lists BEFORE collect_list, pairs explode"
+    " row-local from sorted bucket arrays (q27 pattern), and the"
+    " exact verify LEFT-SEMI thins the corpus to candidate members.",
+    "q129_containment_join": "Asymmetric prefix filter: one posexplode"
+    " emits each doc's ranked tokens tagged with prefix membership, so"
+    " the bipartite (prefix x full) candidate explosion is row-local"
+    " per token bucket — never a token-table self-join; over-cap"
+    " stopword lists drop before collect_list; verify LEFT-SEMI thins.",
+    "q130_pps_token_sample": "Systematic PPS: two-phase block cumsum"
+    " keyed on the 2-hex hash prefix (block order = hash order, so"
+    " block-local windows + a 256-row block-prefix window replace the"
+    " corpus-wide global window); total weight attached driver-side"
+    " (q52/q102 scalar convention), selection pure integer math.",
+    "q131_vocab_growth": "Cumulative-distinct without a running set:"
+    " per-type first occurrence is a map-side-combined min-aggregate,"
+    " bucket rollups are partial-aggregated, and the only windows run"
+    " over the tiny bucket table — one corpus scan total.",
 }
 
 

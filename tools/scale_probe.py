@@ -80,6 +80,11 @@ PROBES = [
     "q124_source_dedup_rates",
     "q125_cluster_keep_best",
     "q126_hourly_hll_users",
+    "q127_kmv_source_overlap",
+    "q128_prefix_filter_join",
+    "q129_containment_join",
+    "q130_pps_token_sample",
+    "q131_vocab_growth",
 ]
 
 
