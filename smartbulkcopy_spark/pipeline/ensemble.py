@@ -191,3 +191,151 @@ def detector_agreement(lex, sem, shx):
         .agg(F.count("*").alias("n_pairs"))
         .orderBy("lexical", "semantic", "simhash")
     )
+
+
+# ---------------------------------------------------------------------------
+# Reciprocal-rank fusion of lexical and semantic retrieval. The "more
+# like this" corpus probe production actually runs: take a query
+# document, rank the corpus lexically (BM25 over the query doc's rarest
+# terms) AND semantically (exact cosine to its embedding), and fuse the
+# two rankings with RRF — score(d) = sum over rankings of 1/(60+rank).
+# RRF needs only the integer ranks, so the fusion is exact integer
+# arithmetic (1e6 DIV (60+rank)) and both engines agree bit-for-bit;
+# ranks themselves come from integer sort keys (score_e3, cos_e4) with
+# id tie-breaks. The doc/vec id alignment is the module convention.
+# ---------------------------------------------------------------------------
+
+RRF_K = 60
+RRF_TOPK = 10
+_QV_DUCK = "(SELECT min(vec_id) FROM embeddings)"
+
+
+def _rrf_cos_cte_duck() -> str:
+    from smartbulkcopy_spark.pipeline.similarity import _dot_duck
+
+    return (
+        " qe AS (SELECT embedding FROM embeddings"
+        f" WHERE vec_id = {_QV_DUCK}),"
+        " cr AS (SELECT vec_id AS doc_id,"
+        " CAST(row_number() OVER (ORDER BY ce4 DESC, vec_id)"
+        " AS BIGINT) AS cos_rank FROM"
+        " (SELECT e.vec_id, CAST(floor(10000.0"
+        f" * {_dot_duck('e.embedding', 'qe.embedding')}"
+        f" / (sqrt({_dot_duck('e.embedding', 'e.embedding')})"
+        f" * sqrt({_dot_duck('qe.embedding', 'qe.embedding')})))"
+        " AS BIGINT) AS ce4 FROM embeddings e, qe"
+        f" WHERE e.vec_id != {_QV_DUCK}"
+        " ORDER BY ce4 DESC, vec_id LIMIT 20))"
+    )
+
+
+def _rrf_oracle() -> str:
+    from smartbulkcopy_spark.pipeline.text import (
+        _BM25_BASE_DUCK,
+        _BM25_SCORE_DUCK,
+    )
+
+    return (
+        "WITH " + _BM25_BASE_DUCK + ","
+        " qt AS (SELECT p.t, v.df FROM post p JOIN voc v ON v.t = p.t"
+        f" WHERE p.doc_id = {_QV_DUCK}"
+        " ORDER BY v.df, p.t LIMIT 3),"
+        + _BM25_SCORE_DUCK + ","
+        " bk AS (SELECT doc_id, score_e3,"
+        " CAST(row_number() OVER (ORDER BY score_e3 DESC, doc_id)"
+        " AS BIGINT) AS bm25_rank FROM"
+        " (SELECT * FROM agg"
+        f" WHERE doc_id != {_QV_DUCK}"
+        " ORDER BY score_e3 DESC, doc_id LIMIT 20)),"
+        + _rrf_cos_cte_duck() +
+        " SELECT coalesce(b.doc_id, c.doc_id) AS doc_id,"
+        " CAST(coalesce(b.bm25_rank, 0) AS BIGINT) AS bm25_rank,"
+        " CAST(coalesce(c.cos_rank, 0) AS BIGINT) AS cos_rank,"
+        f" CAST(coalesce(1000000 // ({RRF_K} + b.bm25_rank), 0)"
+        f" + coalesce(1000000 // ({RRF_K} + c.cos_rank), 0) AS BIGINT)"
+        " AS rrf_e6"
+        " FROM bk b FULL OUTER JOIN cr c ON b.doc_id = c.doc_id"
+        f" ORDER BY rrf_e6 DESC, doc_id LIMIT {RRF_TOPK}"
+    )
+
+
+@register(
+    "q135_rrf_retrieval_fusion",
+    _rrf_oracle(),
+    doc="Reciprocal-rank fusion of the two retrieval modalities for a"
+    " query document (the min-vec_id doc, the q30 convention): BM25"
+    " top-20 over the query doc's three RAREST terms (integer BM25,"
+    " q134 machinery) fused with exact-cosine top-20 to its embedding"
+    " (q30 machinery, ranks from the floored cos_e4 integer key), via"
+    " RRF score = sum of 1e6 DIV (60+rank). Ranks-only fusion means"
+    " the cross-engine agreement is exact; absent-from-a-list docs"
+    " contribute 0 by convention and rank columns report 0. Both"
+    " rankings are top-k TakeOrdered over bounded lists; the fusion"
+    " joins two 20-row tables.",
+)
+def q135(spark, sf_dir):
+    from smartbulkcopy_spark.pipeline.similarity import dot_fold
+    from smartbulkcopy_spark.pipeline.text import (
+        _bm25_postings,
+        _bm25_rank,
+    )
+    from smartbulkcopy_spark.queries import table
+    import math
+
+    from pyspark.sql.window import Window
+
+    emb = table(spark, sf_dir, "embeddings")
+    qrow = emb.orderBy("vec_id").select("vec_id", "embedding").first()
+    qid = int(qrow["vec_id"])
+    qvec = [float(v) for v in qrow["embedding"]]
+    nq = math.sqrt(sum(v * v for v in qvec))
+
+    post = eager(_bm25_postings(spark, sf_dir))
+    dl = post.groupBy("doc_id").agg(
+        F.sum("tf").cast("long").alias("dl")
+    )
+    voc = post.groupBy("t").agg(F.count("*").cast("long").alias("df"))
+    qt = (
+        post.where(F.col("doc_id") == qid)
+        .join(voc, "t")
+        .orderBy("df", "t")
+        .limit(3)
+        .select("t", "df")
+    )
+    bk = _bm25_rank(spark, post, dl, qt, exclude_id=qid).select(
+        "doc_id", "bm25_rank"
+    )
+
+    qlit = F.array(*[F.lit(v) for v in qvec])
+    e = F.col("embedding")
+    ce4 = F.floor(
+        10000.0 * dot_fold(e, qlit) / (F.sqrt(dot_fold(e, e)) * F.lit(nq))
+    ).cast("bigint")
+    wc = Window.orderBy(F.col("ce4").desc(), "vec_id")
+    cr = (
+        emb.where(F.col("vec_id") != qid)
+        .select(F.col("vec_id").alias("doc_id"), ce4.alias("ce4"))
+        .orderBy(F.col("ce4").desc(), F.col("doc_id"))
+        .limit(20)
+        .withColumnRenamed("doc_id", "vec_id")
+        .withColumn(
+            "cos_rank", F.row_number().over(wc).cast("long")
+        )
+        .select(F.col("vec_id").alias("doc_id"), "cos_rank")
+    )
+    fused = bk.join(cr, "doc_id", "full_outer").select(
+        "doc_id",
+        F.coalesce("bm25_rank", F.lit(0)).cast("long").alias("bm25_rank"),
+        F.coalesce("cos_rank", F.lit(0)).cast("long").alias("cos_rank"),
+        (
+            F.coalesce(
+                F.expr(f"1000000 DIV ({RRF_K} + bm25_rank)"), F.lit(0)
+            )
+            + F.coalesce(
+                F.expr(f"1000000 DIV ({RRF_K} + cos_rank)"), F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("rrf_e6"),
+    )
+    return fused.orderBy(F.col("rrf_e6").desc(), "doc_id").limit(RRF_TOPK)

@@ -1260,3 +1260,121 @@ def q103(spark, sf_dir):
         )
         .orderBy("dim")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cluster-separation audit over the q77 k-means state. Cluster counts
+# and centroid checksums (q77) say nothing about whether the clustering
+# is USABLE — IVF recall (q44/q47) and cluster-pruned sampling (q83)
+# both degrade when clusters overlap. The standard diagnostic is the
+# ratio of between-centroid distance to within-cluster spread (the
+# Davies-Bouldin/Dunn family); this audit emits, per cluster, the exact
+# scaled-int within-cluster mean squared distance and the nearest other
+# centroid with its distance, plus the integer separation ratio. All
+# arithmetic extends the q77 chain's scaled-int discipline (per-row
+# folds + integer sums only), so the oracle reproduces it bit-for-bit.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q132_cluster_separation",
+    "WITH " + _KM_CTES_DUCK + ","
+    " nv AS (SELECT cid, count(*) AS n_vecs FROM a2 GROUP BY cid),"
+    " wd AS (SELECT a.cid,"
+    " CAST(sum((e.v_e6 - c.c_e6) * (e.v_e6 - c.c_e6)) AS BIGINT) AS wsum"
+    " FROM el e JOIN a2 a ON e.vec_id = a.vec_id"
+    " JOIN c2 c ON c.cid = a.cid AND c.dim = e.dim GROUP BY a.cid),"
+    " cd AS (SELECT x.cid AS cid, y.cid AS other,"
+    " CAST(sum((x.c_e6 - y.c_e6) * (x.c_e6 - y.c_e6)) AS BIGINT) AS d2"
+    " FROM c2 x JOIN c2 y ON x.dim = y.dim AND x.cid != y.cid"
+    " GROUP BY x.cid, y.cid),"
+    f" nn AS (SELECT cid, CAST(min(d2 * {KMEANS_K} + other)"
+    f" // {KMEANS_K} AS BIGINT) AS nearest_d2,"
+    f" CAST(min(d2 * {KMEANS_K} + other) % {KMEANS_K} AS BIGINT)"
+    " AS nearest_cid FROM cd GROUP BY cid)"
+    " SELECT nv.cid, CAST(nv.n_vecs AS BIGINT) AS n_vecs,"
+    " wd.wsum AS within_d2_sum,"
+    " CAST(wd.wsum // nv.n_vecs AS BIGINT) AS within_d2_mean,"
+    " nn.nearest_cid, nn.nearest_d2,"
+    " CAST(1000 * nn.nearest_d2"
+    " // greatest(wd.wsum // nv.n_vecs, 1) AS BIGINT) AS separation_e3"
+    " FROM nv JOIN wd ON wd.cid = nv.cid JOIN nn ON nn.cid = nv.cid"
+    " ORDER BY nv.cid",
+    doc="Cluster-separation audit of the converged q77 k-means state:"
+    " per cluster, exact scaled-int within-cluster mean squared"
+    " distance, the nearest other centroid (packed integer argmin, the"
+    " q77 convention) and its distance, and the integer separation"
+    " ratio 1000*nearest_d2/within_mean — the Dunn-style signal that"
+    " IVF probe counts and cluster-pruned sampling budgets are tuned"
+    " from. Centroid pair distances explode row-local from ONE"
+    " collected row of K centroid vectors (q127 bucket pattern, never"
+    " an inequality self-join); within-distances reuse the broadcast"
+    " centroid join + per-(vec,dim) integer sums.",
+)
+def q132(spark, sf_dir):
+    el = eager(_km_el(spark, sf_dir))  # 5 consumers across the chain
+    c0 = el.where(F.col("vec_id") < KMEANS_K).select(
+        F.col("vec_id").alias("cid"), "dim", F.col("v_e6").alias("c_e6")
+    )
+    a1 = _km_assign(el, c0)
+    c1 = _km_recenter(el, a1)
+    a2 = _km_assign(el, c1)
+    c2 = eager(_km_recenter(el, a2))  # consumed by wd, cd
+    nv = a2.groupBy("cid").agg(F.count("*").alias("n_vecs"))
+    wd = (
+        el.join(a2, "vec_id")
+        .join(F.broadcast(c2), ["cid", "dim"])
+        .groupBy("cid")
+        .agg(
+            F.sum(
+                (F.col("v_e6") - F.col("c_e6"))
+                * (F.col("v_e6") - F.col("c_e6"))
+            ).alias("wsum")
+        )
+    )
+    cent_rows = c2.groupBy("cid").agg(
+        F.sort_array(F.collect_list(F.struct("dim", "c_e6"))).alias("v")
+    )
+    one = cent_rows.agg(
+        F.sort_array(F.collect_list(F.struct("cid", "v"))).alias("cs")
+    )
+    pairs = one.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(cs, a -> transform("
+                " filter(cs, b -> b.cid != a.cid),"
+                " b -> named_struct('cid', a.cid, 'other', b.cid,"
+                " 'd2', aggregate(zip_with(a.v, b.v,"
+                " (x, y) -> (x.c_e6 - y.c_e6) * (x.c_e6 - y.c_e6)),"
+                " 0L, (acc, e) -> acc + e)))))"
+            )
+        ).alias("p")
+    ).select("p.cid", "p.other", "p.d2")
+    packed = F.min(
+        F.col("d2") * KMEANS_K + F.col("other")
+    )
+    nn = pairs.groupBy("cid").agg(
+        F.expr(f"min(d2 * {KMEANS_K} + other) DIV {KMEANS_K}")
+        .cast("long")
+        .alias("nearest_d2"),
+        (packed % KMEANS_K).cast("long").alias("nearest_cid"),
+    )
+    mean_d2 = F.expr("wsum DIV n_vecs").cast("long")
+    return (
+        nv.join(wd, "cid")
+        .join(nn, "cid")
+        .select(
+            "cid",
+            F.col("n_vecs").cast("long").alias("n_vecs"),
+            F.col("wsum").alias("within_d2_sum"),
+            mean_d2.alias("within_d2_mean"),
+            "nearest_cid",
+            "nearest_d2",
+            F.expr(
+                "1000 * nearest_d2 DIV greatest(wsum DIV n_vecs, 1)"
+            )
+            .cast("long")
+            .alias("separation_e3"),
+        )
+        .orderBy("cid")
+    )

@@ -740,3 +740,145 @@ def q127(spark, sf_dir):
             "long"
         ),
     ).orderBy("source_a", "source_b")
+
+
+# ---------------------------------------------------------------------------
+# Fixed-bin histogram quantile sketch. The sketch-family closer: HLL
+# (q121/q126) answers distinct-count, CMS (q122) point frequency, Bloom
+# (q123) membership, KMV (q127) set intersection — this answers
+# QUANTILES from a mergeable summary. Per source the sketch is <= 64
+# (bin, count) pairs that merge upward by addition (shard -> source ->
+# corpus), so at 100 TB the length distribution of every slice costs a
+# map-side-combined groupBy; the exact per-source quantile (which needs
+# a per-source sort) rides along as the audit, with the estimate's
+# error bounded by the bin width by construction. All integer: the
+# q-th quantile estimate is the lower edge of the first bin whose
+# cumulative count reaches ceil(q*n).
+# ---------------------------------------------------------------------------
+
+HQ_BINW = 16  # tokens per histogram bin
+HQ_NBINS = 64  # lengths >= 1008 tokens clamp into the last bin
+
+_HQ_NTOK_DUCK = (
+    "CASE WHEN trim(" + NORM_SQL_DUCK + ") = '' THEN 0"
+    " ELSE len(string_split(trim(" + NORM_SQL_DUCK + "), ' ')) END"
+)
+
+
+@register(
+    "q133_hist_quantile_sketch",
+    "WITH d AS (SELECT source, doc_id,"
+    f" CAST({_HQ_NTOK_DUCK} AS BIGINT) AS n_tokens FROM documents),"
+    f" b AS (SELECT source, least(n_tokens // {HQ_BINW},"
+    f" {HQ_NBINS - 1}) AS bin, count(*) AS cnt FROM d"
+    " GROUP BY source, bin),"
+    " c AS (SELECT source, bin, cnt,"
+    " sum(cnt) OVER (PARTITION BY source ORDER BY bin) AS cum,"
+    " sum(cnt) OVER (PARTITION BY source) AS n FROM b),"
+    " est AS (SELECT source,"
+    f" CAST(min(CASE WHEN 1000 * cum >= 500 * n THEN bin END)"
+    f" * {HQ_BINW} AS BIGINT) AS p50_hist,"
+    f" CAST(min(CASE WHEN 1000 * cum >= 900 * n THEN bin END)"
+    f" * {HQ_BINW} AS BIGINT) AS p90_hist,"
+    f" CAST(min(CASE WHEN 1000 * cum >= 990 * n THEN bin END)"
+    f" * {HQ_BINW} AS BIGINT) AS p99_hist FROM c GROUP BY source),"
+    " r AS (SELECT source, n_tokens,"
+    " row_number() OVER (PARTITION BY source"
+    " ORDER BY n_tokens, doc_id) AS rn,"
+    " count(*) OVER (PARTITION BY source) AS n FROM d),"
+    " ex AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,"
+    " CAST(min(CASE WHEN rn = (500 * n + 999) // 1000"
+    " THEN n_tokens END) AS BIGINT) AS p50_exact,"
+    " CAST(min(CASE WHEN rn = (900 * n + 999) // 1000"
+    " THEN n_tokens END) AS BIGINT) AS p90_exact,"
+    " CAST(min(CASE WHEN rn = (990 * n + 999) // 1000"
+    " THEN n_tokens END) AS BIGINT) AS p99_exact FROM r"
+    " GROUP BY source)"
+    " SELECT ex.source, ex.n_docs,"
+    " est.p50_hist, ex.p50_exact, est.p90_hist, ex.p90_exact,"
+    " est.p99_hist, ex.p99_exact"
+    " FROM ex JOIN est ON est.source = ex.source ORDER BY ex.source",
+    doc="Mergeable histogram-quantile sketch vs exact: per source, the"
+    " p50/p90/p99 token-length quantiles estimated from a 64-bin"
+    " fixed-width histogram (the estimate is the lower edge of the"
+    " first bin whose cumulative count reaches ceil(q*n) — error"
+    " bounded by the 16-token bin width) alongside the exact"
+    " percentile_disc values. The sketch is <= 64 integers per source"
+    " and merges by addition shard->source->corpus; only the audit"
+    " side sorts within a source. Completes the sketch family:"
+    " HLL=distinct, CMS=frequency, Bloom=membership, KMV=intersection,"
+    " histogram=quantiles.",
+)
+def q133(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    d = table(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        F.when(F.trim(norm_text()) == "", F.lit(0))
+        .otherwise(F.size(F.split(F.trim(norm_text()), " ")))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    hist = d.groupBy(
+        "source",
+        F.least(
+            F.expr(f"n_tokens DIV {HQ_BINW}"), F.lit(HQ_NBINS - 1)
+        ).alias("bin"),
+    ).agg(F.count("*").alias("cnt"))
+    w_cum = (
+        Window.partitionBy("source")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("source")
+    c = hist.withColumn("cum", F.sum("cnt").over(w_cum)).withColumn(
+        "n", F.sum("cnt").over(w_all)
+    )
+
+    def _est(q):
+        return (
+            F.min(
+                F.when(1000 * F.col("cum") >= q * F.col("n"), F.col("bin"))
+            )
+            * HQ_BINW
+        ).cast("long")
+
+    est = c.groupBy("source").agg(
+        _est(500).alias("p50_hist"),
+        _est(900).alias("p90_hist"),
+        _est(990).alias("p99_hist"),
+    )
+    w_rn = Window.partitionBy("source").orderBy("n_tokens", "doc_id")
+    r = d.withColumn("rn", F.row_number().over(w_rn)).withColumn(
+        "n", F.count("*").over(w_all)
+    )
+
+    def _exact(q):
+        return F.min(
+            F.when(
+                F.col("rn") == F.expr(f"({q} * n + 999) DIV 1000"),
+                F.col("n_tokens"),
+            )
+        ).cast("long")
+
+    ex = r.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        _exact(500).alias("p50_exact"),
+        _exact(900).alias("p90_exact"),
+        _exact(990).alias("p99_exact"),
+    )
+    return (
+        ex.join(est, "source")
+        .select(
+            "source",
+            "n_docs",
+            "p50_hist",
+            "p50_exact",
+            "p90_hist",
+            "p90_exact",
+            "p99_hist",
+            "p99_exact",
+        )
+        .orderBy("source")
+    )

@@ -20,7 +20,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Window
 
-from smartbulkcopy_spark.queries import register, spread, table
+from smartbulkcopy_spark.queries import eager, register, spread, table
 
 # Canonical normalization: NULL -> '', lowercase, collapse whitespace
 # runs. The DuckDB spelling (note the 'g' flag — DuckDB replaces
@@ -2132,4 +2132,133 @@ def q131(spark, sf_dir):
             "cum_tokens",
         )
         .orderBy("bucket_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# BM25 lexical retrieval. Curation pipelines rank documents lexically
+# all the time (benchmark-similarity triage, "more like this" corpus
+# probes, retrieval-augmented eval building), and BM25 is the standard
+# scoring function. The whole computation is exact integer arithmetic:
+# with k1 = 1.2 and b = 0.75, the term score
+#   idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+# multiplied through by 10*avgdl_e3 becomes
+#   idf_e3 * 22 * tf * A  DIV  (10*tf*A + 3*A + 9000*dl)
+# where A = avgdl_e3 = 1000*total_tokens DIV n_docs and
+# idf_e3 = 1000*(2N - 2df + 1) DIV (2df + 1) (the Robertson-Sparck
+# Jones idf with the +-0.5 smoothing cleared of fractions) — no float
+# log, no cross-libm drift. Per-term scores are floored ints, so the
+# per-doc sum is order-independent.
+# ---------------------------------------------------------------------------
+
+BM25_TOPK = 20
+# The standing corpus-probe query: vocabulary ranks 10-12 by term
+# frequency — mid-frequency terms (the head is stopwords, the tail is
+# noise), derived from the corpus itself so the query always hits.
+BM25_QRANK_LO, BM25_QRANK_HI = 10, 12
+
+_BM25_BASE_DUCK = (
+    "nd AS (SELECT doc_id, " + NORM_SQL_DUCK + " AS n FROM documents),"
+    " ti AS (SELECT doc_id, unnest(string_split(trim(n), ' ')) AS t"
+    " FROM nd WHERE trim(n) != ''),"
+    " post AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf"
+    " FROM ti GROUP BY doc_id, t),"
+    " dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM post"
+    " GROUP BY doc_id),"
+    " voc AS (SELECT t, CAST(sum(tf) AS BIGINT) AS tfg,"
+    " CAST(count(*) AS BIGINT) AS df FROM post GROUP BY t),"
+    " sc AS (SELECT CAST(count(*) AS BIGINT) AS nn,"
+    " CAST(1000 * sum(dl) // count(*) AS BIGINT) AS a FROM dl)"
+)
+
+_BM25_SCORE_DUCK = (
+    "ts AS (SELECT p.doc_id,"
+    " CAST((1000 * (2 * sc.nn - 2 * q.df + 1) // (2 * q.df + 1))"
+    " * 22 * p.tf * sc.a"
+    " // (10 * p.tf * sc.a + 3 * sc.a + 9000 * d.dl) AS BIGINT) AS s_e3"
+    " FROM post p JOIN qt q ON p.t = q.t"
+    " JOIN dl d ON d.doc_id = p.doc_id, sc),"
+    " agg AS (SELECT doc_id, CAST(sum(s_e3) AS BIGINT) AS score_e3"
+    " FROM ts GROUP BY doc_id)"
+)
+
+
+@register(
+    "q134_bm25_topk",
+    "WITH " + _BM25_BASE_DUCK + ","
+    " qt AS (SELECT t, df FROM (SELECT t, df,"
+    " row_number() OVER (ORDER BY tfg DESC, t) AS rn FROM voc)"
+    f" WHERE rn BETWEEN {BM25_QRANK_LO} AND {BM25_QRANK_HI}),"
+    + _BM25_SCORE_DUCK
+    + " SELECT doc_id, score_e3,"
+    " CAST(row_number() OVER (ORDER BY score_e3 DESC, doc_id)"
+    " AS BIGINT) AS bm25_rank FROM agg"
+    f" ORDER BY score_e3 DESC, doc_id LIMIT {BM25_TOPK}",
+    doc="BM25 top-20 for the standing corpus-probe query (vocabulary"
+    " ranks 10-12 by term frequency — mid-frequency terms derived from"
+    " the corpus so the query always hits). Exact integer BM25"
+    " (k1=1.2, b=0.75 cleared of fractions; Robertson idf without the"
+    " float log), so both engines rank identically. Postings are built"
+    " once (eager-persisted for the three consumers: vocabulary, doc"
+    " lengths, scoring); the query-term join is a 3-row broadcast; the"
+    " top-k is TakeOrdered, never a global sort.",
+)
+def q134(spark, sf_dir):
+    post = eager(_bm25_postings(spark, sf_dir))
+    dl = post.groupBy("doc_id").agg(
+        F.sum("tf").cast("long").alias("dl")
+    )
+    voc = post.groupBy("t").agg(
+        F.sum("tf").cast("long").alias("tfg"),
+        F.count("*").cast("long").alias("df"),
+    )
+    w12 = Window.orderBy(F.col("tfg").desc(), "t")
+    qt = (
+        voc.orderBy(F.col("tfg").desc(), "t")
+        .limit(BM25_QRANK_HI)
+        .withColumn("rn", F.row_number().over(w12))
+        .where(F.col("rn") >= BM25_QRANK_LO)
+        .select("t", "df")
+    )
+    return _bm25_rank(spark, post, dl, qt)
+
+
+def _bm25_postings(spark, sf_dir):
+    """(doc_id, t, tf) term-instance counts over normalized text."""
+    nd = table(spark, sf_dir, "documents").select(
+        "doc_id", norm_text().alias("n")
+    )
+    ti = nd.where(F.trim("n") != "").select(
+        "doc_id", F.explode(F.split(F.trim("n"), " ")).alias("t")
+    )
+    return ti.groupBy("doc_id", "t").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+
+
+def _bm25_rank(spark, post, dl, qt, exclude_id=None):
+    """Top-BM25_TOPK (doc_id, score_e3, bm25_rank) for query terms `qt`
+    (a tiny (t, df) DataFrame, broadcast). Corpus scalars (doc count,
+    avgdl) attach driver-side per the q52/q102 bounded-scalar rule."""
+    row = dl.agg(
+        F.count("*").alias("nn"), F.sum("dl").alias("tt")
+    ).collect()[0]
+    nn, a = int(row["nn"]), 1000 * int(row["tt"]) // int(row["nn"])
+    scored = post.join(F.broadcast(qt), "t").join(dl, "doc_id")
+    if exclude_id is not None:
+        scored = scored.where(F.col("doc_id") != exclude_id)
+    term = F.expr(
+        f"(1000 * (2 * {nn} - 2 * df + 1) DIV (2 * df + 1))"
+        f" * 22 * tf * {a} DIV (10 * tf * {a} + 3 * {a} + 9000 * dl)"
+    ).cast("long")
+    agg = (
+        scored.select("doc_id", term.alias("s_e3"))
+        .groupBy("doc_id")
+        .agg(F.sum("s_e3").cast("long").alias("score_e3"))
+    )
+    wr = Window.orderBy(F.col("score_e3").desc(), "doc_id")
+    return (
+        agg.orderBy(F.col("score_e3").desc(), "doc_id")
+        .limit(BM25_TOPK)
+        .withColumn("bm25_rank", F.row_number().over(wr).cast("long"))
     )

@@ -1633,6 +1633,10 @@ QUEUED_SINCE = {
     "q129_containment_join": 84,
     "q130_pps_token_sample": 84,
     "q131_vocab_growth": 84,
+    **{n: 85 for n in (
+        "q132_cluster_separation", "q133_hist_quantile_sketch",
+        "q134_bm25_topk", "q135_rrf_retrieval_fusion",
+    )},
 }
 
 

@@ -1122,3 +1122,247 @@ def test_q131_matches_naive_running_set(spark):
         last["n_new_types"] * first["bucket_tokens"]
         < first["n_new_types"] * last["bucket_tokens"]
     )
+
+
+# ---------------------------------------------------------------------------
+# q132 — cluster separation audit.
+# ---------------------------------------------------------------------------
+
+
+def test_q132_matches_pure_python_kmeans(spark):
+    """Third spelling: rerun the two unrolled Lloyd iterations in pure
+    Python (numpy int64, same scaled-int + packed-argmin conventions)
+    and recompute every output column."""
+    import numpy as np
+
+    from smartbulkcopy_spark.pipeline.similarity import KMEANS_K
+
+    got = _run("q132_cluster_separation", spark)
+    release_caches()
+    emb = pd.read_parquet(f"{SF_SMOKE}/embeddings.parquet").sort_values(
+        "vec_id"
+    )
+    v = np.floor(
+        np.stack(emb["embedding"].to_numpy()).astype(np.float64) * 1e6
+    ).astype(np.int64)
+    ids = emb["vec_id"].to_numpy()
+
+    def assign(cent_ids, cents):
+        # packed argmin: min(d2 * K + cid) % K
+        best = None
+        for cid, c in zip(cent_ids, cents):
+            d2 = ((v - c) ** 2).sum(axis=1)
+            key = d2 * KMEANS_K + cid
+            best = key if best is None else np.minimum(best, key)
+        return (best % KMEANS_K).astype(np.int64)
+
+    def recenter(a):
+        out = {}
+        for cid in np.unique(a):
+            m = v[a == cid]
+            out[cid] = np.floor(
+                m.sum(axis=0).astype(np.float64) / len(m)
+            ).astype(np.int64)
+        return out
+
+    c0 = {cid: v[ids == cid][0] for cid in range(KMEANS_K)}
+    a1 = assign(sorted(c0), [c0[k] for k in sorted(c0)])
+    c1 = recenter(a1)
+    a2 = assign(sorted(c1), [c1[k] for k in sorted(c1)])
+    c2 = recenter(a2)
+
+    want = []
+    for cid in sorted(c2):
+        m = v[a2 == cid]
+        wsum = int((((m - c2[cid]) ** 2).sum()))
+        nd2, ncid = min(
+            (int(((c2[cid] - c2[o]) ** 2).sum()), o)
+            for o in sorted(c2)
+            if o != cid
+        )
+        mean = wsum // len(m)
+        want.append(
+            (cid, len(m), wsum, mean, ncid, nd2,
+             1000 * nd2 // max(mean, 1))
+        )
+    assert list(got.itertuples(index=False, name=None)) == want
+    assert got["n_vecs"].sum() == len(emb)
+
+
+# ---------------------------------------------------------------------------
+# q133 — histogram quantile sketch.
+# ---------------------------------------------------------------------------
+
+
+def test_q133_error_bounded_by_bin_width(spark):
+    """Pure-Python recompute of both the sketch estimate and the exact
+    quantile, plus the construction guarantee: the estimate is the
+    lower edge of the exact value's bin, so 0 <= exact - est < BINW
+    (whenever the exact value is below the clamp)."""
+    import re as _re
+
+    from smartbulkcopy_spark.pipeline.sketch import HQ_BINW, HQ_NBINS
+
+    got = _run("q133_hist_quantile_sketch", spark)
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    by_src = {}
+    for _, r in docs.iterrows():
+        n = _re.sub(r"\s+", " ", (r["text"] or "").lower()).strip()
+        by_src.setdefault(r["source"], []).append(
+            len(n.split(" ")) if n else 0
+        )
+    for row in got.itertuples():
+        lens = sorted(by_src[row.source])
+        nn = len(lens)
+        assert row.n_docs == nn
+        for q, hist, exact in (
+            (500, row.p50_hist, row.p50_exact),
+            (900, row.p90_hist, row.p90_exact),
+            (990, row.p99_hist, row.p99_exact),
+        ):
+            want_exact = lens[(q * nn + 999) // 1000 - 1]
+            assert exact == want_exact, (row.source, q)
+            bin_ = min(want_exact // HQ_BINW, HQ_NBINS - 1)
+            assert hist == bin_ * HQ_BINW, (row.source, q)
+            if want_exact < HQ_BINW * (HQ_NBINS - 1):
+                assert 0 <= exact - hist < HQ_BINW
+
+
+# ---------------------------------------------------------------------------
+# q134 — integer BM25 top-k.
+# ---------------------------------------------------------------------------
+
+
+def _postings(docs: pd.DataFrame):
+    import re as _re
+    from collections import Counter
+
+    post = {}
+    for _, r in docs.iterrows():
+        n = _re.sub(r"\s+", " ", (r["text"] or "").lower()).strip()
+        if n:
+            post[r["doc_id"]] = Counter(n.split(" "))
+    return post
+
+
+def test_q134_matches_pure_python_bm25(spark):
+    """Third spelling: integer BM25 (k1=1.2, b=0.75 cleared of
+    fractions, Robertson idf without the float log) recomputed in pure
+    Python over the same postings."""
+    from collections import Counter
+
+    from smartbulkcopy_spark.pipeline.text import (
+        BM25_QRANK_HI,
+        BM25_QRANK_LO,
+        BM25_TOPK,
+    )
+
+    got = _run("q134_bm25_topk", spark)
+    release_caches()
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    post = _postings(docs)
+    tfg, df = Counter(), Counter()
+    for tc in post.values():
+        for t, c in tc.items():
+            tfg[t] += c
+            df[t] += 1
+    vocab = sorted(tfg, key=lambda t: (-tfg[t], t))
+    qterms = vocab[BM25_QRANK_LO - 1:BM25_QRANK_HI]
+    nn = len(post)
+    a = 1000 * sum(sum(tc.values()) for tc in post.values()) // nn
+    scores = {}
+    for d, tc in post.items():
+        dl = sum(tc.values())
+        s, matched = 0, False
+        for t in qterms:
+            tf = tc.get(t, 0)
+            if tf:
+                matched = True
+                idf = 1000 * (2 * nn - 2 * df[t] + 1) // (2 * df[t] + 1)
+                s += idf * 22 * tf * a // (
+                    10 * tf * a + 3 * a + 9000 * dl
+                )
+        if matched:  # a doc with only zero-flooring terms still scores
+            scores[d] = s
+    want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+    want = [
+        (d, s, i + 1) for i, (d, s) in enumerate(want[:BM25_TOPK])
+    ]
+    assert list(got.itertuples(index=False, name=None)) == want
+    assert len(want) == BM25_TOPK  # mid-frequency query always hits
+
+
+# ---------------------------------------------------------------------------
+# q135 — reciprocal-rank fusion.
+# ---------------------------------------------------------------------------
+
+
+def test_q135_matches_pure_python_fusion(spark):
+    """Third spelling: recompute both rankings (integer BM25 over the
+    query doc's 3 rarest terms; cosine via the same left-fold float
+    math) and the RRF fusion in pure Python."""
+    import math
+    from collections import Counter
+
+    from smartbulkcopy_spark.pipeline.ensemble import RRF_K, RRF_TOPK
+
+    got = _run("q135_rrf_retrieval_fusion", spark)
+    release_caches()
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    emb = pd.read_parquet(f"{SF_SMOKE}/embeddings.parquet").sort_values(
+        "vec_id"
+    )
+    qid = int(emb["vec_id"].iloc[0])
+    qvec = [float(v) for v in emb["embedding"].iloc[0]]
+    nq = math.sqrt(sum(v * v for v in qvec))
+
+    post = _postings(docs)
+    df = Counter()
+    for tc in post.values():
+        for t in tc:
+            df[t] += 1
+    qterms = sorted(post[qid], key=lambda t: (df[t], t))[:3]
+    nn = len(post)
+    a = 1000 * sum(sum(tc.values()) for tc in post.values()) // nn
+    scores = {}
+    for d, tc in post.items():
+        if d == qid:
+            continue
+        dl = sum(tc.values())
+        s, matched = 0, False
+        for t in qterms:
+            tf = tc.get(t, 0)
+            if tf:
+                matched = True
+                idf = 1000 * (2 * nn - 2 * df[t] + 1) // (2 * df[t] + 1)
+                s += idf * 22 * tf * a // (10 * tf * a + 3 * a + 9000 * dl)
+        if matched:
+            scores[d] = s
+    bm = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    bm_rank = {d: i + 1 for i, (d, _) in enumerate(bm)}
+
+    ce = []
+    for r in emb.itertuples():
+        if int(r.vec_id) == qid:
+            continue
+        v = [float(x) for x in r.embedding]
+        dot = sum(x * y for x, y in zip(v, qvec))
+        na = math.sqrt(sum(x * x for x in v))
+        ce.append((int(r.vec_id), math.floor(10000.0 * dot / (na * nq))))
+    ce.sort(key=lambda p: (-p[1], p[0]))
+    cos_rank = {d: i + 1 for i, (d, _) in enumerate(ce[:20])}
+
+    fused = {}
+    for d in set(bm_rank) | set(cos_rank):
+        fused[d] = (
+            (1000000 // (RRF_K + bm_rank[d]) if d in bm_rank else 0)
+            + (1000000 // (RRF_K + cos_rank[d]) if d in cos_rank else 0)
+        )
+    want = sorted(fused.items(), key=lambda kv: (-kv[1], kv[0]))[:RRF_TOPK]
+    want = [
+        (d, bm_rank.get(d, 0), cos_rank.get(d, 0), s) for d, s in want
+    ]
+    assert list(got.itertuples(index=False, name=None)) == want
+    # the fusion must actually mix modalities: at least one doc from
+    # each list appears in the top-10
+    assert any(r[1] > 0 for r in want) and any(r[2] > 0 for r in want)

@@ -232,6 +232,24 @@ ANNOTATED = {
     " per-type first occurrence is a map-side-combined min-aggregate,"
     " bucket rollups are partial-aggregated, and the only windows run"
     " over the tiny bucket table — one corpus scan total.",
+    "q132_cluster_separation": "Reuses the q77 lazy Lloyd chain (el"
+    " eager-persisted once, broadcast centroid joins); within-cluster"
+    " sums are per-(vec,dim) integer aggregates, and the K x K centroid"
+    " distance matrix explodes row-local from ONE collected row of K"
+    " centroid vectors — never an inequality self-join.",
+    "q133_hist_quantile_sketch": "Sketch side is a map-side-combined"
+    " (source, bin) groupBy plus windows over <= 64 histogram rows per"
+    " source; only the exact-audit side sorts within a source"
+    " partition. The sketch merges by addition shard->source->corpus.",
+    "q134_bm25_topk": "Postings built once (eager for the 3 consumers:"
+    " vocabulary, doc lengths, scoring); corpus scalars attach"
+    " driver-side; the query-term join is a 3-row broadcast; top-k is"
+    " TakeOrdered, never a global sort; the rank window runs over the"
+    " 20 surviving rows only.",
+    "q135_rrf_retrieval_fusion": "Two bounded top-20 rankings (BM25"
+    " TakeOrdered + cosine TakeOrdered with integer cos_e4 rank keys)"
+    " full-outer-joined on id — the fusion never touches more than 40"
+    " rows; the query vector is a broadcast literal (q30 convention).",
 }
 
 

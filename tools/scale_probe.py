@@ -85,6 +85,10 @@ PROBES = [
     "q129_containment_join",
     "q130_pps_token_sample",
     "q131_vocab_growth",
+    "q132_cluster_separation",
+    "q133_hist_quantile_sketch",
+    "q134_bm25_topk",
+    "q135_rrf_retrieval_fusion",
 ]
 
 
