@@ -2262,3 +2262,233 @@ def _bm25_rank(spark, post, dl, qt, exclude_id=None):
         .limit(BM25_TOPK)
         .withColumn("bm25_rank", F.row_number().over(wr).cast("long"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-source token-distribution drift. When one feed's unigram
+# distribution diverges from the corpus (encoding bug, language shift,
+# spam flood), every downstream sampler inherits the skew. The drift
+# statistic is total-variation distance in parts-per-million over the
+# top-V corpus vocabulary — exact integer arithmetic (per-million token
+# rates, absolute differences, halved), so both engines agree
+# bit-for-bit, unlike a KL divergence whose float log drifts across
+# libm builds. The vocabulary (V=50 tokens plus corpus totals) is a
+# bounded driver-side scalar list attached as a literal array and
+# exploded per source row (the q126 grid rule — never a cross join).
+# ---------------------------------------------------------------------------
+
+DRIFT_VOCAB = 50
+
+
+@register(
+    "q136_source_token_drift",
+    "WITH nd AS (SELECT doc_id, source, " + NORM_SQL_DUCK
+    + " AS n FROM documents),"
+    " ti AS (SELECT source, unnest(string_split(trim(n), ' ')) AS t"
+    " FROM nd WHERE trim(n) != ''),"
+    " ct AS (SELECT t, CAST(count(*) AS BIGINT) AS tfg FROM ti"
+    " GROUP BY t),"
+    f" v AS (SELECT t, tfg FROM ct ORDER BY tfg DESC, t"
+    f" LIMIT {DRIFT_VOCAB}),"
+    " tot AS (SELECT CAST(count(*) AS BIGINT) AS tt FROM ti),"
+    " st AS (SELECT source, CAST(count(*) AS BIGINT) AS s_tokens"
+    " FROM ti GROUP BY source),"
+    " obs AS (SELECT source, t, CAST(count(*) AS BIGINT) AS o FROM ti"
+    " JOIN v USING (t) GROUP BY source, t),"
+    " grid AS (SELECT st.source, st.s_tokens, v.t, v.tfg,"
+    " coalesce(obs.o, 0) AS o FROM st CROSS JOIN v"
+    " LEFT JOIN obs ON obs.source = st.source AND obs.t = v.t),"
+    " d AS (SELECT source, s_tokens, t,"
+    " abs(1000000 * o // s_tokens"
+    " - 1000000 * tfg // (SELECT tt FROM tot)) AS adiff FROM grid),"
+    " r AS (SELECT source, s_tokens, t, adiff, row_number()"
+    " OVER (PARTITION BY source ORDER BY adiff DESC, t) AS rn,"
+    " sum(adiff) OVER (PARTITION BY source) AS sad FROM d)"
+    " SELECT source, s_tokens,"
+    " CAST(sad // 2 AS BIGINT) AS tv_ppm,"
+    " t AS top_token, CAST(adiff AS BIGINT) AS top_adiff_ppm"
+    " FROM r WHERE rn = 1 ORDER BY source",
+    doc="Per-source unigram drift vs the corpus: total-variation"
+    " distance in ppm over the top-50 corpus vocabulary, plus the"
+    " single most-drifted token — the triage readout naming WHICH feed"
+    " shifted and on what. Exact integer TV (per-million rates, abs"
+    " diff, halved) instead of a float-log KL; the 50-token vocabulary"
+    " and corpus total attach driver-side as a literal array exploded"
+    " per source row (the q126 grid rule — never a cross join), so the"
+    " grid is |sources| x 50 regardless of corpus size.",
+)
+def q136(spark, sf_dir):
+    nd = table(spark, sf_dir, "documents").select(
+        "source", norm_text().alias("n")
+    )
+    ti = nd.where(F.trim("n") != "").select(
+        "source", F.explode(F.split(F.trim("n"), " ")).alias("t")
+    )
+    # ONE explode pass, map-side combined into (source, token) counts —
+    # the persisted intermediate is vocab x sources sized, never the raw
+    # token instances; vocabulary, corpus total, per-source totals and
+    # the observation table all derive from it (4 consumers).
+    obs_all = eager(
+        ti.groupBy("source", "t").agg(F.count("*").alias("o"))
+    )
+    vt = (
+        obs_all.groupBy("t")
+        .agg(F.sum("o").alias("tfg"))
+        .orderBy(F.col("tfg").desc(), "t")
+        .limit(DRIFT_VOCAB)
+        .collect()
+    )
+    tt = int(obs_all.agg(F.sum("o")).collect()[0][0])
+    vocab_lit = F.array(
+        *[
+            F.struct(
+                F.lit(r["t"]).alias("t"), F.lit(int(r["tfg"])).alias("tfg")
+            )
+            for r in vt
+        ]
+    )
+    st = obs_all.groupBy("source").agg(F.sum("o").alias("s_tokens"))
+    obs = obs_all.where(
+        F.col("t").isin([r["t"] for r in vt])
+    ).select("source", "t", "o")
+    grid = st.select(
+        "source", "s_tokens", F.explode(vocab_lit).alias("v")
+    ).select("source", "s_tokens", "v.t", "v.tfg")
+    d = grid.join(obs, ["source", "t"], "left").select(
+        "source",
+        "s_tokens",
+        "t",
+        F.abs(
+            F.expr("1000000 * coalesce(o, 0L) DIV s_tokens")
+            - F.expr(f"1000000 * tfg DIV {int(tt)}")
+        ).alias("adiff"),
+    )
+    wsrc = Window.partitionBy("source")
+    wr = Window.partitionBy("source").orderBy(F.col("adiff").desc(), "t")
+    return (
+        d.withColumn("sad", F.sum("adiff").over(wsrc))
+        .withColumn("rn", F.row_number().over(wr))
+        .where(F.col("rn") == 1)
+        .select(
+            "source",
+            F.col("s_tokens").cast("long").alias("s_tokens"),
+            F.expr("sad DIV 2").cast("long").alias("tv_ppm"),
+            F.col("t").alias("top_token"),
+            F.col("adiff").cast("long").alias("top_adiff_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Robust per-source length-outlier audit. Mean/stddev outlier rules are
+# themselves corrupted by the outliers they hunt; the production rule
+# is median +- k*MAD (median absolute deviation), which is exact
+# integer arithmetic here: both medians are percentile_disc values
+# (rank ceil(n/2) in a per-source sort), no float moments. Flags the
+# docs a format regression produces (truncated-to-nothing or
+# concatenated-megarow) per source.
+# ---------------------------------------------------------------------------
+
+MAD_K = 5
+
+
+@register(
+    "q137_mad_length_outliers",
+    "WITH nd AS (SELECT doc_id, source, " + NORM_SQL_DUCK
+    + " AS n FROM documents),"
+    " d AS (SELECT doc_id, source,"
+    " CASE WHEN trim(n) = '' THEN 0"
+    " ELSE len(string_split(trim(n), ' ')) END AS len FROM nd),"
+    " r1 AS (SELECT source, len, row_number() OVER"
+    " (PARTITION BY source ORDER BY len, doc_id) AS rn,"
+    " count(*) OVER (PARTITION BY source) AS n FROM d),"
+    " med AS (SELECT source, CAST(min(CASE WHEN rn = (n + 1) // 2"
+    " THEN len END) AS BIGINT) AS median_tokens FROM r1"
+    " GROUP BY source),"
+    " ad AS (SELECT d.doc_id, d.source, d.len,"
+    " abs(d.len - m.median_tokens) AS adev FROM d"
+    " JOIN med m ON m.source = d.source),"
+    " r2 AS (SELECT source, adev, row_number() OVER"
+    " (PARTITION BY source ORDER BY adev, doc_id) AS rn,"
+    " count(*) OVER (PARTITION BY source) AS n FROM ad),"
+    " mad AS (SELECT source, CAST(min(CASE WHEN rn = (n + 1) // 2"
+    " THEN adev END) AS BIGINT) AS mad_tokens FROM r2 GROUP BY source)"
+    " SELECT a.source, CAST(count(*) AS BIGINT) AS n_docs,"
+    " m.median_tokens, x.mad_tokens,"
+    f" CAST(sum(CASE WHEN a.adev > {MAD_K} * x.mad_tokens"
+    " THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,"
+    f" CAST(1000000 * sum(CASE WHEN a.adev > {MAD_K} * x.mad_tokens"
+    " THEN 1 ELSE 0 END) // count(*) AS BIGINT) AS outlier_ppm"
+    " FROM ad a JOIN med m ON m.source = a.source"
+    " JOIN mad x ON x.source = a.source"
+    " GROUP BY a.source, m.median_tokens, x.mad_tokens"
+    " ORDER BY a.source",
+    doc="Robust per-source length-outlier audit: median +- 5*MAD over"
+    " whitespace-token counts, both medians exact percentile_disc"
+    " (rank ceil(n/2)) — no float moments, so the rule is not"
+    " corrupted by the outliers it hunts and both engines agree"
+    " exactly. Two bounded per-source window passes (rank within"
+    " source), id-keyed median joins; flags the truncation/"
+    "concatenation regressions a feed produces.",
+)
+def q137(spark, sf_dir):
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.when(F.trim(norm_text()) == "", F.lit(0))
+        .otherwise(F.size(F.split(F.trim(norm_text()), " ")))
+        .alias("len"),
+    )
+    w1 = Window.partitionBy("source").orderBy("len", "doc_id")
+    wn = Window.partitionBy("source")
+    r1 = d.withColumn("rn", F.row_number().over(w1)).withColumn(
+        "n", F.count("*").over(wn)
+    )
+    med = r1.groupBy("source").agg(
+        F.min(
+            F.when(F.col("rn") == F.expr("(n + 1) DIV 2"), F.col("len"))
+        )
+        .cast("long")
+        .alias("median_tokens")
+    )
+    ad = d.join(med, "source").select(
+        "doc_id",
+        "source",
+        "len",
+        "median_tokens",
+        F.abs(F.col("len") - F.col("median_tokens")).alias("adev"),
+    )
+    w2 = Window.partitionBy("source").orderBy("adev", "doc_id")
+    r2 = ad.withColumn("rn", F.row_number().over(w2)).withColumn(
+        "n", F.count("*").over(wn)
+    )
+    mad = r2.groupBy("source").agg(
+        F.min(
+            F.when(F.col("rn") == F.expr("(n + 1) DIV 2"), F.col("adev"))
+        )
+        .cast("long")
+        .alias("mad_tokens")
+    )
+    out_flag = F.when(
+        F.col("adev") > MAD_K * F.col("mad_tokens"), 1
+    ).otherwise(0)
+    return (
+        ad.join(mad, "source")
+        .groupBy("source", "median_tokens", "mad_tokens")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(out_flag).cast("long").alias("n_outliers"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "median_tokens",
+            "mad_tokens",
+            "n_outliers",
+            F.expr("1000000 * n_outliers DIV n_docs")
+            .cast("long")
+            .alias("outlier_ppm"),
+        )
+        .orderBy("source")
+    )

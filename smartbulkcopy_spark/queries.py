@@ -1637,6 +1637,9 @@ QUEUED_SINCE = {
         "q132_cluster_separation", "q133_hist_quantile_sketch",
         "q134_bm25_topk", "q135_rrf_retrieval_fusion",
     )},
+    **{n: 86 for n in (
+        "q136_source_token_drift", "q137_mad_length_outliers",
+    )},
 }
 
 

@@ -1366,3 +1366,75 @@ def test_q135_matches_pure_python_fusion(spark):
     # the fusion must actually mix modalities: at least one doc from
     # each list appears in the top-10
     assert any(r[1] > 0 for r in want) and any(r[2] > 0 for r in want)
+
+
+# ---------------------------------------------------------------------------
+# q136 — per-source token drift; q137 — MAD length outliers.
+# ---------------------------------------------------------------------------
+
+
+def test_q136_matches_pure_python_tv(spark):
+    from collections import Counter
+
+    from smartbulkcopy_spark.pipeline.text import DRIFT_VOCAB
+
+    got = _run("q136_source_token_drift", spark)
+    release_caches()
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    import re as _re
+
+    inst = {}
+    for _, r in docs.iterrows():
+        n = _re.sub(r"\s+", " ", (r["text"] or "").lower()).strip()
+        if n:
+            inst.setdefault(r["source"], Counter()).update(n.split(" "))
+    corpus = Counter()
+    for c in inst.values():
+        corpus.update(c)
+    tt = sum(corpus.values())
+    vocab = sorted(corpus.items(), key=lambda kv: (-kv[1], kv[0]))[
+        :DRIFT_VOCAB
+    ]
+    want = []
+    for s in sorted(inst):
+        stoks = sum(inst[s].values())
+        diffs = []
+        for t, tfg in vocab:
+            a = abs(
+                1000000 * inst[s].get(t, 0) // stoks
+                - 1000000 * tfg // tt
+            )
+            diffs.append((a, t))
+        tv = sum(a for a, _ in diffs) // 2
+        # tie-break: highest adiff, then lowest token
+        best = sorted(diffs, key=lambda p: (-p[0], p[1]))[0]
+        want.append((s, stoks, tv, best[1], best[0]))
+    assert list(got.itertuples(index=False, name=None)) == want
+    assert all(w[2] > 0 for w in want)  # fixture sources do drift
+
+
+def test_q137_matches_pure_python_mad(spark):
+    import re as _re
+
+    from smartbulkcopy_spark.pipeline.text import MAD_K
+
+    got = _run("q137_mad_length_outliers", spark)
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    lens = {}
+    for _, r in docs.iterrows():
+        n = _re.sub(r"\s+", " ", (r["text"] or "").lower()).strip()
+        lens.setdefault(r["source"], []).append(
+            len(n.split(" ")) if n else 0
+        )
+    want = []
+    for s in sorted(lens):
+        ls = sorted(lens[s])
+        nn = len(ls)
+        med = ls[(nn + 1) // 2 - 1]
+        devs = sorted(abs(v - med) for v in ls)
+        mad = devs[(nn + 1) // 2 - 1]
+        n_out = sum(1 for v in ls if abs(v - med) > MAD_K * mad)
+        want.append(
+            (s, nn, med, mad, n_out, 1000000 * n_out // nn)
+        )
+    assert list(got.itertuples(index=False, name=None)) == want

@@ -250,6 +250,16 @@ ANNOTATED = {
     " TakeOrdered + cosine TakeOrdered with integer cos_e4 rank keys)"
     " full-outer-joined on id — the fusion never touches more than 40"
     " rows; the query vector is a broadcast literal (q30 convention).",
+    "q136_source_token_drift": "ONE explode pass map-side combined into"
+    " (source, token) counts — the persisted intermediate is"
+    " vocab x sources sized, never raw token instances; the 50-token"
+    " vocabulary + corpus total attach driver-side and the grid"
+    " explodes a literal array per source row (q126 rule, no cross"
+    " join); windows run over 50 rows per source.",
+    "q137_mad_length_outliers": "Two bounded per-source rank windows"
+    " (median, then MAD); medians join back id-keyed; no float"
+    " moments anywhere, so the rule is outlier-robust and"
+    " engine-exact.",
 }
 
 

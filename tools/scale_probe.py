@@ -89,6 +89,8 @@ PROBES = [
     "q133_hist_quantile_sketch",
     "q134_bm25_topk",
     "q135_rrf_retrieval_fusion",
+    "q136_source_token_drift",
+    "q137_mad_length_outliers",
 ]
 
 
