@@ -882,3 +882,150 @@ def q133(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Log2-bucketed inter-event-gap quantile sketch. Event gaps span seven
+# orders of magnitude (milliseconds to days), so the q133 fixed-width
+# histogram is useless here; the standard trick is power-of-two bins —
+# bucket = length of the binary representation of the gap in ms, a pure
+# STRING/integer operation both engines spell identically (bin() has no
+# leading zeros in either), giving a guaranteed <= 2x relative error
+# with ~40 buckets per event type, mergeable by addition. The exact
+# per-type quantiles ride along as the audit.
+# ---------------------------------------------------------------------------
+
+_GAP_Q = (500, 900, 990)
+
+
+@register(
+    "q139_gap_quantile_sketch",
+    "WITH g AS (SELECT event_type,"
+    " CAST((epoch_us(ts) - epoch_us(lag(ts) OVER"
+    " (PARTITION BY user_id ORDER BY ts, event_id))) // 1000 AS BIGINT)"
+    " AS gap_ms FROM events),"
+    " gg AS (SELECT event_type, gap_ms,"
+    " CAST(length(bin(gap_ms)) AS BIGINT) AS b FROM g"
+    " WHERE gap_ms IS NOT NULL),"
+    " h AS (SELECT event_type, b, count(*) AS cnt FROM gg"
+    " GROUP BY event_type, b),"
+    " c AS (SELECT event_type, b, cnt,"
+    " sum(cnt) OVER (PARTITION BY event_type ORDER BY b) AS cum,"
+    " sum(cnt) OVER (PARTITION BY event_type) AS n FROM h),"
+    " est AS (SELECT event_type,"
+    + ", ".join(
+        f" CAST(CASE WHEN min(CASE WHEN 1000 * cum >= {q} * n"
+        f" THEN b END) = 1 THEN 0 ELSE CAST(1 AS BIGINT) << (min(CASE WHEN 1000 * cum"
+        f" >= {q} * n THEN b END) - 1) END AS BIGINT) AS p{q}_est_ms"
+        for q in _GAP_Q
+    )
+    + " FROM c GROUP BY event_type),"
+    " r AS (SELECT event_type, gap_ms,"
+    " row_number() OVER (PARTITION BY event_type ORDER BY gap_ms) AS rn,"
+    " count(*) OVER (PARTITION BY event_type) AS n FROM gg),"
+    " ex AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,"
+    + ", ".join(
+        f" CAST(min(CASE WHEN rn = ({q} * n + 999) // 1000"
+        f" THEN gap_ms END) AS BIGINT) AS p{q}_ms"
+        for q in _GAP_Q
+    )
+    + " FROM r GROUP BY event_type)"
+    " SELECT ex.event_type, ex.n_gaps,"
+    " est.p500_est_ms, ex.p500_ms, est.p900_est_ms, ex.p900_ms,"
+    " est.p990_est_ms, ex.p990_ms"
+    " FROM ex JOIN est ON est.event_type = ex.event_type"
+    " ORDER BY ex.event_type",
+    doc="Inter-event-gap quantile sketch per event type: gaps (ms,"
+    " NTZ-safe microsecond arithmetic, attributed to the later event in"
+    " (ts, event_id) order per user) summarized into power-of-two"
+    " buckets — bucket = length(bin(gap_ms)), a string-integer op both"
+    " engines spell identically — giving <= 2x relative error from ~40"
+    " mergeable counters per type; estimates are the bucket's lower"
+    " edge at the first cumulative count reaching ceil(q*n). Exact"
+    " p50/p90/p99 ride along as the audit.",
+)
+def q139(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    ev = table(spark, sf_dir, "events")
+    wl = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = ev.select(
+        "event_type",
+        F.lag("ts").over(wl).alias("prev_ts"),
+        "ts",
+    ).select(
+        "event_type",
+        F.expr("timestampdiff(MICROSECOND, prev_ts, ts) DIV 1000")
+        .cast("long")
+        .alias("gap_ms"),
+    )
+    gg = g.where(F.col("gap_ms").isNotNull()).select(
+        "event_type",
+        "gap_ms",
+        F.length(F.bin("gap_ms")).cast("long").alias("b"),
+    )
+    h = gg.groupBy("event_type", "b").agg(F.count("*").alias("cnt"))
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("event_type")
+    c = h.withColumn("cum", F.sum("cnt").over(w_cum)).withColumn(
+        "n", F.sum("cnt").over(w_all)
+    )
+
+    def _est_b(q):
+        return F.min(
+            F.when(1000 * F.col("cum") >= q * F.col("n"), F.col("b"))
+        ).alias(f"p{q}_b")
+
+    est = c.groupBy("event_type").agg(
+        *[_est_b(q) for q in _GAP_Q]
+    ).select(
+        "event_type",
+        *[
+            F.expr(
+                f"CASE WHEN p{q}_b = 1 THEN 0L ELSE"
+                f" shiftleft(1L, cast(p{q}_b - 1 AS int)) END"
+            )
+            .cast("long")
+            .alias(f"p{q}_est_ms")
+            for q in _GAP_Q
+        ],
+    )
+    w_rn = Window.partitionBy("event_type").orderBy("gap_ms")
+    r = gg.withColumn("rn", F.row_number().over(w_rn)).withColumn(
+        "n", F.count("*").over(w_all)
+    )
+
+    def _exact(q):
+        return (
+            F.min(
+                F.when(
+                    F.col("rn") == F.expr(f"({q} * n + 999) DIV 1000"),
+                    F.col("gap_ms"),
+                )
+            )
+            .cast("long")
+            .alias(f"p{q}_ms")
+        )
+
+    ex = r.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_gaps"),
+        *[_exact(q) for q in _GAP_Q],
+    )
+    return (
+        ex.join(est, "event_type")
+        .select(
+            "event_type",
+            "n_gaps",
+            "p500_est_ms",
+            "p500_ms",
+            "p900_est_ms",
+            "p900_ms",
+            "p990_est_ms",
+            "p990_ms",
+        )
+        .orderBy("event_type")
+    )

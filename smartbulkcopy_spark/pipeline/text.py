@@ -2342,7 +2342,10 @@ def q136(spark, sf_dir):
     vocab_lit = F.array(
         *[
             F.struct(
-                F.lit(r["t"]).alias("t"), F.lit(int(r["tfg"])).alias("tfg")
+                F.lit(r["t"]).alias("t"),
+                # long, not int: 1000000 * tfg must not overflow 32-bit
+                # under ANSI once per-token corpus counts pass ~2147
+                F.lit(int(r["tfg"])).cast("long").alias("tfg"),
             )
             for r in vt
         ]
@@ -2491,4 +2494,62 @@ def q137(spark, sf_dir):
             .alias("outlier_ppm"),
         )
         .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fertility. Fertility (subword tokens per whitespace word) is
+# THE tokenizer-health metric per language/source slice: a fertility
+# spike means the tokenizer fragments that slice (wrong script, mojibake,
+# digit floods) and its token budget silently inflates. Pure row-local
+# counting (the q38 BPE-ish regex over the shared normalization) plus
+# one partial-aggregated groupBy; the ratio is scaled-int e3.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q138_tokenizer_fertility",
+    "WITH d AS (SELECT lang, source,"
+    " CASE WHEN trim(" + NORM_SQL_DUCK + ") = '' THEN 0"
+    " ELSE len(string_split(trim(" + NORM_SQL_DUCK + "), ' ')) END AS ws,"
+    f" len(regexp_extract_all({NORM_SQL_DUCK}, '{_BPE_PATTERN}')) AS bpe"
+    " FROM documents)"
+    " SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,"
+    " CAST(sum(ws) AS BIGINT) AS ws_tokens,"
+    " CAST(sum(bpe) AS BIGINT) AS bpe_tokens,"
+    " CAST(1000 * sum(bpe) // greatest(sum(ws), 1) AS BIGINT)"
+    " AS fertility_e3"
+    " FROM d GROUP BY lang, source ORDER BY lang, source",
+    doc="Tokenizer fertility (BPE-ish subword tokens per whitespace"
+    " word, scaled e3) per (lang, source) slice — the tokenizer-health"
+    " readout: a fertility spike flags script mismatch/mojibake/digit"
+    " floods inflating the slice's token budget. Row-local regex"
+    " counting over the shared normalization, one map-side-combined"
+    " groupBy, integer ratio.",
+)
+def q138(spark, sf_dir):
+    ws = F.when(F.trim(norm_text()) == "", F.lit(0)).otherwise(
+        F.size(F.split(F.trim(norm_text()), " "))
+    )
+    bpe = F.size(F.regexp_extract_all(norm_text(), F.lit(_BPE_PATTERN), 0))
+    return (
+        table(spark, sf_dir, "documents")
+        .select("lang", "source", ws.alias("ws"), bpe.alias("bpe"))
+        .groupBy("lang", "source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("ws").cast("long").alias("ws_tokens"),
+            F.sum("bpe").cast("long").alias("bpe_tokens"),
+        )
+        .select(
+            "lang",
+            "source",
+            "n_docs",
+            "ws_tokens",
+            "bpe_tokens",
+            F.expr("1000 * bpe_tokens DIV greatest(ws_tokens, 1L)")
+            .cast("long")
+            .alias("fertility_e3"),
+        )
+        .orderBy("lang", "source")
     )

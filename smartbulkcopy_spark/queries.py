@@ -1640,6 +1640,9 @@ QUEUED_SINCE = {
     **{n: 86 for n in (
         "q136_source_token_drift", "q137_mad_length_outliers",
     )},
+    **{n: 87 for n in (
+        "q138_tokenizer_fertility", "q139_gap_quantile_sketch",
+    )},
 }
 
 

@@ -1438,3 +1438,65 @@ def test_q137_matches_pure_python_mad(spark):
             (s, nn, med, mad, n_out, 1000000 * n_out // nn)
         )
     assert list(got.itertuples(index=False, name=None)) == want
+
+
+# ---------------------------------------------------------------------------
+# q138 — tokenizer fertility; q139 — gap quantile sketch.
+# ---------------------------------------------------------------------------
+
+
+def test_q138_matches_pure_python(spark):
+    import re as _re
+
+    got = _run("q138_tokenizer_fertility", spark)
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    agg = {}
+    bpe_re = _re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]")
+    for _, r in docs.iterrows():
+        n = _re.sub(r"\s+", " ", (r["text"] or "").lower()).strip()
+        ws = len(n.split(" ")) if n else 0
+        bpe = len(bpe_re.findall(n))
+        st = agg.setdefault((r["lang"], r["source"]), [0, 0, 0])
+        st[0] += 1
+        st[1] += ws
+        st[2] += bpe
+    want = [
+        (lang, src, nd, ws, bp, 1000 * bp // max(ws, 1))
+        for (lang, src), (nd, ws, bp) in sorted(agg.items())
+    ]
+    assert list(got.itertuples(index=False, name=None)) == want
+    # fertility must exceed 1.0 whenever punctuation exists
+    assert all(w[5] >= 1000 for w in want if w[3] > 0)
+
+
+def test_q139_matches_pure_python_and_2x_bound(spark):
+    got = _run("q139_gap_quantile_sketch", spark)
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet").sort_values(
+        ["user_id", "ts", "event_id"]
+    )
+    # pandas .value is ns; gap_ms = (us_a - us_b) // 1000 computed on us
+    gaps = {}
+    for _, grp in ev.groupby("user_id"):
+        prev = None
+        for r in grp.itertuples():
+            if prev is not None:
+                gaps.setdefault(r.event_type, []).append(
+                    (r.ts.value // 1000 - prev // 1000) // 1000
+                )
+            prev = r.ts.value
+    for row in got.itertuples():
+        ls = sorted(gaps[row.event_type])
+        nn = len(ls)
+        assert row.n_gaps == nn
+        for q, est, exact in (
+            (500, row.p500_est_ms, row.p500_ms),
+            (900, row.p900_est_ms, row.p900_ms),
+            (990, row.p990_est_ms, row.p990_ms),
+        ):
+            want_exact = ls[(q * nn + 999) // 1000 - 1]
+            assert exact == want_exact, (row.event_type, q)
+            b = len(bin(want_exact)[2:]) if want_exact > 0 else 1
+            want_est = 0 if b == 1 else 1 << (b - 1)
+            assert est == want_est, (row.event_type, q)
+            # the power-of-two guarantee: est <= exact < 2*max(est, 1)
+            assert est <= exact < 2 * max(est, 1)

@@ -260,6 +260,14 @@ ANNOTATED = {
     " (median, then MAD); medians join back id-keyed; no float"
     " moments anywhere, so the rule is outlier-robust and"
     " engine-exact.",
+    "q138_tokenizer_fertility": "Row-local regex counting over the"
+    " shared normalization; one map-side-combined groupBy; integer"
+    " e3 ratio — no windows, no joins.",
+    "q139_gap_quantile_sketch": "Gaps from one user-partitioned lag"
+    " window; power-of-two buckets via length(bin(gap_ms)) collapse"
+    " to ~40 mergeable counters per event type (map-side combined);"
+    " cumulative/est windows run over those counter rows only; only"
+    " the exact-audit side ranks within an event type.",
 }
 
 

@@ -91,6 +91,8 @@ PROBES = [
     "q135_rrf_retrieval_fusion",
     "q136_source_token_drift",
     "q137_mad_length_outliers",
+    "q138_tokenizer_fertility",
+    "q139_gap_quantile_sketch",
 ]
 
 
