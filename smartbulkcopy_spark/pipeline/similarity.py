@@ -1378,3 +1378,137 @@ def q132(spark, sf_dir):
         )
         .orderBy("cid")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization: the vector-compression step between q74's scalar
+# quantizer and q36's IVF index. The embedding splits into PQ_M
+# subspaces; each subvector is assigned to the nearest of PQ_K codewords
+# (deterministic sample — training is an offline concern, the engine
+# demonstrates the assignment machinery, exactly the q36 centroid
+# convention). Codes histogram per (subspace, code); per-row quantization
+# error floor-scales to int e6 before the cross-row sum (q55 rule). At
+# 100 TB the assignment is a per-row argmin over 4x8 broadcast codeword
+# literals — zero joins, and the emitted (m, code) pair is the 1-byte/
+# subspace compressed representation an ANN serving tier stores.
+# ---------------------------------------------------------------------------
+
+PQ_M = 4  # subspaces
+PQ_SUB = EMBED_DIM // PQ_M  # dims per subspace
+PQ_K = 8  # codewords per subspace
+
+
+def _pq_codebooks(spark, sf_dir):
+    """codebooks[m] = [(code_id, subvector)] — subvector slices of the
+    PQ_K lowest-vec_id embeddings (deterministic, the q36 convention)."""
+    rows = (
+        table(spark, sf_dir, "embeddings")
+        .orderBy("vec_id")
+        .limit(PQ_K)
+        .collect()
+    )
+    return [
+        [
+            (
+                r["vec_id"],
+                [float(v) for v in r["embedding"]][
+                    m * PQ_SUB : (m + 1) * PQ_SUB
+                ],
+            )
+            for r in rows
+        ]
+        for m in range(PQ_M)
+    ]
+
+
+def _pq_duck_cte() -> str:
+    dist = (
+        f"-2.0 * {_dot_duck('s.ev', 'c.cv')}"
+        f" + {_dot_duck('c.cv', 'c.cv')}"
+    )
+    return (
+        "base AS (SELECT vec_id AS code, embedding FROM embeddings"
+        f" ORDER BY vec_id LIMIT {PQ_K}),"
+        f" grid AS (SELECT unnest(range(0, {PQ_M})) AS m),"
+        " cod AS (SELECT m, code,"
+        f" embedding[m * {PQ_SUB} + 1 : m * {PQ_SUB} + {PQ_SUB}] AS cv"
+        " FROM base CROSS JOIN grid),"
+        " sub AS (SELECT vec_id, m,"
+        f" embedding[m * {PQ_SUB} + 1 : m * {PQ_SUB} + {PQ_SUB}] AS ev"
+        " FROM embeddings CROSS JOIN grid),"
+        f" dists AS (SELECT s.vec_id, s.m, c.code, {dist} AS d,"
+        f" {_dot_duck('s.ev', 's.ev')} AS ee"
+        " FROM sub s JOIN cod c ON c.m = s.m),"
+        " assign AS (SELECT vec_id, m, code, d, ee, row_number()"
+        " OVER (PARTITION BY vec_id, m ORDER BY d, code) AS rn"
+        " FROM dists)"
+    )
+
+
+@register(
+    "q141_pq_code_assignment",
+    "WITH " + _pq_duck_cte()
+    + " SELECT m, code, CAST(count(*) AS BIGINT) AS n_vecs,"
+    " CAST(sum(CAST(floor(greatest(ee + d, 0.0) * 1000000.0) AS BIGINT))"
+    " AS BIGINT) AS err_e6"
+    " FROM assign WHERE rn = 1 GROUP BY m, code ORDER BY m, code",
+    doc="Product-quantization code assignment: each of PQ_M=4 subvector"
+    " slices maps to its nearest of PQ_K=8 deterministic codewords (the"
+    " q36 sampled-centroid convention — training is offline; the engine"
+    " demonstrates assignment). Per-row argmin over broadcast codeword"
+    " literals via the -2*e.c + c.c surrogate (the e.e term cancels out"
+    " of the argmin); the reported quantization error restores e.e and"
+    " floor-scales per row to int e6 before the cross-row sum (q55"
+    " rule). Output: (subspace, code) histogram + error mass — the code"
+    " balance a PQ serving tier monitors. The oracle cross-joins only"
+    " because DuckDB has no broadcast concept, bounded at N x 4 x 8.",
+)
+def q141(spark, sf_dir):
+    books = _pq_codebooks(spark, sf_dir)
+    emb = spread(spark, table(spark, sf_dir, "embeddings"))
+    per_m = []
+    for m, book in enumerate(books):
+        ev = F.slice("embedding", m * PQ_SUB + 1, PQ_SUB)
+        best = F.array_min(
+            F.array(
+                *[
+                    F.struct(
+                        # c.c folded in Python left-to-right — the same
+                        # IEEE fold the engines use (q36 precedent)
+                        (
+                            -2.0 * dot_fold(ev, F.array(*[F.lit(v) for v in cv]))
+                            + F.lit(_py_fold_dot(cv))
+                        ).alias("d"),
+                        F.lit(code).cast("long").alias("code"),
+                    )
+                    for code, cv in book
+                ]
+            )
+        )
+        err = F.greatest(dot_fold(ev, ev) + best["d"], F.lit(0.0))
+        per_m.append(
+            F.struct(
+                F.lit(m).cast("long").alias("m"),
+                best["code"].alias("code"),
+                F.floor(err * F.lit(1000000.0)).cast("long").alias("err_e6"),
+            )
+        )
+    return (
+        emb.select(F.explode(F.array(*per_m)).alias("a"))
+        .select("a.m", "a.code", "a.err_e6")
+        .groupBy("m", "code")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.sum("err_e6").alias("err_e6"),
+        )
+        .orderBy("m", "code")
+    )
+
+
+def _py_fold_dot(vec) -> float:
+    """Left-to-right 0.0-seeded self-dot — bit-identical to dot_fold /
+    _dot_duck on the same values."""
+    acc = 0.0
+    for v in vec:
+        acc = acc + v * v
+    return acc

@@ -2553,3 +2553,89 @@ def q138(spark, sf_dir):
         )
         .orderBy("lang", "source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Encoding-anomaly (mojibake) audit. A feed that re-decodes bytes with
+# the wrong charset litters text with U+FFFD replacement characters;
+# binary-contaminated scrapes carry C0 control chars; PDF/HTML
+# extraction leaves zero-width/format chars that inflate token counts
+# invisibly. Counts are pure row-local length deltas (strip the class,
+# subtract) — UTF-16-unit vs code-point length() disagreement between
+# the engines cancels in the subtraction because every stripped char is
+# BMP. The fixture corpus is clean ASCII, so (q116 lesson) the regex
+# dialect parity is pinned by a dedicated synthetic-corpus test with
+# real hits, not just the all-zeros oracle run.
+# ---------------------------------------------------------------------------
+
+# \x{...} hex notation parses identically in Java regex and RE2; the
+# control class deliberately allows tab/LF/VT/FF/CR (Java \s members).
+_ENC_REPL = "\\x{FFFD}"
+_ENC_CTRL = "[\\x00-\\x08\\x0E-\\x1F\\x7F]"
+_ENC_ZW = "[\\x{200B}-\\x{200D}\\x{FEFF}]"
+
+
+@register(
+    "q142_encoding_anomaly_audit",
+    "WITH d AS (SELECT source, coalesce(text, '') AS t FROM documents),"
+    " a AS (SELECT source,"
+    f" len(t) - len(regexp_replace(t, '{_ENC_REPL}', '', 'g')) AS repl,"
+    f" len(t) - len(regexp_replace(t, '{_ENC_CTRL}', '', 'g')) AS ctrl,"
+    f" len(t) - len(regexp_replace(t, '{_ENC_ZW}', '', 'g')) AS zw"
+    " FROM d)"
+    " SELECT source, CAST(count(*) AS BIGINT) AS n_docs,"
+    " CAST(sum(CASE WHEN repl + ctrl + zw > 0 THEN 1 ELSE 0 END)"
+    " AS BIGINT) AS docs_flagged,"
+    " CAST(sum(repl) AS BIGINT) AS repl_chars,"
+    " CAST(sum(ctrl) AS BIGINT) AS ctrl_chars,"
+    " CAST(sum(zw) AS BIGINT) AS zw_chars,"
+    " CAST(1000000 * sum(CASE WHEN repl + ctrl + zw > 0 THEN 1 ELSE 0"
+    " END) // count(*) AS BIGINT) AS flagged_ppm"
+    " FROM a GROUP BY source ORDER BY source",
+    doc="Per-source encoding-anomaly audit: counts of U+FFFD"
+    " replacement chars (wrong-charset re-decode), C0 control chars"
+    " excluding tab/LF/VT/FF/CR (binary contamination), and zero-width/"
+    "format chars (extraction residue), plus the ppm of flagged docs —"
+    " the triage readout for a feed whose decoder regressed. Row-local"
+    " strip-and-subtract length deltas (UTF-16 vs code-point length"
+    " cancels: every stripped char is BMP); one map-side-combined"
+    " groupBy. Regex dialect parity pinned on a real-hit synthetic"
+    " corpus in tests/test_round8_ops.py (the fixture corpus is clean).",
+)
+def q142(spark, sf_dir):
+    t = F.coalesce(F.col("text"), F.lit(""))
+
+    def strip_count(pat):
+        return F.length(t) - F.length(F.regexp_replace(t, pat, ""))
+
+    a = table(spark, sf_dir, "documents").select(
+        "source",
+        strip_count(_ENC_REPL).alias("repl"),
+        strip_count(_ENC_CTRL).alias("ctrl"),
+        strip_count(_ENC_ZW).alias("zw"),
+    )
+    flagged = F.when(
+        F.col("repl") + F.col("ctrl") + F.col("zw") > 0, F.lit(1)
+    ).otherwise(F.lit(0))
+    return (
+        a.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(flagged).cast("long").alias("docs_flagged"),
+            F.sum("repl").cast("long").alias("repl_chars"),
+            F.sum("ctrl").cast("long").alias("ctrl_chars"),
+            F.sum("zw").cast("long").alias("zw_chars"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "docs_flagged",
+            "repl_chars",
+            "ctrl_chars",
+            "zw_chars",
+            F.expr("1000000 * docs_flagged DIV n_docs")
+            .cast("long")
+            .alias("flagged_ppm"),
+        )
+        .orderBy("source")
+    )

@@ -1398,6 +1398,89 @@ def q104(spark, sf_dir):
     return spark.createDataFrame(rows, out.schema)
 
 
+# ---------------------------------------------------------------------------
+# Multiway analytic join (TPC-H Q5 shape). Exercises the join-ordering /
+# broadcast surface no other registration covers: two fact-fact shuffle
+# joins (lineitem⋈orders, ⋈customer), a keyed supplier join carrying the
+# Q5 co-nationality condition, and two genuinely-small dims as explicit
+# broadcasts. Revenue follows the q55 integer rule — per-row floor-scale
+# to cents, then associative integer sums — so the result is reduction-
+# order-independent at any partitioning.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q140_regional_revenue_rollup",
+    "SELECT r_name, n_name, CAST(count(*) AS BIGINT) AS n_items,"
+    " CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0)"
+    " AS BIGINT)) AS BIGINT) AS revenue_cents"
+    " FROM lineitem l"
+    " JOIN orders o ON o.o_orderkey = l.l_orderkey"
+    " JOIN customer c ON c.c_custkey = o.o_custkey"
+    " JOIN supplier s ON s.s_suppkey = l.l_suppkey"
+    " AND s.s_nationkey = c.c_nationkey"
+    " JOIN nation n ON n.n_nationkey = c.c_nationkey"
+    " JOIN region r ON r.r_regionkey = n.n_regionkey"
+    " WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'"
+    " AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'"
+    " GROUP BY r_name, n_name ORDER BY r_name, n_name",
+    doc="TPC-H Q5-shape regional revenue rollup: lineitem⋈orders⋈"
+    "customer⋈supplier (local-supply condition s_nationkey ="
+    " c_nationkey) rolled up to (region, nation). orders carries the"
+    " selective one-year date filter (pushed to its scan, thinning the"
+    " first fact join); customer AND supplier scale with the data, so"
+    " both join keyed — only nation/region (fixed 25/5 rows) broadcast."
+    " Revenue is per-row floor-scaled cents integer-summed (q55 rule:"
+    " double sums are reduction-order-dependent; NTZ timestamp literals"
+    " per the q03 convention).",
+)
+def q140(spark, sf_dir):
+    lo = F.lit("1996-01-01 00:00:00").cast("timestamp_ntz")
+    hi = F.lit("1997-01-01 00:00:00").cast("timestamp_ntz")
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        # left-to-right: (price * (1 - disc)) * 100 — the oracle spells
+        # the identical association, so the double is bit-equal before
+        # the exact floor
+        F.floor(
+            F.col("l_extendedprice")
+            * (F.lit(1.0) - F.col("l_discount"))
+            * F.lit(100.0)
+        )
+        .cast("long")
+        .alias("rev_c"),
+    )
+    orders = (
+        table(spark, sf_dir, "orders")
+        .where((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+        .select("o_orderkey", "o_custkey")
+    )
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    reg = table(spark, sf_dir, "region")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            supp,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum("rev_c").alias("revenue_cents"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
 # Phase-5 pipeline operators (q21+) register themselves on import. The
 # import sits at the bottom because pipeline modules import `register`/
 # `table` from this module (deliberate one-way late binding, not a cycle
@@ -1642,6 +1725,10 @@ QUEUED_SINCE = {
     )},
     **{n: 87 for n in (
         "q138_tokenizer_fertility", "q139_gap_quantile_sketch",
+    )},
+    **{n: 88 for n in (
+        "q140_regional_revenue_rollup", "q141_pq_code_assignment",
+        "q142_encoding_anomaly_audit",
     )},
 }
 

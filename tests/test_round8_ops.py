@@ -1500,3 +1500,156 @@ def test_q139_matches_pure_python_and_2x_bound(spark):
             assert est == want_est, (row.event_type, q)
             # the power-of-two guarantee: est <= exact < 2*max(est, 1)
             assert est <= exact < 2 * max(est, 1)
+
+
+# ---------------------------------------------------------------------------
+# q140 — regional revenue rollup; q141 — PQ codes; q142 — encoding audit.
+# ---------------------------------------------------------------------------
+
+
+def test_q140_matches_pure_python_rollup(spark):
+    import math
+
+    got = _run("q140_regional_revenue_rollup", spark)
+    li = pd.read_parquet(f"{SF_SMOKE}/lineitem.parquet")
+    o = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")
+    c = pd.read_parquet(f"{SF_SMOKE}/customer.parquet")
+    s = pd.read_parquet(f"{SF_SMOKE}/supplier.parquet")
+    n = pd.read_parquet(f"{SF_SMOKE}/nation.parquet")
+    r = pd.read_parquet(f"{SF_SMOKE}/region.parquet")
+    o = o[(o.o_orderdate >= "1996-01-01") & (o.o_orderdate < "1997-01-01")]
+    j = (
+        li.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+        .merge(c, left_on="o_custkey", right_on="c_custkey")
+        .merge(s, left_on="l_suppkey", right_on="s_suppkey")
+    )
+    j = j[j.s_nationkey == j.c_nationkey]
+    j = j.merge(n, left_on="c_nationkey", right_on="n_nationkey").merge(
+        r, left_on="n_regionkey", right_on="r_regionkey"
+    )
+    agg = {}
+    for row in j.itertuples():
+        # the registered association: (price * (1 - disc)) * 100
+        rev = math.floor(
+            row.l_extendedprice * (1.0 - row.l_discount) * 100.0
+        )
+        st = agg.setdefault((row.r_name, row.n_name), [0, 0])
+        st[0] += 1
+        st[1] += rev
+    want = [
+        (rn, nn, c_, rev) for (rn, nn), (c_, rev) in sorted(agg.items())
+    ]
+    assert list(got.itertuples(index=False, name=None)) == want
+    assert len(want) > 0
+
+
+def test_q141_pq_accounting_and_recompute(spark):
+    from smartbulkcopy_spark.pipeline.similarity import (
+        EMBED_DIM,
+        PQ_K,
+        PQ_M,
+        PQ_SUB,
+    )
+
+    got = _run("q141_pq_code_assignment", spark)
+    emb = pd.read_parquet(f"{SF_SMOKE}/embeddings.parquet")
+    n_total = len(emb)
+
+    # every vector is assigned in every subspace; codes come from the
+    # PQ_K lowest vec_ids
+    assert got["n_vecs"].sum() == PQ_M * n_total
+    assert sorted(got["m"].unique().tolist()) == list(range(PQ_M))
+    base_ids = sorted(emb["vec_id"].tolist())[:PQ_K]
+    assert set(got["code"].unique().tolist()) <= set(base_ids)
+
+    # pure-Python recompute with the same left-to-right IEEE folds
+    books = {}
+    base = emb.sort_values("vec_id").head(PQ_K)
+    for m in range(PQ_M):
+        books[m] = [
+            (int(r.vec_id), [float(v) for v in r.embedding][m * PQ_SUB:(m + 1) * PQ_SUB])
+            for r in base.itertuples()
+        ]
+
+    def fold_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    agg = {}
+    for r in emb.itertuples():
+        vec = [float(v) for v in r.embedding]
+        for m in range(PQ_M):
+            ev = vec[m * PQ_SUB:(m + 1) * PQ_SUB]
+            cands = []
+            for code, cv in books[m]:
+                cc = fold_dot(cv, cv)
+                d = -2.0 * fold_dot(ev, cv) + cc
+                cands.append((d, code))
+            d, code = min(cands)
+            err = max(fold_dot(ev, ev) + d, 0.0)
+            st = agg.setdefault((m, code), [0, 0])
+            st[0] += 1
+            st[1] += int(err * 1000000.0 // 1)
+    want = [
+        (m, code, nv, err) for (m, code), (nv, err) in sorted(agg.items())
+    ]
+    assert list(got.itertuples(index=False, name=None)) == want
+    # a codeword's own subvector quantizes to itself with exactly 0 error
+    own = got[got["code"].isin(base_ids)]
+    assert (own.groupby("code")["n_vecs"].sum() >= 1).all()
+    assert EMBED_DIM == PQ_M * PQ_SUB
+
+
+MOJIBAKE_CORPUS = [
+    (1, "clean ascii text, nothing to flag here"),
+    (2, "wrong charset caf� and na�ve re-decode ��"),
+    (3, "binary\x00contamination\x07with\x1fcontrol\x7fchars"),
+    (4, "allowed controls tab\there LF\nVT\x0bFF\x0cCR\rkept"),
+    (5, "zero​width‌joiners‍and BOM﻿residue"),
+    (6, None),
+    (7, "mixed � and \x01 and ​ in one doc"),
+    (8, "astral \U0001F600 emoji must not shift counts �"),
+]
+
+
+def test_q142_encoding_cross_engine_on_real_hits(spark, tmp_path):
+    """The fixture corpus is clean ASCII (every count 0), so this drives
+    the registered builder AND oracle SQL over a corpus with real
+    replacement/control/zero-width hits — including an astral emoji,
+    where Spark's UTF-16 length and DuckDB's code-point length disagree
+    on the raw string but must cancel in the strip-and-subtract."""
+    import duckdb
+
+    d = tmp_path / "sf_q142"
+    d.mkdir()
+    _write_documents(d, MOJIBAKE_CORPUS)
+    spec = REGISTRY["q142_encoding_anomaly_audit"]
+    got = spec.fn(spark, str(d)).toPandas()
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{d / 'documents.parquet'}')"
+    )
+    want = con.execute(spec.oracle).arrow().to_pandas()
+    con.close()
+
+    assert list(got.columns) == list(want.columns)
+    for col in got.columns:
+        assert got[col].tolist() == want[col].tolist(), col
+
+    row = got.iloc[0]
+    # hand-checked masses: docs 2,7,8 -> repl; 3,7 -> ctrl; 5,7 -> zw
+    assert row["n_docs"] == 8
+    assert row["docs_flagged"] == 5
+    assert row["repl_chars"] == 6  # 4 in doc 2, 1 each in docs 7 and 8
+    assert row["ctrl_chars"] == 5  # 4 in doc 3, 1 in doc 7
+    assert row["zw_chars"] == 5  # 4 in doc 5, 1 in doc 7
+    assert row["flagged_ppm"] == 1000000 * 5 // 8
+
+
+def test_q142_fixture_corpus_is_clean(spark):
+    got = _run("q142_encoding_anomaly_audit", spark)
+    assert (got["docs_flagged"] == 0).all()

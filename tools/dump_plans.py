@@ -268,6 +268,20 @@ ANNOTATED = {
     " to ~40 mergeable counters per event type (map-side combined);"
     " cumulative/est windows run over those counter rows only; only"
     " the exact-audit side ranks within an event type.",
+    "q140_regional_revenue_rollup": "TPC-H Q5 shape: the one-year"
+    " date filter pushes to the orders scan (PushedFilters), thinning"
+    " the lineitem⋈orders shuffle join; customer and supplier join"
+    " keyed (both scale with data); nation/region are explicit"
+    " broadcasts; revenue is per-row floor-scaled cents so the sum is"
+    " a partial-aggregated integer.",
+    "q141_pq_code_assignment": "Per-row argmin over 4x8 broadcast"
+    " codeword literals (-2ec+cc surrogate) — zero joins; the explode"
+    " emits 4 rows/vector and the groupBy lands on 32 (m, code)"
+    " groups, map-side combined; error mass is per-row floor-scaled"
+    " int e6 before the cross-row sum.",
+    "q142_encoding_anomaly_audit": "Row-local strip-and-subtract"
+    " length deltas for the three anomaly classes; one map-side-"
+    "combined groupBy on source — no windows, no joins.",
 }
 
 

@@ -93,6 +93,9 @@ PROBES = [
     "q137_mad_length_outliers",
     "q138_tokenizer_fertility",
     "q139_gap_quantile_sketch",
+    "q140_regional_revenue_rollup",
+    "q141_pq_code_assignment",
+    "q142_encoding_anomaly_audit",
 ]
 
 
