@@ -1512,3 +1512,235 @@ def _py_fold_dot(vec) -> float:
     for v in vec:
         acc = acc + v * v
     return acc
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining for contrastive training: for each vector, the
+# most-similar vector carrying a DIFFERENT label — the negatives that
+# actually move a metric-learning loss. Candidate generation is the q33
+# hyperplane bucket (never all-pairs); the per-vector argmax is a
+# row_number window over bucket-sized groups. Vectors whose bucket holds
+# no different-label neighbor drop out (nothing to mine there without
+# widening the probe — q43 demonstrates multiprobe).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q143_hard_negative_mining",
+    "WITH b AS (SELECT vec_id, label, embedding,"
+    f" CAST({bucket_expr('duck')} AS BIGINT) AS bk FROM embeddings),"
+    " p AS (SELECT x.vec_id AS a_id, CAST(x.label AS BIGINT) AS a_label,"
+    " y.vec_id AS neg_id, CAST(y.label AS BIGINT) AS neg_label,"
+    f" {_dot_duck('x.embedding', 'y.embedding')}"
+    f" / (sqrt({_dot_duck('x.embedding', 'x.embedding')})"
+    f" * sqrt({_dot_duck('y.embedding', 'y.embedding')})) AS cos"
+    " FROM b x JOIN b y ON x.bk = y.bk AND x.label != y.label),"
+    " r AS (SELECT a_id, a_label, neg_id, neg_label, cos, row_number()"
+    " OVER (PARTITION BY a_id ORDER BY cos DESC, neg_id) AS rn FROM p)"
+    " SELECT a_id, a_label, neg_id, neg_label,"
+    " CAST(floor(10000.0 * cos) AS BIGINT) AS cos_e4"
+    " FROM r WHERE rn = 1 ORDER BY a_id",
+    doc="Hard-negative mining: per vector, the highest-cosine neighbor"
+    " with a different label inside its hyperplane LSH bucket — the"
+    " negatives a contrastive loss actually learns from. Bucketed"
+    " candidate generation (q33 plan shape: one shuffle on the 1-byte"
+    " bucket key, never all-pairs); per-vector argmax is a row_number"
+    " window over bucket-sized groups; cosine floor-scales e4 per row."
+    " Vectors with no different-label bucket-mate drop out (multiprobe"
+    " widening is q43's demonstrated path).",
+)
+def q143(spark, sf_dir):
+    from pyspark.sql import Window
+
+    emb = spread(spark, table(spark, sf_dir, "embeddings"))
+    bucketed = eager(
+        emb.select(
+            "vec_id",
+            F.col("label").cast("long").alias("label"),
+            "embedding",
+            bucket_col().cast("bigint").alias("bk"),
+        )
+    )
+    x = bucketed.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("label").alias("a_label"),
+        F.col("embedding").alias("ea"),
+        "bk",
+    )
+    y = bucketed.select(
+        F.col("vec_id").alias("neg_id"),
+        F.col("label").alias("neg_label"),
+        F.col("embedding").alias("eb"),
+        "bk",
+    )
+    ea, eb = F.col("ea"), F.col("eb")
+    cos = dot_fold(ea, eb) / (
+        F.sqrt(dot_fold(ea, ea)) * F.sqrt(dot_fold(eb, eb))
+    )
+    w = Window.partitionBy("a_id").orderBy(F.col("cos").desc(), "neg_id")
+    return (
+        x.join(y, "bk")
+        .where(F.col("a_label") != F.col("neg_label"))
+        .select("a_id", "a_label", "neg_id", "neg_label", cos.alias("cos"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "a_id",
+            "a_label",
+            "neg_id",
+            "neg_label",
+            F.floor(10000.0 * F.col("cos")).cast("bigint").alias("cos_e4"),
+        )
+        .orderBy("a_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# PQ asymmetric-distance search (ADC) + recall audit — the serving-side
+# half of the q141 compression path. The query is never quantized: per
+# subspace, the distance from the query's subvector to each of the 8
+# codewords is a driver-side lookup table, and a database vector's
+# approximate distance is the sum of the 4 table entries its codes
+# select. The argmin struct carries the query-distance literal alongside
+# the code, so assignment and lookup are ONE per-row expression — zero
+# joins, no 8-way CASE re-evaluating the argmin. Recall@10 against the
+# exact L2 ranking rides along, q47's quality-not-just-determinism rule.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q145_pq_adc_recall",
+    "WITH " + _pq_duck_cte()
+    + ", q AS (SELECT vec_id, embedding FROM embeddings"
+    " ORDER BY vec_id LIMIT 1),"
+    " qs AS (SELECT g.m,"
+    f" q.embedding[g.m * {PQ_SUB} + 1 : g.m * {PQ_SUB} + {PQ_SUB}] AS qv"
+    " FROM q CROSS JOIN grid g),"
+    " qd AS (SELECT c.m, c.code,"
+    f" (({_dot_duck('qs.qv', 'qs.qv')}"
+    f" - 2.0 * {_dot_duck('qs.qv', 'c.cv')})"
+    f" + {_dot_duck('c.cv', 'c.cv')}) AS qdist"
+    " FROM cod c JOIN qs ON qs.m = c.m),"
+    " adcv AS (SELECT a.vec_id,"
+    " list_reduce(list(qd.qdist ORDER BY a.m), (x, y) -> x + y) AS adc"
+    " FROM assign a JOIN qd ON qd.m = a.m AND qd.code = a.code"
+    " WHERE a.rn = 1 AND a.vec_id != (SELECT vec_id FROM q)"
+    " GROUP BY a.vec_id),"
+    " ar AS (SELECT vec_id,"
+    " CAST(floor(adc * 1000000.0) AS BIGINT) AS adc_e6 FROM adcv),"
+    " ark AS (SELECT vec_id, adc_e6, CAST(row_number()"
+    " OVER (ORDER BY adc_e6, vec_id) AS BIGINT) AS rank FROM ar),"
+    " ex AS (SELECT e.vec_id,"
+    f" (({_dot_duck('q.embedding', 'q.embedding')}"
+    f" - 2.0 * {_dot_duck('q.embedding', 'e.embedding')})"
+    f" + {_dot_duck('e.embedding', 'e.embedding')}) AS d"
+    " FROM embeddings e CROSS JOIN q WHERE e.vec_id != q.vec_id),"
+    " exk AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY"
+    " CAST(floor(d * 1000000.0) AS BIGINT), vec_id) AS BIGINT)"
+    " AS exact_rank FROM ex)"
+    " SELECT ark.rank, ark.vec_id, ark.adc_e6,"
+    " CASE WHEN exk.exact_rank <= 10 THEN exk.exact_rank END"
+    " AS exact_rank,"
+    " CAST(CASE WHEN exk.exact_rank <= 10 THEN 1 ELSE 0 END AS BIGINT)"
+    " AS hit"
+    " FROM ark LEFT JOIN exk ON exk.vec_id = ark.vec_id"
+    " WHERE ark.rank <= 10 ORDER BY ark.rank",
+    doc="PQ asymmetric-distance (ADC) top-10 + recall vs the exact L2"
+    " ranking: the query stays unquantized; per subspace its distance"
+    " to each codeword is a driver-side lookup literal riding INSIDE"
+    " the assignment argmin struct, so code selection and table lookup"
+    " are one per-row expression — zero joins, the 100 TB plan is a"
+    " scan plus TakeOrderedAndProject. Distances floor-scale e6 per"
+    " row before ranking; exact_rank joins in over the two 10-row"
+    " sets (q47 rule: the driver gate tracks ANN QUALITY, not just"
+    " determinism).",
+)
+def q145(spark, sf_dir):
+    from pyspark.sql import Window
+
+    books = _pq_codebooks(spark, sf_dir)
+    emb0 = table(spark, sf_dir, "embeddings")
+    qrow = emb0.orderBy("vec_id").first()
+    qid = int(qrow["vec_id"])
+    qvec = [float(v) for v in qrow["embedding"]]
+
+    def fold_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    emb = spread(spark, emb0).where(F.col("vec_id") != qid)
+    terms = []
+    for m, book in enumerate(books):
+        qm = qvec[m * PQ_SUB : (m + 1) * PQ_SUB]
+        qq = fold_dot(qm, qm)
+        ev = F.slice("embedding", m * PQ_SUB + 1, PQ_SUB)
+        best = F.array_min(
+            F.array(
+                *[
+                    F.struct(
+                        (
+                            -2.0
+                            * dot_fold(ev, F.array(*[F.lit(v) for v in cv]))
+                            + F.lit(_py_fold_dot(cv))
+                        ).alias("d"),
+                        F.lit(code).cast("long").alias("code"),
+                        # the ADC table entry for this codeword — picked
+                        # up for free when the argmin selects the struct
+                        F.lit(
+                            (qq - 2.0 * fold_dot(qm, cv)) + _py_fold_dot(cv)
+                        ).alias("qd"),
+                    )
+                    for code, cv in book
+                ]
+            )
+        )
+        terms.append(best["qd"])
+    adc = terms[0]
+    for t in terms[1:]:
+        adc = adc + t
+    approx = (
+        emb.select(
+            "vec_id",
+            F.floor(adc * F.lit(1000000.0)).cast("long").alias("adc_e6"),
+        )
+        .orderBy("adc_e6", "vec_id")
+        .limit(10)
+    )
+    w10 = Window.orderBy("adc_e6", "vec_id")
+    ark = approx.withColumn(
+        "rank", F.row_number().over(w10).cast("long")
+    )
+
+    qq_full = fold_dot(qvec, qvec)
+    qlit = F.array(*[F.lit(v) for v in qvec])
+    e = F.col("embedding")
+    d_exact = (F.lit(qq_full) - 2.0 * dot_fold(qlit, e)) + dot_fold(e, e)
+    exact = (
+        emb.select(
+            "vec_id",
+            F.floor(d_exact * F.lit(1000000.0)).cast("long").alias("d_e6"),
+        )
+        .orderBy("d_e6", "vec_id")
+        .limit(10)
+    )
+    wex = Window.orderBy("d_e6", "vec_id")
+    exk = exact.withColumn(
+        "exact_rank", F.row_number().over(wex).cast("long")
+    ).select("vec_id", "exact_rank")
+
+    return (
+        ark.join(F.broadcast(exk), "vec_id", "left")
+        .select(
+            "rank",
+            "vec_id",
+            "adc_e6",
+            "exact_rank",
+            F.when(F.col("exact_rank").isNotNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("hit"),
+        )
+        .orderBy("rank")
+    )

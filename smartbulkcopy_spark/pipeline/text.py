@@ -2639,3 +2639,110 @@ def q142(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Token-budget waterfill allocator. The production question: "the next
+# run may only consume B tokens — how many from each source?" A
+# proportional split starves small high-value feeds; a uniform cap
+# wastes budget on sources smaller than the cap. Waterfilling gives
+# every source min(its tokens, L) with the level L chosen so the total
+# just fits — the max-min-fair allocation. Exact integer form: over
+# sources sorted by token count ascending, L = max_i (B - prefix_{i-1})
+# DIV (n-i+1), clamped at 0 before the DIV (Spark DIV truncates, DuckDB
+# // floors — they agree only on non-negatives). Property-tested: the
+# allocation fits B and no uniform level L+1 would.
+# ---------------------------------------------------------------------------
+
+WATERFILL_DEN = 2  # budget = total corpus tokens DIV 2
+
+
+@register(
+    "q144_token_budget_waterfill",
+    "WITH d AS (SELECT source,"
+    " CASE WHEN trim(" + NORM_SQL_DUCK + ") = '' THEN 0"
+    " ELSE len(string_split(trim(" + NORM_SQL_DUCK + "), ' ')) END AS ws"
+    " FROM documents),"
+    " s AS (SELECT source, CAST(sum(ws) AS BIGINT) AS tokens FROM d"
+    " GROUP BY source),"
+    f" b AS (SELECT CAST(sum(tokens) // {WATERFILL_DEN} AS BIGINT)"
+    " AS budget FROM s),"
+    " r AS (SELECT source, tokens, budget,"
+    " coalesce(CAST(sum(tokens) OVER (ORDER BY tokens, source"
+    " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)"
+    " AS cum_prev,"
+    " row_number() OVER (ORDER BY tokens, source) AS rn,"
+    " count(*) OVER () AS n FROM s CROSS JOIN b),"
+    " lv AS (SELECT *, greatest(budget - cum_prev, 0) // (n - rn + 1)"
+    " AS level_i FROM r),"
+    " fin AS (SELECT *, CAST(max(level_i) OVER () AS BIGINT) AS lvl"
+    " FROM lv)"
+    " SELECT source, tokens, budget, lvl AS level,"
+    " CAST(least(tokens, lvl) AS BIGINT) AS alloc_tokens,"
+    " CAST(CASE WHEN tokens <= lvl THEN 1 ELSE 0 END AS BIGINT)"
+    " AS fully_taken,"
+    " CAST(1000000 * least(tokens, lvl) // greatest(tokens, 1)"
+    " AS BIGINT) AS take_ppm"
+    " FROM fin ORDER BY source",
+    doc="Max-min-fair token-budget allocation across sources"
+    " (waterfill): every source gets min(tokens, L) with the level L"
+    " the largest integer whose uniform allocation fits the budget"
+    " (half the corpus here). Exact integer arithmetic: L = max over"
+    " sorted sources of (B - prefix) DIV remaining, clamped at 0"
+    " before the DIV (Spark truncates, DuckDB floors — non-negative"
+    " only). The corpus pass is one map-side-combined groupBy; every"
+    " window runs over the handful of per-source rows (q84 rule);"
+    " the budget scalar attaches driver-side (q52 pattern — a lit=="
+    "lit join would plan BroadcastNestedLoop).",
+)
+def q144(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    ws = F.when(F.trim(norm_text()) == "", F.lit(0)).otherwise(
+        F.size(F.split(F.trim(norm_text()), " "))
+    )
+    per_src = (
+        table(spark, sf_dir, "documents")
+        .select("source", ws.alias("ws"))
+        .groupBy("source")
+        .agg(F.sum("ws").cast("long").alias("tokens"))
+    )
+    per_src = eager(per_src)
+    total = per_src.agg(F.sum("tokens")).first()[0] or 0
+    budget = int(total) // WATERFILL_DEN
+
+    w_ord = Window.orderBy("tokens", "source")
+    w_all = Window.partitionBy()
+    r = per_src.select(
+        "source",
+        "tokens",
+        F.lit(budget).cast("long").alias("budget"),
+        F.coalesce(
+            F.sum("tokens").over(
+                w_ord.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("cum_prev"),
+        F.row_number().over(w_ord).alias("rn"),
+        F.count("*").over(w_all).alias("n"),
+    ).withColumn(
+        "level_i",
+        F.expr("greatest(budget - cum_prev, 0L) DIV (n - rn + 1)"),
+    )
+    fin = r.withColumn(
+        "lvl", F.max("level_i").over(w_all).cast("long")
+    )
+    return fin.select(
+        "source",
+        "tokens",
+        "budget",
+        F.col("lvl").alias("level"),
+        F.least("tokens", "lvl").cast("long").alias("alloc_tokens"),
+        F.when(F.col("tokens") <= F.col("lvl"), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("fully_taken"),
+        F.expr("1000000 * least(tokens, lvl) DIV greatest(tokens, 1L)")
+        .cast("long")
+        .alias("take_ppm"),
+    ).orderBy("source")

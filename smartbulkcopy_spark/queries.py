@@ -1730,6 +1730,10 @@ QUEUED_SINCE = {
         "q140_regional_revenue_rollup", "q141_pq_code_assignment",
         "q142_encoding_anomaly_audit",
     )},
+    **{n: 89 for n in (
+        "q143_hard_negative_mining", "q144_token_budget_waterfill",
+        "q145_pq_adc_recall",
+    )},
 }
 
 

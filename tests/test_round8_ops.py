@@ -1653,3 +1653,193 @@ def test_q142_encoding_cross_engine_on_real_hits(spark, tmp_path):
 def test_q142_fixture_corpus_is_clean(spark):
     got = _run("q142_encoding_anomaly_audit", spark)
     assert (got["docs_flagged"] == 0).all()
+
+
+# ---------------------------------------------------------------------------
+# q143 — hard negatives; q144 — waterfill; q145 — PQ ADC recall.
+# ---------------------------------------------------------------------------
+
+
+def _py_fold(a, b):
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + x * y
+    return acc
+
+
+def test_q143_matches_pure_python(spark):
+    import math
+
+    from smartbulkcopy_spark.pipeline.similarity import _plane_weights
+
+    got = _run("q143_hard_negative_mining", spark)
+    emb = pd.read_parquet(f"{SF_SMOKE}/embeddings.parquet")
+    weights = _plane_weights()
+
+    def bucket(vec):
+        b = 0
+        for j, wrow in enumerate(weights):
+            acc = 0.0
+            for x, wv in zip(vec, wrow):
+                acc = acc + x * wv
+            if acc > 0:
+                b |= 1 << j
+        return b
+
+    rows = [
+        (int(r.vec_id), int(r.label), [float(v) for v in r.embedding])
+        for r in emb.itertuples()
+    ]
+    by_bucket = {}
+    for vid, lbl, vec in rows:
+        by_bucket.setdefault(bucket(vec), []).append((vid, lbl, vec))
+    want = []
+    for members in by_bucket.values():
+        for vid, lbl, vec in members:
+            cands = []
+            for nid, nlbl, nvec in members:
+                if nlbl == lbl:
+                    continue
+                cos = _py_fold(vec, nvec) / (
+                    math.sqrt(_py_fold(vec, vec))
+                    * math.sqrt(_py_fold(nvec, nvec))
+                )
+                cands.append((-cos, nid, nlbl))
+            if cands:
+                negc, nid, nlbl = min(cands)
+                want.append(
+                    (vid, lbl, nid, nlbl, math.floor(10000.0 * -negc))
+                )
+    want.sort()
+    assert list(got.itertuples(index=False, name=None)) == want
+    assert (got["a_label"] != got["neg_label"]).all()
+
+
+def test_q144_waterfill_properties_and_recompute(spark):
+    import re as _re
+
+    got = _run("q144_token_budget_waterfill", spark)
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    toks = {}
+    for _, r in docs.iterrows():
+        n = _re.sub(r"\s+", " ", (r["text"] or "").lower()).strip()
+        toks[r["source"]] = toks.get(r["source"], 0) + (
+            len(n.split(" ")) if n else 0
+        )
+    total = sum(toks.values())
+    B = total // 2
+    # the registered formula: L = max over ascending-sorted sources of
+    # clamp(B - prefix, 0) // remaining
+    pairs = sorted(toks.items(), key=lambda kv: (kv[1], kv[0]))
+    cum, lvl = 0, 0
+    for i, (_, t) in enumerate(pairs):
+        lvl = max(lvl, max(B - cum, 0) // (len(pairs) - i))
+        cum += t
+    want = [
+        (
+            s,
+            t,
+            B,
+            lvl,
+            min(t, lvl),
+            1 if t <= lvl else 0,
+            1000000 * min(t, lvl) // max(t, 1),
+        )
+        for s, t in sorted(toks.items())
+    ]
+    assert list(got.itertuples(index=False, name=None)) == want
+
+    # waterfill optimality: the allocation fits the budget, and no
+    # uniform level one higher would
+    def f(level):
+        return sum(min(t, level) for t in toks.values())
+
+    assert f(lvl) <= B
+    assert f(lvl + 1) > B or lvl >= max(toks.values())
+    assert got["alloc_tokens"].sum() <= B
+
+
+def test_q145_adc_matches_pure_python(spark):
+    import math
+
+    from smartbulkcopy_spark.pipeline.similarity import (
+        PQ_K,
+        PQ_M,
+        PQ_SUB,
+    )
+
+    got = _run("q145_pq_adc_recall", spark)
+    emb = pd.read_parquet(f"{SF_SMOKE}/embeddings.parquet")
+    base = emb.sort_values("vec_id").head(PQ_K)
+    qrow = emb.sort_values("vec_id").iloc[0]
+    qid = int(qrow.vec_id)
+    qvec = [float(v) for v in qrow.embedding]
+
+    books = {
+        m: [
+            (int(r.vec_id), [float(v) for v in r.embedding][m * PQ_SUB:(m + 1) * PQ_SUB])
+            for r in base.itertuples()
+        ]
+        for m in range(PQ_M)
+    }
+    qd = {}
+    for m in range(PQ_M):
+        qm = qvec[m * PQ_SUB:(m + 1) * PQ_SUB]
+        qq = _py_fold(qm, qm)
+        for code, cv in books[m]:
+            qd[(m, code)] = (qq - 2.0 * _py_fold(qm, cv)) + _py_fold(
+                cv, cv
+            )
+
+    approx, exact = [], []
+    for r in emb.itertuples():
+        if int(r.vec_id) == qid:
+            continue
+        vec = [float(v) for v in r.embedding]
+        adc = 0.0
+        first = True
+        for m in range(PQ_M):
+            ev = vec[m * PQ_SUB:(m + 1) * PQ_SUB]
+            d, code = min(
+                (
+                    -2.0 * _py_fold(ev, cv) + _py_fold(cv, cv),
+                    code,
+                )
+                for code, cv in books[m]
+            )
+            term = qd[(m, code)]
+            adc = term if first else adc + term
+            first = False
+        approx.append((math.floor(adc * 1000000.0), int(r.vec_id)))
+        de = (_py_fold(qvec, qvec) - 2.0 * _py_fold(qvec, vec)) + _py_fold(
+            vec, vec
+        )
+        exact.append((math.floor(de * 1000000.0), int(r.vec_id)))
+    approx.sort()
+    exact.sort()
+    exact_ranks = {vid: i + 1 for i, (_, vid) in enumerate(exact[:10])}
+    want = [
+        (
+            i + 1,
+            vid,
+            a_e6,
+            exact_ranks.get(vid),
+            1 if vid in exact_ranks else 0,
+        )
+        for i, (a_e6, vid) in enumerate(approx[:10])
+    ]
+    got_rows = [
+        (
+            int(r.rank),
+            int(r.vec_id),
+            int(r.adc_e6),
+            None if pd.isna(r.exact_rank) else int(r.exact_rank),
+            int(r.hit),
+        )
+        for r in got.itertuples()
+    ]
+    assert got_rows == want
+    # 4096 PQ cells over random 64-d vectors is deliberately coarse —
+    # above-chance is all this codebook size buys (10/N ~ 2% by chance);
+    # the exact recall value is pinned by the driver hash either way
+    assert got["hit"].sum() >= 1

@@ -282,6 +282,18 @@ ANNOTATED = {
     "q142_encoding_anomaly_audit": "Row-local strip-and-subtract"
     " length deltas for the three anomaly classes; one map-side-"
     "combined groupBy on source — no windows, no joins.",
+    "q143_hard_negative_mining": "q33 plan shape: signature table"
+    " eager-persisted once, one shuffle on the 1-byte bucket key,"
+    " cosine only in-bucket; the per-vector argmax window partitions"
+    " by a_id (bucket-sized groups), never global.",
+    "q144_token_budget_waterfill": "One map-side-combined corpus"
+    " groupBy to per-source token counts; every window (prefix sum,"
+    " rank, global max) runs over the handful of per-source rows;"
+    " budget scalar attached driver-side — no lit==lit join.",
+    "q145_pq_adc_recall": "Zero-join ADC: the query-to-codeword"
+    " distance literal rides inside the assignment argmin struct, so"
+    " scan + TakeOrderedAndProject is the whole approximate side;"
+    " the rank windows and recall join run over two 10-row sets.",
 }
 
 
