@@ -1029,3 +1029,201 @@ def q139(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling 24-hour HLL: the MERGEABILITY payoff of q126's grouped
+# sketches. "Distinct users in the trailing 24 h" is the dashboard
+# number an exact count(DISTINCT) cannot produce without re-scanning 24
+# hours of raw events per output hour; with per-hour register sets it
+# is a per-register max across the trailing window. The window merge is
+# spelled as a bounded contribution explode (each hour's sparse
+# register rows contribute to target hours h..h+23, then max per
+# (target, reg)) — an equi-shuffle both engines share, instead of the
+# range self-join Spark would plan as BroadcastNestedLoop. The exact
+# trailing-24h distinct count rides along via the same explode over
+# distinct (hour, user) pairs.
+# ---------------------------------------------------------------------------
+
+ROLL_H = 24
+# NTZ epoch for integer hour indexing (predates every fixture event)
+_ROLL_ORIGIN = "1995-01-01 00:00:00"
+
+_Q146_ORACLE = (
+    "WITH ev AS (SELECT date_trunc('hour', ts) AS w, user_id"
+    " FROM events),"
+    f" hh AS (SELECT date_diff('hour', TIMESTAMP '{_ROLL_ORIGIN}', w)"
+    " AS h, w, user_id FROM ev),"
+    " hr AS (SELECT h,"
+    " CAST(('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,2)) AS INT)"
+    " AS reg,"
+    " CAST(('0x'||substr(md5(CAST(user_id AS VARCHAR)),3,8)) AS BIGINT)"
+    " AS v FROM hh),"
+    " r AS (SELECT h, reg, max(CASE WHEN v = 0 THEN 33"
+    " ELSE 33 - length(bin(v)) END) AS mr FROM hr GROUP BY h, reg),"
+    " con AS (SELECT r.h + t.off AS tgt, r.reg, max(r.mr) AS mr"
+    f" FROM r CROSS JOIN (SELECT unnest(range(0, {ROLL_H})) AS off) t"
+    " GROUP BY tgt, r.reg),"
+    " obs AS (SELECT DISTINCT h, w FROM hh),"
+    " grid AS (SELECT obs.h, obs.w, t.reg FROM obs"
+    f" CROSS JOIN (SELECT unnest(range(0, {HLL_M})) AS reg) t),"
+    " fr2 AS (SELECT g.h, g.w, g.reg, coalesce(con.mr, 0) AS m"
+    " FROM grid g LEFT JOIN con ON con.tgt = g.h AND con.reg = g.reg),"
+    " arr AS (SELECT h, w, list(m ORDER BY reg) AS ms FROM fr2"
+    " GROUP BY h, w),"
+    " est0 AS (SELECT h, w,"
+    " CAST(len(list_filter(ms, x -> x = 0)) AS BIGINT)"
+    " AS n_zero_registers,"
+    f" CAST(floor((({HLL_ALPHA_PPM}.0 / 1000000.0) * {HLL_M}.0"
+    f" * {HLL_M}.0)"
+    " / list_reduce(list_prepend(0.0, list_transform(ms,"
+    " x -> power(2.0, -x))), (acc, x) -> acc + x)) AS BIGINT)"
+    " AS raw FROM arr),"
+    " est AS (SELECT h, w, n_zero_registers,"
+    f" CASE WHEN n_zero_registers > 0 AND raw <= {HLL_RAW_CUTOVER}"
+    f" THEN (CAST({HLL_LIN} AS BIGINT[]))[CAST(n_zero_registers"
+    " AS INT)] ELSE raw END AS estimate FROM est0),"
+    " ex AS (SELECT du.h + t.off AS tgt,"
+    " CAST(count(DISTINCT du.user_id) AS BIGINT) AS exact_users_24h"
+    " FROM (SELECT DISTINCT h, user_id FROM hh) du"
+    f" CROSS JOIN (SELECT unnest(range(0, {ROLL_H})) AS off) t"
+    " GROUP BY tgt)"
+    " SELECT est.w, est.n_zero_registers, est.estimate,"
+    " ex.exact_users_24h,"
+    " CAST(abs(est.estimate - ex.exact_users_24h) * 1000000"
+    " // ex.exact_users_24h AS BIGINT) AS err_ppm"
+    " FROM est JOIN ex ON ex.tgt = est.h ORDER BY est.w"
+)
+
+
+@register(
+    "q146_rolling_hll_users",
+    _Q146_ORACLE,
+    doc="Trailing-24h distinct-user HLL per observed hour — the"
+    " mergeability payoff of q126's per-hour register sets: the"
+    " rolling union is a per-register max across the window, spelled"
+    " as a bounded contribution explode (sparse register rows fan to"
+    " target hours h..h+23, equi-keyed groupBy max) instead of the"
+    " range self-join Spark would plan as BNLJ. Register grid,"
+    " rank/fold and linear-counting branch are the q121/q126"
+    " machinery; the exact trailing count audits via the same explode"
+    " over distinct (hour, user) pairs; hour indexing stays NTZ-safe"
+    " (integer hours from a fixed naive origin).",
+)
+def q146(spark, sf_dir):
+    from smartbulkcopy_spark.queries import trunc_hour_ntz
+
+    ev = table(spark, sf_dir, "events").select(
+        trunc_hour_ntz("ts").alias("w"), "user_id"
+    )
+    hh = ev.select(
+        F.expr(
+            f"timestampdiff(HOUR, TIMESTAMP_NTZ '{_ROLL_ORIGIN}', w)"
+        )
+        .cast("long")
+        .alias("h"),
+        "w",
+        "user_id",
+    )
+    uh = F.md5(F.col("user_id").cast("string"))
+    hr = hh.select(
+        "h",
+        F.conv(F.substring(uh, 1, 2), 16, 10).cast("int").alias("reg"),
+        F.conv(F.substring(uh, 3, 8), 16, 10).cast("long").alias("v"),
+    )
+    rank = F.when(F.col("v") == 0, F.lit(33)).otherwise(
+        F.lit(33) - F.length(F.expr("bin(v)"))
+    )
+    r = (
+        hr.select("h", "reg", rank.alias("rank"))
+        .groupBy("h", "reg")
+        .agg(F.max("rank").alias("mr"))
+    )
+    off = F.explode(F.array(*[F.lit(i) for i in range(ROLL_H)])).alias(
+        "off"
+    )
+    con = (
+        r.select("h", "reg", "mr", off)
+        .select((F.col("h") + F.col("off")).alias("tgt"), "reg", "mr")
+        .groupBy("tgt", "reg")
+        .agg(F.max("mr").alias("mr"))
+    )
+    obs = hh.select("h", "w").distinct()
+    grid = obs.select(
+        "h",
+        "w",
+        F.explode(F.array(*[F.lit(i) for i in range(HLL_M)])).alias(
+            "reg"
+        ),
+    )
+    fr = grid.join(
+        con,
+        (F.col("tgt") == F.col("h")) & (con["reg"] == grid["reg"]),
+        "left",
+    ).select(
+        "h", "w", grid["reg"], F.coalesce("mr", F.lit(0)).alias("m")
+    )
+    one = fr.groupBy("h", "w").agg(
+        F.expr(
+            "transform(sort_array(collect_list(struct(reg, m))), x -> x.m)"
+        ).alias("ms")
+    )
+    z = F.expr(
+        "aggregate(transform(ms, x -> power(2.0D, -x)),"
+        " 0.0D, (acc, x) -> acc + x)"
+    )
+    raw = F.floor(
+        F.lit((HLL_ALPHA_PPM / 1000000.0) * HLL_M * HLL_M) / z
+    ).cast("long")
+    staged = one.select(
+        "h",
+        "w",
+        F.expr("size(filter(ms, x -> x = 0))")
+        .cast("long")
+        .alias("n_zero_registers"),
+        raw.alias("raw"),
+    )
+    lin = F.element_at(
+        F.array(*[F.lit(x) for x in HLL_LIN]),
+        F.col("n_zero_registers").cast("int"),
+    ).cast("long")
+    est = staged.select(
+        "h",
+        "w",
+        "n_zero_registers",
+        F.when(
+            (F.col("n_zero_registers") > 0)
+            & (F.col("raw") <= HLL_RAW_CUTOVER),
+            lin,
+        )
+        .otherwise(F.col("raw"))
+        .alias("estimate"),
+    )
+    ex = (
+        hh.select("h", "user_id")
+        .distinct()
+        .select("user_id", "h", off)
+        .select((F.col("h") + F.col("off")).alias("tgt"), "user_id")
+        .groupBy("tgt")
+        .agg(
+            F.countDistinct("user_id").cast("long").alias(
+                "exact_users_24h"
+            )
+        )
+    )
+    return (
+        est.join(ex, est["h"] == ex["tgt"])
+        .select(
+            "w",
+            "n_zero_registers",
+            "estimate",
+            "exact_users_24h",
+            F.expr(
+                "abs(estimate - exact_users_24h) * 1000000L"
+                " DIV exact_users_24h"
+            )
+            .cast("long")
+            .alias("err_ppm"),
+        )
+        .orderBy("w")
+    )

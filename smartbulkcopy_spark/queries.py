@@ -1481,6 +1481,147 @@ def q140(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Temporal train/test split audit. Time-based splits are how forecasting
+# and recommendation corpora divide: everything before T trains,
+# everything after tests. The audit answers the two questions that
+# decide whether offline metrics will transfer: how much test mass is
+# from users the model saw in training (memorizable), and how much is
+# cold-start. Exact distinct-set arithmetic per event type; the overlap
+# is an equi-join of two distinct (type, user) sets.
+# ---------------------------------------------------------------------------
+
+_SPLIT_T = "2024-01-24 00:00:00"  # ~80/20 over the fixture's 30 days
+
+
+@register(
+    "q147_temporal_split_audit",
+    "WITH t AS (SELECT event_type, user_id,"
+    f" ts < TIMESTAMP '{_SPLIT_T}' AS is_train FROM events),"
+    " agg AS (SELECT event_type,"
+    " CAST(sum(CASE WHEN is_train THEN 1 ELSE 0 END) AS BIGINT)"
+    " AS n_train,"
+    " CAST(sum(CASE WHEN is_train THEN 0 ELSE 1 END) AS BIGINT)"
+    " AS n_test,"
+    " CAST(count(DISTINCT CASE WHEN is_train THEN user_id END)"
+    " AS BIGINT) AS users_train,"
+    " CAST(count(DISTINCT CASE WHEN NOT is_train THEN user_id END)"
+    " AS BIGINT) AS users_test"
+    " FROM t GROUP BY event_type),"
+    " ov AS (SELECT a.event_type, CAST(count(*) AS BIGINT)"
+    " AS users_overlap FROM"
+    " (SELECT DISTINCT event_type, user_id FROM t WHERE is_train) a"
+    " JOIN (SELECT DISTINCT event_type, user_id FROM t"
+    " WHERE NOT is_train) b"
+    " ON a.event_type = b.event_type AND a.user_id = b.user_id"
+    " GROUP BY a.event_type)"
+    " SELECT agg.event_type, n_train, n_test, users_train, users_test,"
+    " coalesce(ov.users_overlap, 0) AS users_overlap,"
+    " CAST(1000000 * (users_test - coalesce(ov.users_overlap, 0))"
+    " // greatest(users_test, 1) AS BIGINT) AS cold_start_ppm"
+    " FROM agg LEFT JOIN ov ON ov.event_type = agg.event_type"
+    " ORDER BY agg.event_type",
+    doc="Temporal train/test split audit per event type (split at the"
+    " fixture's 80% boundary): event and distinct-user mass on each"
+    " side, the user overlap (test users the model saw in training —"
+    " the memorization channel), and the cold-start ppm (test users"
+    " never seen — where offline metrics break). One pass builds both"
+    " side aggregates; the overlap is an equi-join of two distinct"
+    " (type, user) sets, each partial-aggregated before the shuffle;"
+    " NTZ literal comparison per the q03 convention.",
+)
+def q147(spark, sf_dir):
+    boundary = F.lit(_SPLIT_T).cast("timestamp_ntz")
+    t = table(spark, sf_dir, "events").select(
+        "event_type",
+        "user_id",
+        (F.col("ts") < boundary).alias("is_train"),
+    )
+    agg = t.groupBy("event_type").agg(
+        F.sum(F.when(F.col("is_train"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_train"),
+        F.sum(F.when(F.col("is_train"), 0).otherwise(1))
+        .cast("long")
+        .alias("n_test"),
+        F.countDistinct(F.when(F.col("is_train"), F.col("user_id")))
+        .cast("long")
+        .alias("users_train"),
+        F.countDistinct(F.when(~F.col("is_train"), F.col("user_id")))
+        .cast("long")
+        .alias("users_test"),
+    )
+    tr = t.where("is_train").select("event_type", "user_id").distinct()
+    te = t.where(~F.col("is_train")).select("event_type", "user_id").distinct()
+    ov = (
+        tr.join(te, ["event_type", "user_id"])
+        .groupBy("event_type")
+        .agg(F.count("*").cast("long").alias("users_overlap"))
+    )
+    return (
+        agg.join(ov, "event_type", "left")
+        .select(
+            "event_type",
+            "n_train",
+            "n_test",
+            "users_train",
+            "users_test",
+            F.coalesce("users_overlap", F.lit(0)).cast("long").alias(
+                "users_overlap"
+            ),
+        )
+        .withColumn(
+            "cold_start_ppm",
+            F.expr(
+                "1000000 * (users_test - users_overlap)"
+                " DIV greatest(users_test, 1L)"
+            ).cast("long"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "q148_stream_enrichment_rollup",
+    "SELECT n.n_name, e.event_type, CAST(count(*) AS BIGINT)"
+    " AS n_events,"
+    " CAST(CAST(ROUND(sum(e.value), 2) AS DECIMAL(18,2)) * 100"
+    " AS BIGINT) AS total_cents"
+    " FROM events e"
+    " JOIN customer c ON c.c_custkey = e.user_id"
+    " JOIN nation n ON n.n_nationkey = c.c_nationkey"
+    " GROUP BY n.n_name, e.event_type"
+    " ORDER BY n.n_name, e.event_type",
+    doc="Batch fixed point of the STREAM-STATIC enrichment"
+    " (streaming.enrich_stream): the event feed joined to the customer"
+    " and nation dims, rolled up per (nation, event_type). The"
+    " streaming twin joins the same broadcast dims micro-batch by"
+    " micro-batch and must converge to this exact table"
+    " (tests/test_streaming.py) — the §2.9 surface q18/q45/q46 cover"
+    " for windows, extended to dimension enrichment. The customer join"
+    " is keyed on the Spark side (the dim scales with the data);"
+    " nation broadcasts.",
+)
+def q148(spark, sf_dir):
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "value"
+    )
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nat = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        ev.join(cust, ev.user_id == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy("n_name", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            cents(F.sum("value")).alias("total_cents"),
+        )
+        .orderBy("n_name", "event_type")
+    )
+
+
 # Phase-5 pipeline operators (q21+) register themselves on import. The
 # import sits at the bottom because pipeline modules import `register`/
 # `table` from this module (deliberate one-way late binding, not a cycle
@@ -1733,6 +1874,10 @@ QUEUED_SINCE = {
     **{n: 89 for n in (
         "q143_hard_negative_mining", "q144_token_budget_waterfill",
         "q145_pq_adc_recall",
+    )},
+    **{n: 90 for n in (
+        "q146_rolling_hll_users", "q147_temporal_split_audit",
+        "q148_stream_enrichment_rollup",
     )},
 }
 

@@ -239,3 +239,59 @@ def run_to_convergence(
     )
     q.awaitTermination()
     return spark.table(query_name)
+
+
+def enrich_stream(
+    stream: DataFrame, cust: DataFrame, nat: DataFrame
+) -> DataFrame:
+    """Stream-static enrichment: the event stream joined to the customer
+    and nation dimensions, rolled up per (nation, event_type) — the
+    streaming twin of batch q148 (same columns, same cents rule). The
+    static sides are re-read per micro-batch by Structured Streaming's
+    stream-static join semantics; nation is an explicit broadcast, and
+    at 100 TB the customer side would be a keyed join exactly as in the
+    batch plan. Unwindowed aggregation ⇒ complete output mode: state is
+    one row per (nation, event_type), bounded by the key space, not the
+    stream."""
+    return (
+        stream.join(cust, stream["user_id"] == cust["c_custkey"])
+        .join(F.broadcast(nat), cust["c_nationkey"] == nat["n_nationkey"])
+        .groupBy("n_name", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            cents(F.sum("value")).alias("total_cents"),
+        )
+    )
+
+
+def run_enrichment(
+    spark: SparkSession,
+    sf_dir: str,
+    events_path: str | None = None,
+    query_name: str = "events_enriched",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Drain the event feed (a streamable directory, or the sf_dir
+    fixture file by default) through the stream-static enrichment and
+    return the converged (complete-mode) table — must equal batch q148
+    bit-for-bit."""
+    from smartbulkcopy_spark.queries import table as _table
+
+    stream = read_events_stream(
+        spark, events_path or f"{sf_dir}/events.parquet",
+        max_files_per_trigger,
+    )
+    cust = _table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nat = _table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    q = (
+        enrich_stream(stream, cust, nat)
+        .writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)

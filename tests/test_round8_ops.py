@@ -1843,3 +1843,140 @@ def test_q145_adc_matches_pure_python(spark):
     # above-chance is all this codebook size buys (10/N ~ 2% by chance);
     # the exact recall value is pinned by the driver hash either way
     assert got["hit"].sum() >= 1
+
+
+# ---------------------------------------------------------------------------
+# q146 — rolling HLL; q147 — temporal split; q148 — stream enrichment.
+# ---------------------------------------------------------------------------
+
+
+def test_q146_matches_pure_python_hll(spark):
+    import hashlib
+    import math
+
+    from smartbulkcopy_spark.pipeline.sketch import (
+        HLL_ALPHA_PPM,
+        HLL_LIN,
+        HLL_M,
+        HLL_RAW_CUTOVER,
+        ROLL_H,
+    )
+
+    got = _run("q146_rolling_hll_users", spark)
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    origin = pd.Timestamp("1995-01-01 00:00:00")
+    hw = {}  # h -> w
+    regs = {}  # h -> {reg: max rank}
+    users = {}  # h -> set(user)
+    for r in ev.itertuples():
+        w = r.ts.floor("h")
+        h = int((w - origin).total_seconds() // 3600)
+        hw[h] = w
+        dig = hashlib.md5(str(int(r.user_id)).encode()).hexdigest()
+        reg = int(dig[:2], 16)
+        v = int(dig[2:10], 16)
+        rank = 33 if v == 0 else 33 - len(bin(v)[2:])
+        d = regs.setdefault(h, {})
+        d[reg] = max(d.get(reg, 0), rank)
+        users.setdefault(h, set()).add(int(r.user_id))
+
+    want = []
+    for h in sorted(hw):
+        merged = {}
+        exact = set()
+        for src in range(h - ROLL_H + 1, h + 1):
+            for reg, m in regs.get(src, {}).items():
+                merged[reg] = max(merged.get(reg, 0), m)
+            exact |= users.get(src, set())
+        ms = [merged.get(reg, 0) for reg in range(HLL_M)]
+        acc = 0.0
+        for x in ms:
+            acc = acc + 2.0 ** -x
+        raw = math.floor((HLL_ALPHA_PPM / 1000000.0) * HLL_M * HLL_M / acc)
+        nz = sum(1 for x in ms if x == 0)
+        est = (
+            HLL_LIN[nz - 1]
+            if nz > 0 and raw <= HLL_RAW_CUTOVER
+            else raw
+        )
+        want.append(
+            (
+                hw[h],
+                nz,
+                est,
+                len(exact),
+                abs(est - len(exact)) * 1000000 // len(exact),
+            )
+        )
+    assert list(got.itertuples(index=False, name=None)) == want
+    # the sketch must actually track the exact count (256 registers on
+    # hundreds of users: comfortably inside ~3 sigma of 1.04/sqrt(m))
+    assert (got["err_ppm"] < 250000).all()
+
+
+def test_q146_rolling_covers_hourly(spark):
+    """Every trailing-24h exact count must be >= that hour's own count
+    and <= the 24-hour sum — the window accounting identity."""
+    got = _run("q146_rolling_hll_users", spark).set_index("w")
+    hourly = (
+        pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+        .assign(w=lambda d: d.ts.dt.floor("h"))
+        .groupby("w")["user_id"]
+        .nunique()
+    )
+    for w, n in hourly.items():
+        assert got.loc[w, "exact_users_24h"] >= n
+
+
+def test_q147_matches_pure_python(spark):
+    got = _run("q147_temporal_split_audit", spark)
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    boundary = pd.Timestamp("2024-01-24 00:00:00")
+    want = []
+    for et, grp in ev.groupby("event_type"):
+        tr = grp[grp.ts < boundary]
+        te = grp[grp.ts >= boundary]
+        ut, ue = set(tr.user_id), set(te.user_id)
+        ov = len(ut & ue)
+        want.append(
+            (
+                et,
+                len(tr),
+                len(te),
+                len(ut),
+                len(ue),
+                ov,
+                1000000 * (len(ue) - ov) // max(len(ue), 1),
+            )
+        )
+    assert list(got.itertuples(index=False, name=None)) == sorted(want)
+    # the fixture split must exercise both channels
+    assert got["users_overlap"].sum() > 0
+    assert (got["n_train"] > 0).all() and (got["n_test"] > 0).all()
+
+
+def test_q148_stream_enrichment_converges_to_batch(
+    spark, tmp_path
+):
+    import shutil
+
+    from smartbulkcopy_spark import streaming
+
+    d = tmp_path / "ev_enrich"
+    d.mkdir()
+    shutil.copy(f"{SF_SMOKE}/events.parquet", d / "part-000.parquet")
+    got = streaming.run_enrichment(
+        spark, SF_SMOKE, events_path=str(d), query_name="enrich_conv"
+    )
+    stream_rows = {
+        (r["n_name"], r["event_type"]): (r["n_events"], r["total_cents"])
+        for r in got.collect()
+    }
+    batch_rows = {
+        (r["n_name"], r["event_type"]): (r["n_events"], r["total_cents"])
+        for r in REGISTRY["q148_stream_enrichment_rollup"]
+        .fn(spark, SF_SMOKE)
+        .collect()
+    }
+    assert stream_rows == batch_rows
+    assert len(stream_rows) > 0

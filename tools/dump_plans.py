@@ -294,6 +294,21 @@ ANNOTATED = {
     " distance literal rides inside the assignment argmin struct, so"
     " scan + TakeOrderedAndProject is the whole approximate side;"
     " the rank windows and recall join run over two 10-row sets.",
+    "q146_rolling_hll_users": "The rolling union is a bounded"
+    " contribution explode on the SPARSE per-(hour, register) rows"
+    " (x24, equi-keyed groupBy max) — no range self-join, no BNLJ;"
+    " the 256-register grid completes per observed hour only; the"
+    " exact audit reuses the same explode over distinct (hour, user)"
+    " pairs.",
+    "q147_temporal_split_audit": "One corpus pass builds both split"
+    " aggregates (conditional sums/distincts, partial-aggregated);"
+    " the overlap is an equi-join of two distinct (type, user) sets,"
+    " each thinned by DISTINCT before the shuffle.",
+    "q148_stream_enrichment_rollup": "events joins customer keyed"
+    " (the dim scales with data), nation broadcast; the rollup is"
+    " partial-aggregated. The streaming twin (enrich_stream) runs"
+    " the same joins per micro-batch with complete-mode state bounded"
+    " by the (nation, type) key space.",
 }
 
 

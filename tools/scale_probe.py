@@ -99,6 +99,9 @@ PROBES = [
     "q143_hard_negative_mining",
     "q144_token_budget_waterfill",
     "q145_pq_adc_recall",
+    "q146_rolling_hll_users",
+    "q147_temporal_split_audit",
+    "q148_stream_enrichment_rollup",
 ]
 
 
