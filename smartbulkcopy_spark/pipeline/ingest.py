@@ -251,3 +251,132 @@ def q82(spark, sf_dir):
         .cast("bigint")
         .alias("n_incomplete"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus snapshot diff. Every recurring crawl/ingest produces "this
+# week's corpus" next to last week's, and the first operational
+# question is churn: what was added, what vanished, what changed in
+# place. The diff is a full-outer join on doc_id comparing content
+# fingerprints — id-and-hash only, text never shuffles. The fixture has
+# a single snapshot, so snapshot B derives deterministically from A
+# (drop doc_id%17 = deletions, append a marker to doc_id%13 = edits,
+# re-key doc_id%19 into a new id range = additions) — the OPERATOR
+# under test is the diff/rollup, which sees B only as a table.
+# ---------------------------------------------------------------------------
+
+_DIFF_ADD_OFFSET = 10_000_000
+
+
+@register(
+    "q150_snapshot_diff_audit",
+    "WITH a AS (SELECT doc_id, source, md5(coalesce(text, '')) AS fp"
+    " FROM documents),"
+    " surv AS (SELECT doc_id, source,"
+    " CASE WHEN doc_id % 13 = 0 THEN md5(coalesce(text, '') || ' v2')"
+    " ELSE md5(coalesce(text, '')) END AS fp"
+    " FROM documents WHERE doc_id % 17 != 0),"
+    f" adds AS (SELECT doc_id + {_DIFF_ADD_OFFSET} AS doc_id, source,"
+    " md5('new ' || coalesce(text, '')) AS fp FROM documents"
+    " WHERE doc_id % 19 = 0),"
+    " b AS (SELECT * FROM surv UNION ALL SELECT * FROM adds),"
+    " d AS (SELECT coalesce(a.source, b.source) AS source,"
+    " CASE WHEN b.doc_id IS NULL THEN 'removed'"
+    " WHEN a.doc_id IS NULL THEN 'added'"
+    " WHEN a.fp != b.fp THEN 'modified' ELSE 'unchanged' END AS st"
+    " FROM a FULL OUTER JOIN b ON b.doc_id = a.doc_id)"
+    " SELECT source,"
+    " CAST(sum(CASE WHEN st = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT)"
+    " AS n_unchanged,"
+    " CAST(sum(CASE WHEN st = 'modified' THEN 1 ELSE 0 END) AS BIGINT)"
+    " AS n_modified,"
+    " CAST(sum(CASE WHEN st = 'removed' THEN 1 ELSE 0 END) AS BIGINT)"
+    " AS n_removed,"
+    " CAST(sum(CASE WHEN st = 'added' THEN 1 ELSE 0 END) AS BIGINT)"
+    " AS n_added,"
+    " CAST(1000000 * sum(CASE WHEN st != 'unchanged' THEN 1 ELSE 0 END)"
+    " // greatest(sum(CASE WHEN st != 'added' THEN 1 ELSE 0 END), 1)"
+    " AS BIGINT) AS churn_ppm"
+    " FROM d GROUP BY source ORDER BY source",
+    doc="Corpus snapshot diff: full-outer join of two snapshots on"
+    " doc_id comparing md5 content fingerprints, rolled up per source"
+    " into unchanged/modified/removed/added counts + churn ppm (churn"
+    " over the OLD snapshot's mass). Only (id, source, 16-byte hash)"
+    " ever shuffles — text stays in the scan stage. Snapshot B is a"
+    " deterministic transform of A (modulo-keyed deletions, edits,"
+    " re-keyed additions); the diff operator sees it only as a table.",
+)
+def q150(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    fp = F.md5(F.coalesce(F.col("text"), F.lit("")))
+    a = docs.select("doc_id", "source", fp.alias("fp"))
+    surv = docs.where(F.col("doc_id") % 17 != 0).select(
+        "doc_id",
+        "source",
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.md5(F.concat(F.coalesce(F.col("text"), F.lit("")), F.lit(" v2"))),
+        )
+        .otherwise(fp)
+        .alias("fp"),
+    )
+    adds = docs.where(F.col("doc_id") % 19 == 0).select(
+        (F.col("doc_id") + _DIFF_ADD_OFFSET).alias("doc_id"),
+        "source",
+        F.md5(
+            F.concat(F.lit("new "), F.coalesce(F.col("text"), F.lit("")))
+        ).alias("fp"),
+    )
+    b = surv.unionByName(adds)
+    aa = a.select(
+        F.col("doc_id").alias("a_id"),
+        F.col("source").alias("a_source"),
+        F.col("fp").alias("a_fp"),
+    )
+    bb = b.select(
+        F.col("doc_id").alias("b_id"),
+        F.col("source").alias("b_source"),
+        F.col("fp").alias("b_fp"),
+    )
+    d = aa.join(bb, aa.a_id == bb.b_id, "full_outer").select(
+        F.coalesce("a_source", "b_source").alias("source"),
+        F.when(F.col("b_id").isNull(), F.lit("removed"))
+        .when(F.col("a_id").isNull(), F.lit("added"))
+        .when(F.col("a_fp") != F.col("b_fp"), F.lit("modified"))
+        .otherwise(F.lit("unchanged"))
+        .alias("st"),
+    )
+
+    def n(st):
+        return (
+            F.sum(F.when(F.col("st") == st, 1).otherwise(0))
+            .cast("long")
+            .alias(f"n_{st}")
+        )
+
+    return (
+        d.groupBy("source")
+        .agg(
+            n("unchanged"),
+            n("modified"),
+            n("removed"),
+            n("added"),
+            F.sum(F.when(F.col("st") != "unchanged", 1).otherwise(0))
+            .cast("long")
+            .alias("_churned"),
+            F.sum(F.when(F.col("st") != "added", 1).otherwise(0))
+            .cast("long")
+            .alias("_old_mass"),
+        )
+        .select(
+            "source",
+            "n_unchanged",
+            "n_modified",
+            "n_removed",
+            "n_added",
+            F.expr("1000000 * _churned DIV greatest(_old_mass, 1L)")
+            .cast("long")
+            .alias("churn_ppm"),
+        )
+        .orderBy("source")
+    )

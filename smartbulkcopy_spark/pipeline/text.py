@@ -2746,3 +2746,177 @@ def q144(spark, sf_dir):
         .cast("long")
         .alias("take_ppm"),
     ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# Sequence-length truncation frontier. q90 picks max_seq_len by DOC
+# share; what the training-budget owner actually trades off is TOKEN
+# mass: how many tokens survive truncate-to-L and how many are thrown
+# away, per candidate L. One corpus pass computes the per-doc token
+# count; the candidate grid attaches as a literal array exploded per
+# row (the q126/q136 grid rule — never a cross join), so the shuffle
+# carries (L, partial sums) for 4 groups.
+# ---------------------------------------------------------------------------
+
+SEQLEN_GRID = [256, 512, 1024, 2048]
+
+
+@register(
+    "q149_seqlen_truncation_frontier",
+    "WITH d AS (SELECT CASE WHEN trim(" + NORM_SQL_DUCK + ") = '' THEN 0"
+    " ELSE len(string_split(trim(" + NORM_SQL_DUCK + "), ' ')) END AS ws"
+    " FROM documents),"
+    f" g AS (SELECT ws, unnest({SEQLEN_GRID}) AS l FROM d)"
+    " SELECT CAST(l AS BIGINT) AS max_seq_len,"
+    " CAST(count(*) AS BIGINT) AS n_docs,"
+    " CAST(sum(CASE WHEN ws > l THEN 1 ELSE 0 END) AS BIGINT)"
+    " AS docs_truncated,"
+    " CAST(sum(least(ws, l)) AS BIGINT) AS tokens_kept,"
+    " CAST(sum(greatest(ws - l, 0)) AS BIGINT) AS tokens_truncated,"
+    " CAST(1000000 * sum(least(ws, l))"
+    " // greatest(sum(ws), 1) AS BIGINT) AS kept_ppm"
+    " FROM g GROUP BY l ORDER BY max_seq_len",
+    doc="Truncate-to-L token-mass frontier over candidate max_seq_len"
+    " values {256,512,1024,2048}: docs truncated, tokens kept vs"
+    " thrown away, and the kept-ppm — the budget-side complement of"
+    " q90's doc-share histogram (a 1% doc tail can carry 30% of the"
+    " tokens). One corpus pass; the candidate grid explodes from a"
+    " 4-element literal per row; integer sums only.",
+)
+def q149(spark, sf_dir):
+    ws = F.when(F.trim(norm_text()) == "", F.lit(0)).otherwise(
+        F.size(F.split(F.trim(norm_text()), " "))
+    )
+    g = (
+        table(spark, sf_dir, "documents")
+        .select(ws.alias("ws"))
+        .select(
+            "ws",
+            F.explode(
+                F.array(*[F.lit(v) for v in SEQLEN_GRID])
+            ).alias("l"),
+        )
+    )
+    return (
+        g.groupBy("l")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("ws") > F.col("l"), 1).otherwise(0))
+            .cast("long")
+            .alias("docs_truncated"),
+            F.sum(F.least("ws", "l")).cast("long").alias("tokens_kept"),
+            F.sum(F.greatest(F.col("ws") - F.col("l"), F.lit(0)))
+            .cast("long")
+            .alias("tokens_truncated"),
+            F.sum("ws").cast("long").alias("_tw"),
+        )
+        .select(
+            F.col("l").cast("long").alias("max_seq_len"),
+            "n_docs",
+            "docs_truncated",
+            "tokens_kept",
+            "tokens_truncated",
+            F.expr("1000000 * tokens_kept DIV greatest(_tw, 1L)")
+            .cast("long")
+            .alias("kept_ppm"),
+        )
+        .orderBy("max_seq_len")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Neyman (optimal) allocation of a labeling/eval budget across sources:
+# sample proportionally to N_h * S_h, so high-variance feeds get deeper
+# inspection. The determinism trick making this viable cross-engine:
+# N_h*S_h = sqrt(N_h*Σx² − (Σx)²) EXACTLY, so the only float op is one
+# IEEE sqrt of an exact integer (correctly rounded, bit-identical
+# everywhere) — no mean, no float variance. The weight normalization
+# folds the ~20 per-source doubles in source order (q30 order-fixed
+# rule); Spark attaches the fold result driver-side (the q52 bounded-
+# scalar pattern), the oracle spells the same fold as list_reduce.
+# ---------------------------------------------------------------------------
+
+NEYMAN_BUDGET = 10000
+
+
+@register(
+    "q151_neyman_allocation",
+    "WITH d AS (SELECT source,"
+    " CASE WHEN trim(" + NORM_SQL_DUCK + ") = '' THEN 0"
+    " ELSE len(string_split(trim(" + NORM_SQL_DUCK + "), ' ')) END AS ws"
+    " FROM documents),"
+    " s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,"
+    " CAST(sum(ws) AS BIGINT) AS sx,"
+    " CAST(sum(CAST(ws AS BIGINT) * ws) AS BIGINT) AS sxx"
+    " FROM d GROUP BY source),"
+    " w AS (SELECT source, n_docs, sx, sxx,"
+    " sqrt(CAST(n_docs * sxx - sx * sx AS DOUBLE)) AS wgt FROM s),"
+    " t AS (SELECT list_reduce(list_prepend(0.0,"
+    " list(wgt ORDER BY source)), (acc, x) -> acc + x) AS total FROM w)"
+    " SELECT source, n_docs,"
+    " CAST(n_docs * sxx - sx * sx AS BIGINT) AS var_num,"
+    " CAST(CASE WHEN total = 0.0 THEN 0 ELSE"
+    " floor(1000000.0 * wgt / total) END AS BIGINT) AS share_ppm,"
+    " CAST(CASE WHEN total = 0.0 THEN 0 ELSE"
+    f" floor({NEYMAN_BUDGET}.0 * wgt / total) END AS BIGINT)"
+    " AS alloc_docs"
+    " FROM w CROSS JOIN t ORDER BY source",
+    doc="Neyman-optimal allocation of a 10k-doc inspection budget"
+    " across sources: weight N_h*S_h computed as one IEEE sqrt of the"
+    " exact integer N·Σx²−(Σx)² (bit-identical cross-engine; no float"
+    " moments), normalized by a source-ordered fold of the ~20 weight"
+    " doubles (q30 order-fixed rule; Spark attaches the fold driver-"
+    "side per the q52 bounded-scalar pattern). High-variance feeds get"
+    " deeper sampling — the survey-statistics answer to 'where do the"
+    " labelers look'.",
+)
+def q151(spark, sf_dir):
+    ws = F.when(F.trim(norm_text()) == "", F.lit(0)).otherwise(
+        F.size(F.split(F.trim(norm_text()), " "))
+    )
+    s = (
+        table(spark, sf_dir, "documents")
+        .select("source", ws.alias("ws"))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("ws").cast("long").alias("sx"),
+            F.sum(F.expr("ws * CAST(ws AS BIGINT)"))
+            .cast("long")
+            .alias("sxx"),
+        )
+    )
+    s = eager(s)
+    w = s.select(
+        "source",
+        "n_docs",
+        F.expr("n_docs * sxx - sx * sx").cast("long").alias("var_num"),
+    ).withColumn("wgt", F.sqrt(F.col("var_num").cast("double")))
+    # source-ordered driver-side fold — same 0.0-seeded left fold as the
+    # oracle's list_reduce(list_prepend(0.0, list(wgt ORDER BY source)))
+    rows = sorted(
+        (r["source"], float(r["wgt"])) for r in w.select("source", "wgt").collect()
+    )
+    total = 0.0
+    for _, v in rows:
+        total = total + v
+    if total == 0.0:
+        share = F.lit(0).cast("long")
+        alloc = F.lit(0).cast("long")
+    else:
+        share = F.floor(1000000.0 * F.col("wgt") / F.lit(total)).cast(
+            "long"
+        )
+        alloc = F.floor(
+            float(NEYMAN_BUDGET) * F.col("wgt") / F.lit(total)
+        ).cast("long")
+    return (
+        w.select(
+            "source",
+            "n_docs",
+            "var_num",
+            share.alias("share_ppm"),
+            alloc.alias("alloc_docs"),
+        )
+        .orderBy("source")
+    )

@@ -1879,6 +1879,10 @@ QUEUED_SINCE = {
         "q146_rolling_hll_users", "q147_temporal_split_audit",
         "q148_stream_enrichment_rollup",
     )},
+    **{n: 91 for n in (
+        "q149_seqlen_truncation_frontier", "q150_snapshot_diff_audit",
+        "q151_neyman_allocation",
+    )},
 }
 
 

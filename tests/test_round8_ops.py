@@ -1980,3 +1980,108 @@ def test_q148_stream_enrichment_converges_to_batch(
     }
     assert stream_rows == batch_rows
     assert len(stream_rows) > 0
+
+
+# ---------------------------------------------------------------------------
+# q149 — truncation frontier; q150 — snapshot diff; q151 — Neyman.
+# ---------------------------------------------------------------------------
+
+
+def _ws_counts(docs):
+    import re as _re
+
+    out = []
+    for _, r in docs.iterrows():
+        n = _re.sub(r"\s+", " ", (r["text"] or "").lower()).strip()
+        out.append((r["source"], len(n.split(" ")) if n else 0))
+    return out
+
+
+def test_q149_matches_pure_python(spark):
+    from smartbulkcopy_spark.pipeline.text import SEQLEN_GRID
+
+    got = _run("q149_seqlen_truncation_frontier", spark)
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    ws = [w for _, w in _ws_counts(docs)]
+    want = []
+    for L in sorted(SEQLEN_GRID):
+        kept = sum(min(w, L) for w in ws)
+        want.append(
+            (
+                L,
+                len(ws),
+                sum(1 for w in ws if w > L),
+                kept,
+                sum(max(w - L, 0) for w in ws),
+                1000000 * kept // max(sum(ws), 1),
+            )
+        )
+    assert list(got.itertuples(index=False, name=None)) == want
+    # the frontier must be monotone: larger L keeps more tokens
+    assert got["tokens_kept"].is_monotonic_increasing
+    assert got["kept_ppm"].is_monotonic_increasing
+
+
+def test_q150_snapshot_diff_accounting(spark):
+    got = _run("q150_snapshot_diff_audit", spark)
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    per_src = docs.groupby("source")["doc_id"].agg(list)
+    for src, ids in per_src.items():
+        row = got[got["source"] == src].iloc[0]
+        removed = sum(1 for i in ids if i % 17 == 0)
+        modified = sum(1 for i in ids if i % 13 == 0 and i % 17 != 0)
+        added = sum(1 for i in ids if i % 19 == 0)
+        assert row["n_removed"] == removed
+        assert row["n_modified"] == modified
+        assert row["n_added"] == added
+        # old-snapshot mass accounting: every A doc is exactly one of
+        # unchanged / modified / removed
+        assert (
+            row["n_unchanged"] + row["n_modified"] + row["n_removed"]
+            == len(ids)
+        )
+    # the fixture must light up all four statuses somewhere
+    assert got["n_removed"].sum() > 0
+    assert got["n_modified"].sum() > 0
+    assert got["n_added"].sum() > 0
+    assert got["n_unchanged"].sum() > 0
+
+
+def test_q151_matches_pure_python_neyman(spark):
+    import math
+
+    from smartbulkcopy_spark.pipeline.text import NEYMAN_BUDGET
+
+    got = _run("q151_neyman_allocation", spark)
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    agg = {}
+    for src, w in _ws_counts(docs):
+        st = agg.setdefault(src, [0, 0, 0])
+        st[0] += 1
+        st[1] += w
+        st[2] += w * w
+    wgts = {
+        src: math.sqrt(float(n * sxx - sx * sx))
+        for src, (n, sx, sxx) in agg.items()
+    }
+    total = 0.0
+    for src in sorted(wgts):
+        total = total + wgts[src]
+    want = []
+    for src in sorted(agg):
+        n, sx, sxx = agg[src]
+        v = n * sxx - sx * sx
+        assert v >= 0  # Cauchy-Schwarz
+        want.append(
+            (
+                src,
+                n,
+                v,
+                math.floor(1000000.0 * wgts[src] / total),
+                math.floor(float(NEYMAN_BUDGET) * wgts[src] / total),
+            )
+        )
+    assert list(got.itertuples(index=False, name=None)) == want
+    # floor allocation never overspends the budget
+    assert got["alloc_docs"].sum() <= NEYMAN_BUDGET
+    assert got["share_ppm"].sum() <= 1000000

@@ -309,6 +309,17 @@ ANNOTATED = {
     " partial-aggregated. The streaming twin (enrich_stream) runs"
     " the same joins per micro-batch with complete-mode state bounded"
     " by the (nation, type) key space.",
+    "q149_seqlen_truncation_frontier": "One corpus pass; the 4-value"
+    " candidate grid explodes from a literal per row (never a cross"
+    " join); the shuffle carries (L, partial integer sums) — 4"
+    " groups.",
+    "q150_snapshot_diff_audit": "Full-outer join on doc_id carrying"
+    " only (id, source, 16-byte md5) — text never leaves the scan"
+    " stage; the status rollup is partial-aggregated per source.",
+    "q151_neyman_allocation": "One map-side-combined groupBy to"
+    " per-source integer moments; the only float op is one IEEE sqrt"
+    " per source row; normalization folds ~20 doubles driver-side"
+    " (bounded-scalar pattern) — no global window, no lit==lit join.",
 }
 
 

@@ -102,6 +102,9 @@ PROBES = [
     "q146_rolling_hll_users",
     "q147_temporal_split_audit",
     "q148_stream_enrichment_rollup",
+    "q149_seqlen_truncation_frontier",
+    "q150_snapshot_diff_audit",
+    "q151_neyman_allocation",
 ]
 
 
