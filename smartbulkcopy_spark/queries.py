@@ -1622,6 +1622,203 @@ def q148(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# ROLLUP subtotals. Every corpus report needs per-(lang, source) cells
+# PLUS per-lang subtotals PLUS the grand total; GROUPING SETS compute
+# all three grains in ONE pass with partial aggregation, where the
+# naive spelling unions three scans. The GROUPING() flags disambiguate
+# a rolled-up NULL from a data NULL.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q152_corpus_rollup_totals",
+    "SELECT lang, source,"
+    " CAST(GROUPING(lang) AS BIGINT) AS g_lang,"
+    " CAST(GROUPING(source) AS BIGINT) AS g_source,"
+    " CAST(count(*) AS BIGINT) AS n_docs,"
+    " CAST(sum(n_chars) AS BIGINT) AS total_chars"
+    " FROM documents GROUP BY ROLLUP(lang, source)"
+    " ORDER BY g_lang, g_source, lang, source",
+    doc="Corpus report at three grains in one pass — (lang, source)"
+    " cells, per-lang subtotals, grand total — via ROLLUP grouping"
+    " sets: Spark expands the sets inside a single partial-aggregated"
+    " Expand+HashAggregate, no re-scan per grain. GROUPING() flags"
+    " (cast to BIGINT on both engines) distinguish subtotal NULLs from"
+    " data NULLs; the driver hash is row-order-insensitive, so the"
+    " engines' different NULL sort orders don't matter.",
+)
+def q152(spark, sf_dir):
+    return (
+        table(spark, sf_dir, "documents")
+        .rollup("lang", "source")
+        .agg(
+            F.grouping("lang").cast("long").alias("g_lang"),
+            F.grouping("source").cast("long").alias("g_source"),
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .select(
+            "lang", "source", "g_lang", "g_source", "n_docs", "total_chars"
+        )
+        .orderBy("g_lang", "g_source", "lang", "source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Session-grain funnel: q35's gap-sessionization composed with q58's
+# ordered staging, at the grain product analytics actually reports —
+# "did the user complete signup → view → click → purchase WITHIN one
+# sitting", not ever. Events order by (ts, event_id) so the session
+# cumsum is deterministic on both engines; stage first-times are
+# conditional mins per (user, session).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q153_session_funnel",
+    "WITH o AS (SELECT user_id, event_id, event_type, ts,"
+    " epoch_us(ts) AS tmic,"
+    " epoch_us(ts) - epoch_us(lag(ts) OVER"
+    " (PARTITION BY user_id ORDER BY ts, event_id)) AS gap"
+    " FROM events),"
+    " s AS (SELECT user_id, event_type, tmic,"
+    " CAST(sum(CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1"
+    " ELSE 0 END) OVER (PARTITION BY user_id ORDER BY ts, event_id"
+    " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)"
+    " AS sid FROM o),"
+    " m AS (SELECT user_id, sid,"
+    + ",".join(
+        f" min(CASE WHEN event_type = '{s}' THEN tmic END) AS m_{s}"
+        for s in _FUNNEL_STAGES
+    )
+    + " FROM s GROUP BY user_id, sid)"
+    f" SELECT CAST({_FUNNEL_STAGE_SQL} AS BIGINT) AS funnel_stage,"
+    " count(*) AS n_sessions FROM m"
+    " GROUP BY funnel_stage ORDER BY funnel_stage",
+    doc="Funnel completion WITHIN a 30-minute-gap session (q35's"
+    " sessionization composed with q58's ordered staging at session"
+    " grain): conversion that credits only a single sitting. The"
+    " session cumsum orders by (ts, event_id) so tie order is"
+    " deterministic cross-engine; windows are user-partitioned, stage"
+    " first-times partial-aggregate per (user, session), and the final"
+    " rollup is 5 rows. Gap math at MICROSECOND precision in the NTZ"
+    " domain (q35 convention).",
+)
+def q153(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tmic = F.expr(_EV_MICROS)
+    gap = F.expr("timestampdiff(MICROSECOND, prev_ts, ts)")
+    o = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "ts",
+        tmic.alias("tmic"),
+        F.lag("ts").over(w).alias("prev_ts"),
+    ).select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "ts",
+        "tmic",
+        F.when(gap.isNull() | (gap > 1_800_000_000), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("brk"),
+    )
+    s = o.select(
+        "user_id",
+        "event_type",
+        "tmic",
+        F.sum("brk")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long")
+        .alias("sid"),
+    )
+    m = s.groupBy("user_id", "sid").agg(
+        *[
+            F.min(
+                F.when(F.col("event_type") == st, F.col("tmic"))
+            ).alias(f"m_{st}")
+            for st in _FUNNEL_STAGES
+        ]
+    )
+    return (
+        m.select(
+            F.expr(_FUNNEL_STAGE_SQL).cast("long").alias("funnel_stage")
+        )
+        .groupBy("funnel_stage")
+        .agg(F.count("*").alias("n_sessions"))
+        .orderBy("funnel_stage")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Join-size forecast: before running a fact-fact join, predict its
+# output size and name the keys that dominate it — the planning step
+# that decides between a plain shuffle join and the q72 salting path.
+# Exact arithmetic: join output per key = |left_k| x |right_k|; both
+# count tables are partial-aggregated, their join is key-distinct-sized,
+# and the total attaches driver-side (one bounded scalar).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q154_join_size_forecast",
+    "WITH l AS (SELECT user_id AS k, CAST(count(*) AS BIGINT) AS nl"
+    " FROM events GROUP BY user_id),"
+    " r AS (SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS nr"
+    " FROM orders GROUP BY o_custkey),"
+    " j AS (SELECT l.k, nl, nr, nl * nr AS pairs FROM l"
+    " JOIN r ON r.k = l.k),"
+    " t AS (SELECT CAST(sum(pairs) AS BIGINT) AS total_pairs FROM j)"
+    " SELECT k AS join_key, nl AS n_left, nr AS n_right, pairs,"
+    " CAST(1000000 * pairs // total_pairs AS BIGINT) AS share_ppm,"
+    " total_pairs"
+    " FROM j CROSS JOIN t ORDER BY pairs DESC, join_key LIMIT 5",
+    doc="Pre-join size forecast for the events⋈orders attribution"
+    " join: per-key output = |left_k| x |right_k| from two partial-"
+    "aggregated count tables (the join of counts is key-distinct-"
+    "sized, never row-sized), total forecast + the 5 dominating keys'"
+    " share — the diagnostic that decides between a plain shuffle"
+    " join and the q72 salting path. Spark attaches the total driver-"
+    "side (bounded scalar, q52 pattern); the oracle CROSS JOINs the"
+    " 1-row total.",
+)
+def q154(spark, sf_dir):
+    lt = (
+        table(spark, sf_dir, "events")
+        .groupBy(F.col("user_id").alias("k"))
+        .agg(F.count("*").cast("long").alias("nl"))
+    )
+    rt = (
+        table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.count("*").cast("long").alias("nr"))
+    )
+    j = eager(
+        lt.join(rt, "k").select(
+            "k", "nl", "nr", (F.col("nl") * F.col("nr")).alias("pairs")
+        )
+    )
+    total = int(j.agg(F.sum("pairs")).first()[0] or 0)
+    return (
+        j.select(
+            F.col("k").alias("join_key"),
+            F.col("nl").alias("n_left"),
+            F.col("nr").alias("n_right"),
+            "pairs",
+            F.expr(f"1000000 * pairs DIV {max(total, 1)}")
+            .cast("long")
+            .alias("share_ppm"),
+            F.lit(total).cast("long").alias("total_pairs"),
+        )
+        .orderBy(F.col("pairs").desc(), "join_key")
+        .limit(5)
+    )
+
+
 # Phase-5 pipeline operators (q21+) register themselves on import. The
 # import sits at the bottom because pipeline modules import `register`/
 # `table` from this module (deliberate one-way late binding, not a cycle
@@ -1882,6 +2079,10 @@ QUEUED_SINCE = {
     **{n: 91 for n in (
         "q149_seqlen_truncation_frontier", "q150_snapshot_diff_audit",
         "q151_neyman_allocation",
+    )},
+    **{n: 92 for n in (
+        "q152_corpus_rollup_totals", "q153_session_funnel",
+        "q154_join_size_forecast",
     )},
 }
 

@@ -2085,3 +2085,86 @@ def test_q151_matches_pure_python_neyman(spark):
     # floor allocation never overspends the budget
     assert got["alloc_docs"].sum() <= NEYMAN_BUDGET
     assert got["share_ppm"].sum() <= 1000000
+
+
+# ---------------------------------------------------------------------------
+# q152 — rollup; q153 — session funnel; q154 — join forecast.
+# ---------------------------------------------------------------------------
+
+
+def test_q152_rollup_grains_reconcile(spark):
+    got = _run("q152_corpus_rollup_totals", spark)
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    cells = got[(got.g_lang == 0) & (got.g_source == 0)]
+    subs = got[(got.g_lang == 0) & (got.g_source == 1)]
+    grand = got[(got.g_lang == 1) & (got.g_source == 1)]
+    assert len(grand) == 1
+    assert grand.iloc[0]["n_docs"] == len(docs)
+    assert grand.iloc[0]["total_chars"] == docs["n_chars"].sum()
+    # subtotals = sum of their cells, per lang
+    for lang, grp in cells.groupby("lang"):
+        sub = subs[subs.lang == lang].iloc[0]
+        assert sub["n_docs"] == grp["n_docs"].sum()
+        assert sub["total_chars"] == grp["total_chars"].sum()
+    # cells match a plain pandas groupby
+    want = (
+        docs.groupby(["lang", "source"])
+        .agg(n=("doc_id", "size"), c=("n_chars", "sum"))
+        .reset_index()
+    )
+    assert len(cells) == len(want)
+
+
+def test_q153_matches_pure_python_sessions(spark):
+    got = _run("q153_session_funnel", spark)
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet").sort_values(
+        ["user_id", "ts", "event_id"]
+    )
+    stages = ["signup", "view", "click", "purchase"]
+    counts = {}
+    for _, grp in ev.groupby("user_id"):
+        prev = None
+        sessions = []
+        for r in grp.itertuples():
+            tmic = r.ts.value // 1000
+            if prev is None or tmic - prev > 1_800_000_000:
+                sessions.append({})
+            cur = sessions[-1]
+            if r.event_type in stages:
+                cur.setdefault(r.event_type, tmic)
+            prev = tmic
+        for m in sessions:
+            stage = 0
+            prev_t = None
+            for i, s in enumerate(stages):
+                t = m.get(s)
+                if t is None or (prev_t is not None and t <= prev_t):
+                    break
+                stage = i + 1
+                prev_t = t
+            counts[stage] = counts.get(stage, 0) + 1
+    want = sorted(counts.items())
+    assert list(got.itertuples(index=False, name=None)) == want
+    # sessions outnumber users; total sessions accounted for
+    assert got["n_sessions"].sum() == sum(counts.values())
+
+
+def test_q154_forecast_matches_pandas(spark):
+    got = _run("q154_join_size_forecast", spark)
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    od = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")
+    nl = ev.groupby("user_id").size()
+    nr = od.groupby("o_custkey").size()
+    pairs = {
+        k: int(nl[k]) * int(nr[k]) for k in set(nl.index) & set(nr.index)
+    }
+    total = sum(pairs.values())
+    top5 = sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    want = [
+        (k, int(nl[k]), int(nr[k]), p, 1000000 * p // total, total)
+        for k, p in top5
+    ]
+    assert list(got.itertuples(index=False, name=None)) == want
+    # the forecast must equal the REAL join size
+    real = len(ev.merge(od, left_on="user_id", right_on="o_custkey"))
+    assert total == real

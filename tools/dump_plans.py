@@ -320,6 +320,18 @@ ANNOTATED = {
     " per-source integer moments; the only float op is one IEEE sqrt"
     " per source row; normalization folds ~20 doubles driver-side"
     " (bounded-scalar pattern) — no global window, no lit==lit join.",
+    "q152_corpus_rollup_totals": "All three grains in ONE pass: Spark"
+    " expands the ROLLUP grouping sets inside a single Expand +"
+    " partial-aggregated HashAggregate — no per-grain re-scan, no"
+    " union.",
+    "q153_session_funnel": "User-partitioned lag + cumsum windows"
+    " assign sessions deterministically ((ts, event_id) order); stage"
+    " first-times partial-aggregate per (user, session); the final"
+    " rollup is 5 rows.",
+    "q154_join_size_forecast": "Both count tables partial-aggregate"
+    " before their key-distinct-sized join — the forecast never"
+    " touches row-sized data; total attaches driver-side; top-5 via"
+    " TakeOrderedAndProject.",
 }
 
 

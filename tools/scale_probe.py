@@ -105,6 +105,9 @@ PROBES = [
     "q149_seqlen_truncation_frontier",
     "q150_snapshot_diff_audit",
     "q151_neyman_allocation",
+    "q152_corpus_rollup_totals",
+    "q153_session_funnel",
+    "q154_join_size_forecast",
 ]
 
 
@@ -202,6 +205,49 @@ def inflate(spark, src_dir: str, out_dir: str) -> None:
     for c in ecopies[1:]:
         big_ev = big_ev.unionByName(c)
     big_ev.write.mode("overwrite").parquet(f"{out_dir}/events.parquet")
+
+    # TPC-H tables for the join probes (q140/q148/q154): facts and
+    # scaling dims inflate with DISJOINT key spaces that stay consistent
+    # across tables (custkey shift matches the events user_id shift so
+    # the events⋈orders key overlap is preserved); nation/region are
+    # fixed-size dims and copy through unchanged.
+    _CUST_SHIFT = 1_000_000  # must equal the events user_id shift
+    _ORDER_SHIFT = 1_000_000_000
+    _SUPP_SHIFT = 1_000_000
+
+    def _inflated(name, shifts):
+        t = spark.read.parquet(f"{src_dir}/{name}.parquet")
+        cols = t.columns
+        parts = []
+        for k in range(INFLATE):
+            parts.append(
+                t.select(
+                    *[
+                        (F.col(c) + k * shifts[c]).alias(c)
+                        if c in shifts
+                        else F.col(c)
+                        for c in cols
+                    ]
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.write.mode("overwrite").parquet(f"{out_dir}/{name}.parquet")
+
+    _inflated(
+        "orders", {"o_orderkey": _ORDER_SHIFT, "o_custkey": _CUST_SHIFT}
+    )
+    _inflated(
+        "lineitem",
+        {"l_orderkey": _ORDER_SHIFT, "l_suppkey": _SUPP_SHIFT},
+    )
+    _inflated("customer", {"c_custkey": _CUST_SHIFT})
+    _inflated("supplier", {"s_suppkey": _SUPP_SHIFT})
+    for name in ("nation", "region"):
+        spark.read.parquet(f"{src_dir}/{name}.parquet").write.mode(
+            "overwrite"
+        ).parquet(f"{out_dir}/{name}.parquet")
 
 
 def time_one(spark, fn, sf_dir: str) -> float:
