@@ -2920,3 +2920,95 @@ def q151(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact Kolmogorov–Smirnov drift between the train and test splits'
+# length distributions. q76/q98 check COUNTS per stratum; KS checks the
+# SHAPE — a split hash that accidentally correlates with length (e.g.
+# hashing a key that encodes ingest order) shifts the whole ECDF, and
+# max |ECDF_train − ECDF_test| is the standard detector. Exact integer
+# form: per distinct length value, cumulative conditional counts; the
+# ECDFs floor to ppm; the windows run over the distinct-length
+# histogram table (bounded by the value space, never the corpus).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q156_split_ks_drift",
+    "WITH s AS (SELECT n_chars AS v,"
+    f" {SPLIT_CASE_DUCK} AS split FROM documents),"
+    " h AS (SELECT v,"
+    " CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT)"
+    " AS ct,"
+    " CAST(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT)"
+    " AS ce FROM s WHERE split != 'val' GROUP BY v),"
+    " c AS (SELECT v,"
+    " CAST(sum(ct) OVER (ORDER BY v) AS BIGINT) AS cum_tr,"
+    " CAST(sum(ce) OVER (ORDER BY v) AS BIGINT) AS cum_te,"
+    " CAST(sum(ct) OVER () AS BIGINT) AS n_tr,"
+    " CAST(sum(ce) OVER () AS BIGINT) AS n_te FROM h),"
+    " g AS (SELECT v, n_tr, n_te,"
+    " abs(1000000 * cum_tr // greatest(n_tr, 1)"
+    " - 1000000 * cum_te // greatest(n_te, 1)) AS gap_ppm FROM c)"
+    " SELECT n_tr AS n_train, n_te AS n_test,"
+    " CAST(max(gap_ppm) AS BIGINT) AS ks_ppm,"
+    " CAST(min(CASE WHEN gap_ppm = (SELECT max(gap_ppm) FROM g)"
+    " THEN v END) AS BIGINT) AS at_value"
+    " FROM g GROUP BY n_tr, n_te",
+    doc="Exact Kolmogorov-Smirnov statistic between the train and test"
+    " splits' n_chars distributions (ppm) + the length where the gap"
+    " peaks: the SHAPE-level split-balance check q76/q98's counts"
+    " can't see — a split hash correlated with length shifts the whole"
+    " ECDF. Integer arithmetic throughout: cumulative conditional"
+    " counts per distinct length, ECDFs floored to ppm; every window"
+    " runs over the distinct-length histogram table, never the"
+    " corpus.",
+)
+def q156(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    s = table(spark, sf_dir, "documents").select(
+        F.col("n_chars").alias("v"), split_col().alias("split")
+    )
+    h = (
+        s.where(F.col("split") != "val")
+        .groupBy("v")
+        .agg(
+            F.sum(F.when(F.col("split") == "train", 1).otherwise(0))
+            .cast("long")
+            .alias("ct"),
+            F.sum(F.when(F.col("split") == "test", 1).otherwise(0))
+            .cast("long")
+            .alias("ce"),
+        )
+    )
+    w_cum = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.partitionBy()
+    c = h.select(
+        "v",
+        F.sum("ct").over(w_cum).cast("long").alias("cum_tr"),
+        F.sum("ce").over(w_cum).cast("long").alias("cum_te"),
+        F.sum("ct").over(w_all).cast("long").alias("n_tr"),
+        F.sum("ce").over(w_all).cast("long").alias("n_te"),
+    )
+    g = c.select(
+        "v",
+        "n_tr",
+        "n_te",
+        F.abs(
+            F.expr("1000000 * cum_tr DIV greatest(n_tr, 1L)")
+            - F.expr("1000000 * cum_te DIV greatest(n_te, 1L)")
+        ).alias("gap_ppm"),
+    )
+    g2 = g.withColumn("mx", F.max("gap_ppm").over(w_all))
+    return g2.agg(
+        F.max("n_tr").cast("long").alias("n_train"),
+        F.max("n_te").cast("long").alias("n_test"),
+        F.max("gap_ppm").cast("long").alias("ks_ppm"),
+        F.min(F.when(F.col("gap_ppm") == F.col("mx"), F.col("v")))
+        .cast("long")
+        .alias("at_value"),
+    )

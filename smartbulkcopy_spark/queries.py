@@ -1819,6 +1819,119 @@ def q154(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Referential-integrity audit. Before any star join is trusted, the FK
+# edges get counted: children whose parent is missing silently vanish
+# from inner joins (q140's revenue would under-report) or null-inflate
+# left joins. One pass per edge: child keys LEFT JOIN the distinct
+# parent-key projection; an orphan is a null parent. At 100 TB each
+# probe shuffles only the key columns.
+# ---------------------------------------------------------------------------
+
+_FK_EDGES = [
+    # (relation label, child table, fk col, parent table, pk col)
+    ("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("events->customer", "events", "user_id", "customer", "c_custkey"),
+    ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+]
+
+
+@register(
+    "q155_referential_integrity_audit",
+    " UNION ALL ".join(
+        f"SELECT '{rel}' AS relation,"
+        " CAST(count(*) AS BIGINT) AS n_child,"
+        " CAST(sum(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
+        " AS n_orphans,"
+        " CAST(1000000 * sum(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END)"
+        " // greatest(count(*), 1) AS BIGINT) AS orphan_ppm"
+        f" FROM {child} c LEFT JOIN"
+        f" (SELECT DISTINCT {pk} AS k FROM {parent}) p"
+        f" ON p.k = c.{fk}"
+        for rel, child, fk, parent, pk in _FK_EDGES
+    )
+    + " ORDER BY relation",
+    doc="Foreign-key orphan audit over the five FK edges the analytic"
+    " joins rely on (lineitem→orders/supplier, orders→customer,"
+    " events→customer, customer→nation): children whose parent is"
+    " missing silently vanish from inner joins. Each edge is one"
+    " key-only pass — child FK column LEFT JOINed to the distinct"
+    " parent-key projection, orphan = null parent — so nothing but"
+    " keys ever shuffles. Crafted-orphan corpus test pins detection"
+    " (the fixture is referentially clean, q116 lesson).",
+)
+def q155(spark, sf_dir):
+    out = None
+    for rel, child, fk, parent, pk in _FK_EDGES:
+        pkeys = (
+            table(spark, sf_dir, parent).select(F.col(pk).alias("k")).distinct()
+        )
+        j = table(spark, sf_dir, child).select(F.col(fk).alias("fk")).join(
+            pkeys, F.col("fk") == F.col("k"), "left"
+        )
+        row = j.agg(
+            F.lit(rel).alias("relation"),
+            F.count("*").cast("long").alias("n_child"),
+            F.sum(F.when(F.col("k").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_orphans"),
+        ).select(
+            "relation",
+            "n_child",
+            "n_orphans",
+            F.expr("1000000 * n_orphans DIV greatest(n_child, 1L)")
+            .cast("long")
+            .alias("orphan_ppm"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("relation")
+
+
+# ---------------------------------------------------------------------------
+# Hour-of-day seasonality. The traffic-shape profile capacity planning
+# and anomaly baselines start from: per event type, how load distributes
+# across the 24 clock hours. hour() on TIMESTAMP_NTZ is a field
+# extraction — timezone-independent by construction — and the share
+# window runs over the 24 hour rows per type, never the corpus.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q157_hourly_seasonality",
+    "WITH h AS (SELECT event_type,"
+    " CAST(hour(ts) AS BIGINT) AS hod, count(*) AS n FROM events"
+    " GROUP BY event_type, hod)"
+    " SELECT event_type, hod, CAST(n AS BIGINT) AS n_events,"
+    " CAST(1000000 * n // sum(n) OVER (PARTITION BY event_type)"
+    " AS BIGINT) AS share_ppm"
+    " FROM h ORDER BY event_type, hod",
+    doc="Hour-of-day load profile per event type (24 x types rows,"
+    " share in ppm of the type's total) — the seasonality baseline"
+    " capacity planning and the q78 burst detector calibrate against."
+    " hour() on NTZ is a field extraction, timezone-independent; the"
+    " corpus pass is one partial-aggregated groupBy and the share"
+    " window runs over 24 rows per type.",
+)
+def q157(spark, sf_dir):
+    h = (
+        table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type", F.hour("ts").cast("long").alias("hod")
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    return h.select(
+        "event_type",
+        "hod",
+        F.col("n").cast("long").alias("n_events"),
+        F.expr("1000000 * n DIV sum(n) OVER (PARTITION BY event_type)")
+        .cast("long")
+        .alias("share_ppm"),
+    ).orderBy("event_type", "hod")
+
+
 # Phase-5 pipeline operators (q21+) register themselves on import. The
 # import sits at the bottom because pipeline modules import `register`/
 # `table` from this module (deliberate one-way late binding, not a cycle
@@ -2083,6 +2196,10 @@ QUEUED_SINCE = {
     **{n: 92 for n in (
         "q152_corpus_rollup_totals", "q153_session_funnel",
         "q154_join_size_forecast",
+    )},
+    **{n: 93 for n in (
+        "q155_referential_integrity_audit", "q156_split_ks_drift",
+        "q157_hourly_seasonality",
     )},
 }
 

@@ -2168,3 +2168,155 @@ def test_q154_forecast_matches_pandas(spark):
     # the forecast must equal the REAL join size
     real = len(ev.merge(od, left_on="user_id", right_on="o_custkey"))
     assert total == real
+
+
+# ---------------------------------------------------------------------------
+# q155 — FK orphans; q156 — KS drift; q157 — seasonality.
+# ---------------------------------------------------------------------------
+
+
+def test_q155_fixture_is_clean_and_counts_children(spark):
+    got = _run("q155_referential_integrity_audit", spark)
+    assert len(got) == 5
+    assert (got["n_orphans"] == 0).all()
+    li = pd.read_parquet(f"{SF_SMOKE}/lineitem.parquet")
+    assert (
+        got.set_index("relation").loc["lineitem->orders", "n_child"]
+        == len(li)
+    )
+
+
+def test_q155_detects_crafted_orphans(spark, tmp_path):
+    """The fixture is referentially clean (all-zero orphans), so pin
+    detection on a corpus WITH dangling keys (q116/q142 lesson)."""
+    d = tmp_path / "sf_q155"
+    d.mkdir()
+    pd.DataFrame(
+        {"n_nationkey": [0, 1], "n_name": ["A", "B"], "n_regionkey": [0, 0]}
+    ).to_parquet(d / "nation.parquet", index=False)
+    pd.DataFrame(
+        {
+            "c_custkey": [10, 11],
+            "c_name": ["x", "y"],
+            "c_nationkey": [0, 7],  # 7 dangles
+            "c_acctbal": [0.0, 0.0],
+            "c_mktsegment": ["m", "m"],
+        }
+    ).to_parquet(d / "customer.parquet", index=False)
+    pd.DataFrame(
+        {
+            "o_orderkey": [100, 101, 102],
+            "o_custkey": [10, 11, 99],  # 99 dangles
+            "o_orderstatus": ["O"] * 3,
+            "o_totalprice": [1.0] * 3,
+            "o_orderdate": pd.to_datetime(["2024-01-01"] * 3),
+            "o_orderpriority": ["1"] * 3,
+        }
+    ).to_parquet(d / "orders.parquet", index=False)
+    pd.DataFrame(
+        {
+            "s_suppkey": [5],
+            "s_name": ["s"],
+            "s_nationkey": [0],
+            "s_acctbal": [0.0],
+        }
+    ).to_parquet(d / "supplier.parquet", index=False)
+    pd.DataFrame(
+        {
+            "l_orderkey": [100, 100, 999],  # 999 dangles
+            "l_partkey": [1, 2, 3],
+            "l_suppkey": [5, 6, 5],  # 6 dangles
+            "l_linenumber": [1, 2, 1],
+            "l_quantity": [1.0] * 3,
+            "l_extendedprice": [1.0] * 3,
+            "l_discount": [0.0] * 3,
+            "l_tax": [0.0] * 3,
+            "l_returnflag": ["N"] * 3,
+            "l_linestatus": ["O"] * 3,
+            "l_shipdate": pd.to_datetime(["2024-01-02"] * 3),
+        }
+    ).to_parquet(d / "lineitem.parquet", index=False)
+    pd.DataFrame(
+        {
+            "event_id": [1, 2],
+            "ts": pd.to_datetime(["2024-01-01 01:00", "2024-01-01 02:00"]),
+            "user_id": [10, 404],  # 404 dangles
+            "event_type": ["click", "view"],
+            "value": [1.0, 2.0],
+            "props": ["{}", "{}"],
+        }
+    ).to_parquet(d / "events.parquet", index=False)
+
+    got = (
+        REGISTRY["q155_referential_integrity_audit"]
+        .fn(spark, str(d))
+        .toPandas()
+        .set_index("relation")
+    )
+    assert got.loc["customer->nation", "n_orphans"] == 1
+    assert got.loc["events->customer", "n_orphans"] == 1
+    assert got.loc["lineitem->orders", "n_orphans"] == 1
+    assert got.loc["lineitem->supplier", "n_orphans"] == 1
+    assert got.loc["orders->customer", "n_orphans"] == 1
+    assert got.loc["lineitem->orders", "orphan_ppm"] == 1000000 // 3
+
+
+def test_q156_matches_pure_python_ks(spark):
+    import hashlib
+
+    got = _run("q156_split_ks_drift", spark)
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+
+    def split(doc_id):
+        b = int(
+            hashlib.md5(str(int(doc_id)).encode()).hexdigest()[:4], 16
+        ) % 100
+        return "train" if b < 90 else ("val" if b < 95 else "test")
+
+    tr, te = [], []
+    for r in docs.itertuples():
+        s = split(r.doc_id)
+        if s == "train":
+            tr.append(int(r.n_chars))
+        elif s == "test":
+            te.append(int(r.n_chars))
+    vals = sorted(set(tr) | set(te))
+    ctr = cte = 0
+    best = (-1, None)
+    from collections import Counter
+
+    cn_tr, cn_te = Counter(tr), Counter(te)
+    for v in vals:
+        ctr += cn_tr[v]
+        cte += cn_te[v]
+        gap = abs(
+            1000000 * ctr // max(len(tr), 1)
+            - 1000000 * cte // max(len(te), 1)
+        )
+        if gap > best[0]:
+            best = (gap, v)
+    row = got.iloc[0]
+    assert (row["n_train"], row["n_test"]) == (len(tr), len(te))
+    assert row["ks_ppm"] == best[0]
+    assert row["at_value"] == best[1]
+    # a healthy hash split keeps KS small (far from a shifted ECDF)
+    assert row["ks_ppm"] < 200000
+
+
+def test_q157_matches_pandas(spark):
+    got = _run("q157_hourly_seasonality", spark)
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    cnt = (
+        ev.assign(hod=ev.ts.dt.hour)
+        .groupby(["event_type", "hod"])
+        .size()
+    )
+    totals = cnt.groupby(level=0).sum()
+    want = [
+        (et, hod, int(n), 1000000 * int(n) // int(totals[et]))
+        for (et, hod), n in sorted(cnt.items())
+    ]
+    assert list(got.itertuples(index=False, name=None)) == want
+    # shares per type sum to ~1e6 (floor slack < 24)
+    for et, s in got.groupby("event_type")["share_ppm"].sum().items():
+        assert 1000000 - 24 < s <= 1000000

@@ -332,6 +332,17 @@ ANNOTATED = {
     " before their key-distinct-sized join — the forecast never"
     " touches row-sized data; total attaches driver-side; top-5 via"
     " TakeOrderedAndProject.",
+    "q155_referential_integrity_audit": "Five key-only probes: child"
+    " FK column LEFT JOINs the distinct parent-key projection (small"
+    " parents broadcast); each edge reduces to a 1-row aggregate"
+    " before the union.",
+    "q156_split_ks_drift": "Row-local split hash; one groupBy to the"
+    " distinct-length histogram; cumulative/total windows run over"
+    " that bounded value table, never the corpus; the final argmax is"
+    " a 1-row aggregate.",
+    "q157_hourly_seasonality": "hour() field extraction is row-local"
+    " and tz-independent on NTZ; one partial-aggregated groupBy; the"
+    " share window runs over 24 rows per type.",
 }
 
 

@@ -108,6 +108,9 @@ PROBES = [
     "q152_corpus_rollup_totals",
     "q153_session_funnel",
     "q154_join_size_forecast",
+    "q155_referential_integrity_audit",
+    "q156_split_ks_drift",
+    "q157_hourly_seasonality",
 ]
 
 
