@@ -3012,3 +3012,62 @@ def q156(spark, sf_dir):
         .cast("long")
         .alias("at_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-lingual template (skeleton) duplicates. Translated boilerplate
+# — the same generated page served in 20 languages — defeats lexical
+# dedup (different words) and often semantic dedup (different
+# embeddings), but its PUNCTUATION/DIGIT SKELETON is identical: strip
+# letter runs to 'W' and digit runs to 'D' over the shared
+# normalization and hash what remains. Groups spanning >= 2 languages
+# are the template clusters a mixture audit must know about.
+# ---------------------------------------------------------------------------
+
+_SKELETON_DUCK = (
+    "md5(regexp_replace(regexp_replace(" + NORM_SQL_DUCK + ","
+    " '[a-z]+', 'W', 'g'), '[0-9]+', 'D', 'g'))"
+)
+
+
+@register(
+    "q160_skeleton_template_dupes",
+    "WITH s AS (SELECT doc_id, lang, source,"
+    f" {_SKELETON_DUCK} AS sk FROM documents),"
+    " g AS (SELECT sk, CAST(count(*) AS BIGINT) AS n_docs,"
+    " CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,"
+    " CAST(count(DISTINCT source) AS BIGINT) AS n_sources,"
+    " CAST(min(doc_id) AS BIGINT) AS exemplar_doc"
+    " FROM s GROUP BY sk HAVING count(*) >= 2"
+    " AND count(DISTINCT lang) >= 2)"
+    " SELECT sk, n_docs, n_langs, n_sources, exemplar_doc FROM g"
+    " ORDER BY n_docs DESC, sk LIMIT 20",
+    doc="Cross-lingual template detection: the punctuation/digit"
+    " SKELETON (letter runs -> 'W', digit runs -> 'D' over the shared"
+    " normalization) hashes identically for translated boilerplate"
+    " that lexical and semantic dedup both miss. Row-local skeleton"
+    " hash, one 16-byte-key groupBy, top-20 multi-language groups —"
+    " the template clusters a mixture audit must discount.",
+)
+def q160(spark, sf_dir):
+    sk = F.md5(
+        F.regexp_replace(
+            F.regexp_replace(norm_text(), "[a-z]+", "W"),
+            "[0-9]+",
+            "D",
+        )
+    )
+    return (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "source", sk.alias("sk"))
+        .groupBy("sk")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.countDistinct("lang").cast("long").alias("n_langs"),
+            F.countDistinct("source").cast("long").alias("n_sources"),
+            F.min("doc_id").cast("long").alias("exemplar_doc"),
+        )
+        .where((F.col("n_docs") >= 2) & (F.col("n_langs") >= 2))
+        .orderBy(F.col("n_docs").desc(), "sk")
+        .limit(20)
+    )

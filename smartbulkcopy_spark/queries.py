@@ -1932,6 +1932,509 @@ def q157(spark, sf_dir):
     ).orderBy("event_type", "hod")
 
 
+# ---------------------------------------------------------------------------
+# Repeat-purchase behavior profile. The retention question behind every
+# commerce dashboard: how many buyers come back, and on what cadence.
+# Gaps floor to HOURS so the exact quantiles run over a bounded
+# distinct-value histogram (the q65 cumulative-histogram pattern) —
+# microsecond-distinct gaps would force a global sort.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q158_repeat_purchase_profile",
+    "WITH p AS (SELECT user_id, ts, epoch_us(ts) AS tmic FROM events"
+    " WHERE event_type = 'purchase'),"
+    " g AS (SELECT user_id,"
+    " (tmic - lag(tmic) OVER (PARTITION BY user_id ORDER BY ts))"
+    " // 3600000000 AS gap_h FROM p),"
+    " buyers AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT)"
+    " AS n_buyers,"
+    " CAST(count(DISTINCT CASE WHEN gap_h IS NOT NULL THEN user_id END)"
+    " AS BIGINT) AS n_repeat FROM g),"
+    " hh AS (SELECT gap_h, count(*) AS c FROM g"
+    " WHERE gap_h IS NOT NULL GROUP BY gap_h),"
+    " cum AS (SELECT gap_h, sum(c) OVER (ORDER BY gap_h) AS cc,"
+    " sum(c) OVER () AS n FROM hh),"
+    " q AS (SELECT CAST(min(CASE WHEN 2 * cc >= n THEN gap_h END)"
+    " AS BIGINT) AS p50_gap_h,"
+    " CAST(min(CASE WHEN 10 * cc >= 9 * n THEN gap_h END) AS BIGINT)"
+    " AS p90_gap_h, CAST(max(n) AS BIGINT) AS n_gaps FROM cum)"
+    " SELECT n_buyers, n_repeat,"
+    " CAST(1000000 * n_repeat // greatest(n_buyers, 1) AS BIGINT)"
+    " AS repeat_ppm, n_gaps, p50_gap_h, p90_gap_h"
+    " FROM buyers CROSS JOIN q",
+    doc="Repeat-purchase profile: buyers vs repeat buyers (ppm) and"
+    " the exact p50/p90 inter-purchase gap at HOUR resolution —"
+    " flooring gaps to hours bounds the distinct-value space so the"
+    " quantiles come from a cumulative histogram (q65 pattern) instead"
+    " of a global sort. Per-user lag windows are purchase-series-"
+    "sized; gap math in the NTZ microsecond domain.",
+)
+def q158(spark, sf_dir):
+    p = (
+        table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .select("user_id", "ts", F.expr(_EV_MICROS).alias("tmic"))
+    )
+    g = p.select(
+        "user_id",
+        F.expr("(tmic - lag(tmic) OVER (PARTITION BY user_id ORDER BY ts))"
+               " DIV 3600000000").alias("gap_h"),
+    )
+    g = eager(g)
+    buyers = g.agg(
+        F.countDistinct("user_id").cast("long").alias("n_buyers"),
+        F.countDistinct(
+            F.when(F.col("gap_h").isNotNull(), F.col("user_id"))
+        )
+        .cast("long")
+        .alias("n_repeat"),
+    )
+    hh = (
+        g.where(F.col("gap_h").isNotNull())
+        .groupBy("gap_h")
+        .agg(F.count("*").alias("c"))
+    )
+    w_cum = Window.orderBy("gap_h").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.partitionBy()
+    cum = hh.select(
+        "gap_h",
+        F.sum("c").over(w_cum).alias("cc"),
+        F.sum("c").over(w_all).alias("n"),
+    )
+    q = cum.agg(
+        F.min(F.when(2 * F.col("cc") >= F.col("n"), F.col("gap_h")))
+        .cast("long")
+        .alias("p50_gap_h"),
+        F.min(
+            F.when(10 * F.col("cc") >= 9 * F.col("n"), F.col("gap_h"))
+        )
+        .cast("long")
+        .alias("p90_gap_h"),
+        F.max("n").cast("long").alias("n_gaps"),
+    )
+    b = buyers.first()
+    qr = q.first()
+    row = [
+        (
+            int(b["n_buyers"]),
+            int(b["n_repeat"]),
+            1000000 * int(b["n_repeat"]) // max(int(b["n_buyers"]), 1),
+            int(qr["n_gaps"]) if qr["n_gaps"] is not None else 0,
+            qr["p50_gap_h"],
+            qr["p90_gap_h"],
+        )
+    ]
+    import pyspark.sql.types as _T
+
+    schema = _T.StructType(
+        [
+            _T.StructField("n_buyers", _T.LongType()),
+            _T.StructField("n_repeat", _T.LongType()),
+            _T.StructField("repeat_ppm", _T.LongType()),
+            _T.StructField("n_gaps", _T.LongType()),
+            _T.StructField("p50_gap_h", _T.LongType()),
+            _T.StructField("p90_gap_h", _T.LongType()),
+        ]
+    )
+    return spark.createDataFrame(row, schema)
+
+
+# ---------------------------------------------------------------------------
+# Attribution model comparison. Which touchpoint channel gets credit
+# for a purchase depends on the model — first-touch, last-touch, or
+# linear — and the comparison table is what settles the argument.
+# Touches join conversions equi on user_id (ts-range as a filter, so
+# the plan is a keyed join, never BNLJ); credits are integer e3 with
+# the remainder assigned to the first touch so every conversion's
+# credit sums to exactly 1000.
+# ---------------------------------------------------------------------------
+
+_ATTR_WINDOW_US = 24 * 3600 * 1_000_000  # touches within 24 h count
+
+
+@register(
+    "q159_attribution_model_compare",
+    "WITH conv AS (SELECT event_id AS cid, user_id,"
+    " epoch_us(ts) AS ct FROM events WHERE event_type = 'purchase'),"
+    " tch AS (SELECT event_id AS tid, user_id, event_type,"
+    " epoch_us(ts) AS tt FROM events"
+    " WHERE event_type IN ('click', 'view')),"
+    " j AS (SELECT conv.cid, tch.event_type, tch.tt, tch.tid"
+    " FROM conv JOIN tch ON tch.user_id = conv.user_id"
+    f" AND tch.tt < conv.ct AND tch.tt >= conv.ct - {_ATTR_WINDOW_US}),"
+    " r AS (SELECT cid, event_type,"
+    " row_number() OVER (PARTITION BY cid ORDER BY tt, tid) AS rn,"
+    " row_number() OVER (PARTITION BY cid ORDER BY tt DESC, tid DESC)"
+    " AS rrn, count(*) OVER (PARTITION BY cid) AS n FROM j)"
+    " SELECT event_type AS channel,"
+    " CAST(sum(CASE WHEN rn = 1 THEN 1000 ELSE 0 END) AS BIGINT)"
+    " AS first_touch_e3,"
+    " CAST(sum(CASE WHEN rrn = 1 THEN 1000 ELSE 0 END) AS BIGINT)"
+    " AS last_touch_e3,"
+    " CAST(sum(1000 // n + CASE WHEN rn = 1 THEN 1000 % n ELSE 0 END)"
+    " AS BIGINT) AS linear_e3,"
+    " CAST(count(DISTINCT cid) AS BIGINT) AS n_conversions_touched"
+    " FROM r GROUP BY event_type ORDER BY channel",
+    doc="First-touch vs last-touch vs linear attribution credit per"
+    " channel for purchases, over click/view touches in the trailing"
+    " 24 h: the comparison table that settles which channel 'owns' a"
+    " conversion. The conversion-touch join is EQUI on user_id (the"
+    " time window is a post-join filter, so the plan is a keyed join,"
+    " never BNLJ); per-conversion windows are touch-set-sized; linear"
+    " credit is integer e3 with the remainder assigned to the first"
+    " touch, so each conversion distributes exactly 1000 (conservation"
+    " property-tested).",
+)
+def q159(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    tmic = F.expr(_EV_MICROS)
+    conv = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("cid"),
+        F.col("user_id").alias("cu"),
+        tmic.alias("ct"),
+    )
+    tch = ev.where(F.col("event_type").isin("click", "view")).select(
+        F.col("event_id").alias("tid"),
+        "user_id",
+        "event_type",
+        tmic.alias("tt"),
+    )
+    j = conv.join(tch, conv.cu == tch.user_id).where(
+        (F.col("tt") < F.col("ct"))
+        & (F.col("tt") >= F.col("ct") - _ATTR_WINDOW_US)
+    )
+    w_f = Window.partitionBy("cid").orderBy("tt", "tid")
+    w_l = Window.partitionBy("cid").orderBy(
+        F.col("tt").desc(), F.col("tid").desc()
+    )
+    w_n = Window.partitionBy("cid")
+    r = j.select(
+        "cid",
+        "event_type",
+        F.row_number().over(w_f).alias("rn"),
+        F.row_number().over(w_l).alias("rrn"),
+        F.count("*").over(w_n).alias("n"),
+    )
+    return (
+        r.groupBy(F.col("event_type").alias("channel"))
+        .agg(
+            F.sum(F.when(F.col("rn") == 1, 1000).otherwise(0))
+            .cast("long")
+            .alias("first_touch_e3"),
+            F.sum(F.when(F.col("rrn") == 1, 1000).otherwise(0))
+            .cast("long")
+            .alias("last_touch_e3"),
+            F.sum(
+                F.expr(
+                    "1000 DIV n + CASE WHEN rn = 1 THEN 1000 % n"
+                    " ELSE 0 END"
+                )
+            )
+            .cast("long")
+            .alias("linear_e3"),
+            F.countDistinct("cid")
+            .cast("long")
+            .alias("n_conversions_touched"),
+        )
+        .orderBy("channel")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Market-basket co-purchase lift. The "customers who bought A also
+# bought B" table behind every recommender baseline. The pair space is
+# generated by a SELF-JOIN KEYED ON THE ORDER KEY, so fanout per order
+# is bounded by lines-per-order (TPC-H caps at 7) — candidate pairs
+# grow linearly with orders, never quadratically with parts. Lift is a
+# per-row double chain (deterministic IEEE, the q30 per-row-fold rule),
+# floored to ppm; the order universe is a bounded driver scalar (q52/
+# q102 pattern — a constant-key join would plan as BNLJ).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q161_copurchase_lift",
+    "WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),"
+    " pf AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_ord"
+    " FROM op GROUP BY l_partkey),"
+    " pr AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,"
+    " CAST(count(*) AS BIGINT) AS support"
+    " FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey"
+    " AND a.l_partkey < b.l_partkey"
+    " GROUP BY a.l_partkey, b.l_partkey)"
+    " SELECT part_a, part_b, support,"
+    " CAST(floor(((1000000.0 * support) / fa.n_ord)"
+    " * (SELECT count(DISTINCT l_orderkey) FROM op) / fb.n_ord)"
+    " AS BIGINT) AS lift_ppm"
+    " FROM pr JOIN pf fa ON fa.l_partkey = part_a"
+    " JOIN pf fb ON fb.l_partkey = part_b"
+    " ORDER BY support DESC, part_a, part_b LIMIT 20",
+    doc="Market-basket lift: top-20 co-purchased part pairs by support"
+    " with lift in ppm. Pairs come from a self-join KEYED on"
+    " l_orderkey over the distinct (order, part) projection — per-key"
+    " fanout is bounded by lines-per-order, so candidates grow"
+    " linearly with orders (never parts^2). Lift is a per-row"
+    " double chain (1e6*support/na)*n_orders/nb floored — per-row"
+    " IEEE arithmetic is order-fixed on both engines (q30 rule) and"
+    " avoids the int64 overflow the all-integer product would hit at"
+    " cluster scale; n_orders is a bounded driver scalar (q52/q102"
+    " pattern, BNLJ avoided).",
+)
+def q161(spark, sf_dir):
+    op = eager(
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n_orders = op.select("l_orderkey").distinct().count()
+    pf = op.groupBy("l_partkey").agg(
+        F.count("*").cast("long").alias("n_ord")
+    )
+    a = op.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
+    )
+    b = op.select(
+        F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("part_b")
+    )
+    pr = (
+        a.join(
+            b,
+            (F.col("ok") == F.col("ok2"))
+            & (F.col("part_a") < F.col("part_b")),
+        )
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").cast("long").alias("support"))
+    )
+    fa = pf.select(
+        F.col("l_partkey").alias("ka"), F.col("n_ord").alias("na")
+    )
+    fb = pf.select(
+        F.col("l_partkey").alias("kb"), F.col("n_ord").alias("nb")
+    )
+    return (
+        pr.join(fa, F.col("part_a") == F.col("ka"))
+        .join(fb, F.col("part_b") == F.col("kb"))
+        .select(
+            "part_a",
+            "part_b",
+            "support",
+            F.floor(
+                (F.lit(1000000.0) * F.col("support") / F.col("na"))
+                * F.lit(float(n_orders))
+                / F.col("nb")
+            )
+            .cast("long")
+            .alias("lift_ppm"),
+        )
+        .orderBy(F.col("support").desc(), "part_a", "part_b")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# RFM customer segmentation. Recency / frequency / monetary quartiles
+# are the oldest segmentation scheme in commerce analytics; the output
+# is the segment-size table a campaign planner reads. Quartiles come
+# from ntile(4) with a (metric, custkey) total order, so assignment is
+# deterministic on both engines; the corpus max order date is a
+# bounded driver scalar.
+# ---------------------------------------------------------------------------
+
+_ORD_MICROS = (
+    "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00',"
+    " o_orderdate)"
+)
+DAY_US = 86_400_000_000
+
+
+@register(
+    "q162_rfm_segments",
+    "WITH c AS (SELECT o_custkey,"
+    " (SELECT max(epoch_us(o_orderdate)) FROM orders) AS mx,"
+    " max(epoch_us(o_orderdate)) AS last_us,"
+    " CAST(count(*) AS BIGINT) AS freq,"
+    " CAST(sum(CAST(floor(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)"
+    " AS mon_cents FROM orders GROUP BY o_custkey),"
+    " s AS (SELECT o_custkey,"
+    f" (mx - last_us) // {DAY_US} AS rec_days, freq, mon_cents FROM c),"
+    " t AS (SELECT mon_cents,"
+    " ntile(4) OVER (ORDER BY rec_days, o_custkey) AS r,"
+    " ntile(4) OVER (ORDER BY freq DESC, o_custkey) AS f,"
+    " ntile(4) OVER (ORDER BY mon_cents DESC, o_custkey) AS m"
+    " FROM s)"
+    " SELECT CAST(r * 100 + f * 10 + m AS BIGINT) AS segment,"
+    " CAST(count(*) AS BIGINT) AS n_customers,"
+    " CAST(sum(mon_cents) AS BIGINT) AS segment_cents,"
+    " CAST(CAST(sum(mon_cents) AS BIGINT) // count(*) AS BIGINT)"
+    " AS avg_cents"
+    " FROM t GROUP BY r, f, m ORDER BY segment",
+    doc="RFM segmentation: per-customer recency (days since last order"
+    " vs the corpus max date), frequency (order count) and monetary"
+    " (floor-scaled cents, q55 integer-sum rule) quartiled by ntile(4)"
+    " under a (metric, custkey) TOTAL order — tie-broken, so bucket"
+    " assignment is engine-independent — rolled up to the 64-segment"
+    " size table. The three ntile windows are global but run over the"
+    " customer DIMENSION (one row per customer, not per order); the"
+    " corpus max date is a bounded driver scalar (q52/q102 pattern).",
+)
+def q162(spark, sf_dir):
+    orders = table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.expr(_ORD_MICROS).alias("ous"),
+        F.floor(F.col("o_totalprice") * F.lit(100.0))
+        .cast("long")
+        .alias("price_c"),
+    )
+    mx = orders.agg(F.max("ous")).first()[0]
+    c = orders.groupBy("o_custkey").agg(
+        F.max("ous").alias("last_us"),
+        F.count("*").cast("long").alias("freq"),
+        F.sum("price_c").cast("long").alias("mon_cents"),
+    )
+    s = c.select(
+        "o_custkey",
+        F.expr(f"({mx} - last_us) DIV {DAY_US}").alias("rec_days"),
+        "freq",
+        "mon_cents",
+    )
+    t = s.select(
+        "mon_cents",
+        F.ntile(4).over(Window.orderBy("rec_days", "o_custkey")).alias("r"),
+        F.ntile(4)
+        .over(Window.orderBy(F.col("freq").desc(), "o_custkey"))
+        .alias("f"),
+        F.ntile(4)
+        .over(Window.orderBy(F.col("mon_cents").desc(), "o_custkey"))
+        .alias("m"),
+    )
+    return (
+        t.groupBy("r", "f", "m")
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            F.sum("mon_cents").cast("long").alias("segment_cents"),
+        )
+        .select(
+            (F.col("r") * 100 + F.col("f") * 10 + F.col("m"))
+            .cast("long")
+            .alias("segment"),
+            "n_customers",
+            "segment_cents",
+            F.expr("segment_cents DIV n_customers")
+            .cast("long")
+            .alias("avg_cents"),
+        )
+        .orderBy("segment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Order-to-ship latency quantiles. The fulfillment-SLA readout: how
+# long after an order is placed does each line actually ship, by order
+# priority. Day-flooring bounds the distinct-gap space (the corpus
+# spans a fixed shipping window), so exact p50/p90/p99 come from a
+# per-priority cumulative histogram — never a global sort of the fact
+# table (q65/q158 pattern).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q163_ship_latency_quantiles",
+    "WITH g AS (SELECT o_orderpriority,"
+    " CAST(floor((epoch_us(l_shipdate) - epoch_us(o_orderdate))"
+    f" / {DAY_US}.0) AS BIGINT) AS gap_d"
+    " FROM lineitem JOIN orders ON o_orderkey = l_orderkey),"
+    " hh AS (SELECT o_orderpriority, gap_d, count(*) AS c FROM g"
+    " GROUP BY o_orderpriority, gap_d),"
+    " cum AS (SELECT o_orderpriority, gap_d,"
+    " sum(c) OVER (PARTITION BY o_orderpriority ORDER BY gap_d) AS cc,"
+    " sum(c) OVER (PARTITION BY o_orderpriority) AS n FROM hh)"
+    " SELECT o_orderpriority AS priority, CAST(max(n) AS BIGINT)"
+    " AS n_items,"
+    " CAST(min(CASE WHEN 2 * cc >= n THEN gap_d END) AS BIGINT)"
+    " AS p50_days,"
+    " CAST(min(CASE WHEN 10 * cc >= 9 * n THEN gap_d END) AS BIGINT)"
+    " AS p90_days,"
+    " CAST(min(CASE WHEN 100 * cc >= 99 * n THEN gap_d END) AS BIGINT)"
+    " AS p99_days, CAST(max(gap_d) AS BIGINT) AS max_days"
+    " FROM cum GROUP BY o_orderpriority ORDER BY priority",
+    doc="Fulfillment latency: exact p50/p90/p99 order-to-ship gap in"
+    " days per order priority. The lineitem⋈orders join is keyed on"
+    " the order key; day-flooring bounds the distinct-gap space so the"
+    " quantiles come from a per-priority cumulative histogram (q65/"
+    "q158 pattern) whose windows run over histogram rows — the fact"
+    " table itself is never globally sorted. Gap math in the NTZ"
+    " microsecond domain; the synthetic corpus ships some lines BEFORE"
+    " the order date, so day-flooring is spelled as an explicit"
+    " floor() over a double quotient on both engines (DIV/truncate vs"
+    " ///floor diverge on negatives).",
+)
+def q163(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.expr(
+            "timestampdiff(MICROSECOND,"
+            " TIMESTAMP_NTZ'1970-01-01 00:00:00', l_shipdate)"
+        ).alias("sus"),
+    )
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", F.expr(_ORD_MICROS).alias("ous")
+    )
+    g = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        "o_orderpriority",
+        # the synthetic corpus ships some lines BEFORE the order date, so
+        # the gap can be negative: DIV (truncate-toward-zero) and DuckDB
+        # // (floor) would diverge on non-day-aligned negatives — spell
+        # mathematical floor over an IEEE double quotient on BOTH sides
+        # (numerator < 2^53 and the fractional step 1/DAY_US is far above
+        # the quotient's ulp, so the double floor is exact).
+        F.floor(F.expr(f"(sus - ous) / {DAY_US}.0"))
+        .cast("long")
+        .alias("gap_d"),
+    )
+    hh = g.groupBy("o_orderpriority", "gap_d").agg(
+        F.count("*").alias("c")
+    )
+    w_cum = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("gap_d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("o_orderpriority")
+    cum = hh.select(
+        "o_orderpriority",
+        "gap_d",
+        F.sum("c").over(w_cum).alias("cc"),
+        F.sum("c").over(w_all).alias("n"),
+    )
+    return (
+        cum.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.max("n").cast("long").alias("n_items"),
+            F.min(F.when(2 * F.col("cc") >= F.col("n"), F.col("gap_d")))
+            .cast("long")
+            .alias("p50_days"),
+            F.min(
+                F.when(10 * F.col("cc") >= 9 * F.col("n"), F.col("gap_d"))
+            )
+            .cast("long")
+            .alias("p90_days"),
+            F.min(
+                F.when(
+                    100 * F.col("cc") >= 99 * F.col("n"), F.col("gap_d")
+                )
+            )
+            .cast("long")
+            .alias("p99_days"),
+            F.max("gap_d").cast("long").alias("max_days"),
+        )
+        .orderBy("priority")
+    )
+
+
 # Phase-5 pipeline operators (q21+) register themselves on import. The
 # import sits at the bottom because pipeline modules import `register`/
 # `table` from this module (deliberate one-way late binding, not a cycle
@@ -2200,6 +2703,14 @@ QUEUED_SINCE = {
     **{n: 93 for n in (
         "q155_referential_integrity_audit", "q156_split_ks_drift",
         "q157_hourly_seasonality",
+    )},
+    **{n: 94 for n in (
+        "q158_repeat_purchase_profile", "q159_attribution_model_compare",
+        "q160_skeleton_template_dupes",
+    )},
+    **{n: 95 for n in (
+        "q161_copurchase_lift", "q162_rfm_segments",
+        "q163_ship_latency_quantiles",
     )},
 }
 

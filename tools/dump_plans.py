@@ -343,6 +343,29 @@ ANNOTATED = {
     "q157_hourly_seasonality": "hour() field extraction is row-local"
     " and tz-independent on NTZ; one partial-aggregated groupBy; the"
     " share window runs over 24 rows per type.",
+    "q158_repeat_purchase_profile": "Per-user lag windows over the"
+    " purchase series only; hour-floored gaps bound the distinct-value"
+    " space, so the quantiles come from a cumulative histogram, not a"
+    " global sort; two 1-row aggregates assemble driver-side.",
+    "q159_attribution_model_compare": "Conversion-touch join is EQUI"
+    " on user_id (the 24h window is a post-join filter — keyed join,"
+    " never BNLJ); per-conversion rank windows are touch-set-sized;"
+    " the rollup is channel-count rows.",
+    "q160_skeleton_template_dupes": "Row-local skeleton regex + md5;"
+    " one 16-byte-key groupBy (map-side combined); top-20 via"
+    " TakeOrderedAndProject.",
+    "q161_copurchase_lift": "Pair generation is a self-join KEYED on"
+    " l_orderkey (fanout bounded by lines-per-order, linear in"
+    " orders); part-frequency joins are keyed on the part; n_orders"
+    " is a bounded driver scalar; top-20 via TakeOrderedAndProject.",
+    "q162_rfm_segments": "One order-keyed aggregation to the customer"
+    " grain; the three ntile windows are global but run over the"
+    " customer DIMENSION (annotated single-partition); 64-segment"
+    " rollup.",
+    "q163_ship_latency_quantiles": "lineitem⋈orders keyed join;"
+    " day-floored gaps bound the distinct space so the per-priority"
+    " cumulative-histogram windows run over histogram rows, never the"
+    " fact table.",
 }
 
 

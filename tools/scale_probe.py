@@ -111,6 +111,12 @@ PROBES = [
     "q155_referential_integrity_audit",
     "q156_split_ks_drift",
     "q157_hourly_seasonality",
+    "q158_repeat_purchase_profile",
+    "q159_attribution_model_compare",
+    "q160_skeleton_template_dupes",
+    "q161_copurchase_lift",
+    "q162_rfm_segments",
+    "q163_ship_latency_quantiles",
 ]
 
 
