@@ -1917,3 +1917,141 @@ def containment_pairs(spark, sf_dir):
         .where(F.col("containment_millis") >= CONT_T_MILLIS)
         .orderBy("contained_id", "container_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD 2003 —
+# the MOSS algorithm). Per document: hash every K-char gram of the
+# normalized text with the q39 polynomial (base 31 mod 2^31), slide a
+# W-gram window, and keep the distinct window MINIMA as the document's
+# fingerprint set (value-level winnowing: the guarantee that any shared
+# run of >= W + K - 1 chars contributes at least one common fingerprint
+# is preserved, because both documents select the same minimum inside
+# the shared run). Documents are then paired through an inverted index
+# on the fingerprint hash — KEYED join, never all-pairs — and, MOSS-
+# style, fingerprints appearing in more than WINNOW_MAX_POSTINGS
+# documents are dropped as ambient boilerplate before pairing: a hot
+# posting list is quadratic in its length no matter how pairs are
+# generated, and shared-boilerplate detection is q96/q119/q160's job.
+# The cap is part of the operator definition; the oracle applies it
+# identically.
+# ---------------------------------------------------------------------------
+
+WINNOW_K = 12  # gram length (chars)
+WINNOW_W = 6  # winnowing window (grams); detects matches >= 17 chars
+WINNOW_MOD = 2_147_483_648  # q39's modulus — shared hash definition
+WINNOW_MAX_POSTINGS = 16  # MOSS's "too common to be interesting" cap
+
+_WINNOW_MIN_LEN = WINNOW_K + WINNOW_W - 1
+
+_H_SPARK = (
+    f"transform(sequence(1, length(n) - {WINNOW_K - 1}),"
+    f" i -> aggregate(transform(sequence(i, i + {WINNOW_K - 1}),"
+    " j -> ascii(substr(n, j, 1))), 0L,"
+    f" (a, c) -> (a * 31 + c) % {WINNOW_MOD}))"
+)
+_H_DUCK = (
+    f"list_transform(range(1, length(n) - {WINNOW_K} + 2),"
+    " i -> CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),"
+    f" list_transform(range(i, i + {WINNOW_K}),"
+    " j -> ord(substr(n, CAST(j AS INT), 1)))),"
+    f" (a, c) -> (a * 31 + c) % {WINNOW_MOD}) AS BIGINT))"
+)
+
+
+def winnow_fingerprints(spark, sf_dir):
+    """(doc_id, fph) distinct winnowing fingerprints per document.
+
+    Row-local HOF chain: gram hashes H (pre-projected so the window
+    lambda doesn't recompute them — H is referenced twice in the picks
+    expression, which keeps the projection alive through
+    CollapseProject), then distinct minima of each W-slice."""
+    docs = spread(spark, table(spark, sf_dir, "documents"))
+    base = docs.select(
+        "doc_id", F.expr(NORM_SPARK).alias("n")
+    ).where(F.length("n") >= _WINNOW_MIN_LEN)
+    h = base.select("doc_id", F.expr(_H_SPARK).alias("H"))
+    picks = (
+        f"array_distinct(transform(sequence(0, size(H) - {WINNOW_W}),"
+        f" p -> array_min(slice(H, p + 1, {WINNOW_W}))))"
+    )
+    return h.select(
+        "doc_id", F.explode(F.expr(picks)).alias("fph")
+    )
+
+
+@register(
+    "q164_winnowing_overlap",
+    f"WITH nn AS (SELECT doc_id, {NORM_DUCK} AS n FROM documents),"
+    f" lg AS (SELECT doc_id, n FROM nn"
+    f" WHERE length(n) >= {_WINNOW_MIN_LEN}),"
+    f" hh AS (SELECT doc_id, {_H_DUCK} AS H FROM lg),"
+    " pk AS (SELECT doc_id, unnest(list_distinct(list_transform("
+    f"range(0, len(H) - {WINNOW_W} + 1),"
+    f" p -> list_min(list_slice(H, p + 1, p + {WINNOW_W}))))) AS fph"
+    " FROM hh),"
+    " keep AS (SELECT fph FROM pk GROUP BY fph"
+    f" HAVING count(*) <= {WINNOW_MAX_POSTINGS}),"
+    " pkf AS (SELECT doc_id, fph FROM pk JOIN keep USING (fph)),"
+    " cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nf"
+    " FROM pkf GROUP BY doc_id),"
+    " pr AS (SELECT x.doc_id AS a_id, y.doc_id AS b_id,"
+    " CAST(count(*) AS BIGINT) AS shared_fps"
+    " FROM pkf x JOIN pkf y ON x.fph = y.fph"
+    " AND x.doc_id < y.doc_id GROUP BY x.doc_id, y.doc_id)"
+    " SELECT a_id, b_id, shared_fps,"
+    " CAST(shared_fps * 1000000 // least(ca.nf, cb.nf) AS BIGINT)"
+    " AS containment_ppm"
+    " FROM pr JOIN cnt ca ON ca.doc_id = pr.a_id"
+    " JOIN cnt cb ON cb.doc_id = pr.b_id"
+    " ORDER BY shared_fps DESC, a_id, b_id LIMIT 20",
+    doc="MOSS winnowing overlap: per-doc fingerprints are the distinct"
+    f" {WINNOW_W}-window minima over {WINNOW_K}-char polynomial gram"
+    " hashes (any shared run >= 17 chars contributes a common"
+    " fingerprint); docs pair through a KEYED inverted-index join on"
+    " the fingerprint, with posting lists longer than"
+    f" {WINNOW_MAX_POSTINGS} docs dropped as ambient boilerplate"
+    " (MOSS's own rule — hot lists are quadratic by construction and"
+    " boilerplate is q96/q119/q160's job). Top-20 pairs by shared"
+    " fingerprints with min-side containment ppm. Row-local HOF"
+    " hashing; the only data-sized shuffle keys the fingerprint hash.",
+)
+def q164(spark, sf_dir):
+    pk = winnow_fingerprints(spark, sf_dir)
+    keep = (
+        pk.groupBy("fph")
+        .agg(F.count("*").alias("pc"))
+        .where(F.col("pc") <= WINNOW_MAX_POSTINGS)
+        .select("fph")
+    )
+    pkf = eager(pk.join(keep, "fph", "left_semi"))
+    cnt = pkf.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("nf")
+    )
+    a = pkf.select(F.col("doc_id").alias("a_id"), "fph")
+    b = pkf.select(F.col("doc_id").alias("b_id"), F.col("fph").alias("fph2"))
+    pr = (
+        a.join(
+            b,
+            (F.col("fph") == F.col("fph2"))
+            & (F.col("a_id") < F.col("b_id")),
+        )
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").cast("long").alias("shared_fps"))
+    )
+    ca = cnt.select(F.col("doc_id").alias("ka"), F.col("nf").alias("na"))
+    cb = cnt.select(F.col("doc_id").alias("kb"), F.col("nf").alias("nb"))
+    return (
+        pr.join(ca, F.col("a_id") == F.col("ka"))
+        .join(cb, F.col("b_id") == F.col("kb"))
+        .select(
+            "a_id",
+            "b_id",
+            "shared_fps",
+            F.expr("shared_fps * 1000000 DIV least(na, nb)")
+            .cast("long")
+            .alias("containment_ppm"),
+        )
+        .orderBy(F.col("shared_fps").desc(), "a_id", "b_id")
+        .limit(20)
+    )

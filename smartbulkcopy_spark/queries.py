@@ -2435,6 +2435,206 @@ def q163(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Pareto / ABC revenue classification. "Which 20% of parts make 80% of
+# revenue" — the inventory-policy classifier. The cumulative revenue
+# rank needs a GLOBAL total order over parts; Spark computes it with
+# the q51 two-phase trick — block-local windows over revenue BANDS (all
+# bands parallel) plus a tiny band-prefix window over band-total rows —
+# so the part dimension is never single-threaded. The class thresholds
+# compare per-row doubles (identical IEEE on both engines); the corpus
+# total is a bounded driver scalar.
+# ---------------------------------------------------------------------------
+
+_REV_CENTS_DUCK = (
+    "CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0)"
+    " AS BIGINT)) AS BIGINT)"
+)
+_ABC_BAND = 1_000_000  # cents per cumsum band (~$10k)
+
+
+@register(
+    "q165_pareto_abc",
+    f"WITH pr AS (SELECT l_partkey, {_REV_CENTS_DUCK} AS rev_c"
+    " FROM lineitem GROUP BY l_partkey),"
+    " t AS (SELECT rev_c, CAST(sum(rev_c) OVER"
+    " (ORDER BY rev_c DESC, l_partkey) AS BIGINT) AS cum FROM pr),"
+    " c AS (SELECT rev_c, CASE"
+    " WHEN CAST(cum AS DOUBLE) <= CAST((SELECT CAST(sum(rev_c)"
+    " AS BIGINT) FROM pr) AS DOUBLE) * 0.80 THEN 'A'"
+    " WHEN CAST(cum AS DOUBLE) <= CAST((SELECT CAST(sum(rev_c)"
+    " AS BIGINT) FROM pr) AS DOUBLE) * 0.95 THEN 'B'"
+    " ELSE 'C' END AS cls FROM t)"
+    " SELECT cls, CAST(count(*) AS BIGINT) AS n_parts,"
+    " CAST(sum(rev_c) AS BIGINT) AS class_cents,"
+    " CAST(floor(CAST(sum(rev_c) AS BIGINT) * 1000000.0"
+    " / CAST((SELECT CAST(sum(rev_c) AS BIGINT) FROM pr) AS DOUBLE))"
+    " AS BIGINT) AS share_ppm"
+    " FROM c GROUP BY cls ORDER BY cls",
+    doc="ABC inventory classes: parts ranked by revenue, class A while"
+    " the cumulative share stays under 80%, B under 95%, C beyond."
+    " Spark's cumulative rank is the q51 two-phase cumsum over revenue"
+    " BANDS (band-local windows in parallel + a band-prefix window"
+    " over band-total rows only), bit-identical to the oracle's single"
+    " global window for any band width; thresholds and shares compare"
+    " per-row doubles (same IEEE on both engines — the all-integer"
+    " spelling would overflow int64 at cluster scale); the corpus"
+    " total is a bounded driver scalar (q52/q102 pattern). Revenue is"
+    " per-row floor-scaled cents (q55 rule).",
+)
+def q165(spark, sf_dir):
+    pr = table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.floor(
+            F.col("l_extendedprice")
+            * (F.lit(1.0) - F.col("l_discount"))
+            * F.lit(100.0)
+        )
+        .cast("long")
+        .alias("rc"),
+    ).groupBy("l_partkey").agg(F.sum("rc").cast("long").alias("rev_c"))
+    pr = eager(pr)
+    tot = int(pr.agg(F.sum("rev_c")).first()[0] or 0)
+    # two-phase cumulative (q51 pattern): bands follow the sort order
+    # (high revenue = high band), so band-local inclusive cumsums plus
+    # an exclusive prefix over the tiny band-total table compose to the
+    # exact global cumulative for ANY band width.
+    banded = pr.withColumn("band", F.expr(f"rev_c DIV {_ABC_BAND}"))
+    w_local = (
+        Window.partitionBy("band")
+        .orderBy(F.col("rev_c").desc(), "l_partkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = banded.withColumn("local_cum", F.sum("rev_c").over(w_local))
+    w_bands = Window.orderBy(F.col("band").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )  # band-total rows only, never the part dimension
+    band_prefix = (
+        banded.groupBy("band")
+        .agg(F.sum("rev_c").alias("band_total"))
+        .withColumn(
+            "band_prev",
+            F.coalesce(F.sum("band_total").over(w_bands), F.lit(0)),
+        )
+        .select("band", "band_prev")
+    )
+    cum = local.join(F.broadcast(band_prefix), "band").select(
+        "rev_c",
+        (F.col("band_prev") + F.col("local_cum")).alias("cum"),
+    )
+    cls = (
+        F.when(
+            F.col("cum").cast("double") <= F.lit(float(tot)) * 0.80, "A"
+        )
+        .when(
+            F.col("cum").cast("double") <= F.lit(float(tot)) * 0.95, "B"
+        )
+        .otherwise("C")
+    )
+    return (
+        cum.select(cls.alias("cls"), "rev_c")
+        .groupBy("cls")
+        .agg(
+            F.count("*").cast("long").alias("n_parts"),
+            F.sum("rev_c").cast("long").alias("class_cents"),
+        )
+        .select(
+            "cls",
+            "n_parts",
+            "class_cents",
+            F.floor(
+                F.col("class_cents") * F.lit(1000000.0) / F.lit(float(tot))
+            )
+            .cast("long")
+            .alias("share_ppm"),
+        )
+        .orderBy("cls")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Supplier concentration (Herfindahl index) per nation. The antitrust/
+# supply-risk readout: how concentrated is each nation's supply base?
+# Shares floor to integer ppm per supplier (per-row double division,
+# same IEEE both engines), then HHI is an exact integer sum of squared
+# shares — the cross-row reduction never touches doubles (q55 rule).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q166_supplier_hhi",
+    "WITH sr AS (SELECT s_nationkey, l_suppkey,"
+    f" {_REV_CENTS_DUCK} AS rev_c"
+    " FROM lineitem JOIN supplier ON s_suppkey = l_suppkey"
+    " GROUP BY s_nationkey, l_suppkey),"
+    " nr AS (SELECT s_nationkey, CAST(sum(rev_c) AS BIGINT) AS nat_c"
+    " FROM sr GROUP BY s_nationkey),"
+    " sh AS (SELECT sr.s_nationkey,"
+    " CAST(floor(CAST(rev_c AS DOUBLE) * 1000000.0"
+    " / CAST(nat_c AS DOUBLE)) AS BIGINT) AS share_ppm"
+    " FROM sr JOIN nr ON nr.s_nationkey = sr.s_nationkey)"
+    " SELECT n_name, CAST(count(*) AS BIGINT) AS n_suppliers,"
+    " CAST(sum(share_ppm * share_ppm) // 1000000 AS BIGINT) AS hhi_ppm,"
+    " CAST(max(share_ppm) AS BIGINT) AS top_share_ppm"
+    " FROM sh JOIN nation ON n_nationkey = s_nationkey"
+    " GROUP BY n_name ORDER BY n_name",
+    doc="Supplier revenue concentration per nation: Herfindahl index in"
+    " ppm (sum of squared integer-ppm shares, exact integer reduction)"
+    " plus the top supplier's share. Revenue aggregates keyed on the"
+    " supplier; shares are per-row double divisions (order-fixed, q30"
+    " rule) floored to ppm BEFORE the cross-row sum so reduction order"
+    " can't perturb the result; nation (25 rows) broadcasts.",
+)
+def q166(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        F.floor(
+            F.col("l_extendedprice")
+            * (F.lit(1.0) - F.col("l_discount"))
+            * F.lit(100.0)
+        )
+        .cast("long")
+        .alias("rc"),
+    )
+    supp = table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    sr = (
+        li.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(F.sum("rc").cast("long").alias("rev_c"))
+    )
+    sr = eager(sr)
+    nr = sr.groupBy("s_nationkey").agg(
+        F.sum("rev_c").cast("long").alias("nat_c")
+    ).select(F.col("s_nationkey").alias("nk"), "nat_c")
+    sh = sr.join(nr, F.col("s_nationkey") == F.col("nk")).select(
+        "s_nationkey",
+        F.floor(
+            F.col("rev_c").cast("double")
+            * F.lit(1000000.0)
+            / F.col("nat_c").cast("double")
+        )
+        .cast("long")
+        .alias("share_ppm"),
+    )
+    nat = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        sh.join(
+            F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count("*").cast("long").alias("n_suppliers"),
+            F.expr("sum(share_ppm * share_ppm) DIV 1000000")
+            .cast("long")
+            .alias("hhi_ppm"),
+            F.max("share_ppm").cast("long").alias("top_share_ppm"),
+        )
+        .orderBy("n_name")
+    )
+
+
 # Phase-5 pipeline operators (q21+) register themselves on import. The
 # import sits at the bottom because pipeline modules import `register`/
 # `table` from this module (deliberate one-way late binding, not a cycle
@@ -2711,6 +2911,10 @@ QUEUED_SINCE = {
     **{n: 95 for n in (
         "q161_copurchase_lift", "q162_rfm_segments",
         "q163_ship_latency_quantiles",
+    )},
+    **{n: 96 for n in (
+        "q164_winnowing_overlap", "q165_pareto_abc",
+        "q166_supplier_hhi",
     )},
 }
 

@@ -2557,3 +2557,159 @@ def test_q163_matches_pure_python(spark):
     assert list(got.itertuples(index=False, name=None)) == sorted(want)
     row = got.iloc[0]
     assert row["p50_days"] <= row["p90_days"] <= row["p99_days"] <= row["max_days"]
+
+
+# ---------------------------------------------------------------------------
+# q164 — winnowing; q165 — Pareto ABC; q166 — supplier HHI.
+# ---------------------------------------------------------------------------
+
+
+def _winnow_py(text, k=12, w=6, mod=2_147_483_648):
+    import re as _re
+
+    n = _re.sub(r"\s+", " ", (text or "").lower())
+    if len(n) < k + w - 1:
+        return set()
+    hs = []
+    for i in range(len(n) - k + 1):
+        h = 0
+        for ch in n[i : i + k]:
+            h = (h * 31 + ord(ch)) % mod
+        hs.append(h)
+    return {min(hs[p : p + w]) for p in range(len(hs) - w + 1)}
+
+
+def test_q164_matches_pure_python_on_crafted_corpus(spark, tmp_path):
+    # two near-identical docs sharing a long run, one unrelated doc, one
+    # boilerplate sentence repeated across MANY docs (must be dropped by
+    # the posting cap), one doc too short to fingerprint
+    shared = "the quick brown fox jumps over the lazy dog again and again"
+    boiler = "standard legal disclaimer applies to all content here"
+    rows = [
+        (1, shared + " alpha variant with its own unique tail here"),
+        (2, shared + " beta variant carrying different unique suffix"),
+        (3, "completely unrelated content about spark partitioning"),
+        (4, "short"),
+    ] + [(10 + i, boiler + f" copy number {i}") for i in range(20)]
+    _write_documents(tmp_path, rows)
+    got = _run("q164_winnowing_overlap", spark, str(tmp_path))
+    release_caches()
+
+    fps = {d: _winnow_py(t) for d, t in rows}
+    from collections import Counter
+
+    postings = Counter()
+    for s in fps.values():
+        postings.update(s)
+    kept = {
+        d: {h for h in s if postings[h] <= 16} for d, s in fps.items()
+    }
+    pairs = []
+    ids = sorted(kept)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            sh = len(kept[a] & kept[b])
+            if sh:
+                pairs.append(
+                    (a, b, sh, sh * 1000000 // min(len(kept[a]), len(kept[b])))
+                )
+    want = sorted(pairs, key=lambda t: (-t[2], t[0], t[1]))[:20]
+    assert list(got.itertuples(index=False, name=None)) == want
+    # the shared-run pair must surface, and the capped boilerplate motif
+    # must NOT produce the quadratic 20-doc pair family by itself
+    assert any(r[0] == 1 and r[1] == 2 for r in want)
+    top = want[0]
+    assert top[0] == 1 and top[1] == 2
+
+
+def test_q164_smoke_on_fixture(spark):
+    got = _run("q164_winnowing_overlap", spark)
+    release_caches()
+    assert (got["containment_ppm"] <= 1_000_000).all()
+    assert (got["shared_fps"] >= 1).all()
+
+
+def test_q165_matches_pure_python(spark):
+    got = _run("q165_pareto_abc", spark)
+    release_caches()
+    li = pd.read_parquet(f"{SF_SMOKE}/lineitem.parquet")
+    import math
+
+    rc = [
+        math.floor(p * (1.0 - d) * 100.0)
+        for p, d in zip(li.l_extendedprice, li.l_discount)
+    ]
+    rev = {}
+    for k, c in zip(li.l_partkey, rc):
+        rev[k] = rev.get(k, 0) + c
+    tot = sum(rev.values())
+    cum = 0
+    agg = {}
+    for k, r in sorted(rev.items(), key=lambda t: (-t[1], t[0])):
+        cum += r
+        cls = (
+            "A"
+            if float(cum) <= float(tot) * 0.80
+            else ("B" if float(cum) <= float(tot) * 0.95 else "C")
+        )
+        st = agg.setdefault(cls, [0, 0])
+        st[0] += 1
+        st[1] += r
+    want = [
+        (c, n, s, math.floor(s * 1000000.0 / float(tot)))
+        for c, (n, s) in sorted(agg.items())
+    ]
+    assert list(got.itertuples(index=False, name=None)) == want
+    assert got["n_parts"].sum() == len(rev)
+    assert got["class_cents"].sum() == tot
+
+
+def test_q165_two_phase_band_width_invariance(spark):
+    # the cumulative decomposition must be exact for ANY band width —
+    # recompute with a degenerate 1-cent band via a monkeypatched const
+    import smartbulkcopy_spark.queries as Q
+
+    base = _run("q165_pareto_abc", spark)
+    release_caches()
+    old = Q._ABC_BAND
+    try:
+        Q._ABC_BAND = 1
+        alt = _run("q165_pareto_abc", spark)
+        release_caches()
+    finally:
+        Q._ABC_BAND = old
+    assert list(base.itertuples(index=False, name=None)) == list(
+        alt.itertuples(index=False, name=None)
+    )
+
+
+def test_q166_matches_pure_python(spark):
+    got = _run("q166_supplier_hhi", spark)
+    release_caches()
+    li = pd.read_parquet(f"{SF_SMOKE}/lineitem.parquet")
+    supp = pd.read_parquet(f"{SF_SMOKE}/supplier.parquet")
+    nat = pd.read_parquet(f"{SF_SMOKE}/nation.parquet")
+    import math
+
+    li = li.merge(supp, left_on="l_suppkey", right_on="s_suppkey")
+    li["rc"] = [
+        math.floor(p * (1.0 - d) * 100.0)
+        for p, d in zip(li.l_extendedprice, li.l_discount)
+    ]
+    sr = li.groupby(["s_nationkey", "l_suppkey"]).rc.sum()
+    nr = sr.groupby("s_nationkey").sum()
+    names = dict(zip(nat.n_nationkey, nat.n_name))
+    agg = {}
+    for (nk, _), r in sr.items():
+        share = math.floor(float(r) * 1000000.0 / float(nr[nk]))
+        st = agg.setdefault(names[nk], [0, 0, 0])
+        st[0] += 1
+        st[1] += share * share
+        st[2] = max(st[2], share)
+    want = [
+        (n, c, h // 1000000, m) for n, (c, h, m) in sorted(agg.items())
+    ]
+    assert list(got.itertuples(index=False, name=None)) == want
+    # shares are <= 1e6 by construction, HHI in (0, 1e6]
+    assert (got["hhi_ppm"] > 0).all()
+    assert (got["top_share_ppm"] <= 1_000_000).all()

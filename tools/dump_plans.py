@@ -366,6 +366,17 @@ ANNOTATED = {
     " day-floored gaps bound the distinct space so the per-priority"
     " cumulative-histogram windows run over histogram rows, never the"
     " fact table.",
+    "q164_winnowing_overlap": "Row-local HOF gram hashing + window"
+    " minima; pairs via a KEYED inverted-index join on the fingerprint"
+    " with posting lists capped at 16 (MOSS rule) — never all-pairs;"
+    " the kept posting set eager-persists once for count + pair fanout.",
+    "q165_pareto_abc": "q51 two-phase cumsum over revenue bands:"
+    " band-local windows in parallel, the global window runs over"
+    " band-TOTAL rows only; corpus total is a bounded driver scalar;"
+    " 3-row rollup.",
+    "q166_supplier_hhi": "Supplier-keyed revenue aggregation; shares"
+    " floored to integer ppm per row BEFORE the cross-row HHI sum;"
+    " nation broadcast; 25-row output.",
 }
 
 

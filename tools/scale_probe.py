@@ -117,6 +117,9 @@ PROBES = [
     "q161_copurchase_lift",
     "q162_rfm_segments",
     "q163_ship_latency_quantiles",
+    "q164_winnowing_overlap",
+    "q165_pareto_abc",
+    "q166_supplier_hhi",
 ]
 
 
