@@ -1980,16 +1980,24 @@ def winnow_fingerprints(spark, sf_dir):
     )
 
 
-@register(
-    "q164_winnowing_overlap",
-    f"WITH nn AS (SELECT doc_id, {NORM_DUCK} AS n FROM documents),"
+# Shared oracle CTE chain: (doc_id, fph) distinct winnowing
+# fingerprints — q164 pairs them, q170 screens them against the eval
+# source. Single definition so the two oracles cannot drift.
+_WINNOW_PK_CTES = (
+    f"nn AS (SELECT doc_id, {NORM_DUCK} AS n FROM documents),"
     f" lg AS (SELECT doc_id, n FROM nn"
     f" WHERE length(n) >= {_WINNOW_MIN_LEN}),"
     f" hh AS (SELECT doc_id, {_H_DUCK} AS H FROM lg),"
     " pk AS (SELECT doc_id, unnest(list_distinct(list_transform("
     f"range(0, len(H) - {WINNOW_W} + 1),"
     f" p -> list_min(list_slice(H, p + 1, p + {WINNOW_W}))))) AS fph"
-    " FROM hh),"
+    " FROM hh)"
+)
+
+
+@register(
+    "q164_winnowing_overlap",
+    f"WITH {_WINNOW_PK_CTES},"
     " keep AS (SELECT fph FROM pk GROUP BY fph"
     f" HAVING count(*) <= {WINNOW_MAX_POSTINGS}),"
     " pkf AS (SELECT doc_id, fph FROM pk JOIN keep USING (fph)),"
@@ -2053,5 +2061,82 @@ def q164(spark, sf_dir):
             .alias("containment_ppm"),
         )
         .orderBy(F.col("shared_fps").desc(), "a_id", "b_id")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing contamination screen. q68 catches VERBATIM 5-token grams
+# shared with the eval source and q123 bloom-screens exact shingles;
+# winnowing fingerprints catch the middle ground — near-verbatim eval
+# passages surviving light edits, at ~1/W the index size of all-gram
+# methods (the winnowing guarantee: any shared run >= W + K - 1 chars
+# still lands a common fingerprint). Eval-side fingerprints are
+# DEDUPED before the join (q68's rule), so a boilerplate fingerprint
+# fans out 1:1 per training doc, never quadratically.
+# ---------------------------------------------------------------------------
+
+WINNOW_EVAL_SOURCE = "src0"  # q68's stand-in held-out eval source
+
+
+@register(
+    "q170_winnowing_contamination",
+    f"WITH {_WINNOW_PK_CTES},"
+    " src AS (SELECT doc_id, source FROM documents),"
+    " pks AS (SELECT pk.doc_id, src.source, pk.fph"
+    " FROM pk JOIN src ON src.doc_id = pk.doc_id),"
+    " ev AS (SELECT DISTINCT fph FROM pks"
+    f" WHERE source = '{WINNOW_EVAL_SOURCE}'),"
+    " tr AS (SELECT doc_id, fph FROM pks"
+    f" WHERE source != '{WINNOW_EVAL_SOURCE}'),"
+    " nf AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fps"
+    " FROM tr GROUP BY doc_id),"
+    " hit AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits"
+    " FROM tr JOIN ev USING (fph) GROUP BY doc_id)"
+    " SELECT hit.doc_id AS doc_id, n_hits, n_fps,"
+    " CAST(n_hits * 1000000 // n_fps AS BIGINT) AS contamination_ppm"
+    " FROM hit JOIN nf ON nf.doc_id = hit.doc_id"
+    " ORDER BY n_hits DESC, doc_id LIMIT 20",
+    doc="Winnowing contamination screen: training documents sharing"
+    " MOSS fingerprints with the held-out eval source — the near-"
+    "verbatim middle ground q68's exact 5-gram pass (verbatim only)"
+    " and q49's LSH pass (whole-document rewraps) both miss. Eval"
+    " fingerprints are deduped before the KEYED join (q68 rule: 1:1"
+    " fanout per training doc, never quadratic); contamination is the"
+    " hit share of the doc's own fingerprint set in ppm. Top-20 by"
+    " hits.",
+)
+def q170(spark, sf_dir):
+    src = table(spark, sf_dir, "documents").select("doc_id", "source")
+    pks = winnow_fingerprints(spark, sf_dir).join(src, "doc_id")
+    ev = (
+        pks.where(F.col("source") == WINNOW_EVAL_SOURCE)
+        .select("fph")
+        .distinct()
+    )
+    tr = eager(
+        pks.where(F.col("source") != WINNOW_EVAL_SOURCE).select(
+            "doc_id", "fph"
+        )
+    )
+    nf = tr.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_fps")
+    )
+    hit = (
+        tr.join(ev, "fph", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_hits"))
+    )
+    return (
+        hit.join(nf, "doc_id")
+        .select(
+            "doc_id",
+            "n_hits",
+            "n_fps",
+            F.expr("n_hits * 1000000 DIV n_fps")
+            .cast("long")
+            .alias("contamination_ppm"),
+        )
+        .orderBy(F.col("n_hits").desc(), "doc_id")
         .limit(20)
     )

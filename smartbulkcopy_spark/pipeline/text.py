@@ -3071,3 +3071,181 @@ def q160(spark, sf_dir):
         .orderBy(F.col("n_docs").desc(), "sk")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Zipf coverage curve. Tokenizer-design question zero: what fraction of
+# the corpus token MASS do the top-100 / top-1k / top-10k vocabulary
+# terms cover? Exact ranks come from a two-phase decomposition (the
+# q165 band trick, here with LOG-spaced bands so the band table stays
+# ~64 rows at any corpus size): rank = rows-in-strictly-higher-bands +
+# within-band row_number, and rows whose band prefix already exceeds
+# the largest k are pruned BEFORE the within-band window — the fat
+# singleton-count tail is never sorted.
+# ---------------------------------------------------------------------------
+
+ZIPF_KS = (100, 1000, 10000)
+
+
+@register(
+    "q169_zipf_coverage",
+    "WITH tok AS (SELECT unnest(string_split(trim("
+    + NORM_SQL_DUCK + "), ' ')) AS token FROM documents"
+    f" WHERE trim({NORM_SQL_DUCK}) != ''),"
+    " vf AS (SELECT token, CAST(count(*) AS BIGINT) AS tf FROM tok"
+    " GROUP BY token),"
+    " r AS (SELECT tf, row_number() OVER (ORDER BY tf DESC, token)"
+    " AS rnk FROM vf)"
+    " SELECT (SELECT CAST(count(*) AS BIGINT) FROM vf) AS n_terms,"
+    " (SELECT CAST(sum(tf) AS BIGINT) FROM vf) AS total_tokens,"
+    + ", ".join(
+        f"CAST(CAST(sum(CASE WHEN rnk <= {k} THEN tf ELSE 0 END)"
+        " AS BIGINT) * 1000000"
+        " // (SELECT CAST(sum(tf) AS BIGINT) FROM vf) AS BIGINT)"
+        f" AS top{k}_ppm"
+        for k in ZIPF_KS
+    )
+    + " FROM r",
+    doc="Zipf coverage: corpus token-mass share (ppm) of the top-100/"
+    "1k/10k vocabulary terms — the readout that sizes a tokenizer"
+    " vocabulary. Spark computes exact ranks two-phase (q165 pattern"
+    " with log2 count bands, ~64 band rows at any scale): within-band"
+    " row_numbers run in parallel, the global prefix runs over the"
+    " band-count table only, and bands whose prefix already exceeds"
+    " max(k) are pruned BEFORE the window — the singleton-count tail"
+    " (most of a web-scale vocabulary) is never sorted. The oracle is"
+    " the equivalent single row_number window; totals are bounded"
+    " driver scalars.",
+)
+def q169(spark, sf_dir):
+    docs = spread(spark, table(spark, sf_dir, "documents"))
+    n = F.trim(norm_text())
+    vf = (
+        docs.select(n.alias("n"))
+        .where(F.col("n") != "")
+        .select(F.explode(F.split(F.col("n"), " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    vf = eager(vf)
+    totals = vf.agg(
+        F.count("*").cast("long").alias("nt"),
+        F.sum("tf").cast("long").alias("tot"),
+    ).first()
+    n_terms, total = int(totals["nt"] or 0), int(totals["tot"] or 0)
+    kmax = max(ZIPF_KS)
+    # log2 band of the count: monotone in tf, ties never straddle bands
+    banded = vf.withColumn("band", F.expr("length(bin(tf))"))
+    w_bands = Window.orderBy(F.col("band").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )  # runs over the ~64 band-count rows only
+    prefix = (
+        banded.groupBy("band")
+        .agg(F.count("*").alias("bc"))
+        .withColumn(
+            "higher", F.coalesce(F.sum("bc").over(w_bands), F.lit(0))
+        )
+        .select("band", "higher")
+    )
+    w_in = Window.partitionBy("band").orderBy(
+        F.col("tf").desc(), "token"
+    )
+    cand = (
+        banded.join(F.broadcast(prefix), "band")
+        # prune: anything in a band whose prefix already clears kmax
+        # can never rank <= kmax — the fat tail skips the window
+        .where(F.col("higher") < kmax)
+        .withColumn(
+            "rnk", F.col("higher") + F.row_number().over(w_in)
+        )
+    )
+    agg = cand.agg(
+        *[
+            F.sum(
+                F.when(F.col("rnk") <= k, F.col("tf")).otherwise(0)
+            )
+            .cast("long")
+            .alias(f"c{k}")
+            for k in ZIPF_KS
+        ]
+    )
+    return agg.select(
+        F.lit(n_terms).cast("long").alias("n_terms"),
+        F.lit(total).cast("long").alias("total_tokens"),
+        *[
+            F.expr(f"c{k} * 1000000 DIV {max(total, 1)}")
+            .cast("long")
+            .alias(f"top{k}_ppm")
+            for k in ZIPF_KS
+        ],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source template flow matrix. q160 finds cross-LINGUAL template
+# clusters; the same skeleton hash aggregated by SOURCE answers the
+# provenance question — which ingestion feeds serve the same generated
+# boilerplate? The join is keyed on the 16-byte skeleton and fans out
+# at most (#sources choose 2) per skeleton — source count is a small
+# dimension, so the matrix is bounded no matter the corpus size.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q171_source_template_matrix",
+    "WITH s AS (SELECT doc_id, source,"
+    f" {_SKELETON_DUCK} AS sk FROM documents),"
+    " g AS (SELECT sk, source, CAST(count(*) AS BIGINT) AS c"
+    " FROM s GROUP BY sk, source)"
+    " SELECT a.source AS source_a, b.source AS source_b,"
+    " CAST(count(*) AS BIGINT) AS n_shared_skeletons,"
+    " CAST(sum(a.c) AS BIGINT) AS docs_a,"
+    " CAST(sum(b.c) AS BIGINT) AS docs_b"
+    " FROM g a JOIN g b ON a.sk = b.sk AND a.source < b.source"
+    " GROUP BY a.source, b.source ORDER BY source_a, source_b",
+    doc="Cross-source template flow: for each source pair, how many"
+    " punctuation/digit skeletons (q160's hash) they share and how"
+    " many documents sit on each side — the feed-provenance readout"
+    " that tells a curation run which ingestion pipelines mirror each"
+    " other's boilerplate. One skeleton-keyed groupBy; the pair join"
+    " is keyed on the 16-byte hash with fanout bounded by the SOURCE"
+    " dimension (never documents); output <= C(#sources, 2) rows.",
+)
+def q171(spark, sf_dir):
+    sk = F.md5(
+        F.regexp_replace(
+            F.regexp_replace(norm_text(), "[a-z]+", "W"),
+            "[0-9]+",
+            "D",
+        )
+    )
+    g = eager(
+        table(spark, sf_dir, "documents")
+        .select("source", sk.alias("sk"))
+        .groupBy("sk", "source")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    a = g.select(
+        F.col("sk").alias("ska"),
+        F.col("source").alias("source_a"),
+        F.col("c").alias("ca"),
+    )
+    b = g.select(
+        F.col("sk").alias("skb"),
+        F.col("source").alias("source_b"),
+        F.col("c").alias("cb"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("ska") == F.col("skb"))
+            & (F.col("source_a") < F.col("source_b")),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count("*").cast("long").alias("n_shared_skeletons"),
+            F.sum("ca").cast("long").alias("docs_a"),
+            F.sum("cb").cast("long").alias("docs_b"),
+        )
+        .orderBy("source_a", "source_b")
+    )

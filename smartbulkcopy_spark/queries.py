@@ -2635,6 +2635,317 @@ def q166(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Discount elasticity readout. Does a deeper discount actually move
+# volume for a brand? The banded comparison table answers it without
+# fitting anything: quantity per item by integer discount band. All
+# integer outputs (quantities are integral doubles floored per row);
+# the lineitem⋈part join is keyed (part scales with the corpus — no
+# broadcast).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q167_discount_elasticity",
+    "WITH b AS (SELECT l_partkey,"
+    " CAST(floor(l_discount * 100.0) AS BIGINT) AS disc_pct,"
+    " CAST(floor(l_quantity) AS BIGINT) AS qty,"
+    " CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0)"
+    " AS BIGINT) AS rev_c FROM lineitem)"
+    " SELECT p_brand, disc_pct, CAST(count(*) AS BIGINT) AS n_items,"
+    " CAST(sum(qty) AS BIGINT) AS total_qty,"
+    " CAST(CAST(sum(qty) AS BIGINT) * 1000 // count(*) AS BIGINT)"
+    " AS qty_per_item_e3,"
+    " CAST(sum(rev_c) AS BIGINT) AS revenue_cents"
+    " FROM b JOIN part ON p_partkey = l_partkey"
+    " GROUP BY p_brand, disc_pct ORDER BY p_brand, disc_pct",
+    doc="Discount elasticity table: quantity-per-item (e3) and revenue"
+    " by (brand, integer discount band) — the no-model readout of"
+    " whether discounts move volume. Quantities and discounts floor to"
+    " integers per row (q55 rule: the cross-row reduction never"
+    " touches doubles); lineitem⋈part is KEYED — part scales with the"
+    " corpus, so no broadcast; output is brands x ~11 bands.",
+)
+def q167(spark, sf_dir):
+    b = table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.floor(F.col("l_discount") * F.lit(100.0))
+        .cast("long")
+        .alias("disc_pct"),
+        F.floor(F.col("l_quantity")).cast("long").alias("qty"),
+        F.floor(
+            F.col("l_extendedprice")
+            * (F.lit(1.0) - F.col("l_discount"))
+            * F.lit(100.0)
+        )
+        .cast("long")
+        .alias("rev_c"),
+    )
+    part = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    return (
+        b.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "disc_pct")
+        .agg(
+            F.count("*").cast("long").alias("n_items"),
+            F.sum("qty").cast("long").alias("total_qty"),
+            F.sum("rev_c").cast("long").alias("revenue_cents"),
+        )
+        .select(
+            "p_brand",
+            "disc_pct",
+            "n_items",
+            "total_qty",
+            F.expr("total_qty * 1000 DIV n_items")
+            .cast("long")
+            .alias("qty_per_item_e3"),
+            "revenue_cents",
+        )
+        .orderBy("p_brand", "disc_pct")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 dimension reconstruction from the event log. The warehouse
+# pattern behind every "customer attributes over time" table: collapse
+# an event stream into type-2 slowly-changing-dimension version
+# intervals (valid_from / valid_to per attribute value) and read the
+# version-churn profile off the result. The attribute here is the
+# payload tier (props.k DIV 25); gaps-and-islands with per-user
+# windows, every duration floored to minutes per interval BEFORE the
+# integer sums.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q168_scd2_version_profile",
+    "WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t,"
+    " CASE WHEN regexp_matches(coalesce(props->>'k', ''), '^[0-9]+$')"
+    " THEN CAST(props->>'k' AS BIGINT) // 25 END AS tier FROM events),"
+    " f AS (SELECT user_id, event_id, t, tier FROM e"
+    " WHERE tier IS NOT NULL),"
+    " ch AS (SELECT user_id, event_id, t, tier,"
+    " CASE WHEN lag(tier) OVER w IS DISTINCT FROM tier THEN 1 ELSE 0"
+    " END AS is_change FROM f"
+    " WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),"
+    " v AS (SELECT user_id, t, sum(is_change)"
+    " OVER (PARTITION BY user_id ORDER BY t, event_id"
+    " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    " AS version FROM ch),"
+    " iv AS (SELECT user_id, version, min(t) AS vf FROM v"
+    " GROUP BY user_id, version),"
+    " iv2 AS (SELECT user_id, vf, lead(vf)"
+    " OVER (PARTITION BY user_id ORDER BY version) AS vt FROM iv),"
+    " g AS (SELECT user_id, CAST(count(*) AS BIGINT) AS vc,"
+    " CAST(count(vt) AS BIGINT) AS n_closed,"
+    " sum(CASE WHEN vt IS NOT NULL THEN (vt - vf) // 60000000 END)"
+    " AS closed_min FROM iv2 GROUP BY user_id)"
+    " SELECT vc AS n_versions, CAST(count(*) AS BIGINT) AS n_users,"
+    " CAST(sum(n_closed) AS BIGINT) AS n_closed_intervals,"
+    " CAST(CASE WHEN sum(n_closed) = 0 THEN 0 ELSE"
+    " CAST(sum(closed_min) AS BIGINT) // CAST(sum(n_closed) AS BIGINT)"
+    " END AS BIGINT) AS avg_version_minutes"
+    " FROM g GROUP BY vc ORDER BY n_versions",
+    doc="SCD2 reconstruction: the event log collapses to type-2"
+    " version intervals of the payload tier (props.k DIV 25, integer-"
+    "strict extraction per q64) via gaps-and-islands, then rolls up to"
+    " the version-churn profile — users by version count, closed-"
+    "interval counts, and the average version lifetime in minutes"
+    " (per-interval minute-floor BEFORE the integer sums, q55 rule)."
+    " All windows partition by user (series-sized); ties broken by"
+    " event_id so ordering is engine-deterministic; gap math in the"
+    " NTZ microsecond domain with non-negative operands.",
+)
+def q168(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    f = (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.expr(_EV_MICROS).alias("t"),
+            F.expr(
+                "CASE WHEN get_json_object(props, '$.k')"
+                " RLIKE '^[0-9]+$' THEN"
+                " CAST(get_json_object(props, '$.k') AS BIGINT) DIV 25"
+                " END"
+            ).alias("tier"),
+        )
+        .where(F.col("tier").isNotNull())
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    ch = f.select(
+        "user_id",
+        "event_id",
+        "t",
+        F.when(
+            F.lag("tier").over(w).isNull()
+            | (F.lag("tier").over(w) != F.col("tier")),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_change"),
+    )
+    wv = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    v = ch.select(
+        "user_id", "t", F.sum("is_change").over(wv).alias("version")
+    )
+    iv = v.groupBy("user_id", "version").agg(F.min("t").alias("vf"))
+    wl = Window.partitionBy("user_id").orderBy("version")
+    iv2 = iv.select(
+        "user_id", "vf", F.lead("vf").over(wl).alias("vt")
+    )
+    g = iv2.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("vc"),
+        F.count("vt").cast("long").alias("n_closed"),
+        F.sum(
+            F.when(
+                F.col("vt").isNotNull(),
+                F.expr("(vt - vf) DIV 60000000"),
+            )
+        ).alias("closed_min"),
+    )
+    return (
+        g.groupBy(F.col("vc").alias("n_versions"))
+        .agg(
+            F.count("*").cast("long").alias("n_users"),
+            F.sum("n_closed").cast("long").alias("n_closed_intervals"),
+            F.when(F.sum("n_closed") == 0, F.lit(0))
+            .otherwise(
+                F.expr("sum(closed_min) DIV sum(n_closed)")
+            )
+            .cast("long")
+            .alias("avg_version_minutes"),
+        )
+        .orderBy("n_versions")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Peak concurrency. Capacity planning's headline number: the maximum
+# simultaneously-open sessions the corpus ever saw, and when. Sessions
+# are the q35 30-minute-gap islands; each contributes a +1/-1 edge and
+# the peak is the max of the running edge sum — computed two-phase
+# over HOUR bands (the q51/q165 trick; the band table is bounded by
+# the corpus calendar span, never by event count), with +1 ordered
+# before -1 at equal timestamps so a session ending exactly when
+# another starts counts both (inclusive ends), and user_id as the
+# final tie-break for an engine-deterministic ROWS order.
+# ---------------------------------------------------------------------------
+
+SESSION_GAP_US = 1_800_000_000  # the q35/q46 30-minute rule
+HOUR_US = 3_600_000_000
+
+
+@register(
+    "q172_peak_concurrency",
+    "WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t"
+    " FROM events),"
+    " g AS (SELECT user_id, event_id, t, CASE WHEN t - lag(t)"
+    " OVER (PARTITION BY user_id ORDER BY t, event_id)"
+    f" > {SESSION_GAP_US} THEN 1 ELSE 0 END AS brk FROM e),"
+    " s AS (SELECT user_id, t, sum(brk)"
+    " OVER (PARTITION BY user_id ORDER BY t, event_id"
+    " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid"
+    " FROM g),"
+    " iv AS (SELECT user_id, sid, min(t) AS st, max(t) AS en"
+    " FROM s GROUP BY user_id, sid),"
+    " ed AS (SELECT st AS t, 1 AS d, user_id FROM iv"
+    " UNION ALL SELECT en, -1, user_id FROM iv),"
+    " c AS (SELECT t, sum(d) OVER (ORDER BY t, d DESC, user_id"
+    " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc"
+    " FROM ed)"
+    " SELECT (SELECT CAST(count(*) AS BIGINT) FROM iv) AS n_sessions,"
+    " CAST(max(cc) AS BIGINT) AS peak_concurrency,"
+    " CAST(min(CASE WHEN cc = (SELECT max(cc) FROM c) THEN t END)"
+    " AS BIGINT) AS peak_at_us"
+    " FROM c",
+    doc="Peak session concurrency: 30-minute-gap sessions (q35 rule)"
+    " emit +1/-1 interval edges; the peak is the max running edge sum."
+    " Spark computes the global running sum two-phase over HOUR bands"
+    " (band-local ROWS windows in parallel + a prefix over the band-"
+    "total table, which is bounded by the corpus CALENDAR span, never"
+    " event count — the q51/q165 decomposition); +1 sorts before -1 at"
+    " equal times (inclusive session ends) and user_id breaks the"
+    " remaining ties, so the ROWS order is engine-deterministic. The"
+    " per-user lag/cumsum windows are series-sized; the final three"
+    " scalars assemble driver-side from one persisted edge table"
+    " (q158 pattern).",
+)
+def q172(spark, sf_dir):
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.expr(_EV_MICROS).alias("t")
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    g = ev.select(
+        "user_id",
+        "event_id",
+        "t",
+        F.when(
+            F.col("t") - F.lag("t").over(w) > SESSION_GAP_US, 1
+        )
+        .otherwise(0)
+        .alias("brk"),
+    )
+    ws = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    s = g.select("user_id", "t", F.sum("brk").over(ws).alias("sid"))
+    iv = s.groupBy("user_id", "sid").agg(
+        F.min("t").alias("st"), F.max("t").alias("en")
+    )
+    ed = iv.select(
+        F.col("st").alias("t"), F.lit(1).alias("d"), "user_id"
+    ).unionAll(
+        iv.select(
+            F.col("en").alias("t"), F.lit(-1).alias("d"), "user_id"
+        )
+    )
+    # two-phase running sum over hour bands (calendar-bounded band table)
+    banded = ed.withColumn("band", F.expr(f"t DIV {HOUR_US}"))
+    w_local = (
+        Window.partitionBy("band")
+        .orderBy("t", F.col("d").desc(), "user_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = banded.withColumn("local_cum", F.sum("d").over(w_local))
+    w_bands = Window.orderBy("band").rowsBetween(
+        Window.unboundedPreceding, -1
+    )  # band-total rows only
+    prefix = (
+        banded.groupBy("band")
+        .agg(F.sum("d").alias("band_total"))
+        .withColumn(
+            "band_prev",
+            F.coalesce(F.sum("band_total").over(w_bands), F.lit(0)),
+        )
+        .select("band", "band_prev")
+    )
+    c = eager(
+        local.join(F.broadcast(prefix), "band").select(
+            "t", (F.col("band_prev") + F.col("local_cum")).alias("cc")
+        )
+    )
+    n_sessions = iv.count()
+    mx = int(c.agg(F.max("cc")).first()[0] or 0)
+    peak_at = c.where(F.col("cc") == mx).agg(F.min("t")).first()[0]
+    row = [(int(n_sessions), mx, int(peak_at))]
+    import pyspark.sql.types as _T
+
+    schema = _T.StructType(
+        [
+            _T.StructField("n_sessions", _T.LongType()),
+            _T.StructField("peak_concurrency", _T.LongType()),
+            _T.StructField("peak_at_us", _T.LongType()),
+        ]
+    )
+    return spark.createDataFrame(row, schema)
+
+
 # Phase-5 pipeline operators (q21+) register themselves on import. The
 # import sits at the bottom because pipeline modules import `register`/
 # `table` from this module (deliberate one-way late binding, not a cycle
@@ -2915,6 +3226,14 @@ QUEUED_SINCE = {
     **{n: 96 for n in (
         "q164_winnowing_overlap", "q165_pareto_abc",
         "q166_supplier_hhi",
+    )},
+    **{n: 97 for n in (
+        "q167_discount_elasticity", "q168_scd2_version_profile",
+        "q169_zipf_coverage",
+    )},
+    **{n: 98 for n in (
+        "q170_winnowing_contamination", "q171_source_template_matrix",
+        "q172_peak_concurrency",
     )},
 }
 

@@ -2713,3 +2713,245 @@ def test_q166_matches_pure_python(spark):
     # shares are <= 1e6 by construction, HHI in (0, 1e6]
     assert (got["hhi_ppm"] > 0).all()
     assert (got["top_share_ppm"] <= 1_000_000).all()
+
+
+# ---------------------------------------------------------------------------
+# q167 — elasticity; q168 — SCD2 profile; q169 — Zipf coverage.
+# ---------------------------------------------------------------------------
+
+
+def test_q167_matches_pure_python(spark):
+    got = _run("q167_discount_elasticity", spark)
+    li = pd.read_parquet(f"{SF_SMOKE}/lineitem.parquet")
+    part = pd.read_parquet(f"{SF_SMOKE}/part.parquet")
+    import math
+
+    j = li.merge(part, left_on="l_partkey", right_on="p_partkey")
+    agg = {}
+    for r in j.itertuples():
+        key = (r.p_brand, math.floor(r.l_discount * 100.0))
+        st = agg.setdefault(key, [0, 0, 0])
+        st[0] += 1
+        st[1] += math.floor(r.l_quantity)
+        st[2] += math.floor(
+            r.l_extendedprice * (1.0 - r.l_discount) * 100.0
+        )
+    want = [
+        (b, d, n, q, q * 1000 // n, rc)
+        for (b, d), (n, q, rc) in sorted(agg.items())
+    ]
+    assert list(got.itertuples(index=False, name=None)) == want
+
+
+def test_q168_matches_pure_python(spark):
+    import json
+
+    got = _run("q168_scd2_version_profile", spark)
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    rows = []
+    for r in ev.itertuples():
+        try:
+            k = json.loads(r.props).get("k")
+        except Exception:
+            k = None
+        if isinstance(k, int) and k >= 0:
+            t = pd.Timestamp(r.ts).value // 1000
+            rows.append((r.user_id, t, r.event_id, k // 25))
+    per_user = {}
+    for uid, t, eid, tier in sorted(rows, key=lambda x: (x[0], x[1], x[2])):
+        per_user.setdefault(uid, []).append((t, tier))
+    prof = {}
+    for uid, seq in per_user.items():
+        starts = []
+        prev = object()
+        for t, tier in seq:
+            if tier != prev:
+                starts.append(t)
+                prev = tier
+        vc = len(starts)
+        closed = [
+            (b - a) // 60_000_000 for a, b in zip(starts, starts[1:])
+        ]
+        st = prof.setdefault(vc, [0, 0, 0])
+        st[0] += 1
+        st[1] += len(closed)
+        st[2] += sum(closed)
+    want = [
+        (vc, nu, nc, (tm // nc if nc else 0))
+        for vc, (nu, nc, tm) in sorted(prof.items())
+    ]
+    assert list(got.itertuples(index=False, name=None)) == want
+    # fixture sanity: version churn exists (tiers change within users)
+    assert any(vc > 1 for vc, *_ in want)
+
+
+def test_q169_matches_pure_python(spark):
+    import re as _re
+    from collections import Counter
+
+    got = _run("q169_zipf_coverage", spark)
+    release_caches()
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    cnt = Counter()
+    for t in docs.text:
+        n = _re.sub(r"\s+", " ", (t or "").lower()).strip()
+        if n:
+            cnt.update(n.split(" "))
+    total = sum(cnt.values())
+    ranked = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+    row = got.iloc[0]
+    assert row["n_terms"] == len(cnt)
+    assert row["total_tokens"] == total
+    for k in (100, 1000, 10000):
+        covered = sum(tf for _, tf in ranked[:k])
+        assert row[f"top{k}_ppm"] == covered * 1000000 // total
+    assert (
+        row["top100_ppm"] <= row["top1000_ppm"] <= row["top10000_ppm"]
+    )
+
+
+def test_q169_band_pruning_is_exact(spark):
+    # the pruned two-phase rank must agree with a brute-force global
+    # rank on a crafted corpus whose vocabulary straddles many bands
+    import smartbulkcopy_spark.pipeline.text as T
+
+    rows = []
+    did = 0
+    # term "w{i}" appears i times -> counts 1..60 across several log2 bands
+    buf = []
+    for i in range(1, 61):
+        buf.extend([f"w{i:02d}"] * i)
+    # chunk into documents of 50 tokens
+    for j in range(0, len(buf), 50):
+        did += 1
+        rows.append((did, " ".join(buf[j : j + 50])))
+    import tempfile, pathlib
+
+    with tempfile.TemporaryDirectory() as d:
+        _write_documents(pathlib.Path(d), rows)
+        got = _run("q169_zipf_coverage", spark, d)
+        release_caches()
+    row = got.iloc[0]
+    total = sum(range(1, 61))
+    assert row["n_terms"] == 60
+    assert row["total_tokens"] == total
+    # top-100 covers the whole 60-term vocabulary
+    assert row["top100_ppm"] == total * 1000000 // total
+
+
+# ---------------------------------------------------------------------------
+# q170 — winnowing contamination; q171 — template matrix; q172 — peak
+# concurrency.
+# ---------------------------------------------------------------------------
+
+
+def test_q170_matches_pure_python_on_crafted_corpus(spark, tmp_path):
+    eval_passage = (
+        "the capital of france is paris and the capital of spain is"
+        " madrid according to the atlas"
+    )
+    rows = [
+        # eval docs (src0 by fixture default... need mixed sources)
+        (1, eval_passage + " plus held out question one"),
+        (2, "unrelated eval text about geography quizzes and maps"),
+        # train docs: one lifts the passage with light edits, one clean
+        (3, "intro paragraph then " + eval_passage + " lifted verbatim"),
+        (4, "completely clean training document about cooking pasta"),
+    ]
+    pd.DataFrame(
+        {
+            "doc_id": [r[0] for r in rows],
+            "text": [r[1] for r in rows],
+            "lang": ["en"] * 4,
+            "source": ["src0", "src0", "src1", "src2"],
+            "n_chars": [len(r[1]) for r in rows],
+        }
+    ).to_parquet(tmp_path / "documents.parquet", index=False)
+    got = _run("q170_winnowing_contamination", spark, str(tmp_path))
+    release_caches()
+
+    fps = {d: _winnow_py(t) for d, t in rows}
+    ev = fps[1] | fps[2]
+    want = []
+    for d in (3, 4):
+        hits = len(fps[d] & ev)
+        if hits:
+            want.append((d, hits, len(fps[d]), hits * 1000000 // len(fps[d])))
+    want.sort(key=lambda r: (-r[1], r[0]))
+    assert list(got.itertuples(index=False, name=None)) == want
+    # the lifting doc must be flagged; the clean doc must not
+    assert want and want[0][0] == 3
+    assert all(r[0] != 4 for r in want)
+
+
+def test_q171_matches_pure_python(spark):
+    import hashlib
+    import re as _re
+
+    got = _run("q171_source_template_matrix", spark)
+    release_caches()
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    g = {}
+    for r in docs.itertuples():
+        n = _re.sub(r"\s+", " ", (r.text or "").lower())
+        skel = _re.sub(r"[0-9]+", "D", _re.sub(r"[a-z]+", "W", n))
+        sk = hashlib.md5(skel.encode()).hexdigest()
+        g[(sk, r.source)] = g.get((sk, r.source), 0) + 1
+    from collections import defaultdict
+
+    by_sk = defaultdict(list)
+    for (sk, src), c in g.items():
+        by_sk[sk].append((src, c))
+    agg = {}
+    for sk, lst in by_sk.items():
+        lst.sort()
+        for i, (sa, ca) in enumerate(lst):
+            for sb, cb in lst[i + 1 :]:
+                st = agg.setdefault((sa, sb), [0, 0, 0])
+                st[0] += 1
+                st[1] += ca
+                st[2] += cb
+    want = [
+        (sa, sb, n, da, db)
+        for (sa, sb), (n, da, db) in sorted(agg.items())
+    ]
+    assert list(got.itertuples(index=False, name=None)) == want
+    assert len(want) > 0  # the fixture contains cross-source templates
+
+
+def test_q172_matches_pure_python(spark):
+    got = _run("q172_peak_concurrency", spark)
+    release_caches()
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    GAP = 1_800_000_000
+    ivs = []
+    for uid, grp in ev.groupby("user_id"):
+        ts = sorted(
+            (pd.Timestamp(r.ts).value // 1000, r.event_id)
+            for r in grp.itertuples()
+        )
+        st = ts[0][0]
+        prev = ts[0][0]
+        for t, _ in ts[1:]:
+            if t - prev > GAP:
+                ivs.append((uid, st, prev))
+                st = t
+            prev = t
+        ivs.append((uid, st, prev))
+    edges = [(st, 1, uid) for uid, st, _ in ivs] + [
+        (en, -1, uid) for uid, _, en in ivs
+    ]
+    edges.sort(key=lambda e: (e[0], -e[1], e[2]))
+    cc = 0
+    peak = 0
+    peak_at = None
+    for t, d, _ in edges:
+        cc += d
+        if cc > peak:
+            peak = cc
+            peak_at = t
+    row = got.iloc[0]
+    assert row["n_sessions"] == len(ivs)
+    assert row["peak_concurrency"] == peak
+    assert row["peak_at_us"] == peak_at
+    assert peak >= 2  # fixture must exercise genuine overlap

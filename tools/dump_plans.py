@@ -377,6 +377,28 @@ ANNOTATED = {
     "q166_supplier_hhi": "Supplier-keyed revenue aggregation; shares"
     " floored to integer ppm per row BEFORE the cross-row HHI sum;"
     " nation broadcast; 25-row output.",
+    "q167_discount_elasticity": "Row-local integer banding; one KEYED"
+    " lineitem⋈part join (part scales — no broadcast); single"
+    " partial-aggregated groupBy to brands x ~11 bands.",
+    "q168_scd2_version_profile": "Integer-strict JSON extraction in"
+    " codegen; all windows partition by user (series-sized, ROWS"
+    " frames, event_id tie-break); two tiny rollups to the churn"
+    " profile.",
+    "q169_zipf_coverage": "Two-phase exact rank over log2 count bands"
+    " (~64 band rows at any scale); the global prefix window runs over"
+    " the band-count table; tail bands pruned BEFORE the within-band"
+    " row_number — the singleton tail is never sorted.",
+    "q170_winnowing_contamination": "Shared winnow_fingerprints chain;"
+    " eval side DEDUPED before the KEYED fph join (1:1 fanout per"
+    " training doc); train posting set eager-persisted once for the"
+    " nf + hit consumers; top-20 via TakeOrderedAndProject.",
+    "q171_source_template_matrix": "One skeleton-keyed groupBy; the"
+    " pair join is keyed on the 16-byte hash with fanout bounded by"
+    " the SOURCE dimension; output <= C(#sources, 2) rows.",
+    "q172_peak_concurrency": "Per-user session windows (series-sized);"
+    " the global edge cumsum is two-phase over HOUR bands — the band"
+    " prefix window runs over a calendar-bounded band table; three"
+    " bounded driver scalars assemble the single-row result.",
 }
 
 

@@ -120,6 +120,12 @@ PROBES = [
     "q164_winnowing_overlap",
     "q165_pareto_abc",
     "q166_supplier_hhi",
+    "q167_discount_elasticity",
+    "q168_scd2_version_profile",
+    "q169_zipf_coverage",
+    "q170_winnowing_contamination",
+    "q171_source_template_matrix",
+    "q172_peak_concurrency",
 ]
 
 
