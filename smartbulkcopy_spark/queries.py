@@ -2946,6 +2946,268 @@ def q172(spark, sf_dir):
     return spark.createDataFrame(row, schema)
 
 
+# ---------------------------------------------------------------------------
+# Ingestion coverage gaps. The "did the pipeline actually run every
+# hour" audit: per event type, the observed hour set vs the calendar
+# span it covers, plus the longest outage. Distinct (type, hour) first
+# — windows then run over calendar-bounded hour rows, never events.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q173_coverage_gaps",
+    "WITH h AS (SELECT DISTINCT event_type,"
+    f" epoch_us(ts) // {HOUR_US} AS hh FROM events),"
+    " s AS (SELECT event_type, hh, lead(hh)"
+    " OVER (PARTITION BY event_type ORDER BY hh) AS nx FROM h),"
+    " g AS (SELECT event_type, CAST(min(hh) AS BIGINT) AS mn,"
+    " CAST(max(hh) AS BIGINT) AS mx,"
+    " CAST(count(*) AS BIGINT) AS obs,"
+    " CAST(coalesce(max(nx - hh - 1), 0) AS BIGINT) AS max_gap"
+    " FROM s GROUP BY event_type)"
+    " SELECT event_type, mx - mn + 1 AS expected_hours,"
+    " obs AS observed_hours, mx - mn + 1 - obs AS missing_hours,"
+    " max_gap AS max_gap_hours"
+    " FROM g ORDER BY event_type",
+    doc="Ingestion coverage audit: per event type, hours with data vs"
+    " the calendar span between first and last observation, and the"
+    " longest consecutive outage — the monitor-facing 'did every"
+    " hourly batch land' readout. The distinct (type, hour) projection"
+    " collapses events map-side; the gap window then runs over"
+    " calendar-bounded hour rows. Hour flooring on non-negative epoch"
+    " micros (DIV == //).",
+)
+def q173(spark, sf_dir):
+    h = (
+        table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.expr(f"({_EV_MICROS}) DIV {HOUR_US}").alias("hh"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("event_type").orderBy("hh")
+    s = h.withColumn("nx", F.lead("hh").over(w))
+    return (
+        s.groupBy("event_type")
+        .agg(
+            F.min("hh").cast("long").alias("mn"),
+            F.max("hh").cast("long").alias("mx"),
+            F.count("*").cast("long").alias("obs"),
+            F.coalesce(
+                F.max(F.col("nx") - F.col("hh") - 1), F.lit(0)
+            )
+            .cast("long")
+            .alias("max_gap"),
+        )
+        .select(
+            "event_type",
+            (F.col("mx") - F.col("mn") + 1).alias("expected_hours"),
+            F.col("obs").alias("observed_hours"),
+            (F.col("mx") - F.col("mn") + 1 - F.col("obs")).alias(
+                "missing_hours"
+            ),
+            F.col("max_gap").alias("max_gap_hours"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Growth accounting. The canonical WAU decomposition: every weekly
+# active user is NEW (first week ever), RETAINED (also active the
+# previous week) or RESURRECTED (back after a gap); CHURNED counts the
+# previous week's actives who didn't return. new - churned + retained
+# + resurrected reconciles week-over-week WAU exactly — the identity
+# the test pins. Per-user windows over the distinct week grain; the
+# weekly rollup is calendar-bounded.
+# ---------------------------------------------------------------------------
+
+WEEK_US = 7 * 86_400_000_000
+
+
+@register(
+    "q174_growth_accounting",
+    "WITH w AS (SELECT DISTINCT user_id,"
+    f" epoch_us(ts) // {WEEK_US} AS wk FROM events),"
+    " x AS (SELECT user_id, wk,"
+    " lag(wk) OVER (PARTITION BY user_id ORDER BY wk) AS pw,"
+    " lead(wk) OVER (PARTITION BY user_id ORDER BY wk) AS nx FROM w),"
+    " act AS (SELECT wk,"
+    " CAST(sum(CASE WHEN pw IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
+    " AS new_users,"
+    " CAST(sum(CASE WHEN pw = wk - 1 THEN 1 ELSE 0 END) AS BIGINT)"
+    " AS retained,"
+    " CAST(sum(CASE WHEN pw IS NOT NULL AND pw < wk - 1 THEN 1"
+    " ELSE 0 END) AS BIGINT) AS resurrected"
+    " FROM x GROUP BY wk),"
+    " chn AS (SELECT wk + 1 AS wk, CAST(count(*) AS BIGINT)"
+    " AS churned FROM x WHERE nx IS NULL OR nx > wk + 1"
+    " GROUP BY wk + 1)"
+    " SELECT CAST(coalesce(act.wk, chn.wk) AS BIGINT) AS week_id,"
+    " CAST(coalesce(new_users, 0) AS BIGINT) AS new_users,"
+    " CAST(coalesce(retained, 0) AS BIGINT) AS retained,"
+    " CAST(coalesce(resurrected, 0) AS BIGINT) AS resurrected,"
+    " CAST(coalesce(churned, 0) AS BIGINT) AS churned"
+    " FROM act FULL JOIN chn ON act.wk = chn.wk"
+    " ORDER BY week_id",
+    doc="Growth accounting: weekly actives decomposed into new /"
+    " retained / resurrected, with churned counted against the week"
+    " the user failed to return — the WAU identity wau(w) = new +"
+    " retained + resurrected and wau(w) = wau(w-1) - churned(w) +"
+    " new + resurrected holds exactly (property-tested). Per-user"
+    " lag/lead windows over the distinct (user, week) grain; the"
+    " weekly rollup and FULL join are calendar-bounded. The trailing"
+    " week (everyone churns after the corpus ends) is emitted as data,"
+    " not hidden.",
+)
+def q174(spark, sf_dir):
+    w = (
+        table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.expr(f"({_EV_MICROS}) DIV {WEEK_US}").alias("wk"),
+        )
+        .distinct()
+    )
+    uw = Window.partitionBy("user_id").orderBy("wk")
+    x = eager(
+        w.select(
+            "user_id",
+            "wk",
+            F.lag("wk").over(uw).alias("pw"),
+            F.lead("wk").over(uw).alias("nx"),
+        )
+    )
+    act = x.groupBy("wk").agg(
+        F.sum(F.when(F.col("pw").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("new_users"),
+        F.sum(F.when(F.col("pw") == F.col("wk") - 1, 1).otherwise(0))
+        .cast("long")
+        .alias("retained"),
+        F.sum(
+            F.when(
+                F.col("pw").isNotNull() & (F.col("pw") < F.col("wk") - 1),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("resurrected"),
+    )
+    chn = (
+        x.where(F.col("nx").isNull() | (F.col("nx") > F.col("wk") + 1))
+        .select((F.col("wk") + 1).alias("cwk"))
+        .groupBy("cwk")
+        .agg(F.count("*").cast("long").alias("churned"))
+    )
+    return (
+        act.join(chn, act.wk == chn.cwk, "full")
+        .select(
+            F.coalesce("wk", "cwk").cast("long").alias("week_id"),
+            F.coalesce("new_users", F.lit(0)).cast("long").alias(
+                "new_users"
+            ),
+            F.coalesce("retained", F.lit(0)).cast("long").alias(
+                "retained"
+            ),
+            F.coalesce("resurrected", F.lit(0)).cast("long").alias(
+                "resurrected"
+            ),
+            F.coalesce("churned", F.lit(0)).cast("long").alias(
+                "churned"
+            ),
+        )
+        .orderBy("week_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A/B readout over a deterministic hash split. The experimentation
+# primitive: assign every user to an arm by md5 (the q50 split-policy
+# mechanic — stable under reprocessing, no RNG), then read exposure,
+# conversion and revenue per arm. All integers; the md5-hex -> int
+# bridge is the verified conv()/('0x'||s)::INT equivalence.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q175_ab_conversion",
+    "WITH u AS (SELECT user_id,"
+    " CASE WHEN CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)),"
+    " 1, 4)) AS INT) % 2 = 0 THEN 'A' ELSE 'B' END AS arm,"
+    " CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)"
+    " AS BIGINT) AS converted,"
+    " CAST(sum(CASE WHEN event_type = 'purchase' THEN"
+    " CAST(floor(value * 100.0) AS BIGINT) ELSE 0 END) AS BIGINT)"
+    " AS rev_c FROM events GROUP BY user_id)"
+    " SELECT arm, CAST(count(*) AS BIGINT) AS n_users,"
+    " CAST(sum(converted) AS BIGINT) AS n_converters,"
+    " CAST(CAST(sum(converted) AS BIGINT) * 1000000 // count(*)"
+    " AS BIGINT) AS conv_ppm,"
+    " CAST(sum(rev_c) AS BIGINT) AS revenue_cents,"
+    " CAST(CAST(sum(rev_c) AS BIGINT) // count(*) AS BIGINT)"
+    " AS rev_per_user_cents"
+    " FROM u GROUP BY arm ORDER BY arm",
+    doc="A/B experiment readout: users assigned to arms by the md5"
+    " hash split (deterministic, reprocessing-stable — the q50"
+    " mechanic; hex->int via the verified conv() bridge), then"
+    " exposure / conversion / revenue per arm with ppm and per-user"
+    " cents. One user-keyed aggregation plus a 2-row rollup; per-row"
+    " floor-scaled cents (q55 rule).",
+)
+def q175(spark, sf_dir):
+    arm = F.when(
+        F.expr(
+            "CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 4),"
+            " 16, 10) AS INT) % 2 = 0"
+        ),
+        "A",
+    ).otherwise("B")
+    u = (
+        table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            arm.alias("arm"),
+            F.when(F.col("event_type") == "purchase", 1)
+            .otherwise(0)
+            .alias("p"),
+            F.when(
+                F.col("event_type") == "purchase",
+                F.floor(F.col("value") * F.lit(100.0)).cast("long"),
+            )
+            .otherwise(0)
+            .alias("pc"),
+        )
+        .groupBy("user_id", "arm")
+        .agg(
+            F.max("p").cast("long").alias("converted"),
+            F.sum("pc").cast("long").alias("rev_c"),
+        )
+    )
+    return (
+        u.groupBy("arm")
+        .agg(
+            F.count("*").cast("long").alias("n_users"),
+            F.sum("converted").cast("long").alias("n_converters"),
+            F.sum("rev_c").cast("long").alias("revenue_cents"),
+        )
+        .select(
+            "arm",
+            "n_users",
+            "n_converters",
+            F.expr("n_converters * 1000000 DIV n_users")
+            .cast("long")
+            .alias("conv_ppm"),
+            "revenue_cents",
+            F.expr("revenue_cents DIV n_users")
+            .cast("long")
+            .alias("rev_per_user_cents"),
+        )
+        .orderBy("arm")
+    )
+
+
 # Phase-5 pipeline operators (q21+) register themselves on import. The
 # import sits at the bottom because pipeline modules import `register`/
 # `table` from this module (deliberate one-way late binding, not a cycle
@@ -3234,6 +3496,10 @@ QUEUED_SINCE = {
     **{n: 98 for n in (
         "q170_winnowing_contamination", "q171_source_template_matrix",
         "q172_peak_concurrency",
+    )},
+    **{n: 99 for n in (
+        "q173_coverage_gaps", "q174_growth_accounting",
+        "q175_ab_conversion",
     )},
 }
 

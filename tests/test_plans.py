@@ -192,6 +192,9 @@ def test_hash_banded_near_dup_cap_before_collect_list(spark, sf_dir, name):
         "q94_ensemble_dedup",
         "q107_minhash_estimate_quality",
         "q115_detector_agreement",
+        "q164_winnowing_overlap",
+        "q170_winnowing_contamination",
+        "q174_growth_accounting",
     ],
 )
 def test_multi_consumer_pair_sets_read_from_cache(spark, sf_dir, name):
@@ -228,3 +231,50 @@ def test_q114_batch_joins_index_only(spark, sf_dir):
     assert "LeftSemi" in plan
     assert "bc#" in plan, "hot-bucket cap aggregate"
     assert "InMemoryTableScan" in plan
+
+
+def test_q164_posting_cap_guards_pair_join(spark, sf_dir):
+    """Winnowing pairs must be generated from the CAPPED posting set:
+    the cap aggregate (pc) exists, the pair join is an equi hash join
+    on the fingerprint (no nested-loop shape anywhere), and the capped
+    set re-enters from cache for its two consumers."""
+    spark.catalog.clearCache()
+    from smartbulkcopy_spark.queries import release_caches
+
+    release_caches()
+    plan = explain_str(REGISTRY["q164_winnowing_overlap"].fn(spark, sf_dir))
+    release_caches()
+    assert "pc#" in plan, "posting-cap aggregate missing"
+    assert "fph" in plan
+    assert "InMemoryTableScan" in plan
+
+
+def test_two_phase_rank_windows_stay_banded(spark, sf_dir):
+    """q165/q169/q172 replace data-sized global windows with the
+    two-phase band decomposition: every unpartitioned window in their
+    plans must run over the band-total/band-count grain (its input
+    carries the band column), never over the raw data grain."""
+    from smartbulkcopy_spark.queries import release_caches
+
+    # q172 shares the decomposition but returns a driver-assembled
+    # single-row DataFrame (its banded plan executes inside the
+    # builder), so only the lazily-returned two are pinned here.
+    for name in (
+        "q165_pareto_abc",
+        "q169_zipf_coverage",
+    ):
+        spark.catalog.clearCache()
+        release_caches()
+        plan = explain_str(REGISTRY[name].fn(spark, sf_dir))
+        release_caches()
+        assert "band" in plan, name
+        # every single-partition exchange must feed from an aggregate
+        # (the band-total/band-count table), never directly from a
+        # data-sized scan — the q89 criterion
+        lines = plan.splitlines()
+        for i, ln in enumerate(lines):
+            if "Exchange SinglePartition" in ln:
+                tail = "\n".join(lines[i : i + 6])
+                assert (
+                    "HashAggregate" in tail or "Aggregate" in tail
+                ), (name, tail)

@@ -2955,3 +2955,102 @@ def test_q172_matches_pure_python(spark):
     assert row["peak_concurrency"] == peak
     assert row["peak_at_us"] == peak_at
     assert peak >= 2  # fixture must exercise genuine overlap
+
+
+# ---------------------------------------------------------------------------
+# q173 — coverage gaps; q174 — growth accounting; q175 — A/B readout.
+# ---------------------------------------------------------------------------
+
+
+def _event_us(ev):
+    return ev.ts.values.astype("datetime64[us]").astype("int64")
+
+
+def test_q173_matches_pure_python(spark):
+    got = _run("q173_coverage_gaps", spark)
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    hh = pd.DataFrame(
+        {"et": ev.event_type, "h": _event_us(ev) // 3_600_000_000}
+    ).drop_duplicates()
+    want = []
+    for et, g in hh.groupby("et"):
+        hs = sorted(g.h)
+        gaps = [b - a - 1 for a, b in zip(hs, hs[1:])]
+        want.append(
+            (
+                et,
+                hs[-1] - hs[0] + 1,
+                len(hs),
+                hs[-1] - hs[0] + 1 - len(hs),
+                max(gaps) if gaps else 0,
+            )
+        )
+    assert list(got.itertuples(index=False, name=None)) == sorted(want)
+    assert (got["missing_hours"] >= 0).all()
+
+
+def test_q174_matches_pure_python_and_wau_identity(spark):
+    got = _run("q174_growth_accounting", spark)
+    release_caches()
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    wk = pd.DataFrame(
+        {"u": ev.user_id, "w": _event_us(ev) // (7 * 86_400_000_000)}
+    ).drop_duplicates()
+    per_user = {u: sorted(g.w) for u, g in wk.groupby("u")}
+    from collections import defaultdict
+
+    prof = defaultdict(lambda: [0, 0, 0, 0])  # new ret res churned
+    for u, ws in per_user.items():
+        for i, w in enumerate(ws):
+            if i == 0:
+                prof[w][0] += 1
+            elif ws[i - 1] == w - 1:
+                prof[w][1] += 1
+            else:
+                prof[w][2] += 1
+            nxt = ws[i + 1] if i + 1 < len(ws) else None
+            if nxt is None or nxt > w + 1:
+                prof[w + 1][3] += 1
+    want = [
+        (w, n, rt, rs, ch) for w, (n, rt, rs, ch) in sorted(prof.items())
+    ]
+    assert list(got.itertuples(index=False, name=None)) == want
+    # WAU identity: wau(w) = wau(w-1) - churned(w) + new(w) + resurrected(w)
+    wau = {w: n + rt + rs for w, n, rt, rs, _ in want}
+    for (w1, *_), (w2, n2, rt2, rs2, ch2) in zip(want, want[1:]):
+        if w2 == w1 + 1:
+            assert wau.get(w2, 0) == wau[w1] - ch2 + n2 + rs2
+    # retained must equal previous week's actives minus churned
+    assert any(r[1] > 0 for r in want)  # fixture spans multiple weeks
+
+
+def test_q175_matches_pure_python(spark):
+    import hashlib
+    import math
+
+    got = _run("q175_ab_conversion", spark)
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    agg = {}
+    for u, g in ev.groupby("user_id"):
+        arm = (
+            "A"
+            if int(hashlib.md5(str(u).encode()).hexdigest()[:4], 16) % 2
+            == 0
+            else "B"
+        )
+        purch = g[g.event_type == "purchase"]
+        conv = 1 if len(purch) else 0
+        rev = sum(math.floor(v * 100.0) for v in purch.value)
+        st = agg.setdefault(arm, [0, 0, 0])
+        st[0] += 1
+        st[1] += conv
+        st[2] += rev
+    want = [
+        (a, n, c, c * 1000000 // n, r, r // n)
+        for a, (n, c, r) in sorted(agg.items())
+    ]
+    assert list(got.itertuples(index=False, name=None)) == want
+    # both arms populated and roughly balanced (hash split sanity)
+    assert len(want) == 2
+    na, nb = want[0][1], want[1][1]
+    assert min(na, nb) * 2 > max(na, nb)

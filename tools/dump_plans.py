@@ -399,6 +399,14 @@ ANNOTATED = {
     " the global edge cumsum is two-phase over HOUR bands — the band"
     " prefix window runs over a calendar-bounded band table; three"
     " bounded driver scalars assemble the single-row result.",
+    "q173_coverage_gaps": "Distinct (type, hour) collapses events"
+    " map-side; the gap window runs over calendar-bounded hour rows;"
+    " per-type rollup.",
+    "q174_growth_accounting": "Per-user lag/lead windows over the"
+    " distinct (user, week) grain, eager-persisted once for the"
+    " activity + churn consumers; calendar-bounded weekly FULL join.",
+    "q175_ab_conversion": "Row-local md5 arm assignment in codegen;"
+    " one user-keyed aggregation; 2-row arm rollup.",
 }
 
 

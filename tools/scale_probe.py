@@ -126,6 +126,9 @@ PROBES = [
     "q170_winnowing_contamination",
     "q171_source_template_matrix",
     "q172_peak_concurrency",
+    "q173_coverage_gaps",
+    "q174_growth_accounting",
+    "q175_ab_conversion",
 ]
 
 
@@ -262,7 +265,10 @@ def inflate(spark, src_dir: str, out_dir: str) -> None:
     )
     _inflated("customer", {"c_custkey": _CUST_SHIFT})
     _inflated("supplier", {"s_suppkey": _SUPP_SHIFT})
-    for name in ("nation", "region"):
+    # part copies through unchanged: the inflated lineitem keeps its
+    # l_partkey space, so every copy references the SAME part rows —
+    # the "wider fact, same dim" growth a real per-part rollup sees.
+    for name in ("nation", "region", "part"):
         spark.read.parquet(f"{src_dir}/{name}.parquet").write.mode(
             "overwrite"
         ).parquet(f"{out_dir}/{name}.parquet")
@@ -276,9 +282,34 @@ def time_one(spark, fn, sf_dir: str) -> float:
     return secs
 
 
+def _existing_rows() -> dict:
+    """Parse SCALE.md's table into {name: row-line} for --only merges."""
+    out = {}
+    path = REPO / "SCALE.md"
+    if not path.exists():
+        return out
+    for line in path.read_text().splitlines():
+        if line.startswith("| q"):
+            name = line.split("|")[1].strip()
+            out[name] = line
+    return out
+
+
 def main() -> None:
     from smartbulkcopy_spark.queries import REGISTRY
     from smartbulkcopy_spark.session import get_spark
+
+    # --only name...: probe just those operators and MERGE their rows
+    # into the existing SCALE.md table (PROBES order preserved) — the
+    # cheap path for late-round registrations; the full run remains the
+    # default so every row eventually re-times on one machine state.
+    args = sys.argv[1:]
+    only = None
+    if args and args[0] == "--only":
+        only = [n for n in args[1:] if n in PROBES]
+        unknown = [n for n in args[1:] if n not in PROBES]
+        if unknown:
+            raise SystemExit(f"not in PROBES: {unknown}")
 
     spark = get_spark(
         app_name="scale-probe",
@@ -290,7 +321,7 @@ def main() -> None:
     try:
         inflate(spark, base, big)
         rows = []
-        for name in PROBES:
+        for name in only if only is not None else PROBES:
             fn1, fn8 = _probe_fns(name)
             # warm BOTH scales: first-touch (file listing, codegen for the
             # plan's constants) costs several seconds and would otherwise
@@ -320,8 +351,15 @@ def main() -> None:
             "| operator | t(1x) s | t(8x) s | ratio |",
             "|---|---|---|---|",
         ]
-        for name, t1, t8, r in rows:
-            lines.append(f"| {name} | {t1:.2f} | {t8:.2f} | {r:.1f}x |")
+        fresh = {
+            name: f"| {name} | {t1:.2f} | {t8:.2f} | {r:.1f}x |"
+            for name, t1, t8, r in rows
+        }
+        merged = _existing_rows() if only is not None else {}
+        merged.update(fresh)
+        for name in PROBES:
+            if name in merged:
+                lines.append(merged[name])
         lines += [
             "",
             "q93 probes the PRODUCTION configuration: the centroid count"
