@@ -352,14 +352,22 @@ def emit_payloads(
     # timings under full names. At 120+ registrations the per-query dict
     # ("q118":1.2 x N) no longer fits the driver's ~2000-char tail, so
     # contiguous query numbers emit as a dense array: "q1st" is the
-    # first query number, "t"[i] the timing of query q1st+i.
-    if ks == list(range(ks[0], ks[0] + len(ks))):
-        compact_queries: dict[str, object] = {
+    # first query number, "t"[i] the timing of query q1st+i. A gap would
+    # silently fall back to explicit qNN keys and blow the 1900-char line
+    # cap (dropping the driver-visible per-query timings), so contiguity
+    # is asserted: deregistering a query must renumber or keep a stub.
+    if not ks:
+        compact_queries: dict[str, object] = {}
+    else:
+        assert ks == list(range(ks[0], ks[0] + len(ks))), (
+            f"registration numbers are gapped ({len(ks)} timings, "
+            f"q{ks[0]}..q{ks[-1]}): dense-array emission requires "
+            "contiguous qNN; renumber or keep a stub registration"
+        )
+        compact_queries = {
             "q1st": ks[0],
             "t": [nums[k] for k in ks],
         }
-    else:  # gapped registration numbers: fall back to explicit keys
-        compact_queries = {f"q{k}": nums[k] for k in ks}
 
     compact_copy: dict[str, object] = {}
     for key, val in copies.items():
@@ -432,10 +440,28 @@ def emit_payloads(
     return line, detail
 
 
+def machine_state() -> dict[str, object]:
+    """Idleness marker recorded into BENCH_DETAIL.json: a 1-min loadavg
+    near zero at bench start proves the numbers weren't taken under
+    background load (round 8's shared queries drifted a uniform +18%
+    from a concurrent JVM — CLAUDE.md round-6 lesson). Makes any future
+    drift attributable: loadavg high => discard the comparison."""
+    state: dict[str, object] = {"ncpus": os.cpu_count()}
+    try:
+        la1, la5, la15 = os.getloadavg()
+        state["loadavg"] = [round(la1, 2), round(la5, 2), round(la15, 2)]
+        state["idle_at_start"] = la1 < 2.0
+    except OSError:
+        state["loadavg"] = None
+        state["idle_at_start"] = None
+    return state
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
+    machine = machine_state()
 
     from smartbulkcopy_spark.queries import REGISTRY
     from smartbulkcopy_spark.session import get_spark
@@ -485,6 +511,12 @@ def main() -> None:
     copies = copy_benchmarks(spark, sf_dir)
 
     line, detail = emit_payloads(timings, copies, sf)
+    machine["loadavg_at_end"] = (
+        [round(v, 2) for v in os.getloadavg()]
+        if hasattr(os, "getloadavg")
+        else None
+    )
+    detail["machine"] = machine
     (REPO / "BENCH_DETAIL.json").write_text(json.dumps(detail, indent=1))
     print(line)
 

@@ -3256,15 +3256,15 @@ TIER1 = [
 # (rows_match & schema_match & hash_match). Absent = never driver-graded.
 # Generated by tools/ledger.py; keep in lockstep with SURVEY.md §2.12.
 LAST_GREEN = {
-    "q01_scan_project": 7,
-    "q02_logical_partition_bucket": 7,
-    "q03_range_partition_predicate": 7,
-    "q04_ordered_scan_desc": 7,
-    "q05_rowcount": 7,
-    "q06_bucket_counts": 7,
-    "q07_ident_current": 7,
-    "q08_table_size_agg": 7,
-    "q09_inner_join_agg": 7,
+    "q01_scan_project": 8,
+    "q02_logical_partition_bucket": 8,
+    "q03_range_partition_predicate": 8,
+    "q04_ordered_scan_desc": 8,
+    "q05_rowcount": 8,
+    "q06_bucket_counts": 8,
+    "q07_ident_current": 8,
+    "q08_table_size_agg": 8,
+    "q09_inner_join_agg": 8,
     "q100_gopher_rules": 7,
     "q101_hourly_cohort_retention": 7,
     "q102_conversion_latency": 7,
@@ -3275,7 +3275,7 @@ LAST_GREEN = {
     "q107_minhash_estimate_quality": 7,
     "q108_jaccard_distribution": 7,
     "q109_event_transitions": 7,
-    "q10_left_join_agg": 7,
+    "q10_left_join_agg": 8,
     "q110_image_ahash": 7,
     "q111_image_near_dup": 7,
     "q112_simhash_near_dup": 7,
@@ -3283,16 +3283,43 @@ LAST_GREEN = {
     "q114_incremental_image_dedup": 7,
     "q115_detector_agreement": 7,
     "q116_pii_audit": 7,
-    "q11_semi_join": 7,
-    "q12_except": 7,
-    "q13_union_distinct": 7,
-    "q14_topk": 7,
-    "q15_case_when": 7,
-    "q16_quotename": 7,
-    "q17_agg_sweep": 7,
-    "q18_tumbling_window": 7,
-    "q19_rate_delta_lag": 7,
-    "q20_copy_roundtrip": 7,
+    "q117_image_dedup_keep": 8,
+    "q118_pii_redaction": 8,
+    "q119_crossdoc_repeated_spans": 8,
+    "q11_semi_join": 8,
+    "q120_hashed_linear_quality": 8,
+    "q121_hll_distinct_tokens": 8,
+    "q122_cms_heavy_hitters": 8,
+    "q123_bloom_decontamination": 8,
+    "q124_source_dedup_rates": 8,
+    "q125_cluster_keep_best": 8,
+    "q126_hourly_hll_users": 8,
+    "q127_kmv_source_overlap": 8,
+    "q128_prefix_filter_join": 8,
+    "q129_containment_join": 8,
+    "q12_except": 8,
+    "q130_pps_token_sample": 8,
+    "q131_vocab_growth": 8,
+    "q132_cluster_separation": 8,
+    "q133_hist_quantile_sketch": 8,
+    "q134_bm25_topk": 8,
+    "q135_rrf_retrieval_fusion": 8,
+    "q136_source_token_drift": 8,
+    "q137_mad_length_outliers": 8,
+    "q138_tokenizer_fertility": 8,
+    "q139_gap_quantile_sketch": 8,
+    "q13_union_distinct": 8,
+    "q140_regional_revenue_rollup": 8,
+    "q141_pq_code_assignment": 8,
+    "q142_encoding_anomaly_audit": 8,
+    "q144_token_budget_waterfill": 8,
+    "q14_topk": 8,
+    "q15_case_when": 8,
+    "q16_quotename": 8,
+    "q17_agg_sweep": 8,
+    "q18_tumbling_window": 8,
+    "q19_rate_delta_lag": 8,
+    "q20_copy_roundtrip": 8,
     "q21_exact_dedup": 5,
     "q22_text_stats": 5,
     "q23_token_counts": 5,
@@ -3307,7 +3334,7 @@ LAST_GREEN = {
     "q32_binary_features": 5,
     "q33_embedding_near_dup": 5,
     "q34_near_dup_dedup": 5,
-    "q35_sessionization": 7,
+    "q35_sessionization": 8,
     "q36_ivf_assignment": 5,
     "q37_scalar_funcs": 5,
     "q38_bpe_token_counts": 5,
@@ -3317,8 +3344,8 @@ LAST_GREEN = {
     "q42_audio_frame_sample": 5,
     "q43_ann_bucketed_topk": 5,
     "q44_ivf_probe_topk": 5,
-    "q45_sliding_window": 7,
-    "q46_session_window": 7,
+    "q45_sliding_window": 8,
+    "q46_session_window": 8,
     "q47_ann_recall": 5,
     "q48_vocab_topk": 4,
     "q49_cross_source_neardups": 4,
@@ -3512,13 +3539,18 @@ def ordered_names() -> list[str]:
     assert len(TIER1) == len(set(TIER1)), "duplicate tier-1 entry"
     missing = [n for n in TIER1 if n not in REGISTRY]
     assert not missing, f"tier-1 entries not registered: {missing}"
-    reg_index = {n: i for i, n in enumerate(REGISTRY)}
+    # Final tie-break is the query NUMBER, not registration (module import)
+    # order: within a QUEUED_SINCE batch spanning modules, import order is
+    # an accident of the pipeline package layout (round 8: q144 from
+    # text.py graded while q143 from similarity.py, same batch 89, missed
+    # the window at slot 51). qNN is explicit, legible, and stable under
+    # refactors.
     rotation = sorted(
         (n for n in REGISTRY if n not in set(TIER1)),
         key=lambda n: (
             LAST_GREEN.get(n, 0),
             QUEUED_SINCE.get(n, 99),
-            reg_index[n],
+            int(_QNUM.match(n).group(1)),
         ),
     )
     return TIER1 + rotation

@@ -120,3 +120,22 @@ def test_line_degrades_gracefully_on_overflow():
     assert "queries" not in doc and doc["truncated"]
     # the detail file still carries everything
     assert set(detail["queries"]) == set(flood)
+
+
+def test_empty_and_gapped_timings_guarded():
+    """ADVICE r8: empty timings must not IndexError, and a gap in the
+    registration numbers must fail LOUDLY at emit time — the silent
+    explicit-qNN fallback would overflow the 1900-char line at 175
+    queries and quietly drop per-query timings from the driver line."""
+    import pytest
+
+    _, copies = worst_case_payloads()
+    line, detail = bench.emit_payloads({}, copies, 0.1)
+    doc = json.loads(line)
+    assert doc["value"] == 0
+    assert doc["queries"] == {}
+
+    timings, _ = worst_case_payloads()
+    gapped = {n: v for n, v in timings.items() if n != "q50_split_assignment"}
+    with pytest.raises(AssertionError, match="gapped"):
+        bench.emit_payloads(gapped, copies, 0.1)

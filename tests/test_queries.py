@@ -127,3 +127,37 @@ def test_round_closeout_discipline():
     missing_scale = [n for n in recent if n not in OPS]
     assert not missing_plan, f"no dump_plans annotation: {missing_plan}"
     assert not missing_scale, f"no scale_probe entry: {missing_scale}"
+
+    # File-backed artifact check (round-8 verdict item 8): the ANNOTATED
+    # list only proves intent; the committed PLANS.md must actually carry
+    # a section per registration from batch 96 on.
+    plans = (Path(__file__).parents[1] / "PLANS.md").read_text()
+    newest = [n for n, b in QUEUED_SINCE.items() if b >= 96]
+    missing_section = [n for n in newest if f"## {n}" not in plans]
+    assert not missing_section, f"no PLANS.md section: {missing_section}"
+
+
+def test_r9_window_prediction():
+    """Round-8 verdict item 6: with the qNN tie-break, the round-9
+    rotation window must be exactly the 27 most-senior never-graded
+    queries in query-number order (q143, q145..q170). Guarded on the
+    ledger state so the pin retires itself once round 9 is folded."""
+    from smartbulkcopy_spark.queries import (
+        DRIVER_WINDOW,
+        LAST_GREEN,
+        TIER1,
+        ordered_names,
+    )
+
+    if max(LAST_GREEN.values()) != 8:
+        pytest.skip("ledger has moved past round 8; pin satisfied")
+    rotation = ordered_names()[len(TIER1) : DRIVER_WINDOW]
+    expected = ["q143_hard_negative_mining"] + [
+        n
+        for n in sorted(
+            REGISTRY,
+            key=lambda n: int(n[1 : n.index("_")]),
+        )
+        if 145 <= int(n[1 : n.index("_")]) <= 170
+    ]
+    assert rotation == expected
