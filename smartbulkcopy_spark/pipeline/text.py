@@ -3249,3 +3249,201 @@ def q171(spark, sf_dir):
         )
         .orderBy("source_a", "source_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Iterated BPE merges (round-8 verdict item 5). q91 computes only the
+# FIRST merge-rule pass; a tokenizer-training pipeline applies the rule
+# and re-counts. Three merge rounds, each round's top pair collected as
+# a bounded driver scalar (q52/q102 rule: a 1-row limit(1) collect, not
+# a corpus collect) that parameterizes the next round's rewrite — the
+# q77 lazy-unroll pattern, no driver loop over data.
+#
+# Merge application is the greedy left-to-right BPE scan, expressed as
+# per-document window algebra instead of an O(n^2) array fold:
+#   m(i)     = tok(i)=a AND tok(i+1)=b           (lead)
+#   island   = i - running_count(m)               (consecutive-match runs
+#                                                  — overlap only exists
+#                                                  when a = b)
+#   kept(i)  = m(i) AND (i - min matched i in island) % 2 = 0
+#                                                  (greedy = every other
+#                                                  match within a run)
+#   survivors drop rows where kept(i-1); kept rows become the merged
+#   symbol a||b; positions renumber via row_number for the next round.
+# All windows partition by doc_id (doc-length-bounded, q119 rule); the
+# only corpus-sized shuffles key doc_id (3 rounds) and the pair string
+# (3 partial-agg counts). The DuckDB oracle replays the identical
+# algebra with scalar subqueries standing in for the collected literals,
+# generated per round from ONE template so the engines cannot drift.
+# ---------------------------------------------------------------------------
+
+BPE_MERGE_ROUNDS = 3
+
+
+def _bpe_tok0(spark, sf_dir):
+    docs = spread(spark, table(spark, sf_dir, "documents"))
+    t = F.regexp_extract_all(norm_text(), F.lit(_BPE_PATTERN), 0)
+    return docs.select(
+        "doc_id", F.posexplode(t).alias("i", "tok")
+    ).select("doc_id", F.col("i").cast("long").alias("i"), "tok")
+
+
+def _bpe_pair_counts(tok):
+    w = Window.partitionBy("doc_id").orderBy("i")
+    nxt = F.lead("tok").over(w)
+    pair = F.when(nxt.isNotNull(), F.concat("tok", F.lit(" "), nxt))
+    return (
+        tok.select("doc_id", pair.alias("pair"))
+        .where(F.col("pair").isNotNull())
+        .groupBy("pair")
+        .agg(
+            F.count("*").cast("long").alias("tf"),
+            F.countDistinct("doc_id").cast("long").alias("df"),
+        )
+    )
+
+
+def _bpe_top1(pairs):
+    return pairs.orderBy(F.col("tf").desc(), "pair").limit(1)
+
+
+def _bpe_apply(tok, a: str, b: str):
+    """One greedy merge pass of rule (a, b): windows per the module
+    comment; survivors renumbered to gapless per-doc positions."""
+    w = Window.partitionBy("doc_id").orderBy("i")
+    nxt = F.lead("tok").over(w)
+    d = tok.withColumn(
+        "m",
+        F.coalesce(
+            (F.col("tok") == a) & (nxt == F.lit(b)), F.lit(False)
+        ),
+    )
+    d = d.withColumn(
+        "island",
+        F.col("i")
+        - F.sum(F.when(F.col("m"), 1).otherwise(0)).over(w),
+    )
+    wi = Window.partitionBy("doc_id", "island")
+    d = d.withColumn(
+        "kept",
+        F.col("m")
+        & (
+            (
+                F.col("i")
+                - F.min(F.when(F.col("m"), F.col("i"))).over(wi)
+            )
+            % 2
+            == 0
+        ),
+    )
+    d = d.withColumn("kprev", F.lag("kept").over(w))
+    out = d.where(~F.coalesce(F.col("kprev"), F.lit(False))).select(
+        "doc_id",
+        "i",
+        F.when(F.col("kept"), F.lit(a + b))
+        .otherwise(F.col("tok"))
+        .alias("tok"),
+    )
+    return out.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.partitionBy("doc_id").orderBy("i"))
+        .cast("long")
+        .alias("i"),
+        "tok",
+    )
+
+
+def _bpe_round_ctes(r: int) -> str:
+    """DuckDB CTEs for merge round r: pair counts + top-1 over
+    tok{r-1}, and (consumed by round r+1) the rewritten tok{r}."""
+    return (
+        f"pr{r} AS (SELECT doc_id, CASE WHEN lead(tok) OVER"
+        " (PARTITION BY doc_id ORDER BY i) IS NOT NULL THEN"
+        " tok || ' ' || lead(tok) OVER (PARTITION BY doc_id ORDER BY i)"
+        f" END AS pair FROM tok{r - 1}),"
+        f" top{r} AS (SELECT pair, CAST(count(*) AS BIGINT) AS tf,"
+        " CAST(count(DISTINCT doc_id) AS BIGINT) AS df"
+        f" FROM pr{r} WHERE pair IS NOT NULL GROUP BY pair"
+        " ORDER BY tf DESC, pair LIMIT 1),"
+        f" mm{r} AS (SELECT doc_id, i, tok, coalesce("
+        f"tok = (SELECT split_part(pair, ' ', 1) FROM top{r})"
+        " AND lead(tok) OVER (PARTITION BY doc_id ORDER BY i)"
+        f" = (SELECT split_part(pair, ' ', 2) FROM top{r}), false)"
+        f" AS m FROM tok{r - 1}),"
+        f" ii{r} AS (SELECT doc_id, i, tok, m,"
+        " i - sum(CASE WHEN m THEN 1 ELSE 0 END) OVER"
+        " (PARTITION BY doc_id ORDER BY i) AS island"
+        f" FROM mm{r}),"
+        f" kk{r} AS (SELECT doc_id, i, tok, m, m AND"
+        " (i - min(CASE WHEN m THEN i END) OVER"
+        " (PARTITION BY doc_id, island)) % 2 = 0 AS kept"
+        f" FROM ii{r}),"
+        f" ss{r} AS (SELECT doc_id, i, CASE WHEN kept THEN"
+        f" (SELECT replace(pair, ' ', '') FROM top{r})"
+        " ELSE tok END AS tok, lag(kept) OVER"
+        " (PARTITION BY doc_id ORDER BY i) AS kprev"
+        f" FROM kk{r}),"
+        f" tok{r} AS (SELECT doc_id, CAST(row_number() OVER"
+        " (PARTITION BY doc_id ORDER BY i) AS BIGINT) AS i, tok"
+        f" FROM ss{r} WHERE NOT coalesce(kprev, false))"
+    )
+
+
+_Q176_SQL = (
+    "WITH tok0 AS (SELECT doc_id, CAST(u.i AS BIGINT) - 1 AS i,"
+    " t[u.i] AS tok FROM (SELECT doc_id,"
+    f" regexp_extract_all({NORM_SQL_DUCK}, '{_BPE_PATTERN}') AS t"
+    " FROM documents) tk, unnest(range(1, len(t) + 1)) AS u(i)),"
+    + ",".join(
+        _bpe_round_ctes(r) for r in range(1, BPE_MERGE_ROUNDS + 1)
+    )
+    + " "
+    + " UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS merge_round, pair, tf, df"
+        f" FROM top{r}"
+        for r in range(1, BPE_MERGE_ROUNDS + 1)
+    )
+    + " ORDER BY merge_round"
+)
+
+
+@register(
+    "q176_bpe_iterated_merges",
+    _Q176_SQL,
+    doc=f"Iterated BPE tokenizer training: {BPE_MERGE_ROUNDS} unrolled"
+    " merge rounds over q38's pre-tokenization — each round counts"
+    " adjacent symbol pairs, mints the most frequent as a merge rule"
+    " (tf DESC, pair tie-break), and REWRITES the symbol stream with a"
+    " greedy left-to-right scan before re-counting (q91 stops after"
+    " the count). The greedy scan is per-doc window algebra"
+    " (consecutive-match islands + parity — overlapping matches only"
+    " exist for a=b runs), never an O(n^2) array fold; each round's"
+    " rule attaches as a bounded 1-row driver scalar (q52/q102 rule,"
+    " q77 lazy unroll). Output: the minted rules with tf/df at mint"
+    " time. Shuffles: 3 doc_id-keyed window rounds + 3 partial-agg"
+    " pair counts — all doc-length-bounded windows, scale-safe.",
+)
+def q176(spark, sf_dir):
+    tok = eager(_bpe_tok0(spark, sf_dir))
+    branches = []
+    for rnd in range(1, BPE_MERGE_ROUNDS + 1):
+        pairs = _bpe_pair_counts(tok)
+        branches.append(
+            _bpe_top1(pairs).select(
+                F.lit(rnd).cast("long").alias("merge_round"),
+                "pair",
+                "tf",
+                "df",
+            )
+        )
+        if rnd < BPE_MERGE_ROUNDS:
+            rows = _bpe_top1(pairs).collect()  # bounded: limit(1) first
+            if not rows:
+                break
+            a, b = rows[0]["pair"].split(" ", 1)
+            tok = eager(_bpe_apply(tok, a, b))
+    res = branches[0]
+    for br in branches[1:]:
+        res = res.unionByName(br)
+    return res.orderBy("merge_round")

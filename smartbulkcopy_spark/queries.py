@@ -2898,6 +2898,16 @@ def q172(spark, sf_dir):
     iv = s.groupBy("user_id", "sid").agg(
         F.min("t").alias("st"), F.max("t").alias("en")
     )
+    return peak_from_intervals(spark, iv)
+
+
+def peak_from_intervals(spark: SparkSession, iv: DataFrame) -> DataFrame:
+    """(n_sessions, peak_concurrency, peak_at_us) from a session-interval
+    table (user_id, st, en in epoch micros). The q172 edge-sum assembly,
+    shared with the streaming twin (streaming.run_peak_concurrency) so
+    the two paths cannot drift: +1/-1 edges, two-phase running sum over
+    HOUR bands (band table bounded by the calendar span), +1 before -1
+    at equal timestamps, user_id final tie-break."""
     ed = iv.select(
         F.col("st").alias("t"), F.lit(1).alias("d"), "user_id"
     ).unionAll(
@@ -3528,6 +3538,9 @@ QUEUED_SINCE = {
         "q173_coverage_gaps", "q174_growth_accounting",
         "q175_ab_conversion",
     )},
+    # round 9 (backlog-drain round: minimal new registrations, verdict
+    # item 1; q176 is verdict item 5's iterated-BPE ask)
+    "q176_bpe_iterated_merges": 100,
 }
 
 

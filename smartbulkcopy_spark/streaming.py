@@ -295,3 +295,100 @@ def run_enrichment(
     )
     q.awaitTermination()
     return spark.table(query_name)
+
+
+# ---------------------------------------------------------------------------
+# Streaming peak concurrency — the stateful twin of batch q172. A
+# stateful per-user operator emits session INTERVALS (closed ones final,
+# the open one with its en-so-far, superseded by later emissions); the
+# converged interval table feeds the exact same edge-sum assembly as the
+# batch query (queries.peak_from_intervals), so convergence is bit-equal
+# by construction once the intervals match. State per user is three
+# longs — bounded, like sessionize.
+# ---------------------------------------------------------------------------
+
+_INTERVAL_STATE_SCHEMA = "sid long, st long, last long"
+_INTERVAL_OUT_SCHEMA = "user_id bigint, sid bigint, st bigint, en bigint"
+
+
+def session_intervals(stream: DataFrame) -> DataFrame:
+    """Per-user 30-minute-gap session intervals via
+    applyInPandasWithState (update mode). Timestamps are converted to
+    epoch-micro LONGS on the JVM side (`unix_micros`) BEFORE crossing
+    into pandas — a pandas datetime round-trip renders in the session
+    timezone and would shift absolute values under a non-UTC session
+    (the q172 twin needs absolute micros, unlike sessionize's gap-only
+    arithmetic). Each micro-batch emits every session it touched: closed
+    sessions with their final (st, en), the open session with en-so-far;
+    a later emission for the same (user_id, sid) supersedes (en only
+    grows), so the converged table is groupBy(user_id, sid) min(st)/
+    max(en). Converges to the batch islands when chunks arrive in time
+    order (the q35 convergence discipline)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        sid, st, last = state.get if state.exists else (0, None, None)
+        out: list[tuple[int, int, int]] = []
+        chunks = [pdf for pdf in pdfs]
+        whole = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+        for t in whole["t"].sort_values():
+            t = int(t)
+            if last is None:
+                sid, st, last = 1, t, t
+            elif t - last > SESSION_GAP_MICROS:
+                out.append((sid, st, last))  # closed: final emission
+                sid, st, last = sid + 1, t, t
+            else:
+                last = t  # sorted within the batch, so t >= last
+        if last is not None:
+            out.append((sid, st, last))  # open session, en-so-far
+            state.update((sid, st, last))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(out),
+                "sid": [o[0] for o in out],
+                "st": [o[1] for o in out],
+                "en": [o[2] for o in out],
+            }
+        )
+
+    return (
+        stream.select("user_id", F.unix_micros("ts").alias("t"))
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=_INTERVAL_OUT_SCHEMA,
+            stateStructType=_INTERVAL_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_peak_concurrency(
+    spark: SparkSession,
+    path: str,
+    query_name: str = "peak_conc",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Drain `path` through the stateful interval tracker and return the
+    converged (n_sessions, peak_concurrency, peak_at_us) row — must be
+    bit-equal to batch q172 when chunks arrive in time order."""
+    from smartbulkcopy_spark.queries import peak_from_intervals
+
+    stream = read_events_stream(spark, path, max_files_per_trigger)
+    q = (
+        session_intervals(stream)
+        .writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    iv = (
+        spark.table(query_name)
+        .groupBy("user_id", "sid")
+        .agg(F.min("st").alias("st"), F.max("en").alias("en"))
+    )
+    return peak_from_intervals(spark, iv)

@@ -327,3 +327,34 @@ def test_corpus_ingest_stream_dedup_and_quarantine(spark, sf_dir, tmp_path):
     assert sorted(
         r["raw_line"] for r in spark.read.parquet(quar).collect()
     ) == sorted(bad)
+
+
+def test_stateful_peak_concurrency_converges_to_batch(
+    spark, sf_dir, events_dir, tmp_path
+):
+    """Streaming interval tracker + shared peak assembly must reproduce
+    the batch q172 row bit-for-bit from three sequential time chunks —
+    including under a hostile session timezone (absolute epoch micros
+    cross the pandas boundary as longs, never datetimes)."""
+    src = spark.read.parquet(events_dir)
+    lo, hi = src.agg(F.min("ts"), F.max("ts")).first()
+    span = (hi - lo) / 3
+    d = tmp_path / "peak_feed"
+    for k in range(3):
+        chunk = src.where(
+            (F.col("ts") >= lo + k * span)
+            & (F.col("ts") < (lo + (k + 1) * span if k < 2 else hi))
+            | (F.lit(k == 2) & (F.col("ts") == hi))
+        )
+        chunk.coalesce(1).write.mode("append").parquet(str(d))
+
+    batch = REGISTRY["q172_peak_concurrency"].fn(spark, sf_dir).collect()
+    orig = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Kolkata")
+    try:
+        got = streaming.run_peak_concurrency(
+            spark, str(d), query_name="peak_conv", max_files_per_trigger=1
+        ).collect()
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", orig)
+    assert [tuple(r) for r in got] == [tuple(r) for r in batch]

@@ -407,6 +407,11 @@ ANNOTATED = {
     " activity + churn consumers; calendar-bounded weekly FULL join.",
     "q175_ab_conversion": "Row-local md5 arm assignment in codegen;"
     " one user-keyed aggregation; 2-row arm rollup.",
+    "q176_bpe_iterated_merges": "Three unrolled BPE merge rounds: per-"
+    "doc window algebra (lead/cumsum/lag partitioned by doc_id —"
+    " doc-length-bounded) rewrites the persisted token stream, each"
+    " round's rule a bounded 1-row driver scalar; pair counts are"
+    " partial-agg groupBys on the pair string; final union is 3 rows.",
 }
 
 

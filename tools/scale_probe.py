@@ -129,6 +129,7 @@ PROBES = [
     "q173_coverage_gaps",
     "q174_growth_accounting",
     "q175_ab_conversion",
+    "q176_bpe_iterated_merges",
 ]
 
 
@@ -283,16 +284,33 @@ def time_one(spark, fn, sf_dir: str) -> float:
 
 
 def _existing_rows() -> dict:
-    """Parse SCALE.md's table into {name: row-line} for --only merges."""
+    """Parse SCALE.md's main table into {name: row-line} for --only
+    merges. Stops at the first manual `## ` section — those carry their
+    own tables (e.g. the winnowing tail probe) whose rows must not be
+    mistaken for main-table rows."""
     out = {}
     path = REPO / "SCALE.md"
     if not path.exists():
         return out
     for line in path.read_text().splitlines():
+        if line.startswith("## "):
+            break
         if line.startswith("| q"):
             name = line.split("|")[1].strip()
             out[name] = line
     return out
+
+
+def _manual_tail() -> str:
+    """Everything from the first manual `## ` section on (appended by
+    dedicated probes like tools/winnow_tail_probe.py) — preserved
+    verbatim across rewrites."""
+    path = REPO / "SCALE.md"
+    if not path.exists():
+        return ""
+    text = path.read_text()
+    idx = text.find("\n## ")
+    return text[idx:] if idx != -1 else ""
 
 
 def main() -> None:
@@ -367,7 +385,8 @@ def main() -> None:
             " scale, `incremental_ann_ingest(k=...)`), keeping inverted"
             " lists bounded the way a real index deployment does.",
         ]
-        (REPO / "SCALE.md").write_text("\n".join(lines) + "\n")
+        tail = _manual_tail()
+        (REPO / "SCALE.md").write_text("\n".join(lines) + "\n" + tail)
         print("\n".join(lines))
     finally:
         shutil.rmtree(big, ignore_errors=True)
