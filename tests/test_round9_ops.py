@@ -89,3 +89,87 @@ def test_q176_cross_engine_on_merge_corpus(spark, tmp_path):
     assert pairs == ["the cat", "a a", "thecat sat"]
     merged = pairs[0].replace(" ", "")
     assert any(merged in p.split(" ") for p in pairs[1:])
+
+
+# ---------------------------------------------------------------------------
+# Property test: the q176 window algebra (islands + parity + lag drop)
+# against an independent pure-Python greedy BPE reference, on random
+# corpora via the DuckDB oracle side (the Spark side shares its spelling
+# with the oracle via the crafted-corpus frame-equality test above, and
+# the fixture oracle run in test_queries). Randomization covers the tie
+# landscapes and same-token runs no hand corpus enumerates.
+# ---------------------------------------------------------------------------
+
+import re as _re
+from collections import Counter
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from smartbulkcopy_spark.pipeline.text import (
+    _BPE_PATTERN,
+    BPE_MERGE_ROUNDS,
+)
+
+_PAT = _re.compile(_BPE_PATTERN)
+
+
+def _ref_bpe(texts, rounds=BPE_MERGE_ROUNDS):
+    """Straight-line reference: count pairs, mint (tf DESC, pair ASC),
+    greedy left-to-right rewrite, repeat."""
+    toks = {
+        i: _PAT.findall(_re.sub(r"\s+", " ", t).lower())
+        for i, t in enumerate(texts)
+        if t is not None
+    }
+    rules = []
+    for rnd in range(1, rounds + 1):
+        tf: Counter = Counter()
+        df: Counter = Counter()
+        for ts in toks.values():
+            pairs = list(zip(ts, ts[1:]))
+            tf.update(pairs)
+            df.update(set(pairs))
+        if not tf:
+            break
+        (a, b), n = min(
+            tf.items(), key=lambda kv: (-kv[1], f"{kv[0][0]} {kv[0][1]}")
+        )
+        rules.append((rnd, f"{a} {b}", n, df[(a, b)]))
+        for i, ts in toks.items():
+            out, j = [], 0
+            while j < len(ts):
+                if j + 1 < len(ts) and ts[j] == a and ts[j + 1] == b:
+                    out.append(a + b)
+                    j += 2
+                else:
+                    out.append(ts[j])
+                    j += 1
+            toks[i] = out
+    return rules
+
+
+# Tiny alphabet => dense tie/run structure; ASCII-only so the \s and
+# token classes agree across Python / DuckDB / Spark dialects.
+_doc = st.text(alphabet="ab1. ", min_size=0, max_size=40)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(_doc | st.none(), min_size=1, max_size=8))
+def test_q176_oracle_matches_reference(texts):
+    d = pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["src0"] * len(texts),
+            "n_chars": [len(t or "") for t in texts],
+        }
+    )
+    con = duckdb.connect()
+    con.register("documents", d)
+    got = con.execute(
+        REGISTRY["q176_bpe_iterated_merges"].oracle
+    ).fetchall()
+    con.close()
+    assert [tuple(r) for r in got] == _ref_bpe(texts)
