@@ -392,3 +392,139 @@ def run_peak_concurrency(
         .agg(F.min("st").alias("st"), F.max("en").alias("en"))
     )
     return peak_from_intervals(spark, iv)
+
+
+# ---------------------------------------------------------------------------
+# Streaming session funnel — the stateful twin of batch q153 (funnel
+# completion WITHIN a 30-minute-gap session). Extends the interval
+# tracker's state with the four stage first-times; the converged
+# per-session stage mins feed the exact CASE expression the batch query
+# uses (queries._FUNNEL_STAGE_SQL), so the 5-row rollup is bit-equal by
+# construction once the sessions match. State per user: six longs.
+# ---------------------------------------------------------------------------
+
+_FUNNEL_MISSING = 1 << 62  # monotone-min sentinel; never a real epoch
+_FUNNEL_STATE_SCHEMA = (
+    "sid long, last long, m0 long, m1 long, m2 long, m3 long"
+)
+_FUNNEL_OUT_SCHEMA = (
+    "user_id bigint, sid bigint,"
+    " m0 bigint, m1 bigint, m2 bigint, m3 bigint"
+)
+
+
+def session_funnel_stages(stream: DataFrame) -> DataFrame:
+    """Per-(user, session) stage first-times via applyInPandasWithState
+    (update mode). Missing stages carry the HUGE sentinel rather than
+    NULL/-1 so every per-session emission series is monotone non-
+    increasing and the converged value is a plain min over emissions.
+    Timestamps cross into pandas as epoch-micro longs (the
+    session_intervals rule). Ties at equal t are order-free here: they
+    can neither split a session (gap 0) nor change a min."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from smartbulkcopy_spark.queries import _FUNNEL_STAGES
+
+    stage_idx = {s: i for i, s in enumerate(_FUNNEL_STAGES)}
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            sid, last, *m = state.get
+            m = list(m)
+        else:
+            sid, last, m = 0, None, [_FUNNEL_MISSING] * 4
+        out: list[tuple[int, list[int]]] = []
+        chunks = [pdf for pdf in pdfs]
+        whole = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+        whole = whole.sort_values("t", kind="stable")
+        for t, et in zip(whole["t"], whole["event_type"]):
+            t = int(t)
+            if last is None or t - last > SESSION_GAP_MICROS:
+                if last is not None:
+                    out.append((sid, m))  # closed: final emission
+                sid, m = sid + 1, [_FUNNEL_MISSING] * 4
+            last = t
+            i = stage_idx.get(et)
+            if i is not None and t < m[i]:
+                m[i] = t
+        if last is not None:
+            out.append((sid, m))  # open session, mins-so-far
+            state.update((sid, last, *m))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(out),
+                "sid": [o[0] for o in out],
+                **{
+                    f"m{i}": [o[1][i] for o in out]
+                    for i in range(4)
+                },
+            }
+        )
+
+    return (
+        stream.select(
+            "user_id", F.unix_micros("ts").alias("t"), "event_type"
+        )
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=_FUNNEL_OUT_SCHEMA,
+            stateStructType=_FUNNEL_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_session_funnel(
+    spark: SparkSession,
+    path: str,
+    query_name: str = "sess_funnel",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Drain `path` through the stateful funnel tracker and return the
+    converged (funnel_stage, n_sessions) rollup — must be bit-equal to
+    batch q153 when chunks arrive in time order."""
+    from smartbulkcopy_spark.queries import (
+        _FUNNEL_STAGE_SQL,
+        _FUNNEL_STAGES,
+    )
+
+    stream = read_events_stream(spark, path, max_files_per_trigger)
+    q = (
+        session_funnel_stages(stream)
+        .writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    conv = (
+        spark.table(query_name)
+        .groupBy("user_id", "sid")
+        .agg(
+            *[
+                F.min(f"m{i}").alias(f"mm{i}")
+                for i in range(len(_FUNNEL_STAGES))
+            ]
+        )
+        .select(
+            *[
+                F.when(
+                    F.col(f"mm{i}") == _FUNNEL_MISSING, F.lit(None)
+                )
+                .otherwise(F.col(f"mm{i}"))
+                .alias(f"m_{s}")
+                for i, s in enumerate(_FUNNEL_STAGES)
+            ]
+        )
+    )
+    return (
+        conv.select(
+            F.expr(_FUNNEL_STAGE_SQL).cast("long").alias("funnel_stage")
+        )
+        .groupBy("funnel_stage")
+        .agg(F.count("*").alias("n_sessions"))
+        .orderBy("funnel_stage")
+    )

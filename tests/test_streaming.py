@@ -358,3 +358,29 @@ def test_stateful_peak_concurrency_converges_to_batch(
     finally:
         spark.conf.set("spark.sql.session.timeZone", orig)
     assert [tuple(r) for r in got] == [tuple(r) for r in batch]
+
+
+def test_stateful_session_funnel_converges_to_batch(
+    spark, sf_dir, events_dir, tmp_path
+):
+    """Stateful per-session funnel tracker fed three sequential time
+    chunks must reproduce the batch q153 rollup bit-for-bit — sessions
+    spanning chunk boundaries carried through state, stage mins monotone
+    across emissions."""
+    src = spark.read.parquet(events_dir)
+    lo, hi = src.agg(F.min("ts"), F.max("ts")).first()
+    span = (hi - lo) / 3
+    d = tmp_path / "funnel_feed"
+    for k in range(3):
+        chunk = src.where(
+            (F.col("ts") >= lo + k * span)
+            & (F.col("ts") < (lo + (k + 1) * span if k < 2 else hi))
+            | (F.lit(k == 2) & (F.col("ts") == hi))
+        )
+        chunk.coalesce(1).write.mode("append").parquet(str(d))
+
+    got = streaming.run_session_funnel(
+        spark, str(d), query_name="funnel_conv", max_files_per_trigger=1
+    ).collect()
+    batch = REGISTRY["q153_session_funnel"].fn(spark, sf_dir).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in batch]
