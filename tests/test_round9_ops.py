@@ -173,3 +173,160 @@ def test_q176_oracle_matches_reference(texts):
     ).fetchall()
     con.close()
     assert [tuple(r) for r in got] == _ref_bpe(texts)
+
+
+# ---------------------------------------------------------------------------
+# Property test: q164 winnowing overlap vs a from-first-principles
+# Python reference (grams -> window minima -> posting cap -> pair
+# counts -> containment). q164 enters the round-9 grading window; its
+# oracle shares the winnowing spelling with the Spark side, so an
+# independent reference is the only check that the SPELLING itself
+# implements Schleimer-Wilkerson-Aiken correctly (tie-dense random
+# corpora with genuine shared runs, which the fixture lacks).
+# ---------------------------------------------------------------------------
+
+from smartbulkcopy_spark.pipeline.dedup import (
+    WINNOW_K,
+    WINNOW_MAX_POSTINGS,
+    WINNOW_MOD,
+    WINNOW_W,
+)
+
+
+def _ref_winnow_pairs(texts):
+    fps = {}
+    for i, t in enumerate(texts):
+        n = _re.sub(r"\s+", " ", t or "").lower()
+        if len(n) < WINNOW_K + WINNOW_W - 1:
+            continue
+        H = []
+        for p in range(len(n) - WINNOW_K + 1):
+            h = 0
+            for ch in n[p : p + WINNOW_K]:
+                h = (h * 31 + ord(ch)) % WINNOW_MOD
+            H.append(h)
+        fps[i] = {
+            min(H[p : p + WINNOW_W])
+            for p in range(len(H) - WINNOW_W + 1)
+        }
+    postings = Counter(f for s in fps.values() for f in s)
+    kept = {
+        d: {f for f in s if postings[f] <= WINNOW_MAX_POSTINGS}
+        for d, s in fps.items()
+    }
+    nf = {d: len(s) for d, s in kept.items() if s}
+    pairs = Counter()
+    for a in kept:
+        for b in kept:
+            if a < b:
+                shared = len(kept[a] & kept[b])
+                if shared:
+                    pairs[(a, b)] = shared
+    rows = [
+        (a, b, s, s * 1_000_000 // min(nf[a], nf[b]))
+        for (a, b), s in pairs.items()
+    ]
+    rows.sort(key=lambda r: (-r[2], r[0], r[1]))
+    return rows[:20]
+
+
+_frag = st.sampled_from(
+    [
+        "the quick brown fox jumps over the lazy dog",
+        "pack my box with five dozen liquor jugs",
+        "aaaaaaaaaaaaaaaaaaaaaa",
+        "shared run of text long enough to fingerprint",
+        "x",
+        " ",
+    ]
+)
+_wdoc = st.lists(_frag, min_size=0, max_size=4).map(" ".join)
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(_wdoc | st.none(), min_size=2, max_size=10))
+def test_q164_oracle_matches_reference(texts):
+    d = pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["src0"] * len(texts),
+            "n_chars": [len(t or "") for t in texts],
+        }
+    )
+    con = duckdb.connect()
+    con.register("documents", d)
+    got = con.execute(REGISTRY["q164_winnowing_overlap"].oracle).fetchall()
+    con.close()
+    assert [tuple(r) for r in got] == _ref_winnow_pairs(texts)
+
+
+def _ref_winnow_contamination(texts, sources):
+    from smartbulkcopy_spark.pipeline.dedup import WINNOW_EVAL_SOURCE
+
+    fps = {}
+    for i, t in enumerate(texts):
+        n = _re.sub(r"\s+", " ", t or "").lower()
+        if len(n) < WINNOW_K + WINNOW_W - 1:
+            continue
+        H = []
+        for p in range(len(n) - WINNOW_K + 1):
+            h = 0
+            for ch in n[p : p + WINNOW_K]:
+                h = (h * 31 + ord(ch)) % WINNOW_MOD
+            H.append(h)
+        fps[i] = {
+            min(H[p : p + WINNOW_W])
+            for p in range(len(H) - WINNOW_W + 1)
+        }
+    ev = set().union(
+        *(
+            s
+            for d, s in fps.items()
+            if sources[d] == WINNOW_EVAL_SOURCE
+        ),
+        set(),
+    )
+    rows = []
+    for d, s in fps.items():
+        if sources[d] == WINNOW_EVAL_SOURCE or not s:
+            continue
+        hits = len(s & ev)
+        if hits:
+            rows.append(
+                (d, hits, len(s), hits * 1_000_000 // len(s))
+            )
+    rows.sort(key=lambda r: (-r[1], r[0]))
+    return rows[:20]
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.tuples(_wdoc | st.none(), st.sampled_from(["src0", "src1"])),
+        min_size=2,
+        max_size=10,
+    )
+)
+def test_q170_oracle_matches_reference(docs):
+    texts = [t for t, _ in docs]
+    sources = [s for _, s in docs]
+    d = pd.DataFrame(
+        {
+            "doc_id": range(len(docs)),
+            "text": texts,
+            "lang": ["en"] * len(docs),
+            "source": sources,
+            "n_chars": [len(t or "") for t in texts],
+        }
+    )
+    con = duckdb.connect()
+    con.register("documents", d)
+    got = con.execute(
+        REGISTRY["q170_winnowing_contamination"].oracle
+    ).fetchall()
+    con.close()
+    assert [tuple(r) for r in got] == _ref_winnow_contamination(
+        texts, sources
+    )
