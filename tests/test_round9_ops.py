@@ -330,3 +330,52 @@ def test_q170_oracle_matches_reference(docs):
     assert [tuple(r) for r in got] == _ref_winnow_contamination(
         texts, sources
     )
+
+
+# ---------------------------------------------------------------------------
+# Sharded corpus export (pipeline/export.py): layout determinism, one
+# file per shard, manifest vs q92 agreement, reconciliation gate.
+# ---------------------------------------------------------------------------
+
+
+def test_export_shards_roundtrip(spark, tmp_path):
+    from smartbulkcopy_spark.pipeline.export import (
+        export_shards,
+        reconcile_export,
+        shard_manifest,
+    )
+    from smartbulkcopy_spark.queries import table
+
+    from .conftest import SF_SMOKE
+
+    docs = table(spark, SF_SMOKE, "documents")
+    out = str(tmp_path / "shards")
+    export_shards(docs, out)
+
+    check = reconcile_export(docs, spark, out)
+    assert check.rows_match and check.content_match
+
+    # manifest must agree with the q92 prediction (same bucket family)
+    man = {
+        r["shard"]: r["n_docs"]
+        for r in shard_manifest(spark, out).collect()
+    }
+    q92 = {
+        r["shard"]: r["n_docs"]
+        for r in REGISTRY["q92_shard_balance"].fn(spark, SF_SMOKE).collect()
+    }
+    assert man == q92
+
+    # one self-contained file per shard directory
+    import glob
+
+    for sd in glob.glob(f"{out}/shard=*"):
+        files = [f for f in glob.glob(f"{sd}/*.parquet")]
+        assert len(files) == 1, sd
+
+    # reconciliation must FAIL loudly on a corrupted sink
+    import pyspark.sql.functions as F
+
+    bad = docs.where(F.col("doc_id") != 0)
+    chk = reconcile_export(bad, spark, out)
+    assert not chk.rows_match
