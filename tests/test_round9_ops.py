@@ -379,3 +379,128 @@ def test_export_shards_roundtrip(spark, tmp_path):
     bad = docs.where(F.col("doc_id") != 0)
     chk = reconcile_export(bad, spark, out)
     assert not chk.rows_match
+
+
+# ---------------------------------------------------------------------------
+# Property tests for two more round-9-window rows whose oracles share
+# every spelling with the Spark side: q156 (exact KS drift) and q163
+# (histogram quantiles with negative day-floored gaps) vs independent
+# Python references.
+# ---------------------------------------------------------------------------
+
+import bisect
+import hashlib
+
+
+def _split_of(doc_id: int) -> str:
+    b = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:4], 16) % 100
+    return "train" if b < 90 else ("val" if b < 95 else "test")
+
+
+def _ref_ks(rows):
+    tr = sorted(v for i, v in rows if _split_of(i) == "train")
+    te = sorted(v for i, v in rows if _split_of(i) == "test")
+    if not tr and not te:
+        return []
+    n_tr, n_te = len(tr), len(te)
+    best_gap, best_v = -1, None
+    for v in sorted(set(tr) | set(te)):
+        gap = abs(
+            1_000_000 * bisect.bisect_right(tr, v) // max(n_tr, 1)
+            - 1_000_000 * bisect.bisect_right(te, v) // max(n_te, 1)
+        )
+        if gap > best_gap:
+            best_gap, best_v = gap, v
+    return [(n_tr, n_te, best_gap, best_v)]
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=500),
+            st.integers(min_value=0, max_value=30),
+        ),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda r: r[0],
+    )
+)
+def test_q156_oracle_matches_reference(rows):
+    d = pd.DataFrame(
+        {
+            "doc_id": [r[0] for r in rows],
+            "text": ["x"] * len(rows),
+            "lang": ["en"] * len(rows),
+            "source": ["src0"] * len(rows),
+            "n_chars": [r[1] for r in rows],
+        }
+    )
+    con = duckdb.connect()
+    con.register("documents", d)
+    got = con.execute(REGISTRY["q156_split_ks_drift"].oracle).fetchall()
+    con.close()
+    assert [tuple(r) for r in got] == _ref_ks(rows)
+
+
+def _ref_latency(lines):
+    """lines: (priority, order_us, ship_us). Mirrors the histogram
+    quantile rule: min gap with k*cc >= m*n."""
+    from collections import defaultdict
+
+    by_p = defaultdict(list)
+    for p, ous, sus in lines:
+        by_p[p].append((sus - ous) // 86_400_000_000)  # floor div
+    out = []
+    for p in sorted(by_p):
+        gaps = sorted(by_p[p])
+        n = len(gaps)
+
+        def q(k, m):
+            for i, v in enumerate(gaps, 1):
+                if k * i >= m * n:
+                    return v
+
+        out.append((p, n, q(2, 1), q(10, 9), q(100, 99), gaps[-1]))
+    return out
+
+
+_ts = st.integers(  # epoch micros, 2024-ish, minute-aligned
+    min_value=1_700_000_000, max_value=1_700_100_000
+).map(lambda s: s * 1_000_000 * 60 // 60)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["1-URGENT", "2-HIGH"]), _ts, _ts),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_q163_oracle_matches_reference(lines):
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": range(len(lines)),
+            "o_orderpriority": [p for p, _, _ in lines],
+            "o_orderdate": pd.to_datetime(
+                [o for _, o, _ in lines], unit="us"
+            ),
+        }
+    )
+    li = pd.DataFrame(
+        {
+            "l_orderkey": range(len(lines)),
+            "l_shipdate": pd.to_datetime(
+                [s for _, _, s in lines], unit="us"
+            ),
+        }
+    )
+    con = duckdb.connect()
+    con.register("orders", orders)
+    con.register("lineitem", li)
+    got = con.execute(
+        REGISTRY["q163_ship_latency_quantiles"].oracle
+    ).fetchall()
+    con.close()
+    assert [tuple(r) for r in got] == _ref_latency(lines)
