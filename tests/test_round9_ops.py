@@ -504,3 +504,151 @@ def test_q163_oracle_matches_reference(lines):
     ).fetchall()
     con.close()
     assert [tuple(r) for r in got] == _ref_latency(lines)
+
+
+# ---------------------------------------------------------------------------
+# q151 (Neyman allocation) and q168 (SCD2 version profile) references.
+# ---------------------------------------------------------------------------
+
+import math
+
+
+def _ref_neyman(rows):
+    """rows: (source, text). Mirrors the exact-integer variance + IEEE
+    sqrt + source-ordered fold spelling."""
+    from collections import defaultdict
+
+    per = defaultdict(list)
+    for src, t in rows:
+        n = _re.sub(r"\s+", " ", t or "").lower().strip()
+        per[src].append(0 if n == "" else len(n.split(" ")))
+    stats = {}
+    for src, ws in per.items():
+        n, sx, sxx = len(ws), sum(ws), sum(x * x for x in ws)
+        stats[src] = (n, sx, sxx, n * sxx - sx * sx)
+    total = 0.0
+    for src in sorted(stats):
+        total = total + math.sqrt(float(stats[src][3]))
+    out = []
+    for src in sorted(stats):
+        n, sx, sxx, var = stats[src]
+        w = math.sqrt(float(var))
+        share = 0 if total == 0.0 else math.floor(1_000_000.0 * w / total)
+        alloc = 0 if total == 0.0 else math.floor(10_000.0 * w / total)
+        out.append((src, n, var, share, alloc))
+    return out
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["src0", "src1", "src2"]),
+            (st.text(alphabet="ab ", max_size=25) | st.none()),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_q151_oracle_matches_reference(rows):
+    d = pd.DataFrame(
+        {
+            "doc_id": range(len(rows)),
+            "text": [t for _, t in rows],
+            "lang": ["en"] * len(rows),
+            "source": [s for s, _ in rows],
+            "n_chars": [len(t or "") for _, t in rows],
+        }
+    )
+    con = duckdb.connect()
+    con.register("documents", d)
+    got = con.execute(REGISTRY["q151_neyman_allocation"].oracle).fetchall()
+    con.close()
+    assert [tuple(r) for r in got] == _ref_neyman(rows)
+
+
+_TIER_PROPS = {  # props JSON -> expected tier (k DIV 25), None = excluded
+    '{"k": 7}': 0,
+    '{"k": 26}': 1,
+    '{"k": "50"}': 2,
+    '{"k": 99}': 3,
+    '{"k": 1.5}': None,
+    '{"k": "x"}': None,
+    "{}": None,
+    None: None,
+}
+
+
+def _ref_scd2(events):
+    """events: (user_id, event_id, t_us, props). Gaps-and-islands over
+    the tier series, closed-interval minutes, churn histogram."""
+    from collections import defaultdict
+
+    per = defaultdict(list)
+    for u, e, t, p in events:
+        tier = _TIER_PROPS[p]
+        if tier is not None:
+            per[u].append((t, e, tier))
+    hist = defaultdict(lambda: [0, 0, 0])  # vc -> [users, closed, min]
+    for u, evs in per.items():
+        evs.sort()
+        vf, tiers = [], None
+        for t, e, tier in evs:
+            if tiers is None or tier != tiers:
+                vf.append(t)
+                tiers = tier
+        vc = len(vf)
+        closed = vc - 1
+        mins = sum(
+            (vf[i + 1] - vf[i]) // 60_000_000 for i in range(closed)
+        )
+        h = hist[vc]
+        h[0] += 1
+        h[1] += closed
+        h[2] += mins
+    return [
+        (
+            vc,
+            h[0],
+            h[1],
+            0 if h[1] == 0 else h[2] // h[1],
+        )
+        for vc, h in sorted(hist.items())
+    ]
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=4),  # user_id
+            st.integers(min_value=0, max_value=50_000),  # t offset s
+            st.sampled_from(sorted(_TIER_PROPS, key=str)),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_q168_oracle_matches_reference(recs):
+    base = 1_700_000_000_000_000
+    events = [
+        (u, i, base + dt * 1_000_000, p)
+        for i, (u, dt, p) in enumerate(recs)
+    ]
+    d = pd.DataFrame(
+        {
+            "user_id": [u for u, _, _, _ in events],
+            "event_id": [e for _, e, _, _ in events],
+            "ts": pd.to_datetime([t for _, _, t, _ in events], unit="us"),
+            "event_type": ["view"] * len(events),
+            "value": [0.0] * len(events),
+            "props": [p for _, _, _, p in events],
+        }
+    )
+    con = duckdb.connect()
+    con.register("events", d)
+    got = con.execute(
+        REGISTRY["q168_scd2_version_profile"].oracle
+    ).fetchall()
+    con.close()
+    assert [tuple(r) for r in got] == _ref_scd2(events)
