@@ -528,3 +528,55 @@ def run_session_funnel(
         .agg(F.count("*").alias("n_sessions"))
         .orderBy("funnel_stage")
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming hourly seasonality — the twin of batch q157. Unwindowed
+# complete-mode aggregation: state is one row per (event_type,
+# hour-of-day), bounded by the key space (24 x types) like
+# enrich_stream. hour() on the stream's absolute TIMESTAMP would render
+# in the SESSION timezone; the hour-of-day is instead pure epoch
+# arithmetic ((unix_micros DIV hour) % 24), equal to the batch query's
+# NTZ field extraction because the naive fixture values are UTC-pinned
+# by read_events_stream.
+# ---------------------------------------------------------------------------
+
+_HOUR_US = 3_600_000_000
+
+
+def hourly_seasonality_stream(stream: DataFrame) -> DataFrame:
+    return stream.groupBy(
+        "event_type",
+        F.expr(f"(unix_micros(ts) DIV {_HOUR_US}) % 24")
+        .cast("long")
+        .alias("hod"),
+    ).agg(F.count("*").alias("n"))
+
+
+def run_hourly_seasonality(
+    spark: SparkSession,
+    path: str,
+    query_name: str = "hourly_seasonality",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Drain `path` through the seasonality aggregation and return the
+    converged profile — must be bit-equal to batch q157."""
+    stream = read_events_stream(spark, path, max_files_per_trigger)
+    q = (
+        hourly_seasonality_stream(stream)
+        .writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    h = spark.table(query_name)
+    return h.select(
+        "event_type",
+        "hod",
+        F.col("n").cast("long").alias("n_events"),
+        F.expr("1000000 * n DIV sum(n) OVER (PARTITION BY event_type)")
+        .cast("long")
+        .alias("share_ppm"),
+    ).orderBy("event_type", "hod")

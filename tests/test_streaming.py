@@ -384,3 +384,21 @@ def test_stateful_session_funnel_converges_to_batch(
     ).collect()
     batch = REGISTRY["q153_session_funnel"].fn(spark, sf_dir).collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in batch]
+
+
+def test_streaming_seasonality_converges_to_batch(
+    spark, sf_dir, events_dir
+):
+    """Complete-mode hour-of-day profile must equal batch q157 bit-for-
+    bit — including under a hostile session timezone (the hour-of-day
+    is epoch arithmetic, not an LTZ hour() rendering)."""
+    batch = REGISTRY["q157_hourly_seasonality"].fn(spark, sf_dir).collect()
+    orig = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "Australia/Eucla")
+    try:
+        got = streaming.run_hourly_seasonality(
+            spark, events_dir, query_name="season_conv"
+        ).collect()
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", orig)
+    assert [tuple(r) for r in got] == [tuple(r) for r in batch]
