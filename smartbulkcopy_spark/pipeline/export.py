@@ -86,3 +86,48 @@ def reconcile_export(
     return check_copy(
         source, written.drop("shard"), table=out_dir, with_hash=True
     )
+
+
+def export_shards_jsonl(
+    df: DataFrame,
+    out_dir: str,
+    key: str = "doc_id",
+    n_shards: int = N_SHARDS,
+) -> None:
+    """JSONL variant of the shard export — the interchange format the
+    ingest side (`sources/jsonl.py`) reads, so an exported corpus
+    roundtrips through the SAME declared-schema contract (doc_id + text
+    required; `n_chars` is derived on read and therefore not written).
+    Nulls are written explicitly (`ignoreNullFields=false`): a row
+    violating the ingest contract then quarantines on re-read instead
+    of silently vanishing from the line count."""
+    (
+        df.select("doc_id", "text", "lang", "source")
+        .withColumn("shard", shard_col(key, n_shards))
+        .repartition(n_shards, "shard")
+        .write.partitionBy("shard")
+        .option("ignoreNullFields", "false")
+        .mode("overwrite")
+        .json(out_dir)
+    )
+
+
+def reconcile_jsonl_export(
+    source: DataFrame, spark: SparkSession, out_dir: str
+) -> TableCheck:
+    """Post-export gate on the JSONL sink: re-read through the ingest
+    reader (same parse + clean rule as production consumption), demand
+    ZERO quarantined lines, and fingerprint-compare against the source
+    plan (n_chars re-derived by the reader)."""
+    from smartbulkcopy_spark.sources.jsonl import read_documents_jsonl
+
+    docs, rejects = read_documents_jsonl(spark, f"{out_dir}/shard=*")
+    n_rej = rejects.count()
+    if n_rej:
+        raise ValueError(f"{n_rej} exported lines fail the ingest contract")
+    return check_copy(
+        source.select("doc_id", "text", "lang", "source", "n_chars"),
+        docs,
+        table=out_dir,
+        with_hash=True,
+    )

@@ -652,3 +652,30 @@ def test_q168_oracle_matches_reference(recs):
     ).fetchall()
     con.close()
     assert [tuple(r) for r in got] == _ref_scd2(events)
+
+
+def test_export_shards_jsonl_roundtrip(spark, tmp_path):
+    """The JSONL shard export must roundtrip through the ingest reader's
+    declared-schema contract bit-for-bit, and the gate must fail loudly
+    when the source plan differs."""
+    import pyspark.sql.functions as F
+
+    from smartbulkcopy_spark.pipeline.export import (
+        export_shards_jsonl,
+        reconcile_jsonl_export,
+    )
+    from smartbulkcopy_spark.queries import table
+
+    from .conftest import SF_SMOKE
+
+    docs = table(spark, SF_SMOKE, "documents")
+    out = str(tmp_path / "jsonl_shards")
+    export_shards_jsonl(docs, out)
+
+    check = reconcile_jsonl_export(docs, spark, out)
+    assert check.rows_match and check.content_match
+
+    chk = reconcile_jsonl_export(
+        docs.withColumn("lang", F.lit("xx")), spark, out
+    )
+    assert chk.rows_match and not chk.content_match
