@@ -3261,13 +3261,14 @@ def q171(spark, sf_dir):
 #
 # Merge application is the greedy left-to-right BPE scan, expressed as
 # per-document window algebra instead of an O(n^2) array fold:
-#   m(i)     = tok(i)=a AND tok(i+1)=b           (lead)
-#   island   = i - running_count(m)               (consecutive-match runs
-#                                                  — overlap only exists
-#                                                  when a = b)
-#   kept(i)  = m(i) AND (i - min matched i in island) % 2 = 0
-#                                                  (greedy = every other
-#                                                  match within a run)
+#   m(i)     = tok(i)=a AND tok(i+1)=b           (lead; consecutive
+#                                                 matches only exist
+#                                                 when a = b)
+#   kept(i)  = m(i) AND (i - run_start(i)) % 2 = 0
+#              with run_start = last non-match position + 1, a running
+#              max over the SAME (doc_id, i) ordering as every other
+#              window (greedy = every other match within a run; no
+#              second hash exchange)
 #   survivors drop rows where kept(i-1); kept rows become the merged
 #   symbol a||b; positions renumber via row_number for the next round.
 # All windows partition by doc_id (doc-length-bounded, q119 rule); the
@@ -3309,7 +3310,13 @@ def _bpe_top1(pairs):
 
 def _bpe_apply(tok, a: str, b: str):
     """One greedy merge pass of rule (a, b): windows per the module
-    comment; survivors renumbered to gapless per-doc positions."""
+    comment; survivors renumbered to gapless per-doc positions.
+
+    The run start is derived from the LAST NON-MATCH position over the
+    same (doc_id, i) ordering as every other window — run_start =
+    prev_nonmatch + 1, so greedy parity is (i - 1 - prev_nonmatch) % 2
+    — rather than a min over (doc_id, island) partitions, which would
+    add a second hash exchange per merge round for nothing."""
     w = Window.partitionBy("doc_id").orderBy("i")
     nxt = F.lead("tok").over(w)
     d = tok.withColumn(
@@ -3318,23 +3325,16 @@ def _bpe_apply(tok, a: str, b: str):
             (F.col("tok") == a) & (nxt == F.lit(b)), F.lit(False)
         ),
     )
-    d = d.withColumn(
-        "island",
-        F.col("i")
-        - F.sum(F.when(F.col("m"), 1).otherwise(0)).over(w),
+    prev_nonmatch = F.coalesce(
+        F.max(F.when(~F.col("m"), F.col("i"))).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+        F.min("i").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        - 1,
     )
-    wi = Window.partitionBy("doc_id", "island")
     d = d.withColumn(
         "kept",
-        F.col("m")
-        & (
-            (
-                F.col("i")
-                - F.min(F.when(F.col("m"), F.col("i"))).over(wi)
-            )
-            % 2
-            == 0
-        ),
+        F.col("m") & ((F.col("i") - 1 - prev_nonmatch) % 2 == 0),
     )
     d = d.withColumn("kprev", F.lag("kept").over(w))
     out = d.where(~F.coalesce(F.col("kprev"), F.lit(False))).select(
@@ -3371,14 +3371,15 @@ def _bpe_round_ctes(r: int) -> str:
         " AND lead(tok) OVER (PARTITION BY doc_id ORDER BY i)"
         f" = (SELECT split_part(pair, ' ', 2) FROM top{r}), false)"
         f" AS m FROM tok{r - 1}),"
-        f" ii{r} AS (SELECT doc_id, i, tok, m,"
-        " i - sum(CASE WHEN m THEN 1 ELSE 0 END) OVER"
-        " (PARTITION BY doc_id ORDER BY i) AS island"
-        f" FROM mm{r}),"
         f" kk{r} AS (SELECT doc_id, i, tok, m, m AND"
-        " (i - min(CASE WHEN m THEN i END) OVER"
-        " (PARTITION BY doc_id, island)) % 2 = 0 AS kept"
-        f" FROM ii{r}),"
+        " (i - 1 - coalesce("
+        " max(CASE WHEN NOT m THEN i END) OVER"
+        " (PARTITION BY doc_id ORDER BY i"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),"
+        " min(i) OVER (PARTITION BY doc_id ORDER BY i"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1"
+        ")) % 2 = 0 AS kept"
+        f" FROM mm{r}),"
         f" ss{r} AS (SELECT doc_id, i, CASE WHEN kept THEN"
         f" (SELECT replace(pair, ' ', '') FROM top{r})"
         " ELSE tok END AS tok, lag(kept) OVER"
