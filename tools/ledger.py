@@ -4,6 +4,7 @@ smartbulkcopy_spark/queries.py and SURVEY.md §2.12).
 
 Usage: python tools/ledger.py            # print the dict literal
        python tools/ledger.py --check    # exit 1 if queries.LAST_GREEN is stale
+       python tools/ledger.py --write    # splice the dict into queries.py
 """
 
 from __future__ import annotations
@@ -54,10 +55,21 @@ def main() -> int:
             return 1
         print("LAST_GREEN up to date")
         return 0
-    print("LAST_GREEN = {")
+    literal = "LAST_GREEN = {\n"
     for k in sorted(derived):
-        print(f'    "{k}": {derived[k]},')
-    print("}")
+        literal += f'    "{k}": {derived[k]},\n'
+    literal += "}"
+    if "--write" in sys.argv:
+        path = os.path.join(REPO, "smartbulkcopy_spark", "queries.py")
+        with open(path) as fh:
+            src = fh.read()
+        start = src.index("LAST_GREEN = {")
+        end = src.index("}", start) + 1
+        with open(path, "w") as fh:
+            fh.write(src[:start] + literal + src[end:])
+        print(f"spliced {len(derived)} rows into {path}")
+        return 0
+    print(literal)
     return 0
 
 
