@@ -1959,14 +1959,17 @@ _H_DUCK = (
 )
 
 
-def winnow_fingerprints(spark, sf_dir):
-    """(doc_id, fph) distinct winnowing fingerprints per document.
+def winnow_fingerprints(spark, sf_dir, docs=None):
+    """(doc_id, fph) distinct winnowing fingerprints per document
+    (optionally of a pre-thinned `docs` frame — the incremental q177
+    path fingerprints ONLY the new batch).
 
     Row-local HOF chain: gram hashes H (pre-projected so the window
     lambda doesn't recompute them — H is referenced twice in the picks
     expression, which keeps the projection alive through
     CollapseProject), then distinct minima of each W-slice."""
-    docs = spread(spark, table(spark, sf_dir, "documents"))
+    if docs is None:
+        docs = spread(spark, table(spark, sf_dir, "documents"))
     base = docs.select(
         "doc_id", F.expr(NORM_SPARK).alias("n")
     ).where(F.length("n") >= _WINNOW_MIN_LEN)
@@ -1982,17 +1985,24 @@ def winnow_fingerprints(spark, sf_dir):
 
 # Shared oracle CTE chain: (doc_id, fph) distinct winnowing
 # fingerprints — q164 pairs them, q170 screens them against the eval
-# source. Single definition so the two oracles cannot drift.
-_WINNOW_PK_CTES = (
-    f"nn AS (SELECT doc_id, {NORM_DUCK} AS n FROM documents),"
-    f" lg AS (SELECT doc_id, n FROM nn"
-    f" WHERE length(n) >= {_WINNOW_MIN_LEN}),"
-    f" hh AS (SELECT doc_id, {_H_DUCK} AS H FROM lg),"
-    " pk AS (SELECT doc_id, unnest(list_distinct(list_transform("
-    f"range(0, len(H) - {WINNOW_W} + 1),"
-    f" p -> list_min(list_slice(H, p + 1, p + {WINNOW_W}))))) AS fph"
-    " FROM hh)"
-)
+# source, q177 builds the eval-index and batch sides separately via the
+# prefix/where parameters. Single definition so the oracles cannot
+# drift.
+def _winnow_pk_ctes(p: str = "", where: str = "") -> str:
+    return (
+        f"nn{p} AS (SELECT doc_id, {NORM_DUCK} AS n"
+        f" FROM documents{where}),"
+        f" lg{p} AS (SELECT doc_id, n FROM nn{p}"
+        f" WHERE length(n) >= {_WINNOW_MIN_LEN}),"
+        f" hh{p} AS (SELECT doc_id, {_H_DUCK} AS H FROM lg{p}),"
+        f" pk{p} AS (SELECT doc_id, unnest(list_distinct(list_transform("
+        f"range(0, len(H) - {WINNOW_W} + 1),"
+        f" p -> list_min(list_slice(H, p + 1, p + {WINNOW_W}))))) AS fph"
+        f" FROM hh{p})"
+    )
+
+
+_WINNOW_PK_CTES = _winnow_pk_ctes()
 
 
 @register(
@@ -2119,6 +2129,92 @@ def q170(spark, sf_dir):
             "doc_id", "fph"
         )
     )
+    nf = tr.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_fps")
+    )
+    hit = (
+        tr.join(ev, "fph", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_hits"))
+    )
+    return (
+        hit.join(nf, "doc_id")
+        .select(
+            "doc_id",
+            "n_hits",
+            "n_fps",
+            F.expr("n_hits * 1000000 DIV n_fps")
+            .cast("long")
+            .alias("contamination_ppm"),
+        )
+        .orderBy(F.col("n_hits").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental winnowing contamination (SURVEY §7.5 item 1). q170
+# re-fingerprints the whole corpus per run; the daily-ingest shape
+# fingerprints ONLY the new batch and screens it against the persisted
+# eval fingerprint index (here recomputed from the eval source for
+# oracle-checkability; in production it is read back from parquet —
+# the q63/q114 incremental rule). Cost scales with batch size x the
+# index join, never with the corpus already ingested. The fixture
+# batch boundary is q63's id split.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q177_incremental_contamination",
+    "WITH "
+    + _winnow_pk_ctes("e", f" WHERE source = '{WINNOW_EVAL_SOURCE}'")
+    + ","
+    + _winnow_pk_ctes(
+        "b",
+        f" WHERE source != '{WINNOW_EVAL_SOURCE}'"
+        f" AND doc_id >= {INCREMENTAL_SPLIT_ID}",
+    )
+    + ","
+    " ev AS (SELECT DISTINCT fph FROM pke),"
+    " nf AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fps"
+    " FROM pkb GROUP BY doc_id),"
+    " hit AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits"
+    " FROM pkb JOIN ev USING (fph) GROUP BY doc_id)"
+    " SELECT hit.doc_id AS doc_id, n_hits, n_fps,"
+    " CAST(n_hits * 1000000 // n_fps AS BIGINT) AS contamination_ppm"
+    " FROM hit JOIN nf ON nf.doc_id = hit.doc_id"
+    " ORDER BY n_hits DESC, doc_id LIMIT 20",
+    doc="Incremental contamination screen: ONLY the new batch (q63's"
+    " id-split fixture boundary) is winnow-fingerprinted and joined"
+    " against the eval fingerprint index — the corpus already ingested"
+    " is never re-read (q63/q114 incremental rule; the index is"
+    " persisted in production and recomputed here for oracle-"
+    "checkability). Same output shape and hit semantics as q170"
+    " restricted to the batch; cost = batch fingerprinting + one"
+    " fph-keyed semi join.",
+)
+def q177(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    ev = (
+        winnow_fingerprints(
+            spark,
+            sf_dir,
+            docs=spread(
+                spark,
+                docs.where(F.col("source") == WINNOW_EVAL_SOURCE),
+            ),
+        )
+        .select("fph")
+        .distinct()
+    )
+    batch = spread(
+        spark,
+        docs.where(
+            (F.col("source") != WINNOW_EVAL_SOURCE)
+            & (F.col("doc_id") >= INCREMENTAL_SPLIT_ID)
+        ),
+    )
+    tr = eager(winnow_fingerprints(spark, sf_dir, docs=batch))
     nf = tr.groupBy("doc_id").agg(
         F.count("*").cast("long").alias("n_fps")
     )

@@ -3539,8 +3539,10 @@ QUEUED_SINCE = {
         "q175_ab_conversion",
     )},
     # round 9 (backlog-drain round: minimal new registrations, verdict
-    # item 1; q176 is verdict item 5's iterated-BPE ask)
+    # item 1; q176 is verdict item 5's iterated-BPE ask; q177 sorts
+    # after the entire round-8 backlog so it displaces nothing)
     "q176_bpe_iterated_merges": 100,
+    "q177_incremental_contamination": 101,
 }
 
 

@@ -679,3 +679,81 @@ def test_export_shards_jsonl_roundtrip(spark, tmp_path):
         docs.withColumn("lang", F.lit("xx")), spark, out
     )
     assert chk.rows_match and not chk.content_match
+
+
+def _ref_incremental_contamination(texts, sources, doc_ids):
+    """q177 semantics: q170's screen restricted to the batch side
+    (doc_id >= INCREMENTAL_SPLIT_ID), eval index over ALL eval docs."""
+    from smartbulkcopy_spark.pipeline.dedup import (
+        INCREMENTAL_SPLIT_ID,
+        WINNOW_EVAL_SOURCE,
+    )
+
+    fps = {}
+    for i, t in zip(doc_ids, texts):
+        n = _re.sub(r"\s+", " ", t or "").lower()
+        if len(n) < WINNOW_K + WINNOW_W - 1:
+            continue
+        H = []
+        for p in range(len(n) - WINNOW_K + 1):
+            h = 0
+            for ch in n[p : p + WINNOW_K]:
+                h = (h * 31 + ord(ch)) % WINNOW_MOD
+            H.append(h)
+        fps[i] = {
+            min(H[p : p + WINNOW_W])
+            for p in range(len(H) - WINNOW_W + 1)
+        }
+    src = dict(zip(doc_ids, sources))
+    ev = set().union(
+        *(s for d, s in fps.items() if src[d] == WINNOW_EVAL_SOURCE),
+        set(),
+    )
+    rows = []
+    for d, s in fps.items():
+        if (
+            src[d] == WINNOW_EVAL_SOURCE
+            or d < INCREMENTAL_SPLIT_ID
+            or not s
+        ):
+            continue
+        hits = len(s & ev)
+        if hits:
+            rows.append((d, hits, len(s), hits * 1_000_000 // len(s)))
+    rows.sort(key=lambda r: (-r[1], r[0]))
+    return rows[:20]
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.tuples(_wdoc | st.none(), st.sampled_from(["src0", "src1"])),
+        min_size=2,
+        max_size=10,
+    )
+)
+def test_q177_oracle_matches_reference(docs):
+    # ids straddle the q63 batch boundary (400): evens below, odds above
+    doc_ids = [
+        390 + i if i % 2 == 0 else 400 + i for i in range(len(docs))
+    ]
+    texts = [t for t, _ in docs]
+    sources = [s for _, s in docs]
+    d = pd.DataFrame(
+        {
+            "doc_id": doc_ids,
+            "text": texts,
+            "lang": ["en"] * len(docs),
+            "source": sources,
+            "n_chars": [len(t or "") for t in texts],
+        }
+    )
+    con = duckdb.connect()
+    con.register("documents", d)
+    got = con.execute(
+        REGISTRY["q177_incremental_contamination"].oracle
+    ).fetchall()
+    con.close()
+    assert [tuple(r) for r in got] == _ref_incremental_contamination(
+        texts, sources, doc_ids
+    )

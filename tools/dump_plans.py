@@ -412,6 +412,11 @@ ANNOTATED = {
     " doc-length-bounded) rewrites the persisted token stream, each"
     " round's rule a bounded 1-row driver scalar; pair counts are"
     " partial-agg groupBys on the pair string; final union is 3 rows.",
+    "q177_incremental_contamination": "Batch-only winnowing: the"
+    " documents scan is id/source-thinned BEFORE gram hashing (only"
+    " the new batch pays HOF compute), the eval index is a distinct"
+    " fph set, and the screen is one fph-keyed LEFT-SEMI join + per-"
+    "doc rollup — cost scales with the batch, never the corpus.",
 }
 
 

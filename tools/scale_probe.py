@@ -130,6 +130,7 @@ PROBES = [
     "q174_growth_accounting",
     "q175_ab_conversion",
     "q176_bpe_iterated_merges",
+    "q177_incremental_contamination",
 ]
 
 
