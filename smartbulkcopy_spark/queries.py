@@ -16,6 +16,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import itertools
 import os
 import re
 from collections.abc import Callable
@@ -3218,6 +3219,59 @@ def q175(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# q178: a REAL Structured Streaming execution under the correctness
+# gate. Every other §2.9 twin is pinned by local convergence tests;
+# this one drains the event feed through the streaming seasonality
+# aggregation (availableNow) inside the registered builder itself, so
+# the driver hash-grades an actual streaming run against the same
+# DuckDB oracle as batch q157. The stream is one complete-mode pass
+# (state bounded by 24 x types keys); cheap enough for the bench sweep
+# because no Python-stateful operator is involved.
+# ---------------------------------------------------------------------------
+
+_STREAM_RUN_SEQ = itertools.count()
+
+
+@register(
+    "q178_stream_seasonality",
+    "WITH h AS (SELECT event_type,"
+    " CAST(hour(ts) AS BIGINT) AS hod, count(*) AS n FROM events"
+    " GROUP BY event_type, hod)"
+    " SELECT event_type, hod, CAST(n AS BIGINT) AS n_events,"
+    " CAST(1000000 * n // sum(n) OVER (PARTITION BY event_type)"
+    " AS BIGINT) AS share_ppm"
+    " FROM h ORDER BY event_type, hod",
+    doc="Streaming seasonality under the oracle gate: the builder"
+    " itself runs streaming.run_hourly_seasonality (availableNow drain"
+    " of the event feed, complete-mode state bounded by 24 x types"
+    " keys, epoch-arithmetic hour-of-day) and returns the converged"
+    " table — the driver's hash comparison against q157's SQL is"
+    " thereby an external correctness grade of an ACTUAL Structured"
+    " Streaming execution, not of a batch stand-in. Memory-sink names"
+    " are sequence-unique so repeated invocations in one session"
+    " (bench best-of-2) do not collide.",
+)
+def q178(spark, sf_dir):
+    import shutil
+
+    from smartbulkcopy_spark import streaming as _streaming
+
+    src = f"{sf_dir}/events.parquet"
+    feed = _streaming.streamable_events_dir(src)
+    try:
+        return _streaming.run_hourly_seasonality(
+            spark,
+            feed,
+            query_name=f"q178_seasonality_{next(_STREAM_RUN_SEQ)}",
+        )
+    finally:
+        # only the symlink temp dir is ours to remove; a directory
+        # source streams in place and passes through unchanged
+        if feed != os.path.abspath(src):
+            shutil.rmtree(feed, ignore_errors=True)
+
+
 # Phase-5 pipeline operators (q21+) register themselves on import. The
 # import sits at the bottom because pipeline modules import `register`/
 # `table` from this module (deliberate one-way late binding, not a cycle
@@ -3543,6 +3597,7 @@ QUEUED_SINCE = {
     # after the entire round-8 backlog so it displaces nothing)
     "q176_bpe_iterated_merges": 100,
     "q177_incremental_contamination": 101,
+    "q178_stream_seasonality": 102,
 }
 
 

@@ -22,10 +22,32 @@ from pyspark.sql import DataFrame, SparkSession
 from smartbulkcopy_spark.queries import cents
 
 
+def streamable_events_dir(parquet_file: str) -> str:
+    """The file source requires a DIRECTORY; fixture tables are single
+    read-only files. Symlink the file into a temp dir (no data copy) —
+    the caller streams the dir and may remove it after the drain (a
+    memory sink holds its rows independently of the source). A path
+    that is already a directory (e.g. a Spark-written table) streams
+    as-is — returned unchanged, nothing to clean up."""
+    import os
+    import tempfile
+
+    if os.path.isdir(parquet_file):
+        return os.path.abspath(parquet_file)
+    d = tempfile.mkdtemp(prefix="sbc_stream_feed_")
+    os.symlink(
+        os.path.abspath(parquet_file),
+        os.path.join(d, os.path.basename(parquet_file)),
+    )
+    return d
+
+
 def read_events_stream(
     spark: SparkSession, path: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
-    """Open a parquet event feed as a stream.
+    """Open a parquet event feed as a stream (`path` must be a
+    directory — see ``streamable_events_dir`` for single-file
+    fixtures).
 
     Watermarks require TIMESTAMP (an absolute instant), not TIMESTAMP_NTZ,
     so `ts` is rebuilt with ``timestamp_micros`` — a pure epoch
@@ -278,7 +300,8 @@ def run_enrichment(
     from smartbulkcopy_spark.queries import table as _table
 
     stream = read_events_stream(
-        spark, events_path or f"{sf_dir}/events.parquet",
+        spark,
+        events_path or streamable_events_dir(f"{sf_dir}/events.parquet"),
         max_files_per_trigger,
     )
     cust = _table(spark, sf_dir, "customer").select(

@@ -417,6 +417,11 @@ ANNOTATED = {
     " the new batch pays HOF compute), the eval index is a distinct"
     " fph set, and the screen is one fph-keyed LEFT-SEMI join + per-"
     "doc rollup — cost scales with the batch, never the corpus.",
+    "q178_stream_seasonality": "The dumped plan is the post-drain"
+    " select over the memory sink (24 x types rows; share window over"
+    " per-type groups) — the streaming execution itself ran"
+    " availableNow inside the builder, complete-mode state bounded by"
+    " the key space.",
 }
 
 

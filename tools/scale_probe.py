@@ -131,6 +131,7 @@ PROBES = [
     "q175_ab_conversion",
     "q176_bpe_iterated_merges",
     "q177_incremental_contamination",
+    "q178_stream_seasonality",
 ]
 
 
