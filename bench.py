@@ -334,7 +334,10 @@ def _short_copy_key(key: str) -> str:
 
 
 def emit_payloads(
-    timings: dict[str, float], copies: dict[str, object], sf: float
+    timings: dict[str, float],
+    copies: dict[str, object],
+    sf: float,
+    idle: bool | None = None,
 ) -> tuple[str, dict[str, object]]:
     """Build (compact-stdout-line, full-detail-dict). The compact line's
     query keys are the qNN prefixes (unique by construction — asserted),
@@ -405,6 +408,11 @@ def emit_payloads(
         "copy": compact_copy,
         "sf": sf,
     }
+    # idle_at_start on the LINE, not just BENCH_DETAIL.json: the driver
+    # keeps only the stdout tail, and its own r9 run started non-idle
+    # (loadavg 3.98) — the marker must survive into BENCH_r{N}.json.
+    if idle is not None:
+        payload["idle"] = idle
     line = json.dumps(payload, separators=(",", ":"))
     if len(line) > MAX_LINE:
         # Degrade, never crash: a line that outgrows the driver's stdout
@@ -518,12 +526,13 @@ def main() -> None:
 
     copies = copy_benchmarks(spark, sf_dir)
 
-    line, detail = emit_payloads(timings, copies, sf)
-    machine["loadavg_at_end"] = (
-        [round(v, 2) for v in os.getloadavg()]
-        if hasattr(os, "getloadavg")
-        else None
+    line, detail = emit_payloads(
+        timings, copies, sf, idle=machine.get("idle_at_start")
     )
+    try:
+        machine["loadavg_at_end"] = [round(v, 2) for v in os.getloadavg()]
+    except (AttributeError, OSError):
+        machine["loadavg_at_end"] = None
     detail["machine"] = machine
     (REPO / "BENCH_DETAIL.json").write_text(json.dumps(detail, indent=1))
     print(line)

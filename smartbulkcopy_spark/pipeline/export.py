@@ -10,9 +10,11 @@ a parquet sink instead of a JDBC one).
 Scale notes (100 TB):
 - the only wide stage is ONE repartition keyed on the shard id; shard
   assignment is a row-local md5 expression, so the shuffle moves each
-  row once and every shard directory receives exactly one file per
-  shuffle partition that holds its rows (here: one, since shard ids
-  map 1:1 onto partitions).
+  row once. One file per shard holds because `repartition(n, "shard")`
+  hash-partitions on the shard value, so ALL of a shard's rows colocate
+  in a single shuffle partition — partitions are NOT 1:1 with shard ids
+  (hash(shard) % n can put two shards in one partition and leave others
+  empty), but no shard ever straddles two partitions.
 - the manifest and reconciliation are partial-aggregate scans of the
   written output — no collect beyond the N-row manifest and the 1-row
   fingerprint.

@@ -3320,15 +3320,15 @@ TIER1 = [
 # (rows_match & schema_match & hash_match). Absent = never driver-graded.
 # Generated by tools/ledger.py; keep in lockstep with SURVEY.md §2.12.
 LAST_GREEN = {
-    "q01_scan_project": 8,
-    "q02_logical_partition_bucket": 8,
-    "q03_range_partition_predicate": 8,
-    "q04_ordered_scan_desc": 8,
-    "q05_rowcount": 8,
-    "q06_bucket_counts": 8,
-    "q07_ident_current": 8,
-    "q08_table_size_agg": 8,
-    "q09_inner_join_agg": 8,
+    "q01_scan_project": 9,
+    "q02_logical_partition_bucket": 9,
+    "q03_range_partition_predicate": 9,
+    "q04_ordered_scan_desc": 9,
+    "q05_rowcount": 9,
+    "q06_bucket_counts": 9,
+    "q07_ident_current": 9,
+    "q08_table_size_agg": 9,
+    "q09_inner_join_agg": 9,
     "q100_gopher_rules": 7,
     "q101_hourly_cohort_retention": 7,
     "q102_conversion_latency": 7,
@@ -3339,7 +3339,7 @@ LAST_GREEN = {
     "q107_minhash_estimate_quality": 7,
     "q108_jaccard_distribution": 7,
     "q109_event_transitions": 7,
-    "q10_left_join_agg": 8,
+    "q10_left_join_agg": 9,
     "q110_image_ahash": 7,
     "q111_image_near_dup": 7,
     "q112_simhash_near_dup": 7,
@@ -3350,7 +3350,7 @@ LAST_GREEN = {
     "q117_image_dedup_keep": 8,
     "q118_pii_redaction": 8,
     "q119_crossdoc_repeated_spans": 8,
-    "q11_semi_join": 8,
+    "q11_semi_join": 9,
     "q120_hashed_linear_quality": 8,
     "q121_hll_distinct_tokens": 8,
     "q122_cms_heavy_hitters": 8,
@@ -3361,7 +3361,7 @@ LAST_GREEN = {
     "q127_kmv_source_overlap": 8,
     "q128_prefix_filter_join": 8,
     "q129_containment_join": 8,
-    "q12_except": 8,
+    "q12_except": 9,
     "q130_pps_token_sample": 8,
     "q131_vocab_growth": 8,
     "q132_cluster_separation": 8,
@@ -3372,18 +3372,45 @@ LAST_GREEN = {
     "q137_mad_length_outliers": 8,
     "q138_tokenizer_fertility": 8,
     "q139_gap_quantile_sketch": 8,
-    "q13_union_distinct": 8,
+    "q13_union_distinct": 9,
     "q140_regional_revenue_rollup": 8,
     "q141_pq_code_assignment": 8,
     "q142_encoding_anomaly_audit": 8,
+    "q143_hard_negative_mining": 9,
     "q144_token_budget_waterfill": 8,
-    "q14_topk": 8,
-    "q15_case_when": 8,
-    "q16_quotename": 8,
-    "q17_agg_sweep": 8,
-    "q18_tumbling_window": 8,
-    "q19_rate_delta_lag": 8,
-    "q20_copy_roundtrip": 8,
+    "q145_pq_adc_recall": 9,
+    "q146_rolling_hll_users": 9,
+    "q147_temporal_split_audit": 9,
+    "q148_stream_enrichment_rollup": 9,
+    "q149_seqlen_truncation_frontier": 9,
+    "q14_topk": 9,
+    "q150_snapshot_diff_audit": 9,
+    "q151_neyman_allocation": 9,
+    "q152_corpus_rollup_totals": 9,
+    "q153_session_funnel": 9,
+    "q154_join_size_forecast": 9,
+    "q155_referential_integrity_audit": 9,
+    "q156_split_ks_drift": 9,
+    "q157_hourly_seasonality": 9,
+    "q158_repeat_purchase_profile": 9,
+    "q159_attribution_model_compare": 9,
+    "q15_case_when": 9,
+    "q160_skeleton_template_dupes": 9,
+    "q161_copurchase_lift": 9,
+    "q162_rfm_segments": 9,
+    "q163_ship_latency_quantiles": 9,
+    "q164_winnowing_overlap": 9,
+    "q165_pareto_abc": 9,
+    "q166_supplier_hhi": 9,
+    "q167_discount_elasticity": 9,
+    "q168_scd2_version_profile": 9,
+    "q169_zipf_coverage": 9,
+    "q16_quotename": 9,
+    "q170_winnowing_contamination": 9,
+    "q17_agg_sweep": 9,
+    "q18_tumbling_window": 9,
+    "q19_rate_delta_lag": 9,
+    "q20_copy_roundtrip": 9,
     "q21_exact_dedup": 5,
     "q22_text_stats": 5,
     "q23_token_counts": 5,
@@ -3398,7 +3425,7 @@ LAST_GREEN = {
     "q32_binary_features": 5,
     "q33_embedding_near_dup": 5,
     "q34_near_dup_dedup": 5,
-    "q35_sessionization": 8,
+    "q35_sessionization": 9,
     "q36_ivf_assignment": 5,
     "q37_scalar_funcs": 5,
     "q38_bpe_token_counts": 5,
@@ -3408,8 +3435,8 @@ LAST_GREEN = {
     "q42_audio_frame_sample": 5,
     "q43_ann_bucketed_topk": 5,
     "q44_ivf_probe_topk": 5,
-    "q45_sliding_window": 8,
-    "q46_session_window": 8,
+    "q45_sliding_window": 9,
+    "q46_session_window": 9,
     "q47_ann_recall": 5,
     "q48_vocab_topk": 4,
     "q49_cross_source_neardups": 4,

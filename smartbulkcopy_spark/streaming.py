@@ -299,25 +299,34 @@ def run_enrichment(
     bit-for-bit."""
     from smartbulkcopy_spark.queries import table as _table
 
-    stream = read_events_stream(
-        spark,
-        events_path or streamable_events_dir(f"{sf_dir}/events.parquet"),
-        max_files_per_trigger,
-    )
-    cust = _table(spark, sf_dir, "customer").select(
-        "c_custkey", "c_nationkey"
-    )
-    nat = _table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-    q = (
-        enrich_stream(stream, cust, nat)
-        .writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(query_name)
+    source = events_path or f"{sf_dir}/events.parquet"
+    feed = streamable_events_dir(source)
+    try:
+        stream = read_events_stream(spark, feed, max_files_per_trigger)
+        cust = _table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_nationkey"
+        )
+        nat = _table(spark, sf_dir, "nation").select(
+            "n_nationkey", "n_name"
+        )
+        q = (
+            enrich_stream(stream, cust, nat)
+            .writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.table(query_name)
+    finally:
+        # streamable_events_dir mkdtemps a symlink dir for single-file
+        # fixtures (pass-through for real directories) — reclaim it.
+        import os
+        import shutil
+
+        if os.path.basename(feed).startswith("sbc_stream_feed_"):
+            shutil.rmtree(feed, ignore_errors=True)
 
 
 # ---------------------------------------------------------------------------

@@ -122,6 +122,20 @@ def test_line_degrades_gracefully_on_overflow():
     assert set(detail["queries"]) == set(flood)
 
 
+def test_idle_marker_on_line():
+    """VERDICT r9 #8: the idle_at_start marker must ride the printed
+    line (the driver keeps only the stdout tail; BENCH_DETAIL.json is
+    overwritable by a later non-idle run)."""
+    timings, copies = worst_case_payloads()
+    for flag in (True, False):
+        line, _ = bench.emit_payloads(timings, copies, 0.1, idle=flag)
+        assert len(line) <= bench.MAX_LINE
+        assert json.loads(line)["idle"] is flag
+    # None (loadavg unavailable) omits the key rather than printing null
+    line, _ = bench.emit_payloads(timings, copies, 0.1)
+    assert "idle" not in json.loads(line)
+
+
 def test_empty_and_gapped_timings_guarded():
     """ADVICE r8: empty timings must not IndexError, and a gap in the
     registration numbers must fail LOUDLY at emit time — the silent

@@ -88,10 +88,16 @@ def main() -> None:
         text = scale.read_text()
         marker = "## Deep probes"
         if marker in text:
+            # Replace the section IN PLACE so repeated runs don't
+            # reorder SCALE.md's manual sections (winnow_tail_probe
+            # keeps its own position the same way).
             head, rest = text.split(marker, 1)
             nxt = rest.find("\n## ")
-            text = head.rstrip() + "\n" + (rest[nxt:] if nxt != -1 else "")
-        scale.write_text(text.rstrip() + "\n" + note)
+            tail = rest[nxt + 1:] if nxt != -1 else ""
+            text = head.rstrip() + "\n" + note + "\n" + tail
+            scale.write_text(text.rstrip() + "\n")
+        else:
+            scale.write_text(text.rstrip() + "\n" + note)
         print(note)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

@@ -64,9 +64,15 @@ def main() -> int:
         with open(path) as fh:
             src = fh.read()
         start = src.index("LAST_GREEN = {")
-        end = src.index("}", start) + 1
+        # Anchor the close brace at line start: a '}' inside a future
+        # inline comment or string in the literal must not end the splice.
+        end = src.index("\n}", start) + 2
+        new_src = src[:start] + literal + src[end:]
+        import ast
+
+        ast.parse(new_src)  # refuse to write a file that no longer parses
         with open(path, "w") as fh:
-            fh.write(src[:start] + literal + src[end:])
+            fh.write(new_src)
         print(f"spliced {len(derived)} rows into {path}")
         return 0
     print(literal)
