@@ -2005,18 +2005,30 @@ def _winnow_pk_ctes(p: str = "", where: str = "") -> str:
 _WINNOW_PK_CTES = _winnow_pk_ctes()
 
 
+def _winnow_pair_ctes() -> str:
+    """keep/pkf/pr — the q164 capped inverted-index pair chain (single
+    definition; q164 and q180 share it so the oracles cannot drift).
+    pkf is MATERIALIZED: both sides of the pair self-join read it, and
+    DuckDB re-executes unmaterialized CTEs per reference (the q179
+    lesson)."""
+    return (
+        " keep AS (SELECT fph FROM pk GROUP BY fph"
+        f" HAVING count(*) <= {WINNOW_MAX_POSTINGS}),"
+        " pkf AS MATERIALIZED (SELECT doc_id, fph"
+        " FROM pk JOIN keep USING (fph)),"
+        " pr AS (SELECT x.doc_id AS a_id, y.doc_id AS b_id,"
+        " CAST(count(*) AS BIGINT) AS shared_fps"
+        " FROM pkf x JOIN pkf y ON x.fph = y.fph"
+        " AND x.doc_id < y.doc_id GROUP BY x.doc_id, y.doc_id)"
+    )
+
+
 @register(
     "q164_winnowing_overlap",
     f"WITH {_WINNOW_PK_CTES},"
-    " keep AS (SELECT fph FROM pk GROUP BY fph"
-    f" HAVING count(*) <= {WINNOW_MAX_POSTINGS}),"
-    " pkf AS (SELECT doc_id, fph FROM pk JOIN keep USING (fph)),"
-    " cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nf"
-    " FROM pkf GROUP BY doc_id),"
-    " pr AS (SELECT x.doc_id AS a_id, y.doc_id AS b_id,"
-    " CAST(count(*) AS BIGINT) AS shared_fps"
-    " FROM pkf x JOIN pkf y ON x.fph = y.fph"
-    " AND x.doc_id < y.doc_id GROUP BY x.doc_id, y.doc_id)"
+    + _winnow_pair_ctes()
+    + ", cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nf"
+    " FROM pkf GROUP BY doc_id)"
     " SELECT a_id, b_id, shared_fps,"
     " CAST(shared_fps * 1000000 // least(ca.nf, cb.nf) AS BIGINT)"
     " AS containment_ppm"
@@ -2234,5 +2246,143 @@ def q177(spark, sf_dir):
             .alias("contamination_ppm"),
         )
         .orderBy(F.col("n_hits").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring verify over winnowing candidates (SURVEY §7.5 item 3).
+# A shared winnowing fingerprint only GUARANTEES a shared K-gram; this
+# stage upgrades the strongest candidate pairs into verified exact
+# substring containment WITHOUT a suffix automaton: hash every
+# DOUBLE-LENGTH window (2 * (W + K - 1) = 34 normalized chars — twice
+# the winnowing guarantee span) of the candidate members only, and
+# count the distinct window hashes the pair shares. Any verified gram
+# is a literal 34-char exact match; zero verified grams demotes the
+# pair to "similar wording, no long verbatim run". The q29/q34/q61
+# verify discipline: the candidate pair set is persisted eagerly, the
+# corpus is LEFT-SEMI thinned to candidate MEMBERS before any
+# per-doc gram work, and pairs join through their member ids — the
+# corpus-sized stages are exactly the q164 fingerprint pass plus one
+# row-local gram explode over the thinned members.
+# ---------------------------------------------------------------------------
+
+Q180_MIN_SHARED_FPS = 5  # verify only the strongest winnowing pairs
+Q180_L2 = 2 * _WINNOW_MIN_LEN  # 34-char windows: 2x the winnow span
+
+
+@register(
+    "q180_exact_substring_verify",
+    f"WITH {_WINNOW_PK_CTES},"
+    + _winnow_pair_ctes()
+    + ", cand AS MATERIALIZED (SELECT a_id, b_id, shared_fps FROM pr"
+    f" WHERE shared_fps >= {Q180_MIN_SHARED_FPS}),"
+    " mem AS (SELECT a_id AS doc_id FROM cand"
+    " UNION SELECT b_id FROM cand),"
+    f" nn2 AS (SELECT d.doc_id, {NORM_DUCK} AS n"
+    " FROM documents d JOIN mem USING (doc_id)),"
+    f" lg2 AS (SELECT doc_id, n FROM nn2 WHERE length(n) >= {Q180_L2}),"
+    " g2 AS MATERIALIZED (SELECT DISTINCT doc_id,"
+    f" md5(substr(n, CAST(pos AS INT), {Q180_L2})) AS h2"
+    " FROM (SELECT doc_id, n,"
+    f" unnest(range(1, length(n) - {Q180_L2} + 2)) AS pos FROM lg2)),"
+    " hit AS (SELECT c.a_id, c.b_id,"
+    " CAST(count(*) AS BIGINT) AS verified_grams"
+    " FROM cand c JOIN g2 xa ON xa.doc_id = c.a_id"
+    " JOIN g2 xb ON xb.doc_id = c.b_id AND xb.h2 = xa.h2"
+    " GROUP BY c.a_id, c.b_id)"
+    " SELECT c.a_id, c.b_id, c.shared_fps,"
+    " CAST(coalesce(h.verified_grams, 0) AS BIGINT) AS verified_grams,"
+    " CAST(CASE WHEN coalesce(h.verified_grams, 0) >= 1"
+    " THEN 1 ELSE 0 END AS BIGINT) AS verified"
+    " FROM cand c LEFT JOIN hit h"
+    " ON h.a_id = c.a_id AND h.b_id = c.b_id"
+    " ORDER BY verified_grams DESC, shared_fps DESC, c.a_id, c.b_id"
+    " LIMIT 20",
+    doc="Exact-substring verify stage for winnowing candidates: pairs"
+    f" sharing >= {Q180_MIN_SHARED_FPS} capped-index fingerprints (the"
+    " q164 chain) are upgraded by hashing every"
+    f" {Q180_L2}-char window — double the winnowing guarantee span —"
+    " of the CANDIDATE MEMBERS only and counting distinct shared"
+    " window hashes: each is a literal 34-char exact match, the"
+    " suffix-automaton-free containment proof; zero demotes the pair"
+    " to reworded-only. Verify discipline: eager-persisted candidate"
+    " set, LEFT-SEMI member thinning before gram work, row-local"
+    " md5 explode (q119 spelling); the only corpus-sized stages are"
+    " the shared fingerprint pass and its fph-keyed pair join.",
+)
+def q180(spark, sf_dir):
+    pk = winnow_fingerprints(spark, sf_dir)
+    keep = (
+        pk.groupBy("fph")
+        .agg(F.count("*").alias("pc"))
+        .where(F.col("pc") <= WINNOW_MAX_POSTINGS)
+        .select("fph")
+    )
+    pkf = pk.join(keep, "fph", "left_semi")
+    a = pkf.select(F.col("doc_id").alias("a_id"), "fph")
+    b = pkf.select(
+        F.col("doc_id").alias("b_id"), F.col("fph").alias("fph2")
+    )
+    cand = eager(
+        a.join(
+            b,
+            (F.col("fph") == F.col("fph2"))
+            & (F.col("a_id") < F.col("b_id")),
+        )
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").cast("long").alias("shared_fps"))
+        .where(F.col("shared_fps") >= Q180_MIN_SHARED_FPS)
+    )
+    mem = (
+        cand.select(F.col("a_id").alias("doc_id"))
+        .union(cand.select(F.col("b_id").alias("doc_id")))
+        .distinct()
+    )
+    thin = (
+        table(spark, sf_dir, "documents")
+        .join(mem, "doc_id", "left_semi")
+        .select("doc_id", F.expr(NORM_SPARK).alias("n"))
+        .where(F.length("n") >= Q180_L2)
+    )
+    grams = thin.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"array_distinct(transform("
+                f"sequence(1, length(n) - {Q180_L2 - 1}),"
+                f" i -> md5(substr(n, i, {Q180_L2}))))"
+            )
+        ).alias("h2"),
+    )
+    ga = grams.select(F.col("doc_id").alias("a_id"), "h2")
+    gb = grams.select(F.col("doc_id").alias("b_id"), "h2")
+    hits = (
+        cand.select("a_id", "b_id")
+        .join(ga, "a_id")
+        .join(gb, ["b_id", "h2"])
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").cast("long").alias("vg"))
+    )
+    return (
+        cand.join(hits, ["a_id", "b_id"], "left")
+        .select(
+            "a_id",
+            "b_id",
+            "shared_fps",
+            F.coalesce(F.col("vg"), F.lit(0))
+            .cast("long")
+            .alias("verified_grams"),
+            F.when(F.coalesce(F.col("vg"), F.lit(0)) >= 1, 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("verified"),
+        )
+        .orderBy(
+            F.col("verified_grams").desc(),
+            F.col("shared_fps").desc(),
+            "a_id",
+            "b_id",
+        )
         .limit(20)
     )

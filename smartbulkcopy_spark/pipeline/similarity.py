@@ -1744,3 +1744,163 @@ def q145(spark, sf_dir):
         )
         .orderBy("rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# PQ codebook refresh (SURVEY §7.5 item 5) — one unrolled k-means round
+# over the q141 assignment: every vector joins its nearest codeword per
+# subspace, and each codeword's refreshed position is the MEAN of its
+# assigned subvectors. Reported per (subspace, code): the assignment
+# count and the centroid DRIFT mass — the signal a serving tier watches
+# to decide when the codebook needs retraining. Division never happens:
+# drift_e6 = sum_d |sum_rows(xs_d) - n * cs_d| (xs/cs floor-scaled e6
+# per row/per literal — the q55 rule), which is n x the L1 movement of
+# the mean in scaled space, all integer arithmetic so the engines agree
+# bit-for-bit and negative components can't hit the DIV-vs-floor
+# divergence. At 100 TB: assignment is the same zero-join broadcast-
+# literal argmin as q141; the per-dim sums shuffle on (m, code, d) —
+# 512 groups — with map-side partial aggregation doing all the work.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q181_pq_codebook_refresh",
+    "WITH " + _pq_duck_cte()
+    + ", a1 AS (SELECT vec_id, m, code FROM assign WHERE rn = 1),"
+    f" dims AS (SELECT unnest(range(1, {PQ_SUB} + 1)) AS d),"
+    " sxe AS (SELECT a1.m, a1.code, dims.d,"
+    " CAST(floor(CAST(s.ev[CAST(dims.d AS INT)] AS DOUBLE)"
+    " * 1000000.0) AS BIGINT)"
+    " AS xs"
+    " FROM a1 JOIN sub s ON s.vec_id = a1.vec_id AND s.m = a1.m"
+    " CROSS JOIN dims),"
+    " ag AS (SELECT m, code, d, sum(xs) AS sx,"
+    " CAST(count(*) AS BIGINT) AS n FROM sxe GROUP BY m, code, d),"
+    " cods AS (SELECT m, code, dims.d,"
+    " CAST(floor(CAST(cv[CAST(dims.d AS INT)] AS DOUBLE)"
+    " * 1000000.0) AS BIGINT) AS cs"
+    " FROM cod CROSS JOIN dims),"
+    " dr AS (SELECT ag.m, ag.code,"
+    " CAST(max(ag.n) AS BIGINT) AS n_vecs,"
+    " CAST(sum(abs(ag.sx - ag.n * cods.cs)) AS BIGINT) AS drift_e6"
+    " FROM ag JOIN cods ON cods.m = ag.m AND cods.code = ag.code"
+    " AND cods.d = ag.d GROUP BY ag.m, ag.code)"
+    " SELECT CAST(cod.m AS BIGINT) AS m, CAST(cod.code AS BIGINT)"
+    " AS code, CAST(coalesce(dr.n_vecs, 0) AS BIGINT) AS n_vecs,"
+    " CAST(coalesce(dr.drift_e6, 0) AS BIGINT) AS drift_e6"
+    " FROM cod LEFT JOIN dr ON dr.m = cod.m AND dr.code = cod.code"
+    " ORDER BY m, code",
+    doc="PQ codebook refresh — one unrolled k-means round over the"
+    " q141 assignment: per (subspace, code), the assignment count and"
+    " the centroid drift mass sum_d |sum(xs_d) - n * cs_d| with both"
+    " operands floor-scaled e6 (q55 rule) — n x the L1 movement of the"
+    " refreshed mean, computed WITHOUT division so negative embedding"
+    " components can't hit the Spark-DIV-vs-DuckDB-floor divergence."
+    " Assignment is q141's zero-join broadcast-literal argmin; the"
+    " per-dim sums shuffle on (m, code, d) = 512 bounded groups with"
+    " map-side partial aggregation; never-assigned codewords surface"
+    " with n_vecs = 0 via the 32-row driver-side code grid (q52/q102"
+    " bounded-literal rule).",
+)
+def q181(spark, sf_dir):
+    import math
+
+    import pyspark.sql.types as _T
+
+    books = _pq_codebooks(spark, sf_dir)
+    emb = spread(spark, table(spark, sf_dir, "embeddings"))
+    per_m = []
+    for m, book in enumerate(books):
+        ev = F.slice("embedding", m * PQ_SUB + 1, PQ_SUB)
+        best = F.array_min(
+            F.array(
+                *[
+                    F.struct(
+                        (
+                            -2.0
+                            * dot_fold(
+                                ev, F.array(*[F.lit(v) for v in cv])
+                            )
+                            + F.lit(_py_fold_dot(cv))
+                        ).alias("d"),
+                        F.lit(code).cast("long").alias("code"),
+                    )
+                    for code, cv in book
+                ]
+            )
+        )
+        xs = F.expr(
+            f"transform(slice(embedding, {m * PQ_SUB + 1}, {PQ_SUB}),"
+            " x -> CAST(floor(x * 1000000.0) AS BIGINT))"
+        )
+        per_m.append(
+            F.struct(
+                F.lit(m).cast("long").alias("m"),
+                best["code"].alias("code"),
+                xs.alias("xs"),
+            )
+        )
+    rows = (
+        emb.select(F.explode(F.array(*per_m)).alias("a"))
+        .select("a.m", "a.code", F.posexplode("a.xs").alias("d0", "xs"))
+        .select(
+            "m", "code", (F.col("d0") + 1).cast("long").alias("d"), "xs"
+        )
+    )
+    ag = rows.groupBy("m", "code", "d").agg(
+        F.sum("xs").alias("sx"), F.count("*").cast("long").alias("n")
+    )
+    grid_schema = _T.StructType(
+        [
+            _T.StructField("m", _T.LongType()),
+            _T.StructField("code", _T.LongType()),
+            _T.StructField("d", _T.LongType()),
+            _T.StructField("cs", _T.LongType()),
+        ]
+    )
+    cods = spark.createDataFrame(
+        [
+            (m, int(code), d + 1, math.floor(cv[d] * 1000000.0))
+            for m, book in enumerate(books)
+            for code, cv in book
+            for d in range(PQ_SUB)
+        ],
+        grid_schema,
+    )
+    dr = (
+        ag.join(F.broadcast(cods), ["m", "code", "d"])
+        .groupBy("m", "code")
+        .agg(
+            F.max("n").cast("long").alias("n_vecs"),
+            F.sum(F.abs(F.col("sx") - F.col("n") * F.col("cs")))
+            .cast("long")
+            .alias("drift_e6"),
+        )
+    )
+    grid32 = spark.createDataFrame(
+        [
+            (m, int(code))
+            for m, book in enumerate(books)
+            for code, _cv in book
+        ],
+        _T.StructType(
+            [
+                _T.StructField("m", _T.LongType()),
+                _T.StructField("code", _T.LongType()),
+            ]
+        ),
+    )
+    return (
+        grid32.join(dr, ["m", "code"], "left")
+        .select(
+            "m",
+            "code",
+            F.coalesce(F.col("n_vecs"), F.lit(0))
+            .cast("long")
+            .alias("n_vecs"),
+            F.coalesce(F.col("drift_e6"), F.lit(0))
+            .cast("long")
+            .alias("drift_e6"),
+        )
+        .orderBy("m", "code")
+    )

@@ -3281,8 +3281,9 @@ def q171(spark, sf_dir):
 BPE_MERGE_ROUNDS = 3
 
 
-def _bpe_tok0(spark, sf_dir):
-    docs = spread(spark, table(spark, sf_dir, "documents"))
+def _bpe_tok0(spark, sf_dir, docs=None):
+    if docs is None:
+        docs = spread(spark, table(spark, sf_dir, "documents"))
     t = F.regexp_extract_all(norm_text(), F.lit(_BPE_PATTERN), 0)
     return docs.select(
         "doc_id", F.posexplode(t).alias("i", "tok")
@@ -3356,13 +3357,20 @@ def _bpe_apply(tok, a: str, b: str):
 
 def _bpe_round_ctes(r: int) -> str:
     """DuckDB CTEs for merge round r: pair counts + top-1 over
-    tok{r-1}, and (consumed by round r+1) the rewritten tok{r}."""
+    tok{r-1}, and (consumed by round r+1) the rewritten tok{r}.
+
+    tok{r}/top{r} are MATERIALIZED: DuckDB inlines CTEs per REFERENCE,
+    and each round references its predecessors several times (pr + mm
+    read tok{r-1}; mm/ss carry scalar subqueries on top{r}), so an
+    unmaterialized unroll re-executes the whole chain exponentially —
+    q179's 5-round oracle measured 56 s vs 0.3 s materialized."""
     return (
         f"pr{r} AS (SELECT doc_id, CASE WHEN lead(tok) OVER"
         " (PARTITION BY doc_id ORDER BY i) IS NOT NULL THEN"
         " tok || ' ' || lead(tok) OVER (PARTITION BY doc_id ORDER BY i)"
         f" END AS pair FROM tok{r - 1}),"
-        f" top{r} AS (SELECT pair, CAST(count(*) AS BIGINT) AS tf,"
+        f" top{r} AS MATERIALIZED (SELECT pair,"
+        " CAST(count(*) AS BIGINT) AS tf,"
         " CAST(count(DISTINCT doc_id) AS BIGINT) AS df"
         f" FROM pr{r} WHERE pair IS NOT NULL GROUP BY pair"
         " ORDER BY tf DESC, pair LIMIT 1),"
@@ -3385,14 +3393,14 @@ def _bpe_round_ctes(r: int) -> str:
         " ELSE tok END AS tok, lag(kept) OVER"
         " (PARTITION BY doc_id ORDER BY i) AS kprev"
         f" FROM kk{r}),"
-        f" tok{r} AS (SELECT doc_id, CAST(row_number() OVER"
+        f" tok{r} AS MATERIALIZED (SELECT doc_id, CAST(row_number() OVER"
         " (PARTITION BY doc_id ORDER BY i) AS BIGINT) AS i, tok"
         f" FROM ss{r} WHERE NOT coalesce(kprev, false))"
     )
 
 
 _Q176_SQL = (
-    "WITH tok0 AS (SELECT doc_id, CAST(u.i AS BIGINT) - 1 AS i,"
+    "WITH tok0 AS MATERIALIZED (SELECT doc_id, CAST(u.i AS BIGINT) - 1 AS i,"
     " t[u.i] AS tok FROM (SELECT doc_id,"
     f" regexp_extract_all({NORM_SQL_DUCK}, '{_BPE_PATTERN}') AS t"
     " FROM documents) tk, unnest(range(1, len(t) + 1)) AS u(i)),"
@@ -3448,3 +3456,113 @@ def q176(spark, sf_dir):
     for br in branches[1:]:
         res = res.unionByName(br)
     return res.orderBy("merge_round")
+
+
+# ---------------------------------------------------------------------------
+# BPE vocabulary training to a BUDGET — q176's iterated merge loop run
+# the way a real tokenizer trainer runs it: up to BPE_BUDGET_ROUNDS
+# merge rounds, stopping EARLY the first round whose best pair falls
+# below a tf floor (the "min_frequency" stop every BPE trainer exposes
+# — merging a pair rarer than the floor mints a rule the corpus can't
+# amortize). The floor is relative to corpus size (n_docs DIV 11,
+# floored at 2) so the stop criterion scales with the data instead of
+# being a magic absolute. Spark applies the early-out driver-side from
+# the SAME bounded 1-row collect that parameterizes the next rewrite
+# (q52/q102 scalar rule) — an early stop SKIPS the remaining rewrite
+# rounds entirely, which is the point of the floor at 100 TB; the
+# DuckDB oracle computes all unrolled rounds and filters with the
+# equivalent cumulative NOT EXISTS (a round emits only if every round
+# at or before it cleared the floor), so the engines agree on exactly
+# which prefix of the budget was minted.
+# ---------------------------------------------------------------------------
+
+BPE_BUDGET_ROUNDS = 5
+BPE_TF_FLOOR_DIVISOR = 11  # floor = greatest(2, n_docs DIV 11)
+
+_Q179_FLOOR_SQL = (
+    "(SELECT greatest(2, count(*) // "
+    f"{BPE_TF_FLOOR_DIVISOR}) FROM documents)"
+)
+
+_Q179_SQL = (
+    "WITH tok0 AS MATERIALIZED (SELECT doc_id, CAST(u.i AS BIGINT) - 1 AS i,"
+    " t[u.i] AS tok FROM (SELECT doc_id,"
+    f" regexp_extract_all({NORM_SQL_DUCK}, '{_BPE_PATTERN}') AS t"
+    " FROM documents) tk, unnest(range(1, len(t) + 1)) AS u(i)),"
+    + ",".join(
+        _bpe_round_ctes(r) for r in range(1, BPE_BUDGET_ROUNDS + 1)
+    )
+    + ", allt AS ("
+    + " UNION ALL ".join(
+        f"SELECT {r} AS r, tf FROM top{r}"
+        for r in range(1, BPE_BUDGET_ROUNDS + 1)
+    )
+    + "), minted AS ("
+    + " UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS merge_round, pair, tf, df"
+        f" FROM top{r}"
+        for r in range(1, BPE_BUDGET_ROUNDS + 1)
+    )
+    + ") SELECT merge_round, pair, tf, df FROM minted t"
+    " WHERE NOT EXISTS (SELECT 1 FROM allt s"
+    " WHERE s.r <= t.merge_round"
+    f" AND s.tf < {_Q179_FLOOR_SQL})"
+    " ORDER BY merge_round"
+)
+
+
+def bpe_mint_to_budget(tok, budget, floor_tf):
+    """The budgeted merge loop on a token stream: returns the minted
+    (round, pair, tf, df) rules, stopping at the first round whose best
+    pair's tf falls below floor_tf — and SKIPPING the remaining rewrite
+    rounds when it does (the early-out is a compute saving, not just a
+    filter). Extracted from q179 so a synthetic corpus can exercise
+    both the budget-exhausted and floor-fired branches."""
+    minted: list[tuple[int, str, int, int]] = []
+    for rnd in range(1, budget + 1):
+        rows = _bpe_top1(_bpe_pair_counts(tok)).collect()  # limit(1)
+        if not rows or rows[0]["tf"] < floor_tf:
+            break  # tf floor: stop minting, skip remaining rewrites
+        minted.append(
+            (rnd, rows[0]["pair"], int(rows[0]["tf"]), int(rows[0]["df"]))
+        )
+        if rnd < budget:
+            a, b = rows[0]["pair"].split(" ", 1)
+            tok = eager(_bpe_apply(tok, a, b))
+    return minted
+
+
+
+@register(
+    "q179_bpe_vocab_budget",
+    _Q179_SQL,
+    doc=f"BPE vocabulary training to a budget: up to {BPE_BUDGET_ROUNDS}"
+    " q176-style merge rounds with a tf-floor early-out — training"
+    " stops the first round whose best pair's frequency drops below"
+    f" greatest(2, n_docs DIV {BPE_TF_FLOOR_DIVISOR}) (every real BPE"
+    " trainer's min_frequency rule; a rule rarer than the floor never"
+    " amortizes its vocab slot). Each round's winner comes from the"
+    " bounded 1-row collect that already parameterizes the rewrite"
+    " (q52/q102 rule), so the early-out skips the remaining rewrite"
+    " rounds ENTIRELY — the floor is a compute saving at 100 TB, not"
+    " just a quality knob. The oracle unrolls all rounds and filters"
+    " with the equivalent cumulative NOT EXISTS. Shuffles per emitted"
+    " round: one doc_id-keyed window pass + one partial-agg pair"
+    " count, identical to q176.",
+)
+def q179(spark, sf_dir):
+    import pyspark.sql.types as _T
+
+    n_docs = table(spark, sf_dir, "documents").count()
+    floor_tf = max(2, n_docs // BPE_TF_FLOOR_DIVISOR)
+    tok = eager(_bpe_tok0(spark, sf_dir))
+    minted = bpe_mint_to_budget(tok, BPE_BUDGET_ROUNDS, floor_tf)
+    schema = _T.StructType(
+        [
+            _T.StructField("merge_round", _T.LongType()),
+            _T.StructField("pair", _T.StringType()),
+            _T.StructField("tf", _T.LongType()),
+            _T.StructField("df", _T.LongType()),
+        ]
+    )
+    return spark.createDataFrame(minted, schema)

@@ -2840,8 +2840,9 @@ SESSION_GAP_US = 1_800_000_000  # the q35/q46 30-minute rule
 HOUR_US = 3_600_000_000
 
 
-@register(
-    "q172_peak_concurrency",
+# Shared with q182's streaming twin (identical converged semantics —
+# single oracle definition so the two paths cannot drift).
+_Q172_SQL = (
     "WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t"
     " FROM events),"
     " g AS (SELECT user_id, event_id, t, CASE WHEN t - lag(t)"
@@ -2851,18 +2852,25 @@ HOUR_US = 3_600_000_000
     " OVER (PARTITION BY user_id ORDER BY t, event_id"
     " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid"
     " FROM g),"
-    " iv AS (SELECT user_id, sid, min(t) AS st, max(t) AS en"
-    " FROM s GROUP BY user_id, sid),"
+    " iv AS MATERIALIZED (SELECT user_id, sid, min(t) AS st,"
+    " max(t) AS en FROM s GROUP BY user_id, sid),"
     " ed AS (SELECT st AS t, 1 AS d, user_id FROM iv"
     " UNION ALL SELECT en, -1, user_id FROM iv),"
-    " c AS (SELECT t, sum(d) OVER (ORDER BY t, d DESC, user_id"
+    " c AS MATERIALIZED (SELECT t, sum(d)"
+    " OVER (ORDER BY t, d DESC, user_id"
     " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc"
     " FROM ed)"
     " SELECT (SELECT CAST(count(*) AS BIGINT) FROM iv) AS n_sessions,"
     " CAST(max(cc) AS BIGINT) AS peak_concurrency,"
     " CAST(min(CASE WHEN cc = (SELECT max(cc) FROM c) THEN t END)"
     " AS BIGINT) AS peak_at_us"
-    " FROM c",
+    " FROM c"
+)
+
+
+@register(
+    "q172_peak_concurrency",
+    _Q172_SQL,
     doc="Peak session concurrency: 30-minute-gap sessions (q35 rule)"
     " emit +1/-1 interval edges; the peak is the max running edge sum."
     " Spark computes the global running sum two-phase over HOUR bands"
@@ -3272,6 +3280,53 @@ def q178(spark, sf_dir):
             shutil.rmtree(feed, ignore_errors=True)
 
 
+# ---------------------------------------------------------------------------
+# q182: the peak-concurrency stateful twin as a REAL streaming run under
+# the hash gate (the q178 recipe applied to applyInPandasWithState).
+# q178 proved the gate covers a JVM-side streaming aggregation; this one
+# puts the custom Python stateful operator itself under external
+# grading: the registered builder drains the event feed through
+# streaming.session_intervals (update-mode applyInPandasWithState,
+# three-long state per user), converges the emitted intervals, and
+# hands them to the SAME peak_from_intervals assembly as batch q172 —
+# so the oracle is q172's SQL verbatim and any drift in the stateful
+# operator's session logic fails the driver's hash compare.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q182_stream_peak_concurrency",
+    _Q172_SQL,
+    doc="Streaming peak concurrency under the oracle gate: the builder"
+    " drains the event feed through the update-mode"
+    " applyInPandasWithState interval tracker (state = three longs per"
+    " user; epoch-micro longs cross the Arrow boundary, never pandas"
+    " datetimes) and feeds the converged intervals to the exact"
+    " peak_from_intervals assembly batch q172 uses — the driver's hash"
+    " comparison against q172's SQL therefore externally grades the"
+    " CUSTOM STATEFUL OPERATOR itself, not a batch stand-in (q178"
+    " covered the JVM-side streaming agg). Memory-sink names are"
+    " sequence-unique (bench best-of-2 safe); the availableNow drain"
+    " is one pass, state bounded by the live-user key space.",
+)
+def q182(spark, sf_dir):
+    import shutil
+
+    from smartbulkcopy_spark import streaming as _streaming
+
+    src = f"{sf_dir}/events.parquet"
+    feed = _streaming.streamable_events_dir(src)
+    try:
+        return _streaming.run_peak_concurrency(
+            spark,
+            feed,
+            query_name=f"q182_peak_{next(_STREAM_RUN_SEQ)}",
+        )
+    finally:
+        if feed != os.path.abspath(src):
+            shutil.rmtree(feed, ignore_errors=True)
+
+
 # Phase-5 pipeline operators (q21+) register themselves on import. The
 # import sits at the bottom because pipeline modules import `register`/
 # `table` from this module (deliberate one-way late binding, not a cycle
@@ -3625,6 +3680,13 @@ QUEUED_SINCE = {
     "q176_bpe_iterated_merges": 100,
     "q177_incremental_contamination": 101,
     "q178_stream_seasonality": 102,
+    # round 10 (§7.5 queue items 2/3/5 + the funnel/peak streaming ask):
+    # four registrations, sized so the r04-stale dozen still fits the
+    # window behind them (8 never-graded + 4 new + 12 stale = 24 <= 27)
+    "q179_bpe_vocab_budget": 103,
+    "q180_exact_substring_verify": 104,
+    "q181_pq_codebook_refresh": 105,
+    "q182_stream_peak_concurrency": 106,
 }
 
 

@@ -44,11 +44,14 @@ def test_line_fits_driver_tail():
     # worst-case widths must NOT trigger the degrade path at the current
     # registry size — the per-query timings belong on the line
     assert "truncated" not in json.loads(line)
-    # and with headroom for future queries: another ~60 registrations at
+    # and with headroom for future queries: another 40 registrations at
     # worst-case widths must still fit WITHOUT dropping the timings
+    # (r9 verdict item 7 asked for N+25; at the 182-query registry the
+    # dense array affords +40 — when THIS assertion starts failing,
+    # pack tighter, e.g. decisecond ints, rather than shrinking it)
     padded = dict(timings)
     nxt = max(int(re.match(r"q(\d+)", n).group(1)) for n in REGISTRY) + 1
-    for i in range(nxt, nxt + 61):
+    for i in range(nxt, nxt + 40):
         padded[f"q{i}_future_operator"] = 123.4567
     line2, _ = bench.emit_payloads(padded, copies, 0.1)
     assert len(line2) <= bench.MAX_LINE

@@ -1,12 +1,15 @@
-"""Deep scale probe: run documents-only operators at 16x and 32x
-corpus inflation (content-disjoint copies via tools/winnow_tail_probe's
-Caesar-shift + reverse construction) and record the 16x->32x wall-time
+"""Deep scale probe: run documents/embeddings operators at 16x and
+32x corpus inflation (documents: tools/winnow_tail_probe's Caesar-shift
++ reverse construction; embeddings: per-copy cyclic component rotation,
+the scale_probe.inflate convention) and record the 16x->32x wall-time
 exponent — evidence that the 8x SCALE.md ratios keep flattening rather
 than turning super-linear as data doubles twice more.
 
-Only operators whose inputs are entirely the `documents` table are
-eligible (the inflation writes documents.parquet alone). Run alone on
-an idle machine: python tools/deep_probe.py [names...]
+Eligible operators read only documents.parquet and/or
+embeddings.parquet (the inflation writes those two). q93 follows
+scale_probe's production configuration: the centroid count grows with
+the inflation factor so inverted lists stay bounded. Run alone on an
+idle machine: python tools/deep_probe.py [names...]
 Appends/replaces a `## Deep probes` section in SCALE.md (preserved by
 scale_probe's manual-section rule).
 """
@@ -32,7 +35,59 @@ DEFAULT = [
     "q113_cluster_size_histogram",
     "q107_minhash_estimate_quality",
     "q128_prefix_filter_join",
+    # round-9 verdict item 6: the two worst remaining 8x ratios without
+    # a deep-probe exponent (q93 4.2x by-design centroid scaling, q111
+    # 4.1x). A full default run replaces the SCALE.md section wholesale,
+    # so keep every probed operator in DEFAULT.
+    "q93_incremental_ann_ingest",
+    "q111_image_near_dup",
 ]
+
+
+def inflate_embeddings(spark, src_dir: str, out_dir: str, n: int) -> None:
+    """n content-decorrelated embedding copies: cyclic component
+    rotation per copy (k < 32 < EMBED_DIM so every copy's projection
+    space differs), the scale_probe.inflate convention."""
+    import pyspark.sql.functions as F
+
+    emb = spark.read.parquet(f"{src_dir}/embeddings.parquet")
+    n_vecs = emb.count()
+    dim = len(emb.first()["embedding"])
+    copies = []
+    for k in range(n):
+        rot = F.expr(
+            f"concat(slice(embedding, {k % dim + 1}, {dim - k % dim}),"
+            f" slice(embedding, 1, {k % dim}))"
+        )
+        copies.append(
+            emb.select(
+                (F.col("vec_id") + k * n_vecs).alias("vec_id"),
+                rot.alias("embedding"),
+                "label",
+            )
+        )
+    big = copies[0]
+    for c in copies[1:]:
+        big = big.unionByName(c)
+    big.write.mode("overwrite").parquet(f"{out_dir}/embeddings.parquet")
+
+
+def _probe_fn(name: str, n: int):
+    """q93 scales K with the inflation (bounded inverted lists — the
+    scale_probe._probe_fns rule); everything else runs the registered
+    builder unchanged."""
+    from smartbulkcopy_spark.queries import REGISTRY
+
+    if name == "q93_incremental_ann_ingest":
+        from smartbulkcopy_spark.pipeline.similarity import (
+            N_CENTROIDS,
+            incremental_ann_ingest,
+        )
+
+        return lambda spark, d: incremental_ann_ingest(
+            spark, d, k=N_CENTROIDS * n
+        )
+    return REGISTRY[name].fn
 
 
 def main() -> None:
@@ -58,9 +113,12 @@ def main() -> None:
     try:
         for n in SCALES:
             d = f"{tmp}/x{n}"
-            inflate_documents(spark, base, d, n, "disjoint")
+            if any(q != "q93_incremental_ann_ingest" for q in names):
+                inflate_documents(spark, base, d, n, "disjoint")
+            if "q93_incremental_ann_ingest" in names:
+                inflate_embeddings(spark, base, d, n)
             for q in names:
-                fn = REGISTRY[q].fn
+                fn = _probe_fn(q, n)
                 time_one(spark, fn, d)  # warm
                 t = time_one(spark, fn, d)
                 results[(q, n)] = t
@@ -68,11 +126,13 @@ def main() -> None:
             shutil.rmtree(d, ignore_errors=True)
         lines = [
             "",
-            "## Deep probes (documents-only operators at 16x/32x)",
+            "## Deep probes (heavy-tail operators at 16x/32x)",
             "",
             f"`tools/deep_probe.py`, loadavg {la1:.2f} at start."
-            " Content-disjoint inflation (winnow_tail_probe"
-            " construction); exponent = log2(t32/t16), 1.0 = linear.",
+            " Content-disjoint inflation (winnow_tail_probe Caesar+"
+            "reverse for documents, cyclic component rotation for"
+            " embeddings; q93 scales K with the inflation);"
+            " exponent = log2(t32/t16), 1.0 = linear.",
             "",
             "| operator | t(16x) s | t(32x) s | exponent |",
             "|---|---|---|---|",

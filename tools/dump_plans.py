@@ -422,6 +422,27 @@ ANNOTATED = {
     " per-type groups) — the streaming execution itself ran"
     " availableNow inside the builder, complete-mode state bounded by"
     " the key space.",
+    "q179_bpe_vocab_budget": "The dumped plan is the bounded minted-"
+    "rules literal (<= 5 rows, createDataFrame): each budget round ran"
+    " q176's per-doc window algebra + partial-agg pair count inside"
+    " the builder, parameterized by the same 1-row collect that"
+    " enforces the tf floor — an early-out SKIPS the remaining rewrite"
+    " rounds entirely.",
+    "q180_exact_substring_verify": "Winnowing fingerprint pass + fph-"
+    "keyed pair join (q164 chain) feeds an eager-persisted candidate"
+    " set; the corpus is LEFT-SEMI thinned to candidate MEMBERS before"
+    " the row-local 34-char md5 gram explode; verify joins key member"
+    " id + gram hash; final left join keeps unverified pairs at 0.",
+    "q181_pq_codebook_refresh": "Zero-join broadcast-literal argmin"
+    " (q141 shape) + row-local floor-scaled subvector explode; per-dim"
+    " sums shuffle on (m, code, d) = 512 groups (map-side partial agg"
+    " does the reduction); drift joins the 512-row broadcast codeword"
+    " grid; 32-row output via the driver-side code grid left join.",
+    "q182_stream_peak_concurrency": "The dumped plan is the bounded"
+    " 1-row assembly (createDataFrame from three driver scalars over"
+    " the eager-persisted edge table) — the applyInPandasWithState"
+    " interval tracker ran availableNow inside the builder; state is"
+    " three longs per user, edges band-decompose as in batch q172.",
 }
 
 

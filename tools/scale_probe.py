@@ -132,6 +132,10 @@ PROBES = [
     "q176_bpe_iterated_merges",
     "q177_incremental_contamination",
     "q178_stream_seasonality",
+    "q179_bpe_vocab_budget",
+    "q180_exact_substring_verify",
+    "q181_pq_codebook_refresh",
+    "q182_stream_peak_concurrency",
 ]
 
 
