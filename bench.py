@@ -498,13 +498,16 @@ def main() -> None:
     # actually tracks plan regressions.
     timings: dict[str, float] = {}
     for qi, (name, spec) in enumerate(sorted(REGISTRY.items())):
-        if qi % 8 == 7:
+        if qi % 4 == 3:
             # Periodic JVM GC nudge: a long single-session sweep over a
             # 170+-query registry accumulates heap pressure that taxed
             # later queries ~8% by the end (round 9 measured the shared
             # q1-q116 sum at 125.1s inside the full sweep vs 117.1s in a
             # fresh session; with this nudge it returns to 111.5s — the
-            # r7 baseline exactly). Outside the per-query timed window.
+            # r7 baseline exactly). Every 4 since round 10: at 183
+            # registrations the every-8 cadence let ~8% of the tax back
+            # in (two idle runs measured the shared sum at 126.3/123.0 s
+            # vs r9's 114.9). Outside the per-query timed window.
             spark.sparkContext._jvm.System.gc()
         runs: list[float] = []
         # Two runs normally; a third ONLY when the first two disagree by

@@ -1904,3 +1904,186 @@ def q181(spark, sf_dir):
         )
         .orderBy("m", "code")
     )
+
+
+# ---------------------------------------------------------------------------
+# Hierarchical (tree) quantizer assignment — the scale fix for flat
+# coarse assignment. q93/q141 assign with an argmin over ALL K centroid
+# literals, so per-row cost grows with K; with K scaled to the corpus
+# (the bounded-inverted-list rule) the cost is super-linear BY
+# CONSTRUCTION — rows x K, asymptote 2.0 (the deep probe's q93 rows
+# in SCALE.md carry the measured trend). The tree
+# walk brings per-row cost to BRANCH x ceil(log_BRANCH K): leaves are
+# the K lowest-vec_id embeddings (q36 convention) grouped into
+# consecutive BRANCH-ary subtrees whose pivot is their FIRST leaf (a
+# data-point pivot — no averaging, so the tree is deterministic and
+# oracle-expressible); each level picks the nearest pivot and descends.
+# The whole walk is ONE row-local expression chain: per level, a map
+# LITERAL (group -> children) is probed with element_at and the argmin
+# folds over <= BRANCH candidate structs — zero joins, zero shuffles,
+# and each level's index feeds the next via a precomputed child index
+# so the expression stays LINEAR in K (no CASE-tree blowup). Standard
+# IVF tradeoff: assignment is approximate (a vector may beat a pivot
+# but lose in its subtree); the oracle replays the identical walk.
+# ---------------------------------------------------------------------------
+
+TREE_LEAVES = 16  # fixture K (probe scales it with the corpus)
+TREE_BRANCH = 4  # fanout per level -> depth 2 at the fixture K
+
+
+def _tree_levels(leaves, branch):
+    """Per-level child tables for the walk. Level l (1-based, L total)
+    partitions the leaf list into groups of branch**(L-l+1) consecutive
+    leaves; each group's children are its branch subgroups, represented
+    by (next_index_or_code, pivot_vector). Intermediate children carry
+    the NEXT level's global group index (c * branch + j, precomputed so
+    the walk never re-references the running index twice); last-level
+    children carry the leaf code itself."""
+    import math
+
+    K = len(leaves)
+    L = max(1, math.ceil(math.log(K, branch)))
+    levels = []
+    for l in range(1, L + 1):
+        gsub = branch ** (L - l)
+        gcur = gsub * branch
+        groups = {}
+        for c in range((K + gcur - 1) // gcur):
+            children = []
+            for j in range(branch):
+                base = c * gcur + j * gsub
+                if base >= K:
+                    break
+                if l == L:
+                    code, vec = leaves[base]
+                    children.append((int(code), vec))
+                else:
+                    children.append((c * branch + j, leaves[base][1]))
+            groups[c] = children
+        levels.append(groups)
+    return levels
+
+
+def _tree_walk_expr(levels):
+    """The assignment walk as one column expression: returns a struct
+    (d, jn) where jn is the chosen leaf code and d its distance
+    surrogate (-2 e.c + c.c, the q141 spelling)."""
+    e = F.col("embedding")
+
+    def child_struct(idx, vec):
+        return F.struct(
+            F.lit(int(idx)).alias("jn"),
+            F.array(*[F.lit(float(v)) for v in vec]).alias("v"),
+            F.lit(_py_fold_dot(vec)).alias("c2"),
+        )
+
+    cur = F.lit(0)
+    pick = None
+    for groups in levels:
+        entries = []
+        for c in sorted(groups):
+            arr = F.array(
+                *[child_struct(j, vec) for j, vec in groups[c]]
+            )
+            entries.extend([F.lit(c), arr])
+        cands = F.transform(
+            F.element_at(F.create_map(*entries), cur),
+            lambda x: F.struct(
+                (-2.0 * dot_fold(e, x["v"]) + x["c2"]).alias("d"),
+                x["jn"].alias("jn"),
+            ),
+        )
+        pick = F.array_min(cands)  # ties -> lower child index/code
+        cur = pick["jn"]
+    return pick
+
+
+def tree_assignment(spark, sf_dir, k=TREE_LEAVES, branch=TREE_BRANCH):
+    """(code, n_vecs, err_e6) per assigned leaf — the parameterized
+    builder tools/deep_probe.py scales (k grows with the corpus, depth
+    with log k) while q183 registers the fixture configuration."""
+    rows = (
+        table(spark, sf_dir, "embeddings")
+        .orderBy("vec_id")
+        .limit(k)
+        .collect()
+    )
+    leaves = [
+        (r["vec_id"], [float(v) for v in r["embedding"]]) for r in rows
+    ]
+    levels = _tree_levels(leaves, branch)
+    emb = spread(spark, table(spark, sf_dir, "embeddings"))
+    e = F.col("embedding")
+    sel = emb.select("embedding", _tree_walk_expr(levels).alias("p"))
+    per_row = sel.select(
+        F.col("p")["jn"].cast("long").alias("code"),
+        F.floor(
+            F.greatest(dot_fold(e, e) + F.col("p")["d"], F.lit(0.0))
+            * F.lit(1000000.0)
+        )
+        .cast("long")
+        .alias("err_e6"),
+    )
+    return (
+        per_row.groupBy("code")
+        .agg(
+            F.count("*").cast("long").alias("n_vecs"),
+            F.sum("err_e6").cast("long").alias("err_e6"),
+        )
+        .orderBy("code")
+    )
+
+
+_Q183_DIST_P = (
+    f"-2.0 * {_dot_duck('e.embedding', 'p.embedding')}"
+    f" + {_dot_duck('p.embedding', 'p.embedding')}"
+)
+_Q183_DIST_L = (
+    f"-2.0 * {_dot_duck('e.embedding', 'b.embedding')}"
+    f" + {_dot_duck('b.embedding', 'b.embedding')}"
+)
+
+
+@register(
+    "q183_ann_tree_assignment",
+    "WITH base AS MATERIALIZED (SELECT vec_id AS code, embedding,"
+    " row_number() OVER (ORDER BY vec_id) - 1 AS rk"
+    " FROM (SELECT vec_id, embedding FROM embeddings"
+    f" ORDER BY vec_id LIMIT {TREE_LEAVES})),"
+    f" piv AS (SELECT rk // {TREE_BRANCH ** 1} AS g, embedding"
+    f" FROM base WHERE rk % {TREE_BRANCH} = 0),"
+    " lv1 AS (SELECT e.vec_id, p.g,"
+    f" row_number() OVER (PARTITION BY e.vec_id"
+    f" ORDER BY {_Q183_DIST_P}, p.g) AS rn"
+    " FROM embeddings e CROSS JOIN piv p),"
+    " g1 AS (SELECT vec_id, g FROM lv1 WHERE rn = 1),"
+    " lv2 AS (SELECT e.vec_id, b.code,"
+    f" {_Q183_DIST_L} AS d,"
+    f" {_dot_duck('e.embedding', 'e.embedding')} AS ee,"
+    " row_number() OVER (PARTITION BY e.vec_id"
+    f" ORDER BY {_Q183_DIST_L}, b.code) AS rn"
+    " FROM embeddings e JOIN g1 ON g1.vec_id = e.vec_id"
+    f" JOIN base b ON b.rk // {TREE_BRANCH} = g1.g),"
+    " a AS (SELECT vec_id, code,"
+    " CAST(floor(greatest(ee + d, 0.0) * 1000000.0) AS BIGINT) AS err"
+    " FROM lv2 WHERE rn = 1)"
+    " SELECT CAST(code AS BIGINT) AS code,"
+    " CAST(count(*) AS BIGINT) AS n_vecs,"
+    " CAST(sum(err) AS BIGINT) AS err_e6"
+    " FROM a GROUP BY code ORDER BY code",
+    doc=f"Hierarchical quantizer assignment: {TREE_LEAVES} leaves in a"
+    f" {TREE_BRANCH}-ary pivot tree (pivot = first leaf of each"
+    " subtree, the q36 deterministic convention) walked ROW-LOCALLY —"
+    " per level, element_at on a map literal yields <= BRANCH"
+    " candidate structs and an array_min fold descends; zero joins,"
+    " zero shuffles, per-row cost BRANCH x depth instead of q93/q141's"
+    " flat K. THE scale fix for flat assignment's rows x K cost, which"
+    " is super-linear once K grows with the corpus; BRANCH x log K is"
+    " not (both probed at 16x/32x in SCALE.md deep probes). The"
+    " assignment is approximate in the standard IVF-tree sense; the"
+    " oracle replays the identical two-level walk with the same"
+    " (distance, index) tie order. Output: per-leaf histogram +"
+    " floor-scaled quantization error mass (q141 spelling).",
+)
+def q183(spark, sf_dir):
+    return tree_assignment(spark, sf_dir)

@@ -3687,6 +3687,9 @@ QUEUED_SINCE = {
     "q180_exact_substring_verify": 104,
     "q181_pq_codebook_refresh": 105,
     "q182_stream_peak_concurrency": 106,
+    # the deep probe's q93 answer (rows x K turns super-linear as K
+    # grows with the corpus): tree assignment at BRANCH x log K per row
+    "q183_ann_tree_assignment": 107,
 }
 
 

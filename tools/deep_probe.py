@@ -41,6 +41,9 @@ DEFAULT = [
     # so keep every probed operator in DEFAULT.
     "q93_incremental_ann_ingest",
     "q111_image_near_dup",
+    # the fix for q93's by-construction rows x K exponent: same scaled
+    # K as the q93 probe, but BRANCH x log K per row
+    "q183_ann_tree_assignment",
 ]
 
 
@@ -87,6 +90,17 @@ def _probe_fn(name: str, n: int):
         return lambda spark, d: incremental_ann_ingest(
             spark, d, k=N_CENTROIDS * n
         )
+    if name == "q183_ann_tree_assignment":
+        # same scaled K as the q93 probe (apples-to-apples): the tree
+        # walk pays BRANCH x ceil(log4 K) per row where q93 pays K
+        from smartbulkcopy_spark.pipeline.similarity import (
+            N_CENTROIDS,
+            tree_assignment,
+        )
+
+        return lambda spark, d: tree_assignment(
+            spark, d, k=N_CENTROIDS * n
+        )
     return REGISTRY[name].fn
 
 
@@ -115,7 +129,7 @@ def main() -> None:
             d = f"{tmp}/x{n}"
             if any(q != "q93_incremental_ann_ingest" for q in names):
                 inflate_documents(spark, base, d, n, "disjoint")
-            if "q93_incremental_ann_ingest" in names:
+            if {"q93_incremental_ann_ingest", "q183_ann_tree_assignment"} & set(names):
                 inflate_embeddings(spark, base, d, n)
             for q in names:
                 fn = _probe_fn(q, n)
@@ -143,6 +157,18 @@ def main() -> None:
                 f"| {q} | {t16:.2f} | {t32:.2f} |"
                 f" {math.log2(t32 / t16):.2f} |"
             )
+        lines += [
+            "",
+            "Reading: flat assignment (q93) costs rows x K and the",
+            "probe grows K with the corpus (bounded inverted lists),",
+            "so its asymptote is 2.0 even while amortizing fixed costs",
+            "keeps the measured exponent lower at these scales. q183",
+            "assigns the same scaled K through a 4-ary pivot tree at",
+            "BRANCH x log K per row (row-local map-literal walk, zero",
+            "joins) — the structural fix. Sub-second run-to-run noise",
+            "moves the smaller operators' exponents by ~0.1-0.2 between",
+            "rounds; compare trends, not single runs.",
+        ]
         note = "\n".join(lines) + "\n"
         scale = REPO / "SCALE.md"
         text = scale.read_text()

@@ -443,6 +443,11 @@ ANNOTATED = {
     " the eager-persisted edge table) — the applyInPandasWithState"
     " interval tracker ran availableNow inside the builder; state is"
     " three longs per user, edges band-decompose as in batch q172.",
+    "q183_ann_tree_assignment": "Pure row-local tree walk: per level"
+    " an element_at on a map LITERAL + array_min fold over <= BRANCH"
+    " candidate structs — no join, no shuffle before the 16-group"
+    " histogram aggregation; per-row cost BRANCH x depth vs q93/q141's"
+    " flat K literals.",
 }
 
 

@@ -136,6 +136,7 @@ PROBES = [
     "q180_exact_substring_verify",
     "q181_pq_codebook_refresh",
     "q182_stream_peak_concurrency",
+    "q183_ann_tree_assignment",
 ]
 
 
@@ -156,6 +157,18 @@ def _probe_fns(name):
             lambda spark, d: incremental_ann_ingest(spark, d, k=N_CENTROIDS),
             lambda spark, d: incremental_ann_ingest(
                 spark, d, k=N_CENTROIDS * INFLATE
+            ),
+        )
+    if name == "q183_ann_tree_assignment":
+        from smartbulkcopy_spark.pipeline.similarity import (
+            TREE_LEAVES,
+            tree_assignment,
+        )
+
+        return (
+            lambda spark, d: tree_assignment(spark, d, k=TREE_LEAVES),
+            lambda spark, d: tree_assignment(
+                spark, d, k=TREE_LEAVES * INFLATE
             ),
         )
     fn = REGISTRY[name].fn
