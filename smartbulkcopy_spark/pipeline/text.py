@@ -3511,13 +3511,17 @@ _Q179_SQL = (
 )
 
 
-def bpe_mint_to_budget(tok, budget, floor_tf):
+def bpe_mint_to_budget(tok, budget, floor_tf, apply_all=False):
     """The budgeted merge loop on a token stream: returns the minted
-    (round, pair, tf, df) rules, stopping at the first round whose best
-    pair's tf falls below floor_tf — and SKIPPING the remaining rewrite
-    rounds when it does (the early-out is a compute saving, not just a
-    filter). Extracted from q179 so a synthetic corpus can exercise
-    both the budget-exhausted and floor-fired branches."""
+    (round, pair, tf, df) rules and the final stream, stopping at the
+    first round whose best pair's tf falls below floor_tf — and
+    SKIPPING the remaining rewrite rounds when it does (the early-out
+    is a compute saving, not just a filter). Extracted from q179 so a
+    synthetic corpus can exercise both the budget-exhausted and
+    floor-fired branches. Training (apply_all=False) never rewrites
+    after the LAST minted rule (the rule list is the artifact);
+    tokenization (apply_all=True, q185) does — the returned stream is
+    then the corpus with every minted rule applied."""
     minted: list[tuple[int, str, int, int]] = []
     for rnd in range(1, budget + 1):
         rows = _bpe_top1(_bpe_pair_counts(tok)).collect()  # limit(1)
@@ -3526,10 +3530,10 @@ def bpe_mint_to_budget(tok, budget, floor_tf):
         minted.append(
             (rnd, rows[0]["pair"], int(rows[0]["tf"]), int(rows[0]["df"]))
         )
-        if rnd < budget:
+        if apply_all or rnd < budget:
             a, b = rows[0]["pair"].split(" ", 1)
             tok = eager(_bpe_apply(tok, a, b))
-    return minted
+    return minted, tok
 
 
 
@@ -3556,7 +3560,7 @@ def q179(spark, sf_dir):
     n_docs = table(spark, sf_dir, "documents").count()
     floor_tf = max(2, n_docs // BPE_TF_FLOOR_DIVISOR)
     tok = eager(_bpe_tok0(spark, sf_dir))
-    minted = bpe_mint_to_budget(tok, BPE_BUDGET_ROUNDS, floor_tf)
+    minted, _tok = bpe_mint_to_budget(tok, BPE_BUDGET_ROUNDS, floor_tf)
     schema = _T.StructType(
         [
             _T.StructField("merge_round", _T.LongType()),
@@ -3566,3 +3570,96 @@ def q179(spark, sf_dir):
         ]
     )
     return spark.createDataFrame(minted, schema)
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer APPLICATION — the serving-side half of q179's training:
+# the minted vocabulary (up to BPE_BUDGET_ROUNDS rules, tf-floor
+# early-out) is applied to the corpus in mint order, greedy
+# left-to-right per rule (the q176 window algebra), and the readout is
+# the per-document compression the vocabulary bought: token counts
+# before/after and the merge count. Unlike training, application
+# rewrites through the LAST minted rule. The oracle cannot know the
+# minted count k in advance, so its final stream SELECTS among the
+# unrolled tok0..tokB streams with cumulative floor guards (tok{r}
+# wins iff rounds 1..r all cleared the floor and round r+1 does not) —
+# the SQL mirror of the driver-side break.
+# ---------------------------------------------------------------------------
+
+
+def _q185_ok(r: int) -> str:
+    return (
+        f"EXISTS (SELECT 1 FROM top{r}"
+        f" WHERE tf >= {_Q179_FLOOR_SQL})"
+    )
+
+
+def _q185_branch(r: int) -> str:
+    conds = [_q185_ok(s) for s in range(1, r + 1)]
+    if r < BPE_BUDGET_ROUNDS:
+        conds.append(f"NOT ({_q185_ok(r + 1)})")
+    return (
+        f"SELECT doc_id FROM tok{r} WHERE "
+        + " AND ".join(conds or ["true"])
+    )
+
+
+_Q185_SQL = (
+    "WITH tok0 AS MATERIALIZED (SELECT doc_id, CAST(u.i AS BIGINT) - 1"
+    " AS i, t[u.i] AS tok FROM (SELECT doc_id,"
+    f" regexp_extract_all({NORM_SQL_DUCK}, '{_BPE_PATTERN}') AS t"
+    " FROM documents) tk, unnest(range(1, len(t) + 1)) AS u(i)),"
+    + ",".join(
+        _bpe_round_ctes(r) for r in range(1, BPE_BUDGET_ROUNDS + 1)
+    )
+    + ", cnt0 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok0"
+    " FROM tok0 GROUP BY doc_id),"
+    " fin AS ("
+    + " UNION ALL ".join(
+        _q185_branch(r) for r in range(0, BPE_BUDGET_ROUNDS + 1)
+    )
+    + "), cntk AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok"
+    " FROM fin GROUP BY doc_id)"
+    " SELECT doc_id, n_tok0, n_tok, n_tok0 - n_tok AS merged"
+    " FROM cnt0 JOIN cntk USING (doc_id) ORDER BY doc_id"
+)
+
+
+@register(
+    "q185_bpe_tokenize_apply",
+    _Q185_SQL,
+    doc="BPE tokenizer application (the q179 serving side): the minted"
+    " vocabulary is applied to the corpus rule by rule in mint order —"
+    " greedy left-to-right via the q176 per-doc window algebra,"
+    " rewriting through the LAST rule (training stops one short; the"
+    " rule list is its artifact, the tokenized stream is this one's)."
+    " Output: per-document token counts before/after and the merge"
+    " count the vocabulary bought. The oracle selects among the"
+    " unrolled tok0..tok5 streams with cumulative tf-floor guards —"
+    " the SQL mirror of the driver-side early-out. Shuffles: one"
+    " doc_id-keyed window pass per applied rule + two per-doc count"
+    " rollups; everything doc-length-bounded.",
+)
+def q185(spark, sf_dir):
+    n_docs = table(spark, sf_dir, "documents").count()
+    floor_tf = max(2, n_docs // BPE_TF_FLOOR_DIVISOR)
+    tok0 = eager(_bpe_tok0(spark, sf_dir))
+    _minted, tok = bpe_mint_to_budget(
+        tok0, BPE_BUDGET_ROUNDS, floor_tf, apply_all=True
+    )
+    c0 = tok0.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_tok0")
+    )
+    ck = tok.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_tok")
+    )
+    return (
+        c0.join(ck, "doc_id")
+        .select(
+            "doc_id",
+            "n_tok0",
+            "n_tok",
+            (F.col("n_tok0") - F.col("n_tok")).alias("merged"),
+        )
+        .orderBy("doc_id")
+    )

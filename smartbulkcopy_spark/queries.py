@@ -1676,8 +1676,9 @@ def q152(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "q153_session_funnel",
+# Shared with q184's streaming twin (identical converged semantics —
+# single oracle definition so the two paths cannot drift).
+_Q153_SQL = (
     "WITH o AS (SELECT user_id, event_id, event_type, ts,"
     " epoch_us(ts) AS tmic,"
     " epoch_us(ts) - epoch_us(lag(ts) OVER"
@@ -1696,7 +1697,13 @@ def q152(spark, sf_dir):
     + " FROM s GROUP BY user_id, sid)"
     f" SELECT CAST({_FUNNEL_STAGE_SQL} AS BIGINT) AS funnel_stage,"
     " count(*) AS n_sessions FROM m"
-    " GROUP BY funnel_stage ORDER BY funnel_stage",
+    " GROUP BY funnel_stage ORDER BY funnel_stage"
+)
+
+
+@register(
+    "q153_session_funnel",
+    _Q153_SQL,
     doc="Funnel completion WITHIN a 30-minute-gap session (q35's"
     " sessionization composed with q58's ordered staging at session"
     " grain): conversion that credits only a single sitting. The"
@@ -3327,6 +3334,47 @@ def q182(spark, sf_dir):
             shutil.rmtree(feed, ignore_errors=True)
 
 
+# ---------------------------------------------------------------------------
+# q184: the session-funnel stateful twin under the hash gate — the
+# second applyInPandasWithState operator externally graded (q182 was
+# the interval tracker; this one carries 4 stage first-times in the
+# per-user state and converges by monotone-min over emissions, the
+# _FUNNEL_MISSING sentinel trick). Oracle = q153's SQL verbatim.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q184_stream_session_funnel",
+    _Q153_SQL,
+    doc="Streaming session funnel under the oracle gate: the builder"
+    " drains the event feed through the update-mode"
+    " applyInPandasWithState funnel tracker (state = sid + last + four"
+    " stage first-times per user; missing stages carry a huge sentinel"
+    " so every per-session emission series is monotone non-increasing"
+    " and convergence is a plain min over emissions) and rolls the"
+    " converged per-session stage mins through the exact CASE"
+    " expression batch q153 uses — the driver's hash grade covers the"
+    " SECOND custom stateful operator (q182 graded the first)."
+    " Memory-sink names sequence-unique; one availableNow pass.",
+)
+def q184(spark, sf_dir):
+    import shutil
+
+    from smartbulkcopy_spark import streaming as _streaming
+
+    src = f"{sf_dir}/events.parquet"
+    feed = _streaming.streamable_events_dir(src)
+    try:
+        return _streaming.run_session_funnel(
+            spark,
+            feed,
+            query_name=f"q184_funnel_{next(_STREAM_RUN_SEQ)}",
+        )
+    finally:
+        if feed != os.path.abspath(src):
+            shutil.rmtree(feed, ignore_errors=True)
+
+
 # Phase-5 pipeline operators (q21+) register themselves on import. The
 # import sits at the bottom because pipeline modules import `register`/
 # `table` from this module (deliberate one-way late binding, not a cycle
@@ -3690,6 +3738,10 @@ QUEUED_SINCE = {
     # the deep probe's q93 answer (rows x K turns super-linear as K
     # grows with the corpus): tree assignment at BRANCH x log K per row
     "q183_ann_tree_assignment": 107,
+    # second stateful-streaming grade + the q179 serving-side tokenizer:
+    # exactly fills the r10 window (15 never-graded + the stale dozen)
+    "q184_stream_session_funnel": 108,
+    "q185_bpe_tokenize_apply": 109,
 }
 
 

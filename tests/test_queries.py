@@ -165,10 +165,10 @@ def test_r9_window_prediction():
 
 def test_r10_window_prediction():
     """Round-9 verdict item 1: the round-10 rotation window must take
-    the 8 spilled never-graded rows (q171..q178), the five round-10
-    registrations (q179..q183), the full r04-stale dozen, and the two
-    most-senior r05 rows — in that order. Guarded on the ledger state
-    so the pin retires itself once round 10 is folded."""
+    the 8 spilled never-graded rows (q171..q178), the seven round-10
+    registrations (q179..q185), and the full r04-stale dozen — exactly
+    filling the 27 rotation slots. Guarded on the ledger state so the
+    pin retires itself once round 10 is folded."""
     from smartbulkcopy_spark.queries import (
         DRIVER_WINDOW,
         LAST_GREEN,
@@ -181,12 +181,12 @@ def test_r10_window_prediction():
     rotation = ordered_names()[len(TIER1) : DRIVER_WINDOW]
     bynum = sorted(REGISTRY, key=lambda n: int(n[1 : n.index("_")]))
     never_graded = [
-        n for n in bynum if 171 <= int(n[1 : n.index("_")]) <= 183
+        n for n in bynum if 171 <= int(n[1 : n.index("_")]) <= 185
     ]
+    assert len(never_graded) == 15
     stale_r04 = [
         n for n in bynum if LAST_GREEN.get(n) == 4
     ]  # q48 q49 q50 q52 q53 q56 q60 q63 q64 q65 q66 q68
     assert len(stale_r04) == 12
-    r05_head = [n for n in bynum if LAST_GREEN.get(n) == 5][:2]
-    expected = never_graded + stale_r04 + r05_head
+    expected = never_graded + stale_r04
     assert rotation == expected

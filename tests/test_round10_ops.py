@@ -107,6 +107,31 @@ def test_q180_verified_vs_reworded(spark, tmp_path):
     assert u["shared_fps"] >= 5
 
 
+def test_q185_apply_rewrites_through_last_rule(spark, tmp_path):
+    """Training on 'x x x x' mints one rule then floor-stops; the
+    tokenizer must still APPLY that rule (training's loop stops one
+    rewrite short — application may not): [x,x,x,x] -> [xx,xx]."""
+    d = tmp_path / "sf_q185"
+    d.mkdir()
+    _write_documents(d, [(1, "x x x x")])
+    got = [
+        tuple(r)
+        for r in REGISTRY["q185_bpe_tokenize_apply"].fn(spark, str(d)).collect()
+    ]
+    assert got == [(1, 4, 2, 2)]
+
+
+def test_q184_matches_batch_q153(spark, sf_dir):
+    """The stateful funnel twin must converge bit-equal to batch q153
+    on the fixture feed (single availableNow batch = time-ordered
+    arrival)."""
+    stream_rows = (
+        REGISTRY["q184_stream_session_funnel"].fn(spark, sf_dir).collect()
+    )
+    batch_rows = REGISTRY["q153_session_funnel"].fn(spark, sf_dir).collect()
+    assert [tuple(r) for r in stream_rows] == [tuple(r) for r in batch_rows]
+
+
 def test_q181_refresh_conservation(spark, sf_dir):
     """Every vector is assigned exactly once per subspace, so the
     n_vecs column must sum to the embedding count within each m; the

@@ -448,6 +448,16 @@ ANNOTATED = {
     " candidate structs — no join, no shuffle before the 16-group"
     " histogram aggregation; per-row cost BRANCH x depth vs q93/q141's"
     " flat K literals.",
+    "q184_stream_session_funnel": "The dumped plan is the post-drain"
+    " convergence rollup over the memory sink (per-session monotone"
+    " mins -> the q153 CASE -> 5-row rollup) — the"
+    " applyInPandasWithState funnel tracker ran availableNow inside"
+    " the builder; state is six longs per user.",
+    "q185_bpe_tokenize_apply": "Per applied rule one doc_id-keyed"
+    " window pass over the persisted token stream (the q176 greedy"
+    " algebra), then two per-doc count rollups joined on doc_id —"
+    " everything doc-length-bounded; rules arrive as bounded 1-row"
+    " collects.",
 }
 
 

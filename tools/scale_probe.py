@@ -137,6 +137,8 @@ PROBES = [
     "q181_pq_codebook_refresh",
     "q182_stream_peak_concurrency",
     "q183_ann_tree_assignment",
+    "q184_stream_session_funnel",
+    "q185_bpe_tokenize_apply",
 ]
 
 
