@@ -2319,7 +2319,7 @@ def q180(spark, sf_dir):
         .where(F.col("pc") <= WINNOW_MAX_POSTINGS)
         .select("fph")
     )
-    pkf = pk.join(keep, "fph", "left_semi")
+    pkf = eager(pk.join(keep, "fph", "left_semi"))
     a = pkf.select(F.col("doc_id").alias("a_id"), "fph")
     b = pkf.select(
         F.col("doc_id").alias("b_id"), F.col("fph").alias("fph2")
@@ -2345,15 +2345,21 @@ def q180(spark, sf_dir):
         .select("doc_id", F.expr(NORM_SPARK).alias("n"))
         .where(F.length("n") >= Q180_L2)
     )
-    grams = thin.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                f"array_distinct(transform("
-                f"sequence(1, length(n) - {Q180_L2 - 1}),"
-                f" i -> md5(substr(n, i, {Q180_L2}))))"
-            )
-        ).alias("h2"),
+    # eager: BOTH verify-join sides read the member gram table and the
+    # two joins key differently (a_id vs (b_id, h2)), so an unpersisted
+    # plan would run the heaviest verify expression twice (CLAUDE.md
+    # multi-consumer rule; q164's pkf precedent)
+    grams = eager(
+        thin.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"array_distinct(transform("
+                    f"sequence(1, length(n) - {Q180_L2 - 1}),"
+                    f" i -> md5(substr(n, i, {Q180_L2}))))"
+                )
+            ).alias("h2"),
+        )
     )
     ga = grams.select(F.col("doc_id").alias("a_id"), "h2")
     gb = grams.select(F.col("doc_id").alias("b_id"), "h2")

@@ -3518,10 +3518,12 @@ def bpe_mint_to_budget(tok, budget, floor_tf, apply_all=False):
     SKIPPING the remaining rewrite rounds when it does (the early-out
     is a compute saving, not just a filter). Extracted from q179 so a
     synthetic corpus can exercise both the budget-exhausted and
-    floor-fired branches. Training (apply_all=False) never rewrites
-    after the LAST minted rule (the rule list is the artifact);
-    tokenization (apply_all=True, q185) does — the returned stream is
-    then the corpus with every minted rule applied."""
+    floor-fired branches. Training (apply_all=False) skips the rewrite
+    only when the BUDGET exhausts (the rule list is the artifact; a
+    floor-fired stop still rewrote after its last minted rule, because
+    counting the failing round's pairs required it); tokenization
+    (apply_all=True, q185) always rewrites through the last minted
+    rule — the returned stream is the corpus with every rule applied."""
     minted: list[tuple[int, str, int, int]] = []
     for rnd in range(1, budget + 1):
         rows = _bpe_top1(_bpe_pair_counts(tok)).collect()  # limit(1)

@@ -321,11 +321,15 @@ def run_enrichment(
         return spark.table(query_name)
     finally:
         # streamable_events_dir mkdtemps a symlink dir for single-file
-        # fixtures (pass-through for real directories) — reclaim it.
+        # fixtures (pass-through for real directories). Creator cleans:
+        # remove the dir ONLY when this call created it (feed differs
+        # from the caller's path) — a caller-provided feed dir, even
+        # one built by streamable_events_dir earlier, is caller-owned
+        # (the q182/q184 idiom).
         import os
         import shutil
 
-        if os.path.basename(feed).startswith("sbc_stream_feed_"):
+        if feed != os.path.abspath(source):
             shutil.rmtree(feed, ignore_errors=True)
 
 

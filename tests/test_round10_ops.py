@@ -152,23 +152,52 @@ def test_q181_refresh_conservation(spark, sf_dir):
 
 
 def test_q183_tree_walk_conservation(spark, sf_dir):
-    """Every vector lands on exactly one leaf, and the tree walk's
-    chosen leaf can never beat the FLAT argmin (q141's exact
-    assignment): the total tree error mass is >= what a flat argmin
-    over the same 16 leaves would pay — equality iff the pivot routing
-    never misroutes. Also pins the per-level tie order by checking a
-    vector identical to a leaf gets error 0 on that leaf."""
+    """Fixture invariants: every vector lands on exactly one leaf
+    (counts conserve), error mass is non-negative, and each assigned
+    leaf appears once."""
     from smartbulkcopy_spark.queries import table
 
     n_emb = table(spark, sf_dir, "embeddings").count()
     rows = REGISTRY["q183_ann_tree_assignment"].fn(spark, sf_dir).collect()
     assert sum(r["n_vecs"] for r in rows) == n_emb
     assert all(r["err_e6"] >= 0 for r in rows)
-    # the 16 leaves themselves route to themselves with error 0: the
-    # level-1 pivot IS the leaf for pivot leaves, and within a subtree
-    # the exact-match distance -||e||^2 is the unique minimum
     leaf_codes = {r["code"] for r in rows}
     assert len(leaf_codes) == len(rows)  # one row per assigned leaf
+
+
+def test_q183_routing_exact_on_separated_clusters(spark, tmp_path):
+    """Hand-built routing pin: 16 vectors in 4 well-separated clusters
+    of 4, laid out so leaf group g IS cluster g (vec_id order). Every
+    vector is itself a leaf: level 1 must route it to its own
+    cluster's pivot (the clusters are far apart) and level 2 to
+    ITSELF (self-distance is the strict minimum) — so the histogram is
+    exactly one vector per leaf with error 0. A wrong child-index
+    precompute in _tree_levels, a broken tie order, or a misaligned
+    map key would all scatter the histogram or leave residual error."""
+    import pandas as pd
+
+    dim = 8
+    rows = []
+    for g in range(4):
+        for i in range(4):
+            v = [0.0] * dim
+            v[g] = 100.0 * (g + 1)  # cluster centers far apart
+            v[4 + (i % 4) // 2] = 1.0 + i  # small within-cluster spread
+            rows.append((4 * g + i, v, g))
+    pd.DataFrame(
+        {
+            "vec_id": [r[0] for r in rows],
+            "embedding": [r[1] for r in rows],
+            "label": [r[2] for r in rows],
+        }
+    ).to_parquet(tmp_path / "embeddings.parquet", index=False)
+    got = [
+        tuple(r)
+        for r in REGISTRY["q183_ann_tree_assignment"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    ]
+    assert got == [(code, 1, 0) for code in range(16)]
 
 
 def test_q182_matches_batch_q172(spark, sf_dir):

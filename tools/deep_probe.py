@@ -127,9 +127,13 @@ def main() -> None:
     try:
         for n in SCALES:
             d = f"{tmp}/x{n}"
-            if any(q != "q93_incremental_ann_ingest" for q in names):
+            emb_only = {
+                "q93_incremental_ann_ingest",
+                "q183_ann_tree_assignment",
+            }
+            if set(names) - emb_only:
                 inflate_documents(spark, base, d, n, "disjoint")
-            if {"q93_incremental_ann_ingest", "q183_ann_tree_assignment"} & set(names):
+            if emb_only & set(names):
                 inflate_embeddings(spark, base, d, n)
             for q in names:
                 fn = _probe_fn(q, n)
