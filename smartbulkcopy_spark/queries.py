@@ -3423,15 +3423,15 @@ TIER1 = [
 # (rows_match & schema_match & hash_match). Absent = never driver-graded.
 # Generated by tools/ledger.py; keep in lockstep with SURVEY.md §2.12.
 LAST_GREEN = {
-    "q01_scan_project": 9,
-    "q02_logical_partition_bucket": 9,
-    "q03_range_partition_predicate": 9,
-    "q04_ordered_scan_desc": 9,
-    "q05_rowcount": 9,
-    "q06_bucket_counts": 9,
-    "q07_ident_current": 9,
-    "q08_table_size_agg": 9,
-    "q09_inner_join_agg": 9,
+    "q01_scan_project": 10,
+    "q02_logical_partition_bucket": 10,
+    "q03_range_partition_predicate": 10,
+    "q04_ordered_scan_desc": 10,
+    "q05_rowcount": 10,
+    "q06_bucket_counts": 10,
+    "q07_ident_current": 10,
+    "q08_table_size_agg": 10,
+    "q09_inner_join_agg": 10,
     "q100_gopher_rules": 7,
     "q101_hourly_cohort_retention": 7,
     "q102_conversion_latency": 7,
@@ -3442,7 +3442,7 @@ LAST_GREEN = {
     "q107_minhash_estimate_quality": 7,
     "q108_jaccard_distribution": 7,
     "q109_event_transitions": 7,
-    "q10_left_join_agg": 9,
+    "q10_left_join_agg": 10,
     "q110_image_ahash": 7,
     "q111_image_near_dup": 7,
     "q112_simhash_near_dup": 7,
@@ -3453,7 +3453,7 @@ LAST_GREEN = {
     "q117_image_dedup_keep": 8,
     "q118_pii_redaction": 8,
     "q119_crossdoc_repeated_spans": 8,
-    "q11_semi_join": 9,
+    "q11_semi_join": 10,
     "q120_hashed_linear_quality": 8,
     "q121_hll_distinct_tokens": 8,
     "q122_cms_heavy_hitters": 8,
@@ -3464,7 +3464,7 @@ LAST_GREEN = {
     "q127_kmv_source_overlap": 8,
     "q128_prefix_filter_join": 8,
     "q129_containment_join": 8,
-    "q12_except": 9,
+    "q12_except": 10,
     "q130_pps_token_sample": 8,
     "q131_vocab_growth": 8,
     "q132_cluster_separation": 8,
@@ -3475,7 +3475,7 @@ LAST_GREEN = {
     "q137_mad_length_outliers": 8,
     "q138_tokenizer_fertility": 8,
     "q139_gap_quantile_sketch": 8,
-    "q13_union_distinct": 9,
+    "q13_union_distinct": 10,
     "q140_regional_revenue_rollup": 8,
     "q141_pq_code_assignment": 8,
     "q142_encoding_anomaly_audit": 8,
@@ -3486,7 +3486,7 @@ LAST_GREEN = {
     "q147_temporal_split_audit": 9,
     "q148_stream_enrichment_rollup": 9,
     "q149_seqlen_truncation_frontier": 9,
-    "q14_topk": 9,
+    "q14_topk": 10,
     "q150_snapshot_diff_audit": 9,
     "q151_neyman_allocation": 9,
     "q152_corpus_rollup_totals": 9,
@@ -3497,7 +3497,7 @@ LAST_GREEN = {
     "q157_hourly_seasonality": 9,
     "q158_repeat_purchase_profile": 9,
     "q159_attribution_model_compare": 9,
-    "q15_case_when": 9,
+    "q15_case_when": 10,
     "q160_skeleton_template_dupes": 9,
     "q161_copurchase_lift": 9,
     "q162_rfm_segments": 9,
@@ -3508,12 +3508,27 @@ LAST_GREEN = {
     "q167_discount_elasticity": 9,
     "q168_scd2_version_profile": 9,
     "q169_zipf_coverage": 9,
-    "q16_quotename": 9,
+    "q16_quotename": 10,
     "q170_winnowing_contamination": 9,
-    "q17_agg_sweep": 9,
-    "q18_tumbling_window": 9,
-    "q19_rate_delta_lag": 9,
-    "q20_copy_roundtrip": 9,
+    "q171_source_template_matrix": 10,
+    "q172_peak_concurrency": 10,
+    "q173_coverage_gaps": 10,
+    "q174_growth_accounting": 10,
+    "q175_ab_conversion": 10,
+    "q176_bpe_iterated_merges": 10,
+    "q177_incremental_contamination": 10,
+    "q178_stream_seasonality": 10,
+    "q179_bpe_vocab_budget": 10,
+    "q17_agg_sweep": 10,
+    "q180_exact_substring_verify": 10,
+    "q181_pq_codebook_refresh": 10,
+    "q182_stream_peak_concurrency": 10,
+    "q183_ann_tree_assignment": 10,
+    "q184_stream_session_funnel": 10,
+    "q185_bpe_tokenize_apply": 10,
+    "q18_tumbling_window": 10,
+    "q19_rate_delta_lag": 10,
+    "q20_copy_roundtrip": 10,
     "q21_exact_dedup": 5,
     "q22_text_stats": 5,
     "q23_token_counts": 5,
@@ -3528,7 +3543,7 @@ LAST_GREEN = {
     "q32_binary_features": 5,
     "q33_embedding_near_dup": 5,
     "q34_near_dup_dedup": 5,
-    "q35_sessionization": 9,
+    "q35_sessionization": 10,
     "q36_ivf_assignment": 5,
     "q37_scalar_funcs": 5,
     "q38_bpe_token_counts": 5,
@@ -3538,30 +3553,30 @@ LAST_GREEN = {
     "q42_audio_frame_sample": 5,
     "q43_ann_bucketed_topk": 5,
     "q44_ivf_probe_topk": 5,
-    "q45_sliding_window": 9,
-    "q46_session_window": 9,
+    "q45_sliding_window": 10,
+    "q46_session_window": 10,
     "q47_ann_recall": 5,
-    "q48_vocab_topk": 4,
-    "q49_cross_source_neardups": 4,
-    "q50_split_assignment": 4,
+    "q48_vocab_topk": 10,
+    "q49_cross_source_neardups": 10,
+    "q50_split_assignment": 10,
     "q51_pack_offsets": 5,
-    "q52_tfidf_top_terms": 4,
-    "q53_blocklist_redaction": 4,
+    "q52_tfidf_top_terms": 10,
+    "q53_blocklist_redaction": 10,
     "q54_embedding_norm_audit": 5,
     "q55_embedding_dim_stats": 5,
-    "q56_mixture_resample": 4,
+    "q56_mixture_resample": 10,
     "q57_embedding_coverage": 6,
     "q58_event_funnel": 7,
     "q59_key_skew_histogram": 7,
-    "q60_event_enrichment": 4,
+    "q60_event_enrichment": 10,
     "q61_curation_stats": 6,
     "q62_pack_fill": 6,
-    "q63_incremental_dedup": 4,
-    "q64_json_props": 4,
-    "q65_exact_length_quantiles": 4,
-    "q66_intra_doc_repetition": 4,
+    "q63_incremental_dedup": 10,
+    "q64_json_props": 10,
+    "q65_exact_length_quantiles": 10,
+    "q66_intra_doc_repetition": 10,
     "q67_bucket_label_purity": 6,
-    "q68_eval_decontamination": 4,
+    "q68_eval_decontamination": 10,
     "q69_dedup_clusters": 6,
     "q70_cluster_dedup_keep": 6,
     "q71_trigram_novelty": 6,
