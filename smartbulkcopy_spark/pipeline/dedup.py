@@ -2023,6 +2023,36 @@ def _winnow_pair_ctes() -> str:
     )
 
 
+def winnow_capped_pairs(spark, sf_dir):
+    """(pkf, pr): the EAGER-persisted capped fingerprint table and the
+    fph-keyed pair frame (a_id, b_id, shared_fps) — the Spark twin of
+    the `_winnow_pair_ctes` oracle chain, shared by q164/q180/q187 so
+    the three detectors cannot drift. Callers own the persisted pkf
+    (released via queries.release_caches())."""
+    pk = winnow_fingerprints(spark, sf_dir)
+    keep = (
+        pk.groupBy("fph")
+        .agg(F.count("*").alias("pc"))
+        .where(F.col("pc") <= WINNOW_MAX_POSTINGS)
+        .select("fph")
+    )
+    pkf = eager(pk.join(keep, "fph", "left_semi"))
+    a = pkf.select(F.col("doc_id").alias("a_id"), "fph")
+    b = pkf.select(
+        F.col("doc_id").alias("b_id"), F.col("fph").alias("fph2")
+    )
+    pr = (
+        a.join(
+            b,
+            (F.col("fph") == F.col("fph2"))
+            & (F.col("a_id") < F.col("b_id")),
+        )
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").cast("long").alias("shared_fps"))
+    )
+    return pkf, pr
+
+
 @register(
     "q164_winnowing_overlap",
     f"WITH {_WINNOW_PK_CTES},"
@@ -2047,27 +2077,9 @@ def _winnow_pair_ctes() -> str:
     " hashing; the only data-sized shuffle keys the fingerprint hash.",
 )
 def q164(spark, sf_dir):
-    pk = winnow_fingerprints(spark, sf_dir)
-    keep = (
-        pk.groupBy("fph")
-        .agg(F.count("*").alias("pc"))
-        .where(F.col("pc") <= WINNOW_MAX_POSTINGS)
-        .select("fph")
-    )
-    pkf = eager(pk.join(keep, "fph", "left_semi"))
+    pkf, pr = winnow_capped_pairs(spark, sf_dir)
     cnt = pkf.groupBy("doc_id").agg(
         F.count("*").cast("long").alias("nf")
-    )
-    a = pkf.select(F.col("doc_id").alias("a_id"), "fph")
-    b = pkf.select(F.col("doc_id").alias("b_id"), F.col("fph").alias("fph2"))
-    pr = (
-        a.join(
-            b,
-            (F.col("fph") == F.col("fph2"))
-            & (F.col("a_id") < F.col("b_id")),
-        )
-        .groupBy("a_id", "b_id")
-        .agg(F.count("*").cast("long").alias("shared_fps"))
     )
     ca = cnt.select(F.col("doc_id").alias("ka"), F.col("nf").alias("na"))
     cb = cnt.select(F.col("doc_id").alias("kb"), F.col("nf").alias("nb"))
@@ -2312,28 +2324,8 @@ Q180_L2 = 2 * _WINNOW_MIN_LEN  # 34-char windows: 2x the winnow span
     " the shared fingerprint pass and its fph-keyed pair join.",
 )
 def q180(spark, sf_dir):
-    pk = winnow_fingerprints(spark, sf_dir)
-    keep = (
-        pk.groupBy("fph")
-        .agg(F.count("*").alias("pc"))
-        .where(F.col("pc") <= WINNOW_MAX_POSTINGS)
-        .select("fph")
-    )
-    pkf = eager(pk.join(keep, "fph", "left_semi"))
-    a = pkf.select(F.col("doc_id").alias("a_id"), "fph")
-    b = pkf.select(
-        F.col("doc_id").alias("b_id"), F.col("fph").alias("fph2")
-    )
-    cand = eager(
-        a.join(
-            b,
-            (F.col("fph") == F.col("fph2"))
-            & (F.col("a_id") < F.col("b_id")),
-        )
-        .groupBy("a_id", "b_id")
-        .agg(F.count("*").cast("long").alias("shared_fps"))
-        .where(F.col("shared_fps") >= Q180_MIN_SHARED_FPS)
-    )
+    _pkf, pr = winnow_capped_pairs(spark, sf_dir)
+    cand = eager(pr.where(F.col("shared_fps") >= Q180_MIN_SHARED_FPS))
     mem = (
         cand.select(F.col("a_id").alias("doc_id"))
         .union(cand.select(F.col("b_id").alias("doc_id")))

@@ -194,6 +194,95 @@ def detector_agreement(lex, sem, shx):
 
 
 # ---------------------------------------------------------------------------
+# MinHash-vs-winnowing agreement audit (SURVEY §7.5 round-11 item b) —
+# the q115 calibration pattern applied WITHIN the lexical family: the
+# two lexical near-dup detectors sample different evidence (MinHash =
+# whole-document shingle-set Jaccard; winnowing = localized shared
+# fingerprint runs), so their disagreement regions are informative:
+# minhash-only pairs are diffuse whole-doc similarity without a long
+# shared run, winnowing-only pairs share strong verbatim passages
+# inside otherwise-different documents (containment, which symmetric
+# Jaccard under-scores). The matrix decides whether running both at
+# 100 TB buys coverage or redundancy. Both pair sets come from their
+# existing bucketed generators (LSH bands / capped fingerprint posting
+# lists — never all-pairs); this operator adds only id-keyed joins on
+# the two tiny verified pair sets (q115's scale argument verbatim).
+# ---------------------------------------------------------------------------
+
+
+def _q187_oracle() -> str:
+    from smartbulkcopy_spark.pipeline.dedup import (
+        Q180_MIN_SHARED_FPS,
+        _winnow_pair_ctes,
+        _winnow_pk_ctes,
+    )
+
+    return (
+        "WITH " + _lex_pairs_cte_duck() + ", "
+        + _winnow_pk_ctes() + ","
+        + _winnow_pair_ctes()
+        + ", mvp AS MATERIALIZED (SELECT a_id, b_id FROM vp),"
+        " wvp AS MATERIALIZED (SELECT a_id, b_id FROM pr"
+        f" WHERE shared_fps >= {Q180_MIN_SHARED_FPS}),"
+        " u AS (SELECT a_id, b_id FROM mvp"
+        " UNION SELECT a_id, b_id FROM wvp),"
+        " m AS (SELECT u.a_id, u.b_id,"
+        " (l.a_id IS NOT NULL) AS minhash,"
+        " (w.a_id IS NOT NULL) AS winnowing"
+        " FROM u LEFT JOIN mvp l ON l.a_id = u.a_id AND l.b_id = u.b_id"
+        " LEFT JOIN wvp w ON w.a_id = u.a_id AND w.b_id = u.b_id)"
+        " SELECT minhash, winnowing, CAST(count(*) AS BIGINT) AS n_pairs"
+        " FROM m GROUP BY minhash, winnowing ORDER BY minhash, winnowing"
+    )
+
+
+@register(
+    "q187_lexical_detector_overlap",
+    _q187_oracle(),
+    doc="MinHash-vs-winnowing agreement matrix — the q115 calibration"
+    " readout for the two LEXICAL detectors: every verified pair from"
+    " the MinHash chain (banded LSH + exact Jaccard, the q29/q69"
+    " verified set) and the strong winnowing set (capped fingerprint"
+    " pairs sharing >= the q180 threshold), rolled up by which"
+    " detector fired. minhash-only = diffuse whole-doc similarity"
+    " without a long shared run; winnowing-only = strong verbatim"
+    " passages inside otherwise-different docs (containment, which"
+    " symmetric Jaccard under-scores); both = hard duplicates. Both"
+    " generators stay bucketed (LSH bands / capped posting lists);"
+    " the matrix itself is <= 3 rows from id-keyed joins on the tiny"
+    " pair sets, each persisted once (union + its marker join).",
+)
+def q187(spark, sf_dir):
+    from smartbulkcopy_spark.pipeline.dedup import (
+        Q180_MIN_SHARED_FPS,
+        verified_pairs,
+        winnow_capped_pairs,
+    )
+
+    lex = eager(verified_pairs(spark, sf_dir).select("a_id", "b_id"))
+    _pkf, pr = winnow_capped_pairs(spark, sf_dir)
+    win = eager(
+        pr.where(F.col("shared_fps") >= Q180_MIN_SHARED_FPS).select(
+            "a_id", "b_id"
+        )
+    )
+    u = lex.union(win).distinct()
+    lm = lex.withColumn("mh", F.lit(True))
+    wm = win.withColumn("wn", F.lit(True))
+    return (
+        u.join(lm, ["a_id", "b_id"], "left")
+        .join(wm, ["a_id", "b_id"], "left")
+        .select(
+            F.coalesce(F.col("mh"), F.lit(False)).alias("minhash"),
+            F.coalesce(F.col("wn"), F.lit(False)).alias("winnowing"),
+        )
+        .groupBy("minhash", "winnowing")
+        .agg(F.count("*").alias("n_pairs"))
+        .orderBy("minhash", "winnowing")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Reciprocal-rank fusion of lexical and semantic retrieval. The "more
 # like this" corpus probe production actually runs: take a query
 # document, rank the corpus lexically (BM25 over the query doc's rarest

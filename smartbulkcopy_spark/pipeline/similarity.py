@@ -2034,43 +2034,86 @@ def tree_assignment(spark, sf_dir, k=TREE_LEAVES, branch=TREE_BRANCH):
     )
 
 
-_Q183_DIST_P = (
-    f"-2.0 * {_dot_duck('e.embedding', 'p.embedding')}"
-    f" + {_dot_duck('p.embedding', 'p.embedding')}"
-)
-_Q183_DIST_L = (
+_Q183_DIST_B = (
     f"-2.0 * {_dot_duck('e.embedding', 'b.embedding')}"
     f" + {_dot_duck('b.embedding', 'b.embedding')}"
 )
 
 
-@register(
-    "q183_ann_tree_assignment",
-    "WITH base AS MATERIALIZED (SELECT vec_id AS code, embedding,"
-    " row_number() OVER (ORDER BY vec_id) - 1 AS rk"
-    " FROM (SELECT vec_id, embedding FROM embeddings"
-    f" ORDER BY vec_id LIMIT {TREE_LEAVES})),"
-    f" piv AS (SELECT rk // {TREE_BRANCH ** 1} AS g, embedding"
-    f" FROM base WHERE rk % {TREE_BRANCH} = 0),"
-    " lv1 AS (SELECT e.vec_id, p.g,"
-    f" row_number() OVER (PARTITION BY e.vec_id"
-    f" ORDER BY {_Q183_DIST_P}, p.g) AS rn"
-    " FROM embeddings e CROSS JOIN piv p),"
-    " g1 AS (SELECT vec_id, g FROM lv1 WHERE rn = 1),"
-    " lv2 AS (SELECT e.vec_id, b.code,"
-    f" {_Q183_DIST_L} AS d,"
-    f" {_dot_duck('e.embedding', 'e.embedding')} AS ee,"
-    " row_number() OVER (PARTITION BY e.vec_id"
-    f" ORDER BY {_Q183_DIST_L}, b.code) AS rn"
-    " FROM embeddings e JOIN g1 ON g1.vec_id = e.vec_id"
-    f" JOIN base b ON b.rk // {TREE_BRANCH} = g1.g),"
-    " a AS (SELECT vec_id, code,"
-    " CAST(floor(greatest(ee + d, 0.0) * 1000000.0) AS BIGINT) AS err"
-    " FROM lv2 WHERE rn = 1)"
+def _tree_walk_ctes(leaves: int, branch: int) -> str:
+    """The DuckDB replay of `_tree_levels` + `_tree_walk_expr`,
+    GENERATED from the same (leaves, branch) constants so the oracle
+    cannot desynchronize from the Spark walk when either changes
+    (round-10 advice: the previous hand-written two-level chain was
+    only correct while depth == 2). Produces the CTE chain
+    base -> lv1/g1 -> ... -> lvL -> ta(vec_id, code, err): per level,
+    candidates are the pivots of the current group (rk % gsub = 0
+    inside rk // gcur = g) and the argmin descends; ties break on rk,
+    which within a group is the Spark walk's child-index/leaf-code
+    order (base is vec_id-ordered)."""
+    import math
+
+    L = max(1, math.ceil(math.log(leaves, branch)))
+    parts = [
+        "base AS MATERIALIZED (SELECT vec_id AS code, embedding,"
+        " row_number() OVER (ORDER BY vec_id) - 1 AS rk"
+        " FROM (SELECT vec_id, embedding FROM embeddings"
+        f" ORDER BY vec_id LIMIT {leaves}))"
+    ]
+    for lvl in range(1, L + 1):
+        gsub = branch ** (L - lvl)
+        gcur = gsub * branch
+        grp = (
+            f"b.rk // {gcur} = 0"
+            if lvl == 1
+            else f"b.rk // {gcur} = g{lvl - 1}.g"
+        )
+        piv = f" AND b.rk % {gsub} = 0" if gsub > 1 else ""
+        src = (
+            "embeddings e"
+            if lvl == 1
+            else f"embeddings e JOIN g{lvl - 1}"
+            f" ON g{lvl - 1}.vec_id = e.vec_id"
+        )
+        if lvl < L:
+            parts.append(
+                f", lv{lvl} AS (SELECT e.vec_id,"
+                f" b.rk // {gsub} AS nxt,"
+                " row_number() OVER (PARTITION BY e.vec_id"
+                f" ORDER BY {_Q183_DIST_B}, b.rk) AS rn"
+                f" FROM {src} JOIN base b ON {grp}{piv})"
+                f", g{lvl} AS (SELECT vec_id, nxt AS g"
+                f" FROM lv{lvl} WHERE rn = 1)"
+            )
+        else:
+            parts.append(
+                f", lv{lvl} AS (SELECT e.vec_id, b.code,"
+                f" {_Q183_DIST_B} AS d,"
+                f" {_dot_duck('e.embedding', 'e.embedding')} AS ee,"
+                " row_number() OVER (PARTITION BY e.vec_id"
+                f" ORDER BY {_Q183_DIST_B}, b.rk) AS rn"
+                f" FROM {src} JOIN base b ON {grp}{piv})"
+            )
+    parts.append(
+        ", ta AS (SELECT vec_id, code,"
+        " CAST(floor(greatest(ee + d, 0.0) * 1000000.0) AS BIGINT)"
+        f" AS err FROM lv{L} WHERE rn = 1)"
+    )
+    return "".join(parts)
+
+
+_TREE_HIST_SELECT = (
     " SELECT CAST(code AS BIGINT) AS code,"
     " CAST(count(*) AS BIGINT) AS n_vecs,"
     " CAST(sum(err) AS BIGINT) AS err_e6"
-    " FROM a GROUP BY code ORDER BY code",
+    " FROM ta GROUP BY code ORDER BY code"
+)
+
+
+@register(
+    "q183_ann_tree_assignment",
+    "WITH " + _tree_walk_ctes(TREE_LEAVES, TREE_BRANCH)
+    + _TREE_HIST_SELECT,
     doc=f"Hierarchical quantizer assignment: {TREE_LEAVES} leaves in a"
     f" {TREE_BRANCH}-ary pivot tree (pivot = first leaf of each"
     " subtree, the q36 deterministic convention) walked ROW-LOCALLY —"
@@ -2081,9 +2124,270 @@ _Q183_DIST_L = (
     " is super-linear once K grows with the corpus; BRANCH x log K is"
     " not (both probed at 16x/32x in SCALE.md deep probes). The"
     " assignment is approximate in the standard IVF-tree sense; the"
-    " oracle replays the identical two-level walk with the same"
-    " (distance, index) tie order. Output: per-leaf histogram +"
-    " floor-scaled quantization error mass (q141 spelling).",
+    " oracle replays the identical walk (CTE chain GENERATED from the"
+    " same constants, so depth changes cannot desynchronize the"
+    " engines). Output: per-leaf histogram + floor-scaled quantization"
+    " error mass (q141 spelling).",
 )
 def q183(spark, sf_dir):
     return tree_assignment(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# IVF inverted-list rebalancing audit (SURVEY §7.5 round-11 item a) —
+# q181's drift readout applied to the COARSE index the way q181 applies
+# it to the PQ codebooks: after the q93 batch ingests into the index's
+# inverted lists, which lists absorbed the new mass, and how skewed did
+# they get? Per centroid: the pre-ingest list size, the batch arrivals,
+# the post-ingest total, its corpus share, and the list's relative
+# growth — the signals a serving tier thresholds to decide when the
+# coarse quantizer needs retraining (lists too hot = probe cost blows
+# up; growth concentrated in one list = the batch distribution drifted
+# off the trained centroids). All-integer ppm arithmetic (non-negative
+# operands, so Spark DIV == DuckDB //); the corpus total is a bounded
+# 1-row driver scalar (q52/q102 rule). Assignment is q93's zero-join
+# broadcast-literal argmin over the INDEX-trained centroids; the only
+# shuffle carries (cid, two partial counters) into <= K groups.
+# ---------------------------------------------------------------------------
+
+_Q186_DIST = (
+    f"-2.0 * {_dot_duck('e.embedding', 'c.cemb')}"
+    f" + {_dot_duck('c.cemb', 'c.cemb')}"
+)
+
+
+@register(
+    "q186_ivf_list_rebalance",
+    "WITH cent AS (SELECT vec_id AS cid, embedding AS cemb"
+    f" FROM embeddings WHERE vec_id % {BATCH_MOD} != {BATCH_REM}"
+    f" ORDER BY vec_id LIMIT {N_CENTROIDS}),"
+    f" dd AS (SELECT e.vec_id, c.cid, {_Q186_DIST} AS d"
+    " FROM embeddings e CROSS JOIN cent c),"
+    " assign AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,"
+    " row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn"
+    " FROM dd) WHERE rn = 1),"
+    " m AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_total,"
+    f" CAST(sum(CASE WHEN vec_id % {BATCH_MOD} = {BATCH_REM}"
+    " THEN 1 ELSE 0 END) AS BIGINT) AS n_batch"
+    " FROM assign GROUP BY cid),"
+    " t AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM embeddings)"
+    " SELECT CAST(c.cid AS BIGINT) AS cid,"
+    " CAST(coalesce(m.n_total - m.n_batch, 0) AS BIGINT) AS n_index,"
+    " CAST(coalesce(m.n_batch, 0) AS BIGINT) AS n_batch,"
+    " CAST(coalesce(m.n_total, 0) AS BIGINT) AS n_total,"
+    " CAST(coalesce(m.n_total, 0) * 1000000 // t.nn AS BIGINT)"
+    " AS share_ppm,"
+    " CAST(coalesce(m.n_batch, 0) * 1000000"
+    " // greatest(coalesce(m.n_total - m.n_batch, 0), 1) AS BIGINT)"
+    " AS growth_ppm"
+    " FROM cent c LEFT JOIN m ON m.cid = c.cid CROSS JOIN t"
+    " ORDER BY cid",
+    doc="IVF inverted-list rebalancing audit — q181's drift readout for"
+    " the COARSE index: after the q93 batch (the deterministic ~10% id"
+    " slice) ingests, each centroid's pre-ingest list size, batch"
+    " arrivals, post-ingest total, corpus share (ppm), and relative"
+    " list growth (ppm vs the pre-ingest size) — the retrain-trigger"
+    " signals for the coarse quantizer. Assignment is q93's zero-join"
+    " broadcast-literal argmin over the index-trained centroids"
+    " (oracle cross-joins only for want of broadcast, bounded N x K);"
+    " the only shuffle carries two partial counters into <= K groups;"
+    " never-assigned centroids surface with zeros via the K-row"
+    " driver-side grid (q52/q102 bounded-literal rule).",
+)
+def q186(spark, sf_dir):
+    import pyspark.sql.types as _T
+
+    emb0 = table(spark, sf_dir, "embeddings")
+    idx = emb0.where(F.col("vec_id") % BATCH_MOD != BATCH_REM)
+    rows = idx.orderBy("vec_id").limit(N_CENTROIDS).collect()
+    cents = [
+        (r["vec_id"], [float(v) for v in r["embedding"]]) for r in rows
+    ]
+    total = emb0.count()  # bounded 1-row scalar (q52/q102 rule)
+    asg = spread(spark, emb0).select(
+        _assign_expr(cents).alias("cid"),
+        (F.col("vec_id") % BATCH_MOD == BATCH_REM).alias("is_batch"),
+    )
+    ag = asg.groupBy("cid").agg(
+        F.count("*").cast("long").alias("n_total"),
+        F.sum(F.when(F.col("is_batch"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_batch"),
+    )
+    grid = spark.createDataFrame(
+        [(int(cid),) for cid, _vec in cents],
+        _T.StructType([_T.StructField("cid", _T.LongType())]),
+    )
+    n_index = F.coalesce(
+        F.col("n_total") - F.col("n_batch"), F.lit(0)
+    ).cast("long")
+    return (
+        grid.join(ag, "cid", "left")
+        .select(
+            F.col("cid").cast("long").alias("cid"),
+            n_index.alias("n_index"),
+            F.coalesce(F.col("n_batch"), F.lit(0))
+            .cast("long")
+            .alias("n_batch"),
+            F.coalesce(F.col("n_total"), F.lit(0))
+            .cast("long")
+            .alias("n_total"),
+            F.expr(f"coalesce(n_total, 0) * 1000000 DIV {int(total)}")
+            .cast("long")
+            .alias("share_ppm"),
+            F.expr(
+                "coalesce(n_batch, 0) * 1000000"
+                " DIV greatest(coalesce(n_total - n_batch, 0), 1)"
+            )
+            .cast("long")
+            .alias("growth_ppm"),
+        )
+        .orderBy("cid")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Production-depth tree assignment (SURVEY §7.5 round-11 item c): the
+# q183 fixture stops at depth 2; the deep probes run deeper trees but
+# outside the oracle gate. This registration puts a depth-3 walk
+# (64 leaves, 4-ary) under the external hash gate, exercising the
+# generic level machinery (_tree_levels / _tree_walk_expr and the
+# GENERATED oracle chain) at the depth a production K actually needs —
+# the configuration where the hand-written two-level oracle this round
+# replaced would have silently diverged.
+# ---------------------------------------------------------------------------
+
+TREE_D3_LEAVES = 64  # 4-ary depth-3: ceil(log4 64) = 3 levels
+
+
+@register(
+    "q188_tree_depth3_assignment",
+    "WITH " + _tree_walk_ctes(TREE_D3_LEAVES, TREE_BRANCH)
+    + _TREE_HIST_SELECT,
+    doc=f"Depth-3 tree-quantizer assignment: {TREE_D3_LEAVES} leaves in"
+    f" a {TREE_BRANCH}-ary pivot tree (three walked levels — the"
+    " production shape once K grows with the corpus, vs the q183"
+    " fixture's two). Same row-local map-literal walk: per level,"
+    " element_at + array_min over <= BRANCH candidate structs, zero"
+    " joins, per-row cost BRANCH x 3 instead of flat 64. The oracle"
+    " CTE chain is GENERATED from the same (leaves, branch) constants"
+    " as the Spark walk, so the two engines replay identical"
+    " level-by-level descents at any depth. Output: per-leaf histogram"
+    " + floor-scaled quantization error mass (q183 columns).",
+)
+def q188(spark, sf_dir):
+    return tree_assignment(spark, sf_dir, k=TREE_D3_LEAVES)
+
+
+# ---------------------------------------------------------------------------
+# Tree-vs-flat assignment agreement (round-10 verdict item 5, the
+# q47-family quality readout for q183): the tree walk is approximate —
+# a vector can beat a leaf on true distance but never reach it because
+# an ancestor pivot lost at an earlier level. This registers HOW
+# approximate, per leaf, under the oracle gate: flat argmin over the
+# same 16 leaves (exact coarse assignment, q36 machinery) vs the tree
+# walk, with per-leaf agreement ppm. A routing regression (bad pivot
+# convention, broken level indexing) flips this row even while q183's
+# own histogram still hash-matches its oracle — the q47 rationale.
+# Scale shape: ONE corpus pass evaluates both row-local expressions;
+# the groupBy carries (flat, tree) pairs into <= K^2 groups; everything
+# after is K-row bookkeeping against the driver-side leaf grid.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q189_tree_flat_agreement",
+    "WITH " + _tree_walk_ctes(TREE_LEAVES, TREE_BRANCH)
+    + ", fd AS (SELECT e.vec_id, b.code,"
+    f" {_Q183_DIST_B} AS d FROM embeddings e CROSS JOIN base b),"
+    " flat AS (SELECT vec_id, code FROM (SELECT vec_id, code,"
+    " row_number() OVER (PARTITION BY vec_id ORDER BY d, code) AS rn"
+    " FROM fd) WHERE rn = 1),"
+    " j AS MATERIALIZED (SELECT f.vec_id, f.code AS fc, ta.code AS tc"
+    " FROM flat f JOIN ta ON ta.vec_id = f.vec_id),"
+    " nf AS (SELECT fc AS code, CAST(count(*) AS BIGINT) AS n_flat"
+    " FROM j GROUP BY fc),"
+    " nt AS (SELECT tc AS code, CAST(count(*) AS BIGINT) AS n_tree"
+    " FROM j GROUP BY tc),"
+    " na AS (SELECT fc AS code, CAST(count(*) AS BIGINT) AS n_agree"
+    " FROM j WHERE fc = tc GROUP BY fc)"
+    " SELECT CAST(b.code AS BIGINT) AS code,"
+    " CAST(coalesce(nf.n_flat, 0) AS BIGINT) AS n_flat,"
+    " CAST(coalesce(nt.n_tree, 0) AS BIGINT) AS n_tree,"
+    " CAST(coalesce(na.n_agree, 0) AS BIGINT) AS n_agree,"
+    " CAST(coalesce(na.n_agree, 0) * 1000000"
+    " // greatest(coalesce(nf.n_flat, 0), 1) AS BIGINT) AS agree_ppm"
+    " FROM base b LEFT JOIN nf ON nf.code = b.code"
+    " LEFT JOIN nt ON nt.code = b.code"
+    " LEFT JOIN na ON na.code = b.code ORDER BY code",
+    doc="Tree-vs-flat assignment agreement — the q47-family quality"
+    f" gate for the q183 walk: flat argmin over the same {TREE_LEAVES}"
+    " leaves (exact coarse assignment) vs the approximate tree"
+    " descent, per leaf: flat count, tree count, agreements, and"
+    " agreement ppm (n_agree / n_flat). Catches routing regressions"
+    " that leave q183's own histogram self-consistent. One corpus pass"
+    " evaluates both row-local expressions (zero joins); the shuffle"
+    " carries (flat, tree) pair counters into <= K^2 groups; the rest"
+    " is K-row bookkeeping on the driver-side leaf grid. All-integer"
+    " ppm (non-negative operands: Spark DIV == DuckDB //).",
+)
+def q189(spark, sf_dir):
+    import pyspark.sql.types as _T
+
+    rows = (
+        table(spark, sf_dir, "embeddings")
+        .orderBy("vec_id")
+        .limit(TREE_LEAVES)
+        .collect()
+    )
+    leaves = [
+        (r["vec_id"], [float(v) for v in r["embedding"]]) for r in rows
+    ]
+    levels = _tree_levels(leaves, TREE_BRANCH)
+    emb = spread(spark, table(spark, sf_dir, "embeddings"))
+    ct = (
+        emb.select(
+            _assign_expr(leaves).cast("long").alias("fc"),
+            _tree_walk_expr(levels)["jn"].cast("long").alias("tc"),
+        )
+        .groupBy("fc", "tc")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    ct = eager(ct)  # three K^2-bounded consumers below
+    nf = ct.groupBy(F.col("fc").alias("code")).agg(
+        F.sum("n").cast("long").alias("n_flat")
+    )
+    nt = ct.groupBy(F.col("tc").alias("code")).agg(
+        F.sum("n").cast("long").alias("n_tree")
+    )
+    na = ct.where(F.col("fc") == F.col("tc")).select(
+        F.col("fc").alias("code"), F.col("n").alias("n_agree")
+    )
+    grid = spark.createDataFrame(
+        [(int(code),) for code, _vec in leaves],
+        _T.StructType([_T.StructField("code", _T.LongType())]),
+    )
+    return (
+        grid.join(nf, "code", "left")
+        .join(nt, "code", "left")
+        .join(na, "code", "left")
+        .select(
+            "code",
+            F.coalesce(F.col("n_flat"), F.lit(0))
+            .cast("long")
+            .alias("n_flat"),
+            F.coalesce(F.col("n_tree"), F.lit(0))
+            .cast("long")
+            .alias("n_tree"),
+            F.coalesce(F.col("n_agree"), F.lit(0))
+            .cast("long")
+            .alias("n_agree"),
+            F.expr(
+                "coalesce(n_agree, 0) * 1000000"
+                " DIV greatest(coalesce(n_flat, 0), 1)"
+            )
+            .cast("long")
+            .alias("agree_ppm"),
+        )
+        .orderBy("code")
+    )

@@ -3757,6 +3757,13 @@ QUEUED_SINCE = {
     # exactly fills the r10 window (15 never-graded + the stale dozen)
     "q184_stream_session_funnel": 108,
     "q185_bpe_tokenize_apply": 109,
+    # round 11 (§7.5 queue items a/b/c + the r10-verdict item-5 quality
+    # gate): four registrations take the head of the rotation window;
+    # the remaining 23 slots refresh the r05-stale q21-q44 block
+    "q186_ivf_list_rebalance": 110,
+    "q187_lexical_detector_overlap": 111,
+    "q188_tree_depth3_assignment": 112,
+    "q189_tree_flat_agreement": 113,
 }
 
 

@@ -367,7 +367,18 @@ def session_intervals(stream: DataFrame) -> DataFrame:
         out: list[tuple[int, int, int]] = []
         chunks = [pdf for pdf in pdfs]
         whole = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
-        for t in whole["t"].sort_values():
+        ts = whole["t"].sort_values()
+        # Convergence to batch q172 requires time-ordered arrival ACROSS
+        # micro-batches (within a batch the sort above handles it). An
+        # event behind this user's watermark would silently mis-sessionize
+        # — fail loudly instead (multi-file feeds must be time-ordered).
+        if last is not None and len(ts) and int(ts.iloc[0]) < last:
+            raise ValueError(
+                f"out-of-order event feed for user {key[0]}:"
+                f" t={int(ts.iloc[0])} arrived after watermark {last};"
+                " session_intervals requires time-ordered micro-batches"
+            )
+        for t in ts:
             t = int(t)
             if last is None:
                 sid, st, last = 1, t, t
@@ -473,6 +484,15 @@ def session_funnel_stages(stream: DataFrame) -> DataFrame:
         chunks = [pdf for pdf in pdfs]
         whole = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
         whole = whole.sort_values("t", kind="stable")
+        # Same cross-micro-batch ordering contract as session_intervals:
+        # an event behind the user watermark would mis-sessionize quietly.
+        if last is not None and len(whole) and int(whole["t"].iloc[0]) < last:
+            raise ValueError(
+                f"out-of-order event feed for user {key[0]}:"
+                f" t={int(whole['t'].iloc[0])} arrived after watermark"
+                f" {last}; session_funnel_stages requires time-ordered"
+                " micro-batches"
+            )
         for t, et in zip(whole["t"], whole["event_type"]):
             t = int(t)
             if last is None or t - last > SESSION_GAP_MICROS:

@@ -1,0 +1,180 @@
+"""Round-11 operator invariants: q186 IVF list rebalancing audit, q187
+MinHash-vs-winnowing agreement, q188 depth-3 tree assignment, q189
+tree-vs-flat agreement. The shared DuckDB oracle run in test_queries
+covers the fixture corpus; these pin what the fixture can't prove —
+count conservation against the underlying q93 assignment, matrix
+marginals equal to the detectors' own pair sets, exact routing on a
+hand-built hierarchical corpus at depth 3, and the agreement gate
+reading 100% when the tree is exact by construction."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyspark.sql.functions as F
+
+from smartbulkcopy_spark.queries import REGISTRY, release_caches, table
+
+
+def test_q186_conservation_and_q93_consistency(spark, sf_dir):
+    """Per centroid n_index + n_batch == n_total; totals conserve the
+    corpus; and the n_batch column must equal the per-list batch counts
+    derived from q93's own assignment output (same centroids, same
+    argmin) — the pairing contract."""
+    from smartbulkcopy_spark.pipeline.similarity import (
+        BATCH_MOD,
+        BATCH_REM,
+        N_CENTROIDS,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    n_emb = emb.count()
+    n_batch = emb.where(
+        F.col("vec_id") % BATCH_MOD == BATCH_REM
+    ).count()
+
+    rows = REGISTRY["q186_ivf_list_rebalance"].fn(spark, sf_dir).collect()
+    assert len(rows) == N_CENTROIDS
+    assert all(r["n_index"] + r["n_batch"] == r["n_total"] for r in rows)
+    assert sum(r["n_total"] for r in rows) == n_emb
+    assert sum(r["n_batch"] for r in rows) == n_batch
+    assert sum(r["share_ppm"] for r in rows) <= 1_000_000
+
+    q93_batch = {
+        r["cid"]: r["n"]
+        for r in REGISTRY["q93_incremental_ann_ingest"]
+        .fn(spark, sf_dir)
+        .groupBy("cid")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    got = {r["cid"]: r["n_batch"] for r in rows if r["n_batch"] > 0}
+    assert got == q93_batch
+
+
+def test_q187_marginals_match_detectors(spark, sf_dir):
+    """The matrix marginals must equal the two detectors' own verified
+    pair counts, the (minhash OR winnowing) total must equal the union,
+    and a (false, false) cell cannot exist (the union only contains
+    pairs at least one detector fired on)."""
+    from smartbulkcopy_spark.pipeline.dedup import (
+        Q180_MIN_SHARED_FPS,
+        verified_pairs,
+        winnow_capped_pairs,
+    )
+
+    rows = (
+        REGISTRY["q187_lexical_detector_overlap"]
+        .fn(spark, sf_dir)
+        .collect()
+    )
+    assert all(r["minhash"] or r["winnowing"] for r in rows)
+
+    lex = verified_pairs(spark, sf_dir).select("a_id", "b_id")
+    _pkf, pr = winnow_capped_pairs(spark, sf_dir)
+    win = pr.where(
+        F.col("shared_fps") >= Q180_MIN_SHARED_FPS
+    ).select("a_id", "b_id")
+    n_lex = lex.count()
+    n_win = win.count()
+    n_union = lex.union(win).distinct().count()
+    release_caches()
+
+    assert sum(r["n_pairs"] for r in rows if r["minhash"]) == n_lex
+    assert sum(r["n_pairs"] for r in rows if r["winnowing"]) == n_win
+    assert sum(r["n_pairs"] for r in rows) == n_union
+
+
+def test_q188_conservation(spark, sf_dir):
+    """Depth-3 invariants on the fixture: every vector lands on exactly
+    one of the 64 leaves, error mass non-negative, one row per assigned
+    leaf."""
+    n_emb = table(spark, sf_dir, "embeddings").count()
+    rows = (
+        REGISTRY["q188_tree_depth3_assignment"].fn(spark, sf_dir).collect()
+    )
+    assert sum(r["n_vecs"] for r in rows) == n_emb
+    assert all(r["err_e6"] >= 0 for r in rows)
+    codes = {r["code"] for r in rows}
+    assert len(codes) == len(rows)
+
+
+def _hierarchical_embeddings(tmp_path, n=64, dim=12):
+    """64 vectors whose layout mirrors the 4-ary depth-3 tree exactly:
+    component blocks encode (level-1 group, level-2 subgroup, leaf slot)
+    at magnitudes 100 / 10 / ~1, so the nearest pivot at every level is
+    the vector's own subtree and the nearest leaf is itself."""
+    rows = []
+    for v in range(n):
+        g1, g2, leaf = v // 16, (v % 16) // 4, v % 4
+        vec = [0.0] * dim
+        vec[g1] = 100.0
+        vec[4 + g2] = 10.0
+        vec[8 + leaf] = 1.0 + 0.01 * v  # strict self-minimum
+        rows.append((v, vec))
+    pd.DataFrame(
+        {
+            "vec_id": [r[0] for r in rows],
+            "embedding": [r[1] for r in rows],
+            "label": [r[0] % 4 for r in rows],
+        }
+    ).to_parquet(tmp_path / "embeddings.parquet", index=False)
+
+
+def test_q188_routing_exact_on_hierarchical_clusters(spark, tmp_path):
+    """Hand-built depth-3 routing pin (the q183 separated-cluster test
+    one level deeper): every vector is a leaf of the 64-leaf tree and
+    the component-block layout makes each level's own-subtree pivot the
+    strict argmin, so the histogram must be exactly one vector per leaf
+    with zero error. A wrong gsub/gcur at ANY of the three levels, a
+    broken child-index precompute, or a desynchronized oracle depth
+    would scatter it."""
+    _hierarchical_embeddings(tmp_path)
+    got = [
+        tuple(r)
+        for r in REGISTRY["q188_tree_depth3_assignment"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    ]
+    assert got == [(code, 1, 0) for code in range(64)]
+
+
+def test_q189_reads_full_agreement_when_tree_is_exact(spark, tmp_path):
+    """On the q183 separated-cluster corpus the tree walk IS exact, so
+    the agreement gate must read 100%: per leaf n_flat == n_tree ==
+    n_agree == 1 and agree_ppm == 1e6. (The real-fixture disagreement
+    level is pinned by the DuckDB oracle in test_queries.)"""
+    dim = 8
+    rows = []
+    for g in range(4):
+        for i in range(4):
+            v = [0.0] * dim
+            v[g] = 100.0 * (g + 1)
+            v[4 + (i % 4) // 2] = 1.0 + i
+            rows.append((4 * g + i, v, g))
+    pd.DataFrame(
+        {
+            "vec_id": [r[0] for r in rows],
+            "embedding": [r[1] for r in rows],
+            "label": [r[2] for r in rows],
+        }
+    ).to_parquet(tmp_path / "embeddings.parquet", index=False)
+    got = [
+        tuple(r)
+        for r in REGISTRY["q189_tree_flat_agreement"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    ]
+    assert got == [(code, 1, 1, 1, 1_000_000) for code in range(16)]
+
+
+def test_q189_fixture_invariants(spark, sf_dir):
+    """Both assignments conserve the corpus; agreements can't exceed
+    either marginal; ppm bounded."""
+    n_emb = table(spark, sf_dir, "embeddings").count()
+    rows = REGISTRY["q189_tree_flat_agreement"].fn(spark, sf_dir).collect()
+    release_caches()
+    assert sum(r["n_flat"] for r in rows) == n_emb
+    assert sum(r["n_tree"] for r in rows) == n_emb
+    for r in rows:
+        assert r["n_agree"] <= min(r["n_flat"], r["n_tree"])
+        assert 0 <= r["agree_ppm"] <= 1_000_000

@@ -386,6 +386,37 @@ def test_stateful_session_funnel_converges_to_batch(
     assert [tuple(r) for r in got] == [tuple(r) for r in batch]
 
 
+def test_stateful_trackers_reject_out_of_order_feed(
+    spark, sf_dir, events_dir, tmp_path
+):
+    """The stateful trackers' convergence contract is time-ordered
+    arrival ACROSS micro-batches; an event behind a user's session
+    watermark must raise loudly instead of silently mis-sessionizing
+    (round-10 advice: the else-branch `last = t` would otherwise move
+    the watermark backwards)."""
+    src = spark.read.parquet(events_dir)
+    lo, hi = src.agg(F.min("ts"), F.max("ts")).first()
+    mid = lo + (hi - lo) / 2
+    d = tmp_path / "ooo_feed"
+    # LATER half first, earlier half second: with one file per trigger
+    # the second micro-batch arrives behind every touched watermark
+    src.where(F.col("ts") >= mid).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(d))
+    src.where(F.col("ts") < mid).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(d))
+    with pytest.raises(Exception, match="out-of-order event feed"):
+        streaming.run_peak_concurrency(
+            spark, str(d), query_name="peak_ooo", max_files_per_trigger=1
+        ).collect()
+    with pytest.raises(Exception, match="out-of-order event feed"):
+        streaming.run_session_funnel(
+            spark, str(d), query_name="funnel_ooo",
+            max_files_per_trigger=1,
+        ).collect()
+
+
 def test_streaming_seasonality_converges_to_batch(
     spark, sf_dir, events_dir
 ):

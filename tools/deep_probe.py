@@ -30,6 +30,24 @@ sys.path.insert(0, str(REPO / "tools"))
 from winnow_tail_probe import inflate_documents, time_one  # noqa: E402
 
 SCALES = (16, 32)
+
+# Per-operator input tables the inflation must write — the ONE mapping
+# both main() (which tables to inflate) and _probe_fn (which builders
+# get scaled parameters) consult. A probe name absent here fails loudly
+# BEFORE the expensive inflation instead of crashing mid-run against a
+# directory missing its parquet input.
+INPUTS: dict[str, tuple[str, ...]] = {
+    "q119_crossdoc_repeated_spans": ("documents",),
+    "q113_cluster_size_histogram": ("documents",),
+    "q107_minhash_estimate_quality": ("documents",),
+    "q128_prefix_filter_join": ("documents",),
+    "q111_image_near_dup": ("documents",),
+    "q180_exact_substring_verify": ("documents",),
+    "q93_incremental_ann_ingest": ("embeddings",),
+    "q183_ann_tree_assignment": ("embeddings",),
+    "q188_tree_depth3_assignment": ("embeddings",),
+}
+
 DEFAULT = [
     "q119_crossdoc_repeated_spans",
     "q113_cluster_size_histogram",
@@ -44,6 +62,9 @@ DEFAULT = [
     # the fix for q93's by-construction rows x K exponent: same scaled
     # K as the q93 probe, but BRANCH x log K per row
     "q183_ann_tree_assignment",
+    # round-10 verdict item 4: the heaviest r10 operator (8x ratio 3.4x)
+    # — its verify stage fans candidate pairs by side-A gram count
+    "q180_exact_substring_verify",
 ]
 
 
@@ -114,6 +135,11 @@ def main() -> None:
     unknown = [n for n in names if n not in REGISTRY]
     if unknown:
         raise SystemExit(f"not registered: {unknown}")
+    unmapped = [n for n in names if n not in INPUTS]
+    if unmapped:
+        raise SystemExit(
+            f"no INPUTS entry (which tables must inflate?): {unmapped}"
+        )
 
     spark = get_spark(
         app_name="deep-probe",
@@ -127,13 +153,10 @@ def main() -> None:
     try:
         for n in SCALES:
             d = f"{tmp}/x{n}"
-            emb_only = {
-                "q93_incremental_ann_ingest",
-                "q183_ann_tree_assignment",
-            }
-            if set(names) - emb_only:
+            need = {t for q in names for t in INPUTS[q]}
+            if "documents" in need:
                 inflate_documents(spark, base, d, n, "disjoint")
-            if emb_only & set(names):
+            if "embeddings" in need:
                 inflate_embeddings(spark, base, d, n)
             for q in names:
                 fn = _probe_fn(q, n)

@@ -458,6 +458,24 @@ ANNOTATED = {
     " algebra), then two per-doc count rollups joined on doc_id —"
     " everything doc-length-bounded; rules arrive as bounded 1-row"
     " collects.",
+    "q186_ivf_list_rebalance": "Zero-join broadcast-literal argmin over"
+    " the index-trained centroids (q93 shape); ONE corpus pass feeds a"
+    " <= K-group aggregation carrying two partial counters; the K-row"
+    " driver grid left-join surfaces empty lists; corpus total is a"
+    " bounded 1-row scalar inlined as a literal.",
+    "q187_lexical_detector_overlap": "Both pair sets from their"
+    " bucketed generators (LSH bands / capped winnowing posting"
+    " lists), each eager-persisted once; union-distinct + two id-keyed"
+    " marker joins on the tiny pair sets; <= 3-row matrix rollup.",
+    "q188_tree_depth3_assignment": "The q183 row-local walk at depth"
+    " 3: three element_at/array_min levels over map literals (84"
+    " embedded leaf vectors) — no join, no shuffle before the 64-group"
+    " histogram aggregation; per-row cost BRANCH x 3 vs flat 64.",
+    "q189_tree_flat_agreement": "ONE corpus pass evaluates both"
+    " row-local assignment expressions (flat 16-literal argmin + tree"
+    " walk); groupBy carries (flat, tree) counters into <= K^2 groups,"
+    " eager-persisted for the three K-row bookkeeping consumers;"
+    " driver-side leaf grid left-joins close the output.",
 }
 
 

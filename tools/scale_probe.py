@@ -139,6 +139,10 @@ PROBES = [
     "q183_ann_tree_assignment",
     "q184_stream_session_funnel",
     "q185_bpe_tokenize_apply",
+    "q186_ivf_list_rebalance",
+    "q187_lexical_detector_overlap",
+    "q188_tree_depth3_assignment",
+    "q189_tree_flat_agreement",
 ]
 
 

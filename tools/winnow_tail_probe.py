@@ -35,7 +35,16 @@ sys.path.insert(0, str(REPO))
 
 ALPHABET = "abcdefghijklmnopqrstuvwxyz"
 SCALES = (16, 32)
-QUERIES = ("q164_winnowing_overlap", "q170_winnowing_contamination")
+# q180 rides the same capped fingerprint chain and then fans candidate
+# pairs by side-A gram count before its (b_id, h2) equi-join — the
+# round-10 verdict's one unmeasured exponent; both modes answer it
+# (disjoint = machinery cost, verbatim = does the cap still dominate
+# when every candidate pair is a strong one).
+QUERIES = (
+    "q164_winnowing_overlap",
+    "q170_winnowing_contamination",
+    "q180_exact_substring_verify",
+)
 
 
 def inflate_documents(spark, src_dir: str, out_dir: str, n: int, mode: str):
@@ -106,7 +115,7 @@ def main() -> None:
                 shutil.rmtree(d, ignore_errors=True)
         lines = [
             "",
-            "## Winnowing tail probe (q164/q170 at 16x/32x)",
+            "## Winnowing tail probe (q164/q170/q180 at 16x/32x)",
             "",
             f"`tools/winnow_tail_probe.py`, loadavg {la1:.2f} at start."
             " Exponent = log2(t32/t16): 1.0 is linear in corpus size;"
@@ -133,9 +142,17 @@ def main() -> None:
         scale = REPO / "SCALE.md"
         text = scale.read_text()
         marker = "## Winnowing tail probe"
-        if marker in text:  # replace the previous run's section
-            text = text[: text.index(marker)].rstrip() + "\n"
-        scale.write_text(text + note)
+        if marker in text:
+            # Replace the section IN PLACE (deep_probe's rule): a
+            # truncate-from-marker would also delete every LATER manual
+            # section (the Deep probes table sits below this one).
+            head, rest = text.split(marker, 1)
+            nxt = rest.find("\n## ")
+            tail = rest[nxt + 1 :] if nxt != -1 else ""
+            text = head.rstrip() + "\n" + note + "\n" + tail
+            scale.write_text(text.rstrip() + "\n")
+        else:
+            scale.write_text(text.rstrip() + "\n" + note)
         print(note)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
