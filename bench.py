@@ -507,7 +507,15 @@ def main() -> None:
             # r7 baseline exactly). Every 4 since round 10: at 183
             # registrations the every-8 cadence let ~8% of the tax back
             # in (two idle runs measured the shared sum at 126.3/123.0 s
-            # vs r9's 114.9). Outside the per-query timed window.
+            # vs r9's 114.9). Round 11 tried every-3 at 189
+            # registrations and it did NOT help (same-HEAD idle runs:
+            # 117.9 every-4, then 128.6/131.8 — a UNIFORM ~11% drift
+            # that worsened as idle deepened, i.e. machine-level
+            # throttling after hours of sustained sweeps, not heap
+            # pressure; median per-query ratio 1.11 with zero >= 2x
+            # outliers). Keep every-4; when the shared sum drifts
+            # UNIFORMLY and reruns worsen it, stop re-timing and let
+            # the machine cool instead. Outside the timed window.
             spark.sparkContext._jvm.System.gc()
         runs: list[float] = []
         # Two runs normally; a third ONLY when the first two disagree by

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import pandas as pd
 import pyspark.sql.functions as F
+import pytest
 
 from smartbulkcopy_spark.queries import REGISTRY, release_caches, table
 
@@ -165,6 +166,59 @@ def test_q189_reads_full_agreement_when_tree_is_exact(spark, tmp_path):
         .collect()
     ]
     assert got == [(code, 1, 1, 1, 1_000_000) for code in range(16)]
+
+
+def _synthetic_embeddings(tmp_path, n=24, dim=6):
+    """Deterministic small corpus with no duplicate vectors (n < 29
+    keeps the residue pattern collision-free)."""
+    rows = []
+    for v in range(n):
+        vec = [((v * 7 + d * 13) % 29) / 7.0 - 2.0 for d in range(dim)]
+        rows.append((v, vec))
+    pd.DataFrame(
+        {
+            "vec_id": [r[0] for r in rows],
+            "embedding": [r[1] for r in rows],
+            "label": [r[0] % 3 for r in rows],
+        }
+    ).to_parquet(tmp_path / "embeddings.parquet", index=False)
+
+
+@pytest.mark.parametrize(
+    "k,branch",
+    [(5, 2), (10, 3), (12, 4), (16, 4), (24, 3)],
+)
+def test_tree_walk_cross_engine_at_odd_shapes(spark, tmp_path, k, branch):
+    """The generated oracle chain must replay the Spark walk at ANY
+    (leaves, branch) — including non-powers of branch, where the last
+    subtree of each level is PARTIAL (the registered q183/q188 configs
+    are exact powers, so only this test exercises the ragged-group
+    arithmetic in _tree_levels and the generated gsub/gcur SQL)."""
+    import duckdb
+
+    from smartbulkcopy_spark.pipeline.similarity import (
+        _TREE_HIST_SELECT,
+        _tree_walk_ctes,
+        tree_assignment,
+    )
+
+    _synthetic_embeddings(tmp_path)
+    got = [
+        tuple(r)
+        for r in tree_assignment(
+            spark, str(tmp_path), k=k, branch=branch
+        ).collect()
+    ]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM"
+        f" read_parquet('{tmp_path}/embeddings.parquet')"
+    )
+    want = con.execute(
+        "WITH " + _tree_walk_ctes(k, branch) + _TREE_HIST_SELECT
+    ).fetchall()
+    assert got == [tuple(r) for r in want]
+    assert sum(r[1] for r in got) == 24  # every vector assigned once
 
 
 def test_q189_fixture_invariants(spark, sf_dir):
