@@ -2023,6 +2023,40 @@ def _winnow_pair_ctes() -> str:
     )
 
 
+@register(
+    "q191_winnow_posting_histogram",
+    f"WITH {_WINNOW_PK_CTES},"
+    " s AS (SELECT fph, CAST(count(*) AS BIGINT) AS sz"
+    " FROM pk GROUP BY fph)"
+    " SELECT sz, CAST(count(*) AS BIGINT) AS n_fps,"
+    f" (sz > {WINNOW_MAX_POSTINGS}) AS dropped"
+    " FROM s GROUP BY sz ORDER BY sz",
+    doc="Posting-list size histogram of the winnowing fingerprint"
+    " index — the q31 balance check for the MOSS chain: how many"
+    " fingerprints sit at each posting-list size, with the lists the"
+    f" WINNOW_MAX_POSTINGS={WINNOW_MAX_POSTINGS} cap drops flagged."
+    " The readout that justifies the cap empirically (the SCALE.md"
+    " verbatim tail probe shows WHY: pair cost is quadratic in list"
+    " length) and the early-warning signal when boilerplate mass"
+    " shifts the distribution toward the cap. Two narrow partial-agg"
+    " shuffles — (fph, count) then (sz, count) — document text never"
+    " shuffles.",
+)
+def q191(spark, sf_dir):
+    pk = winnow_fingerprints(spark, sf_dir)
+    sz = pk.groupBy("fph").agg(F.count("*").cast("long").alias("sz"))
+    return (
+        sz.groupBy("sz")
+        .agg(F.count("*").cast("long").alias("n_fps"))
+        .select(
+            "sz",
+            "n_fps",
+            (F.col("sz") > WINNOW_MAX_POSTINGS).alias("dropped"),
+        )
+        .orderBy("sz")
+    )
+
+
 def winnow_capped_pairs(spark, sf_dir):
     """(pkf, pr): the EAGER-persisted capped fingerprint table and the
     fph-keyed pair frame (a_id, b_id, shared_fps) — the Spark twin of

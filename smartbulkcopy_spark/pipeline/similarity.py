@@ -2391,3 +2391,120 @@ def q189(spark, sf_dir):
         )
         .orderBy("code")
     )
+
+
+# ---------------------------------------------------------------------------
+# Tree-probed search recall (SURVEY §7.5 round-12 item, pulled into
+# round 11): q189 grades ASSIGNMENT agreement; this grades SEARCH
+# quality through the tree — the q44/q47 pattern with the tree walk as
+# the coarse router. The query routes to its leaf, only that inverted
+# list is scanned (at 100 TB the leaf code is a partition key, so the
+# probe is partition pruning), candidates exact-rerank by cosine, and
+# the top-10 intersects the exact q30 top-10. The query's leaf comes
+# from the SAME Spark walk expression as the corpus assignment (a
+# pushed-down 1-row scan), so router and corpus can never disagree.
+# ---------------------------------------------------------------------------
+
+
+def tree_probe_search(spark, sf_dir, query_vec_id: int, k: int = 10):
+    """(candidates, top-k) of a tree-routed single-list search: ONE
+    corpus pass assigns + scores, the query's own leaf comes from the
+    same expression via a vec_id-pushed 1-row scan, and the candidate
+    list (corpus/K at scale — bounded by the rebalancing audit q186
+    watches) is eager-persisted for its two consumers (count + rerank)."""
+    rows = (
+        table(spark, sf_dir, "embeddings")
+        .orderBy("vec_id")
+        .limit(TREE_LEAVES)
+        .collect()
+    )
+    leaves = [
+        (r["vec_id"], [float(v) for v in r["embedding"]]) for r in rows
+    ]
+    levels = _tree_levels(leaves, TREE_BRANCH)
+    emb = table(spark, sf_dir, "embeddings")
+    qrow = emb.where(F.col("vec_id") == query_vec_id).first()
+    qvec = [float(v) for v in qrow["embedding"]]
+    nq = math.sqrt(sum(v * v for v in qvec))
+    qlit = F.array(*[F.lit(v) for v in qvec])
+    e = F.col("embedding")
+    cos = dot_fold(e, qlit) / (F.sqrt(dot_fold(e, e)) * F.lit(nq))
+    walk = _tree_walk_expr(levels)["jn"].cast("long")
+    qleaf = int(
+        emb.where(F.col("vec_id") == query_vec_id)
+        .select(walk.alias("code"))
+        .first()["code"]
+    )
+    cand = eager(
+        spread(spark, emb)
+        .where(
+            (walk == qleaf) & (F.col("vec_id") != query_vec_id)
+        )
+        .select("vec_id", cos.alias("cosine"))
+    )
+    topk = cand.orderBy(F.col("cosine").desc(), "vec_id").limit(k)
+    return cand, topk
+
+
+def _q190_oracle() -> str:
+    exact_d = (
+        "SELECT e.vec_id,"
+        f" {_dot_duck('e.embedding', 'qv.embedding')} AS dot,"
+        f" {_dot_duck('e.embedding', 'e.embedding')} AS naa,"
+        f" {_dot_duck('qv.embedding', 'qv.embedding')} AS nqq"
+        " FROM embeddings e, qv WHERE e.vec_id != qv.vec_id"
+    )
+    return (
+        "WITH " + _tree_walk_ctes(TREE_LEAVES, TREE_BRANCH) + ","
+        " qv AS (SELECT vec_id, embedding FROM embeddings"
+        " WHERE vec_id = (SELECT min(vec_id) FROM embeddings)),"
+        " ql AS (SELECT code FROM ta"
+        " WHERE vec_id = (SELECT vec_id FROM qv)),"
+        " cand AS MATERIALIZED (SELECT e.vec_id,"
+        f" {_dot_duck('e.embedding', 'qv.embedding')} AS dot,"
+        f" {_dot_duck('e.embedding', 'e.embedding')} AS naa,"
+        f" {_dot_duck('qv.embedding', 'qv.embedding')} AS nqq"
+        " FROM embeddings e JOIN ta ON ta.vec_id = e.vec_id, qv"
+        " WHERE ta.code = (SELECT code FROM ql)"
+        " AND e.vec_id != qv.vec_id),"
+        " ap AS (SELECT vec_id FROM cand"
+        f" ORDER BY {_COS_RANK_DUCK} DESC, vec_id LIMIT 10),"
+        f" ex AS (SELECT vec_id FROM ({exact_d})"
+        f" ORDER BY {_COS_RANK_DUCK} DESC, vec_id LIMIT 10)"
+        " SELECT 'tree_probe' AS method,"
+        " (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_list,"
+        " CAST(count(*) AS BIGINT) AS hits,"
+        " CAST(count(*) * 10 AS BIGINT) AS recall_pct"
+        " FROM ex WHERE vec_id IN (SELECT vec_id FROM ap)"
+    )
+
+
+@register(
+    "q190_tree_probe_recall",
+    _q190_oracle(),
+    doc="Recall@10 of tree-routed single-list search against the exact"
+    " cosine top-10 (q30) — the q44/q47 quality gate with the q183"
+    " tree walk as the coarse router: the query routes to its leaf"
+    " (same Spark expression as the corpus assignment, via a pushed"
+    " 1-row scan), only that inverted list exact-reranks, and the"
+    " top-10 intersects the exact set. n_list reports the scanned list"
+    " size — together with q186's balance audit it prices the probe."
+    " At 100 TB the leaf code is a partition key, so the single-list"
+    " scan is partition pruning; the intersection is a broadcast"
+    " semi-join over 10-row sets.",
+)
+def q190(spark, sf_dir):
+    qid = _min_vec_id(spark, sf_dir)
+    exact = q30(spark, sf_dir).select("vec_id")
+    cand, topk = tree_probe_search(spark, sf_dir, qid, k=10)
+    n_list = cand.count()  # bounded scalar: the persisted leaf list
+    return (
+        exact.join(topk.select("vec_id"), "vec_id", "left_semi")
+        .agg(F.count("*").alias("hits"))
+        .select(
+            F.lit("tree_probe").alias("method"),
+            F.lit(int(n_list)).cast("long").alias("n_list"),
+            "hits",
+            (F.col("hits") * 10).cast("long").alias("recall_pct"),
+        )
+    )

@@ -3764,6 +3764,11 @@ QUEUED_SINCE = {
     "q187_lexical_detector_overlap": 111,
     "q188_tree_depth3_assignment": 112,
     "q189_tree_flat_agreement": 113,
+    # round-12 §7.5 stage pulled forward into round 11's window slack:
+    # the tree SEARCH quality gate and the fingerprint index balance
+    # audit; q43/q44 of the r05 block wait for round 12 behind these
+    "q190_tree_probe_recall": 114,
+    "q191_winnow_posting_histogram": 115,
 }
 
 

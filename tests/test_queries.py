@@ -194,10 +194,10 @@ def test_r10_window_prediction():
 
 def test_r11_window_prediction():
     """Round-10 verdict item 2: with the never-graded backlog at zero,
-    the round-11 rotation window must be the four round-11
-    registrations (q186..q189, never-graded sorts first) followed by
-    the r05-stale block in query-number order — q21..q34 + q36..q44
-    exactly fill the remaining 23 slots (q47/q51/q54/q55 wait for
+    the round-11 rotation window must be the six round-11
+    registrations (q186..q191, never-graded sorts first) followed by
+    the r05-stale block in query-number order — q21..q34 + q36..q42
+    fill the remaining 21 slots (q43/q44/q47/q51/q54/q55 wait for
     r12). Guarded on the ledger state so the pin retires itself once
     round 11 is folded."""
     from smartbulkcopy_spark.queries import (
@@ -218,10 +218,10 @@ def test_r11_window_prediction():
     new_r11 = sorted(
         (n for n, b in QUEUED_SINCE.items() if b >= 110), key=qnum
     )
-    assert len(new_r11) == 4
+    assert len(new_r11) == 6
     stale_r05 = sorted(
         (n for n in REGISTRY if LAST_GREEN.get(n) == 5), key=qnum
     )
     assert len(stale_r05) == 27
-    expected = new_r11 + stale_r05[: DRIVER_WINDOW - len(TIER1) - 4]
+    expected = new_r11 + stale_r05[: DRIVER_WINDOW - len(TIER1) - 6]
     assert rotation == expected

@@ -232,3 +232,77 @@ def test_q189_fixture_invariants(spark, sf_dir):
     for r in rows:
         assert r["n_agree"] <= min(r["n_flat"], r["n_tree"])
         assert 0 <= r["agree_ppm"] <= 1_000_000
+
+
+def test_q190_recall_shape(spark, sf_dir):
+    """Single-row contract: hits <= 10, hits <= n_list, recall_pct is
+    exactly hits x 10, and the scanned list is a strict subset of the
+    corpus (the probe actually pruned)."""
+    n_emb = table(spark, sf_dir, "embeddings").count()
+    rows = REGISTRY["q190_tree_probe_recall"].fn(spark, sf_dir).collect()
+    release_caches()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["method"] == "tree_probe"
+    assert 0 <= r["hits"] <= 10
+    assert r["hits"] <= r["n_list"]
+    assert r["recall_pct"] == r["hits"] * 10
+    assert 0 < r["n_list"] < n_emb - 1
+
+
+def test_q190_routing_and_recall_on_satellite_corpus(spark, tmp_path):
+    """Hand-built probe pin: the 16 separated leaves (q183 corpus) plus
+    two near-identical SATELLITES per leaf (tiny perturbation in an
+    unused dimension). Satellites must route to their own leaf, so the
+    query's scanned list is exactly its two satellites — and both sit
+    at the top of the exact cosine ranking, so hits == n_list == 2.
+    A routing error at either level scatters satellites to other lists
+    (n_list wrong); a rerank error drops a near-duplicate from the
+    top-10 (hits wrong)."""
+    dim = 8
+    rows = []
+    for g in range(4):
+        for i in range(4):
+            v = [0.0] * dim
+            v[g] = 100.0 * (g + 1)
+            v[4 + (i % 4) // 2] = 1.0 + i
+            rows.append((4 * g + i, v))
+    for s in range(16, 48):
+        leaf_vec = list(rows[s % 16][1])
+        leaf_vec[6] = 0.0001 * s  # near-duplicate of its leaf
+        rows.append((s, leaf_vec))
+    pd.DataFrame(
+        {
+            "vec_id": [r[0] for r in rows],
+            "embedding": [r[1] for r in rows],
+            "label": [r[0] % 16 for r in rows],
+        }
+    ).to_parquet(tmp_path / "embeddings.parquet", index=False)
+    got = (
+        REGISTRY["q190_tree_probe_recall"].fn(spark, str(tmp_path)).collect()
+    )
+    release_caches()
+    assert len(got) == 1
+    r = got[0]
+    assert r["n_list"] == 2  # the query leaf's two satellites, only
+    assert r["hits"] == 2  # both are exact near-duplicates -> top-10
+    assert r["recall_pct"] == 20
+
+
+def test_q191_histogram_conserves_fingerprints(spark, sf_dir):
+    """sum(sz x n_fps) must equal the total (doc, fph) posting rows,
+    every sz appears once, and the dropped flag is exactly
+    sz > WINNOW_MAX_POSTINGS."""
+    from smartbulkcopy_spark.pipeline.dedup import (
+        WINNOW_MAX_POSTINGS,
+        winnow_fingerprints,
+    )
+
+    total = winnow_fingerprints(spark, sf_dir).count()
+    rows = (
+        REGISTRY["q191_winnow_posting_histogram"].fn(spark, sf_dir).collect()
+    )
+    assert sum(r["sz"] * r["n_fps"] for r in rows) == total
+    assert len({r["sz"] for r in rows}) == len(rows)
+    for r in rows:
+        assert r["dropped"] == (r["sz"] > WINNOW_MAX_POSTINGS)

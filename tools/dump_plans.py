@@ -476,6 +476,15 @@ ANNOTATED = {
     " walk); groupBy carries (flat, tree) counters into <= K^2 groups,"
     " eager-persisted for the three K-row bookkeeping consumers;"
     " driver-side leaf grid left-joins close the output.",
+    "q190_tree_probe_recall": "Query leaf via a vec_id-pushed 1-row"
+    " scan of the SAME walk expression; one corpus pass filters to the"
+    " leaf list (partition pruning at scale) + scores cosine,"
+    " eager-persisted for count + rerank; broadcast semi-join of two"
+    " 10-row top-k sets; 1-row output.",
+    "q191_winnow_posting_histogram": "Row-local fingerprint HOF chain"
+    " feeds two narrow partial-agg shuffles — (fph, count) then"
+    " (sz, count); document text never shuffles; <= max-list-size"
+    " output rows.",
 }
 
 

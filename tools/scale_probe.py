@@ -143,6 +143,8 @@ PROBES = [
     "q187_lexical_detector_overlap",
     "q188_tree_depth3_assignment",
     "q189_tree_flat_agreement",
+    "q190_tree_probe_recall",
+    "q191_winnow_posting_histogram",
 ]
 
 
