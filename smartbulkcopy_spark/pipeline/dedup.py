@@ -145,7 +145,7 @@ def _banded_cte_duck() -> str:
     return (
         f"sig AS (SELECT doc_id, {mhs} FROM documents),"
         f" bnd AS (SELECT doc_id, {bands} FROM sig),"
-        f" expl AS ({unions})"
+        f" expl AS MATERIALIZED ({unions})"
     )
 
 
@@ -522,7 +522,7 @@ def q112(spark, sf_dir):
 @register(
     "q29_ngram_jaccard",
     "WITH " + _candidate_cte_duck() + ","
-    f" sh AS (SELECT doc_id, {shingle_set_expr('duck')} AS s FROM documents)"
+    f" sh AS MATERIALIZED (SELECT doc_id, {shingle_set_expr('duck')} AS s FROM documents)"
     " SELECT c.a_id, c.b_id,"
     " CAST(floor(1000.0 * len(list_intersect(sa.s, sb.s))"
     "   / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))))"
@@ -619,7 +619,7 @@ NEAR_DUP_JACCARD_MILLIS = 500  # fixture yields candidates from j=50 to 991
 @register(
     "q34_near_dup_dedup",
     "WITH " + _candidate_cte_duck() + ","
-    f" sh AS (SELECT doc_id, {shingle_set_expr('duck')} AS s FROM documents),"
+    f" sh AS MATERIALIZED (SELECT doc_id, {shingle_set_expr('duck')} AS s FROM documents),"
     " jac AS (SELECT c.a_id, c.b_id,"
     " CAST(floor(1000.0 * len(list_intersect(sa.s, sb.s))"
     "   / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))))"
@@ -706,7 +706,7 @@ def q66(spark, sf_dir):
     " cand2 AS (SELECT DISTINCT o.doc_id AS old_id, n.doc_id AS new_id"
     " FROM nw n JOIN osz s ON n.band = s.band"
     " JOIN old o ON o.band = n.band),"
-    f" sh AS (SELECT doc_id, {shingle_set_expr('duck')} AS s"
+    f" sh AS MATERIALIZED (SELECT doc_id, {shingle_set_expr('duck')} AS s"
     " FROM documents),"
     " jac2 AS (SELECT c.new_id, c.old_id,"
     " CAST(floor(1000.0 * len(list_intersect(sa.s, sb.s))"
@@ -1026,7 +1026,7 @@ def dedup_clusters(spark, sf_dir, pairs=None, reliable=None):
 @register(
     "q69_dedup_clusters",
     "WITH RECURSIVE " + _candidate_cte_duck() + ","
-    f" sh AS (SELECT doc_id, {shingle_set_expr('duck')} AS s FROM documents),"
+    f" sh AS MATERIALIZED (SELECT doc_id, {shingle_set_expr('duck')} AS s FROM documents),"
     " jac AS (SELECT c.a_id, c.b_id,"
     " CAST(floor(1000.0 * len(list_intersect(sa.s, sb.s))"
     "   / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))))"
@@ -1054,7 +1054,7 @@ def q69(spark, sf_dir):
 @register(
     "q70_cluster_dedup_keep",
     "WITH RECURSIVE " + _candidate_cte_duck() + ","
-    f" sh AS (SELECT doc_id, {shingle_set_expr('duck')} AS s FROM documents),"
+    f" sh AS MATERIALIZED (SELECT doc_id, {shingle_set_expr('duck')} AS s FROM documents),"
     " jac AS (SELECT c.a_id, c.b_id,"
     " CAST(floor(1000.0 * len(list_intersect(sa.s, sb.s))"
     "   / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))))"
@@ -1100,7 +1100,7 @@ def cluster_keep_docs(spark, sf_dir, labels=None):
 def _labels_cte_duck() -> str:
     return (
         _candidate_cte_duck() + ","
-        f" sh AS (SELECT doc_id, {shingle_set_expr('duck')} AS s"
+        f" sh AS MATERIALIZED (SELECT doc_id, {shingle_set_expr('duck')} AS s"
         " FROM documents),"
         " jac AS (SELECT c.a_id, c.b_id,"
         " CAST(floor(1000.0 * len(list_intersect(sa.s, sb.s))"
@@ -1175,7 +1175,7 @@ def q86(spark, sf_dir):
 def _jac_cte_duck() -> str:
     return (
         _candidate_cte_duck() + ","
-        f" sh AS (SELECT doc_id, {shingle_set_expr('duck')} AS s"
+        f" sh AS MATERIALIZED (SELECT doc_id, {shingle_set_expr('duck')} AS s"
         " FROM documents),"
         " jac AS (SELECT c.a_id, c.b_id,"
         " CAST(floor(1000.0 * len(list_intersect(sa.s, sb.s))"
@@ -1495,7 +1495,7 @@ def q119(spark, sf_dir):
 @register(
     "q124_source_dedup_rates",
     "WITH " + _candidate_cte_duck() + ","
-    f" sh AS (SELECT doc_id, {shingle_set_expr('duck')} AS s"
+    f" sh AS MATERIALIZED (SELECT doc_id, {shingle_set_expr('duck')} AS s"
     " FROM documents),"
     " jac AS (SELECT c.a_id, c.b_id,"
     " CAST(floor(1000.0 * len(list_intersect(sa.s, sb.s))"

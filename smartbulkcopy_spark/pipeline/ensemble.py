@@ -59,7 +59,7 @@ def _lex_pairs_cte_duck() -> str:
 
     return (
         _candidate_cte_duck() + ","
-        f" sh AS (SELECT doc_id, {shingle_set_expr('duck')} AS s"
+        f" sh AS MATERIALIZED (SELECT doc_id, {shingle_set_expr('duck')} AS s"
         " FROM documents),"
         " jac AS (SELECT c.a_id, c.b_id,"
         " CAST(floor(1000.0 * len(list_intersect(sa.s, sb.s))"
