@@ -2057,6 +2057,45 @@ def q191(spark, sf_dir):
     )
 
 
+def winnow_drop_share(spark, sf_dir):
+    """(doc_id, n_fps, n_dropped, drop_ppm) — the per-document view of
+    q191 (the round-12 stage): what fraction of each document's
+    winnowing fingerprints the WINNOW_MAX_POSTINGS cap removes. A
+    boilerplate-heavy document loses most of its fingerprint mass to
+    the cap and becomes invisible to the q164/q180 pair chain — this
+    is the audit that finds those blind spots. One fph-keyed partial
+    agg sizes the lists; a broadcast-sized over-cap set LEFT-SEMI marks
+    each doc's dropped rows; per-doc rollup. Integer ppm
+    (non-negative: Spark DIV == DuckDB //)."""
+    pk = winnow_fingerprints(spark, sf_dir)
+    over = (
+        pk.groupBy("fph")
+        .agg(F.count("*").alias("pc"))
+        .where(F.col("pc") > WINNOW_MAX_POSTINGS)
+        .select("fph")
+    )
+    marked = pk.join(
+        over.withColumn("dropped", F.lit(1)), "fph", "left"
+    )
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_fps"),
+            F.sum(F.coalesce(F.col("dropped"), F.lit(0)))
+            .cast("long")
+            .alias("n_dropped"),
+        )
+        .select(
+            "doc_id",
+            "n_fps",
+            "n_dropped",
+            F.expr("n_dropped * 1000000 DIV n_fps")
+            .cast("long")
+            .alias("drop_ppm"),
+        )
+    )
+
+
 def winnow_capped_pairs(spark, sf_dir):
     """(pkf, pr): the EAGER-persisted capped fingerprint table and the
     fph-keyed pair frame (a_id, b_id, shared_fps) — the Spark twin of

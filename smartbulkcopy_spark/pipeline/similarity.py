@@ -2508,3 +2508,60 @@ def q190(spark, sf_dir):
             (F.col("hits") * 10).cast("long").alias("recall_pct"),
         )
     )
+
+
+def tree_multiprobe_search(
+    spark, sf_dir, query_vec_id: int, k: int = 10, n_probe: int = 2
+):
+    """(candidates, top-k) of tree-routed MULTI-probe search — the
+    round-12 stage behind q190: the corpus keeps its single-leaf tree
+    assignment, while the QUERY's probe set is the n_probe nearest
+    leaves ranked driver-side over the K leaf vectors (the ivf_search
+    d2 discipline — same -2*q.c + c.c left folds the engines use, so a
+    future oracle replays the ranking bit-for-bit). Recall is monotone
+    non-decreasing in n_probe by construction: each probe adds a list,
+    never replaces one. Probing stays partition pruning at scale (an
+    IN-list of n_probe leaf codes)."""
+    rows = (
+        table(spark, sf_dir, "embeddings")
+        .orderBy("vec_id")
+        .limit(TREE_LEAVES)
+        .collect()
+    )
+    leaves = [
+        (r["vec_id"], [float(v) for v in r["embedding"]]) for r in rows
+    ]
+    levels = _tree_levels(leaves, TREE_BRANCH)
+    emb = table(spark, sf_dir, "embeddings")
+    qrow = emb.where(F.col("vec_id") == query_vec_id).first()
+    qvec = [float(v) for v in qrow["embedding"]]
+
+    def d2(c):
+        dot = 0.0
+        for a, b in zip(qvec, c):
+            dot = dot + a * b
+        cc = 0.0
+        for b in c:
+            cc = cc + b * b
+        return -2.0 * dot + cc
+
+    probe = [
+        code
+        for code, vec in sorted(leaves, key=lambda c: (d2(c[1]), c[0]))
+    ][:n_probe]
+
+    nq = math.sqrt(sum(v * v for v in qvec))
+    qlit = F.array(*[F.lit(v) for v in qvec])
+    e = F.col("embedding")
+    cos = dot_fold(e, qlit) / (F.sqrt(dot_fold(e, e)) * F.lit(nq))
+    walk = _tree_walk_expr(levels)["jn"].cast("long")
+    cand = eager(
+        spread(spark, emb)
+        .where(
+            walk.isin([int(p) for p in probe])
+            & (F.col("vec_id") != query_vec_id)
+        )
+        .select("vec_id", cos.alias("cosine"))
+    )
+    topk = cand.orderBy(F.col("cosine").desc(), "vec_id").limit(k)
+    return cand, topk

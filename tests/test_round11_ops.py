@@ -306,3 +306,64 @@ def test_q191_histogram_conserves_fingerprints(spark, sf_dir):
     assert len({r["sz"] for r in rows}) == len(rows)
     for r in rows:
         assert r["dropped"] == (r["sz"] > WINNOW_MAX_POSTINGS)
+
+
+def test_tree_multiprobe_recall_monotone(spark, sf_dir):
+    """Round-12 stage (builder-only): the probe-N recall curve must be
+    monotone non-decreasing and the scanned list strictly grows with
+    n_probe; at n_probe=1 the probe set is the query's own routed leaf,
+    so the candidates match q190's single-list search exactly."""
+    from smartbulkcopy_spark.pipeline.similarity import (
+        _min_vec_id,
+        q30,
+        tree_multiprobe_search,
+        tree_probe_search,
+    )
+
+    qid = _min_vec_id(spark, sf_dir)
+    exact = {r["vec_id"] for r in q30(spark, sf_dir).collect()}
+
+    single_cand, _ = tree_probe_search(spark, sf_dir, qid)
+    single_ids = {r["vec_id"] for r in single_cand.collect()}
+
+    prev_hits, prev_n = -1, 0
+    for n_probe in (1, 2, 4):
+        cand, topk = tree_multiprobe_search(
+            spark, sf_dir, qid, k=10, n_probe=n_probe
+        )
+        ids = {r["vec_id"] for r in cand.collect()}
+        hits = sum(
+            1 for r in topk.collect() if r["vec_id"] in exact
+        )
+        if n_probe == 1:
+            assert ids == single_ids  # same list as q190's router
+        assert len(ids) >= prev_n  # probes only ADD lists
+        assert hits >= prev_hits  # recall monotone in n_probe
+        prev_hits, prev_n = hits, len(ids)
+    release_caches()
+
+
+def test_winnow_drop_share_consistency(spark, sf_dir):
+    """Round-12 stage (builder-only): per-doc totals must reconcile
+    with the raw fingerprint table and with q191's histogram — the sum
+    of n_dropped equals the posting mass of the over-cap lists, and
+    drop_ppm is bounded."""
+    from smartbulkcopy_spark.pipeline.dedup import (
+        WINNOW_MAX_POSTINGS,
+        winnow_drop_share,
+        winnow_fingerprints,
+    )
+
+    total = winnow_fingerprints(spark, sf_dir).count()
+    hist = (
+        REGISTRY["q191_winnow_posting_histogram"].fn(spark, sf_dir).collect()
+    )
+    dropped_mass = sum(
+        r["sz"] * r["n_fps"] for r in hist if r["dropped"]
+    )
+    rows = winnow_drop_share(spark, sf_dir).collect()
+    assert sum(r["n_fps"] for r in rows) == total
+    assert sum(r["n_dropped"] for r in rows) == dropped_mass
+    for r in rows:
+        assert 0 <= r["n_dropped"] <= r["n_fps"]
+        assert 0 <= r["drop_ppm"] <= 1_000_000
