@@ -1,11 +1,15 @@
 """Round-11 operator invariants: q186 IVF list rebalancing audit, q187
 MinHash-vs-winnowing agreement, q188 depth-3 tree assignment, q189
-tree-vs-flat agreement. The shared DuckDB oracle run in test_queries
+tree-vs-flat agreement, q190 tree-probed recall, q191 posting
+histogram, plus the round-12 staged builders (multi-probe search,
+fingerprint drop-share). The shared DuckDB oracle run in test_queries
 covers the fixture corpus; these pin what the fixture can't prove —
 count conservation against the underlying q93 assignment, matrix
-marginals equal to the detectors' own pair sets, exact routing on a
-hand-built hierarchical corpus at depth 3, and the agreement gate
-reading 100% when the tree is exact by construction."""
+marginals equal to the detectors' own pair sets, exact routing on
+hand-built hierarchical/satellite corpora, the agreement gate reading
+100% when the tree is exact by construction, cross-engine equality of
+the GENERATED tree oracle at ragged (leaves, branch) shapes, recall
+monotone in n_probe, and drop-share reconciliation against q191."""
 
 from __future__ import annotations
 
