@@ -2565,3 +2565,77 @@ def tree_multiprobe_search(
     )
     topk = cand.orderBy(F.col("cosine").desc(), "vec_id").limit(k)
     return cand, topk
+
+
+def embedding_split_leakage(spark, sf_dir):
+    """Round-12 stage: SEMANTIC split-leakage audit — the embedding-space
+    member of the decontamination family (lexical: q68 eval n-gram
+    decontamination, q86 split leakage, q170/q177 winnowing
+    contamination). An eval example whose near-duplicate sits in the
+    train split leaks: its benchmark score measures memorization, not
+    generalization, and lexical detectors miss paraphrase-level copies
+    that survive in embedding space. Output: one row per LEAKED
+    val/test vector — how many train near-duplicates it has and the
+    strongest cosine, in the q33 e4 integer space.
+
+    Reuses q33's hyperplane-bucketed pair generation AS-IS (never
+    all-pairs; the plan contract) and the q50 90/5/5 md5 split policy on
+    vec_id, applied as a row-local expression to both pair sides — no
+    join against a split table. Keeps exactly the pairs with ONE side in
+    train; the eval side keys the rollup. Scale: everything downstream
+    of q33 is arithmetic on the tiny verified pair set."""
+    from smartbulkcopy_spark.pipeline.text import split_case_sql
+
+    pairs = q33(spark, sf_dir)
+    sa = F.expr(split_case_sql("spark", "a_id"))
+    sb = F.expr(split_case_sql("spark", "b_id"))
+    p = pairs.select(
+        "a_id", "b_id", "cos_e4", sa.alias("sa"), sb.alias("sb")
+    )
+    a_train = F.col("sa") == "train"
+    b_train = F.col("sb") == "train"
+    leaks = p.where(a_train != b_train).select(
+        F.when(a_train, F.col("b_id")).otherwise(F.col("a_id")).alias(
+            "vec_id"
+        ),
+        F.when(a_train, F.col("sb")).otherwise(F.col("sa")).alias("split"),
+        "cos_e4",
+    )
+    return (
+        leaks.groupBy("vec_id", "split")
+        .agg(
+            F.count("*").cast("long").alias("n_train_dups"),
+            F.max("cos_e4").alias("max_cos_e4"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def _split_leakage_oracle() -> str:
+    """DuckDB replay of embedding_split_leakage, drafted with the
+    builder (round-12 registration wires it up): q33's bucketed pair SQL
+    verbatim, split CASEs on both sides, eval-side rollup."""
+    from smartbulkcopy_spark.pipeline.text import split_case_sql
+
+    sa = split_case_sql("duck", "a_id")
+    sb = split_case_sql("duck", "b_id")
+    return (
+        "WITH b AS (SELECT vec_id, embedding,"
+        f" CAST({bucket_expr('duck')} AS BIGINT) AS bk FROM embeddings),"
+        " p AS (SELECT x.vec_id AS a_id, y.vec_id AS b_id,"
+        f" {_dot_duck('x.embedding', 'y.embedding')}"
+        f" / (sqrt({_dot_duck('x.embedding', 'x.embedding')})"
+        f" * sqrt({_dot_duck('y.embedding', 'y.embedding')})) AS cos"
+        " FROM b x JOIN b y ON x.bk = y.bk AND x.vec_id < y.vec_id),"
+        " vp AS (SELECT a_id, b_id,"
+        " CAST(floor(10000.0 * cos) AS BIGINT) AS cos_e4,"
+        f" {sa} AS sa, {sb} AS sb"
+        f" FROM p WHERE cos >= {NEAR_DUP_COS}),"
+        " lk AS (SELECT CASE WHEN sa = 'train' THEN b_id ELSE a_id END"
+        " AS vec_id, CASE WHEN sa = 'train' THEN sb ELSE sa END AS split,"
+        " cos_e4 FROM vp"
+        " WHERE (sa = 'train') != (sb = 'train'))"
+        " SELECT vec_id, split, CAST(count(*) AS BIGINT) AS n_train_dups,"
+        " max(cos_e4) AS max_cos_e4 FROM lk GROUP BY vec_id, split"
+        " ORDER BY vec_id"
+    )

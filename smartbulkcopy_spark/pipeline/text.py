@@ -3665,3 +3665,123 @@ def q185(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-12 stage: bigram language-model fit score — the rationalized form
+# of CCNet-style perplexity filtering. A real perplexity needs ln(), and
+# libm ln differs in the last ulp across engines (the q52/HLL lesson:
+# NORM of this file line 247, sketch.py:32), so the score is the mean
+# ADD-ONE-SMOOTHED BIGRAM PROBABILITY in e6 integer space instead:
+# p(w2|w1) = (c(w1,w2) + 1) * 1e6 DIV (c(w1) + V). Monotone in the same
+# direction as negative perplexity for filtering purposes, and every
+# step is integer arithmetic — bit-identical on any engine.
+# ---------------------------------------------------------------------------
+
+
+def _bigram_stream(spark, sf_dir):
+    """(doc_id, w1, w2) — one row per ADJACENT whitespace-token pair,
+    built row-locally by zipping each doc's token array with its own
+    tail (the q91 pattern; no self-join, text never shuffles)."""
+    docs = spread(spark, table(spark, sf_dir, "documents"))
+    n = F.trim(norm_text())
+    t = F.split(n, " ")
+    tl = F.col("t")
+    m = F.greatest(F.size(tl) - 1, F.lit(0))
+    pairs = F.when(
+        F.size(tl) >= 2,
+        F.zip_with(
+            F.slice(tl, 1, m),
+            F.slice(tl, 2, m),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    return (
+        docs.where(n != "")
+        .select("doc_id", t.alias("t"))
+        .select("doc_id", F.explode(pairs).alias("p"))
+        .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+
+
+def bigram_lm_fit(spark, sf_dir):
+    """Per-document bigram language-model fit: train an add-one-smoothed
+    bigram LM on the corpus itself, then score every document by the
+    mean (and minimum) smoothed transition probability of its adjacent
+    token pairs — the quality-filter signal perplexity filtering reads,
+    in deterministic e6 integer space (see the block comment above for
+    why not ln()). V is the full distinct-token vocabulary, attached as
+    a driver-side bounded scalar (the q52 n_docs pattern — never a
+    constant-key join, which would plan as BNLJ).
+
+    Scale: bigram construction is row-local; the model tables shuffle on
+    token keys with map-side partial aggregation; scoring is ONE
+    bigram-keyed shuffle join of the occurrence stream against the model
+    (vocab-squared-bounded, so AQE may still broadcast it when small)
+    plus one doc_id rollup. No corpus-wide window, no text shuffle.
+    Sums are integer so reduction order cannot perturb the result."""
+    bg = _bigram_stream(spark, sf_dir)
+    toks = _tokens(spark, sf_dir)
+    v_size = toks.select("token").distinct().count()  # bounded scalar
+
+    c12 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    c1 = bg.groupBy("w1").agg(F.count("*").alias("c1"))
+    model = c12.join(c1, "w1").select(
+        "w1",
+        "w2",
+        F.expr(f"(c12 + 1) * 1000000 DIV (c1 + {v_size}L)").alias("p_e6"),
+    )
+    pd_ = bg.join(model, ["w1", "w2"]).groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        F.sum("p_e6").alias("sum_p"),
+        F.min("p_e6").alias("min_p"),
+    )
+    docs = table(spark, sf_dir, "documents")
+    nb = F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long")
+    return (
+        docs.select("doc_id")
+        .join(pd_, "doc_id", "left")
+        .select(
+            "doc_id",
+            nb.alias("n_bigrams"),
+            F.when(nb == 0, F.lit(0))
+            .otherwise(F.expr("sum_p DIV n_bigrams"))
+            .cast("long")
+            .alias("mean_p_e6"),
+            F.coalesce(F.col("min_p"), F.lit(0))
+            .cast("long")
+            .alias("min_p_e6"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _bigram_lm_oracle() -> str:
+    """The DuckDB replay of bigram_lm_fit — drafted with the builder so
+    the round-12 registration only wires it up. Both heavy CTEs are
+    MATERIALIZED (each is read twice; the round-10 DuckDB
+    inline-per-reference lesson)."""
+    return (
+        "WITH tk AS MATERIALIZED (SELECT doc_id,"
+        f" string_split(trim({NORM_SQL_DUCK}), ' ') AS t FROM documents"
+        f" WHERE trim({NORM_SQL_DUCK}) != ''),"
+        " bg AS MATERIALIZED (SELECT doc_id, t[u.i] AS w1,"
+        " t[u.i + 1] AS w2 FROM tk, unnest(range(1, len(t))) AS u(i)),"
+        " c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),"
+        " c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),"
+        " v AS (SELECT count(DISTINCT tok) AS v FROM"
+        " (SELECT unnest(t) AS tok FROM tk)),"
+        " model AS (SELECT w1, w2,"
+        " (c12 + 1) * 1000000 // (c1 + v.v) AS p_e6"
+        " FROM c12 JOIN c1 USING (w1), v),"
+        " pd AS (SELECT doc_id, count(*) AS n_bigrams, sum(p_e6) AS s,"
+        " min(p_e6) AS min_p FROM bg JOIN model USING (w1, w2)"
+        " GROUP BY doc_id)"
+        " SELECT d.doc_id,"
+        " CAST(coalesce(pd.n_bigrams, 0) AS BIGINT) AS n_bigrams,"
+        " CAST(CASE WHEN coalesce(pd.n_bigrams, 0) = 0 THEN 0"
+        " ELSE pd.s // pd.n_bigrams END AS BIGINT) AS mean_p_e6,"
+        " CAST(coalesce(pd.min_p, 0) AS BIGINT) AS min_p_e6"
+        " FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id"
+        " ORDER BY d.doc_id"
+    )

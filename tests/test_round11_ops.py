@@ -2,7 +2,8 @@
 MinHash-vs-winnowing agreement, q188 depth-3 tree assignment, q189
 tree-vs-flat agreement, q190 tree-probed recall, q191 posting
 histogram, plus the round-12 staged builders (multi-probe search,
-fingerprint drop-share). The shared DuckDB oracle run in test_queries
+fingerprint drop-share, bigram-LM fit, embedding split leakage). The
+shared DuckDB oracle run in test_queries
 covers the fixture corpus; these pin what the fixture can't prove —
 count conservation against the underlying q93 assignment, matrix
 marginals equal to the detectors' own pair sets, exact routing on
@@ -371,3 +372,120 @@ def test_winnow_drop_share_consistency(spark, sf_dir):
     for r in rows:
         assert 0 <= r["n_dropped"] <= r["n_fps"]
         assert 0 <= r["drop_ppm"] <= 1_000_000
+
+
+def _mini_docs(tmp_path, texts):
+    pd.DataFrame(
+        {
+            "doc_id": list(range(len(texts))),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["src0"] * len(texts),
+            "n_chars": [len(t) for t in texts],
+        }
+    ).to_parquet(tmp_path / "documents.parquet", index=False)
+
+
+def test_bigram_lm_fit_hand_corpus(spark, tmp_path):
+    """Round-12 stage (builder-only): exact add-one arithmetic on a
+    hand corpus where V, the context counts, and every smoothed
+    probability are computable by eye. V = {a, b, z} = 3; c1(a) = 3;
+    p(a,a) = (2+1)*1e6 // (3+3) = 500000, p(a,b) = (1+1)*1e6 // 6 =
+    333333. The single-token and empty docs must both come back as
+    zero rows of the LEFT join (and 'z' must still count toward V)."""
+    import duckdb
+
+    from smartbulkcopy_spark.pipeline.text import (
+        _bigram_lm_oracle,
+        bigram_lm_fit,
+    )
+
+    _mini_docs(tmp_path, ["a a a", "a b", "z", ""])
+    got = [tuple(r) for r in bigram_lm_fit(spark, str(tmp_path)).collect()]
+    assert got == [
+        (0, 2, 500000, 500000),
+        (1, 1, 333333, 333333),
+        (2, 0, 0, 0),
+        (3, 0, 0, 0),
+    ]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM"
+        f" read_parquet('{tmp_path}/documents.parquet')"
+    )
+    assert got == [tuple(r) for r in con.execute(_bigram_lm_oracle()).fetchall()]
+
+
+def test_bigram_lm_fit_fixture_invariants(spark, sf_dir, duck):
+    """One row per document; bigram mass reconciles with the token
+    stream (sum n_bigrams == total tokens minus non-empty docs); the
+    integer probabilities are bounded and min <= mean; and the drafted
+    DuckDB oracle replays the Spark result row-for-row on the fixture."""
+    from smartbulkcopy_spark.pipeline.text import (
+        _bigram_lm_oracle,
+        _tokens,
+        bigram_lm_fit,
+        norm_text,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    n_nonempty = docs.where(F.trim(norm_text()) != "").count()
+    n_tokens = _tokens(spark, sf_dir).count()
+
+    rows = bigram_lm_fit(spark, sf_dir).collect()
+    assert len(rows) == n_docs
+    assert sum(r["n_bigrams"] for r in rows) == n_tokens - n_nonempty
+    for r in rows:
+        assert 0 <= r["min_p_e6"] <= r["mean_p_e6"] <= 1_000_000 or (
+            r["n_bigrams"] == 0
+            and r["mean_p_e6"] == 0
+            and r["min_p_e6"] == 0
+        )
+    want = [tuple(r) for r in duck.execute(_bigram_lm_oracle()).fetchall()]
+    assert [tuple(r) for r in rows] == want
+
+
+def _py_split(vid: int) -> str:
+    """The q50 90/5/5 policy recomputed independently (hashlib, not
+    either engine)."""
+    import hashlib
+
+    b = int(hashlib.md5(str(vid).encode()).hexdigest()[:4], 16) % 100
+    return "train" if b < 90 else ("val" if b < 95 else "test")
+
+
+def test_embedding_split_leakage_reconciles_with_q33(spark, sf_dir, duck):
+    """Round-12 stage (builder-only): the leak rollup must be exactly
+    the q33 pair set restricted to one-side-train pairs, grouped on the
+    eval side — recomputed here driver-side with hashlib as the
+    independent split arbiter — and the drafted oracle must replay it."""
+    from collections import defaultdict
+
+    from smartbulkcopy_spark.pipeline.similarity import (
+        _split_leakage_oracle,
+        embedding_split_leakage,
+        q33,
+    )
+
+    pairs = [tuple(r) for r in q33(spark, sf_dir).collect()]
+    want = defaultdict(lambda: [0, -(10**9)])
+    for a_id, b_id, cos_e4 in pairs:
+        sa, sb = _py_split(a_id), _py_split(b_id)
+        if (sa == "train") == (sb == "train"):
+            continue
+        ev, sp = (b_id, sb) if sa == "train" else (a_id, sa)
+        want[(ev, sp)][0] += 1
+        want[(ev, sp)][1] = max(want[(ev, sp)][1], cos_e4)
+
+    rows = embedding_split_leakage(spark, sf_dir).collect()
+    release_caches()
+    got = {
+        (r["vec_id"], r["split"]): [r["n_train_dups"], r["max_cos_e4"]]
+        for r in rows
+    }
+    assert got == dict(want)
+    assert all(sp in ("val", "test") for _, sp in got)
+    assert [tuple(r) for r in rows] == [
+        tuple(r) for r in duck.execute(_split_leakage_oracle()).fetchall()
+    ]
