@@ -268,3 +268,49 @@ def test_curriculum_stage_formula_partitions_evenly(n):
     if n >= 4:  # below 4 docs the sparse stage ids are expected
         assert set(sizes) == {1, 2, 3, 4}
     assert max(sizes.values()) - min(sizes.values()) <= 1
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet=" ab\t\nc", max_size=24), min_size=1, max_size=8
+    )
+)
+@settings(deadline=None, max_examples=40)
+def test_bigram_lm_oracle_matches_pure_python(texts):
+    """The drafted round-12 bigram-LM oracle must agree with an
+    independent pure-Python add-one model on arbitrary whitespace-messy
+    corpora — including all-blank docs, single-token docs, and tie-dense
+    tiny vocabularies (the Spark builder is pinned to the same oracle on
+    the fixture in test_round11_ops)."""
+    import re
+    from collections import Counter
+
+    import pandas as pd
+
+    from smartbulkcopy_spark.pipeline.text import _bigram_lm_oracle
+
+    norm = [re.sub(r"\s+", " ", t).lower().strip() for t in texts]
+    toks = [n.split(" ") if n else [] for n in norm]
+    v = len({w for ts in toks for w in ts})
+    c12, c1 = Counter(), Counter()
+    for ts in toks:
+        for a, b in zip(ts, ts[1:]):
+            c12[(a, b)] += 1
+            c1[a] += 1
+    want = []
+    for i, ts in enumerate(toks):
+        ps = [
+            (c12[(a, b)] + 1) * 1_000_000 // (c1[a] + v)
+            for a, b in zip(ts, ts[1:])
+        ]
+        if ps:
+            want.append((i, len(ps), sum(ps) // len(ps), min(ps)))
+        else:
+            want.append((i, 0, 0, 0))
+
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    con = duckdb.connect()
+    con.register("documents", df)
+    got = [tuple(r) for r in con.execute(_bigram_lm_oracle()).fetchall()]
+    con.close()
+    assert got == want
