@@ -2457,3 +2457,95 @@ def q180(spark, sf_dir):
         )
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-12 stage: soft dedup — duplication-aware DOWNWEIGHTING. Hard
+# dedup (q70) throws duplicates away; modern data recipes instead keep
+# every copy and resample each near-dup family back to unit mass, so a
+# document duplicated k times contributes ~1 expected copy rather than
+# k (and rare text is never collateral damage of an over-eager
+# threshold). weight_ppm = 1e6 DIV cluster_size; the keep decision is a
+# deterministic salted md5 coin per doc_id, so reprocessing or
+# backfilling never flips earlier decisions.
+# ---------------------------------------------------------------------------
+
+_SOFT_U_SPARK = (
+    "CAST(conv(substr(md5(concat('soft:', CAST(doc_id AS STRING))),"
+    " 1, 8), 16, 10) AS BIGINT) % 1000000"
+)
+
+
+def _soft_u_duck(col: str) -> str:
+    return (
+        f"CAST(('0x' || substr(md5('soft:' || CAST({col} AS VARCHAR)),"
+        " 1, 8)) AS BIGINT) % 1000000"
+    )
+
+
+def soft_dedup_weights(spark, sf_dir):
+    """Per document: its q69 near-dup cluster (rep + size, singletons
+    stay their own cluster of 1), the resampling weight in ppm, and the
+    deterministic keep decision (u < weight for a 32-bit md5 coin in
+    [0, 1e6)). Expected kept mass per cluster is ~1 document.
+
+    Scale: reuses q69's verified-pair CC as-is (bucketed candidates,
+    label propagation on the tiny pair graph); everything added on top
+    is one count over the label table (cluster-rep keyed), one join of
+    the labels back to it, and a row-local coin — document text never
+    shuffles."""
+    labels = eager(dedup_clusters(spark, sf_dir))
+    sizes = labels.groupBy("cluster_rep").agg(
+        F.count("*").cast("long").alias("cluster_size")
+    )
+    member = labels.join(sizes, "cluster_rep")
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    u = F.expr(_SOFT_U_SPARK)
+    rep = F.coalesce(F.col("cluster_rep"), F.col("doc_id")).cast("long")
+    size = F.coalesce(F.col("cluster_size"), F.lit(1)).cast("long")
+    return (
+        docs.join(member, "doc_id", "left")
+        .select("doc_id", rep.alias("cluster_rep"), size.alias("cluster_size"))
+        .select(
+            "doc_id",
+            "cluster_rep",
+            "cluster_size",
+            F.expr("1000000 DIV cluster_size").alias("weight_ppm"),
+            (u < F.expr("1000000 DIV cluster_size")).alias("kept"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _soft_dedup_oracle() -> str:
+    """DuckDB replay of soft_dedup_weights, drafted with the builder
+    (round-12 registration wires it up): q69's recursive-CTE component
+    labels + sizes, LEFT-joined to the corpus with singleton defaults,
+    and the same salted 32-bit md5 coin."""
+    return (
+        "WITH RECURSIVE " + _candidate_cte_duck() + ","
+        " sh AS MATERIALIZED (SELECT doc_id,"
+        f" {shingle_set_expr('duck')} AS s FROM documents),"
+        " jac AS (SELECT c.a_id, c.b_id,"
+        " CAST(floor(1000.0 * len(list_intersect(sa.s, sb.s))"
+        "   / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))))"
+        " AS BIGINT) AS j"
+        " FROM cand c JOIN sh sa ON sa.doc_id = c.a_id"
+        " JOIN sh sb ON sb.doc_id = c.b_id),"
+        f" vp AS (SELECT a_id, b_id FROM jac WHERE j >= {NEAR_DUP_JACCARD_MILLIS}),"
+        " sym AS (SELECT a_id AS u, b_id AS v FROM vp"
+        " UNION ALL SELECT b_id, a_id FROM vp),"
+        " reach(u, v) AS (SELECT u, v FROM sym"
+        " UNION SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u),"
+        " labels AS MATERIALIZED (SELECT u AS doc_id,"
+        " least(u, min(v)) AS rep FROM reach GROUP BY u),"
+        " sz AS (SELECT rep, count(*) AS n FROM labels GROUP BY rep)"
+        " SELECT d.doc_id,"
+        " CAST(coalesce(l.rep, d.doc_id) AS BIGINT) AS cluster_rep,"
+        " CAST(coalesce(sz.n, 1) AS BIGINT) AS cluster_size,"
+        " CAST(1000000 // coalesce(sz.n, 1) AS BIGINT) AS weight_ppm,"
+        f" ({_soft_u_duck('d.doc_id')}) < 1000000 // coalesce(sz.n, 1)"
+        " AS kept"
+        " FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id"
+        " LEFT JOIN sz ON sz.rep = l.rep ORDER BY d.doc_id"
+    )

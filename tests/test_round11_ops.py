@@ -2,8 +2,8 @@
 MinHash-vs-winnowing agreement, q188 depth-3 tree assignment, q189
 tree-vs-flat agreement, q190 tree-probed recall, q191 posting
 histogram, plus the round-12 staged builders (multi-probe search,
-fingerprint drop-share, bigram-LM fit, embedding split leakage). The
-shared DuckDB oracle run in test_queries
+fingerprint drop-share, bigram-LM fit, embedding split leakage, soft
+dedup). The shared DuckDB oracle run in test_queries
 covers the fixture corpus; these pin what the fixture can't prove —
 count conservation against the underlying q93 assignment, matrix
 marginals equal to the detectors' own pair sets, exact routing on
@@ -489,3 +489,51 @@ def test_embedding_split_leakage_reconciles_with_q33(spark, sf_dir, duck):
     assert [tuple(r) for r in rows] == [
         tuple(r) for r in duck.execute(_split_leakage_oracle()).fetchall()
     ]
+
+
+def test_soft_dedup_weights_reconciles(spark, sf_dir, duck):
+    """Round-12 stage (builder-only): soft dedup must agree with q69 on
+    every clustered doc's (rep, size), default singletons to their own
+    cluster of 1 at weight 1e6, decide kept with the salted md5 coin
+    (recomputed here with hashlib as the independent arbiter — and a
+    singleton's coin < 1e6 always, so no surviving-alone doc is ever
+    dropped), and the drafted DuckDB oracle must replay it all."""
+    import hashlib
+
+    from smartbulkcopy_spark.pipeline.dedup import (
+        _soft_dedup_oracle,
+        soft_dedup_weights,
+    )
+
+    q69 = {
+        r["doc_id"]: r["cluster_rep"]
+        for r in REGISTRY["q69_dedup_clusters"].fn(spark, sf_dir).collect()
+    }
+    from collections import Counter
+
+    sizes = Counter(q69.values())
+
+    rows = soft_dedup_weights(spark, sf_dir).collect()
+    release_caches()
+    n_docs = table(spark, sf_dir, "documents").count()
+    assert len(rows) == n_docs
+    for r in rows:
+        if r["doc_id"] in q69:
+            assert r["cluster_rep"] == q69[r["doc_id"]]
+            assert r["cluster_size"] == sizes[r["cluster_rep"]]
+        else:
+            assert r["cluster_rep"] == r["doc_id"]
+            assert r["cluster_size"] == 1
+            assert r["kept"]  # singletons always survive
+        assert r["weight_ppm"] == 1_000_000 // r["cluster_size"]
+        u = (
+            int(
+                hashlib.md5(f"soft:{r['doc_id']}".encode()).hexdigest()[:8],
+                16,
+            )
+            % 1_000_000
+        )
+        assert r["kept"] == (u < r["weight_ppm"])
+
+    want = [tuple(r) for r in duck.execute(_soft_dedup_oracle()).fetchall()]
+    assert [tuple(r) for r in rows] == want
