@@ -537,3 +537,35 @@ def test_soft_dedup_weights_reconciles(spark, sf_dir, duck):
 
     want = [tuple(r) for r in duck.execute(_soft_dedup_oracle()).fetchall()]
     assert [tuple(r) for r in rows] == want
+
+
+def test_staged_builders_plan_shapes(spark, sf_dir):
+    """The registry-wide no-BNLJ/no-cartesian contract (test_plans),
+    applied to the round-12 staged builders BEFORE registration — a
+    staged op must never wait until wiring day to learn its joins
+    degenerate."""
+    from smartbulkcopy_spark.pipeline.dedup import (
+        soft_dedup_weights,
+        winnow_drop_share,
+    )
+    from smartbulkcopy_spark.pipeline.similarity import (
+        _min_vec_id,
+        embedding_split_leakage,
+        tree_multiprobe_search,
+    )
+    from smartbulkcopy_spark.pipeline.text import bigram_lm_fit
+
+    spark.catalog.clearCache()  # persisted upstreams change plan shapes
+    qid = _min_vec_id(spark, sf_dir)
+    dfs = [
+        bigram_lm_fit(spark, sf_dir),
+        embedding_split_leakage(spark, sf_dir),
+        soft_dedup_weights(spark, sf_dir),
+        winnow_drop_share(spark, sf_dir),
+        *tree_multiprobe_search(spark, sf_dir, qid, n_probe=2),
+    ]
+    for df in dfs:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoop" not in plan
+        assert "CartesianProduct" not in plan
+    release_caches()
