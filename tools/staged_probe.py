@@ -1,0 +1,129 @@
+"""8x pre-probe for the round-12 STAGED builders (not yet registered):
+time each at sf0.1 and on the content-disjoint 8x inflation, and splice
+a manual section into SCALE.md — so registration day inherits measured
+ratios instead of promising them. Splices IN PLACE (never truncates
+below its marker: the round-11 winnow_tail_probe lesson).
+Run from the repo root on an IDLE machine: python tools/staged_probe.py
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+sys.path.insert(0, str(REPO / "tools"))
+
+from deep_probe import inflate_embeddings  # noqa: E402
+from winnow_tail_probe import inflate_documents, time_one  # noqa: E402
+
+INFLATE = 8
+
+# builder name -> (input tables, fn(spark, d) -> DataFrame)
+
+
+def _builders():
+    from smartbulkcopy_spark.pipeline.dedup import (
+        soft_dedup_weights,
+        winnow_drop_share,
+    )
+    from smartbulkcopy_spark.pipeline.similarity import (
+        _min_vec_id,
+        embedding_split_leakage,
+        tree_multiprobe_search,
+    )
+    from smartbulkcopy_spark.pipeline.text import bigram_lm_fit
+
+    def multiprobe(spark, d):
+        _cand, topk = tree_multiprobe_search(
+            spark, d, _min_vec_id(spark, d), n_probe=2
+        )
+        return topk
+
+    return {
+        "bigram_lm_fit": (("documents",), bigram_lm_fit),
+        "soft_dedup_weights": (("documents",), soft_dedup_weights),
+        "winnow_drop_share": (("documents",), winnow_drop_share),
+        "embedding_split_leakage": (
+            ("embeddings",),
+            embedding_split_leakage,
+        ),
+        "tree_multiprobe_search(n_probe=2)": (
+            ("embeddings",),
+            multiprobe,
+        ),
+    }
+
+
+def main() -> None:
+    from smartbulkcopy_spark.queries import release_caches
+    from smartbulkcopy_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="staged-probe",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    base = "/root/testdata/sf0.1"
+    la1 = os.getloadavg()[0]
+    builders = _builders()
+    results: dict[tuple[str, int], float] = {}
+    tmp = tempfile.mkdtemp(prefix="sbc_staged_probe_")
+    try:
+        d8 = f"{tmp}/x{INFLATE}"
+        need = {t for tabs, _ in builders.values() for t in tabs}
+        if "documents" in need:
+            inflate_documents(spark, base, d8, INFLATE, "disjoint")
+        if "embeddings" in need:
+            inflate_embeddings(spark, base, d8, INFLATE)
+        for name, (_tabs, fn) in builders.items():
+            for scale, d in ((1, base), (INFLATE, d8)):
+                time_one(spark, fn, d)  # warm
+                results[(name, scale)] = time_one(spark, fn, d)
+                release_caches()
+                print(
+                    f"{name} {scale}x: {results[(name, scale)]:.2f}s",
+                    flush=True,
+                )
+        lines = [
+            "",
+            "## Staged builders (round-12 queue, pre-registration)",
+            "",
+            f"`tools/staged_probe.py`, loadavg {la1:.2f} at start."
+            " Same content-disjoint inflation and noop-write timing as"
+            " the main table; these operators are builder-only until"
+            " the round-12 window opens, so the ratios here are the"
+            " registration gate, not a rotation artifact.",
+            "",
+            f"| builder | t(1x) s | t({INFLATE}x) s | ratio |",
+            "|---|---|---|---|",
+        ]
+        for name in builders:
+            t1 = results[(name, 1)]
+            t8 = results[(name, INFLATE)]
+            lines.append(
+                f"| {name} | {t1:.2f} | {t8:.2f} | {t8 / t1:.1f}x |"
+            )
+        note = "\n".join(lines) + "\n"
+        scale = REPO / "SCALE.md"
+        text = scale.read_text()
+        marker = "## Staged builders"
+        if marker in text:
+            head, rest = text.split(marker, 1)
+            nxt = rest.find("\n## ")
+            tail = rest[nxt + 1 :] if nxt != -1 else ""
+            text = head.rstrip() + "\n" + note + "\n" + tail
+            scale.write_text(text.rstrip() + "\n")
+        else:
+            scale.write_text(text.rstrip() + "\n" + note)
+        print(note)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
