@@ -2093,6 +2093,7 @@ def winnow_drop_share(spark, sf_dir):
             .cast("long")
             .alias("drop_ppm"),
         )
+        .orderBy("doc_id")
     )
 
 
@@ -2548,4 +2549,23 @@ def _soft_dedup_oracle() -> str:
         " AS kept"
         " FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id"
         " LEFT JOIN sz ON sz.rep = l.rep ORDER BY d.doc_id"
+    )
+
+
+def _drop_share_oracle() -> str:
+    """DuckDB replay of winnow_drop_share, drafted pre-registration:
+    the shared fingerprint CTE chain (re-aliased MATERIALIZED — pk is
+    read twice here and DuckDB re-executes unmaterialized CTEs per
+    reference), posting sizes, per-doc dropped rollup."""
+    return (
+        "WITH " + _WINNOW_PK_CTES + ","
+        " pkm AS MATERIALIZED (SELECT doc_id, fph FROM pk),"
+        " sz AS (SELECT fph, count(*) AS pc FROM pkm GROUP BY fph),"
+        " mk AS (SELECT p.doc_id,"
+        f" CASE WHEN s.pc > {WINNOW_MAX_POSTINGS} THEN 1 ELSE 0 END"
+        " AS dropped FROM pkm p JOIN sz s USING (fph))"
+        " SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fps,"
+        " CAST(sum(dropped) AS BIGINT) AS n_dropped,"
+        " CAST(sum(dropped) * 1000000 // count(*) AS BIGINT) AS drop_ppm"
+        " FROM mk GROUP BY doc_id ORDER BY doc_id"
     )

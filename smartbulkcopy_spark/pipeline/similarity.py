@@ -2639,3 +2639,55 @@ def _split_leakage_oracle() -> str:
         " max(cos_e4) AS max_cos_e4 FROM lk GROUP BY vec_id, split"
         " ORDER BY vec_id"
     )
+
+
+def _multiprobe_oracle(probes=(1, 2, 4)) -> str:
+    """DuckDB replay of the multiprobe recall curve, drafted
+    pre-registration: one row per n_probe — the probe set is the
+    n_probe nearest leaves by the same left-fold d2 the builder ranks
+    with driver-side (ties by code), candidates are corpus rows whose
+    generated tree-walk assignment lands in the probe set, and hits
+    intersect the exact cosine top-10."""
+    rows = []
+    for p in probes:
+        rows.append(
+            f"SELECT {p} AS n_probe,"
+            " (SELECT CAST(count(*) AS BIGINT) FROM cand"
+            f" WHERE code IN (SELECT code FROM lr WHERE rnk <= {p}))"
+            " AS n_list,"
+            " (SELECT CAST(count(*) AS BIGINT) FROM ex WHERE vec_id IN"
+            " (SELECT vec_id FROM cand"
+            f" WHERE code IN (SELECT code FROM lr WHERE rnk <= {p})"
+            f" ORDER BY {_COS_RANK_DUCK} DESC, vec_id LIMIT 10))"
+            " AS hits"
+        )
+    exact_d = (
+        "SELECT e.vec_id,"
+        f" {_dot_duck('e.embedding', 'qv.embedding')} AS dot,"
+        f" {_dot_duck('e.embedding', 'e.embedding')} AS naa,"
+        f" {_dot_duck('qv.embedding', 'qv.embedding')} AS nqq"
+        " FROM embeddings e, qv WHERE e.vec_id != qv.vec_id"
+    )
+    return (
+        "WITH " + _tree_walk_ctes(TREE_LEAVES, TREE_BRANCH) + ","
+        " qv AS (SELECT vec_id, embedding FROM embeddings"
+        " WHERE vec_id = (SELECT min(vec_id) FROM embeddings)),"
+        " lv AS (SELECT vec_id AS code, embedding FROM embeddings"
+        f" ORDER BY vec_id LIMIT {TREE_LEAVES}),"
+        " lr AS MATERIALIZED (SELECT code, row_number() OVER (ORDER BY"
+        f" -2 * {_dot_duck('lv.embedding', 'qv.embedding')}"
+        f" + {_dot_duck('lv.embedding', 'lv.embedding')} ASC, code ASC)"
+        " AS rnk FROM lv, qv),"
+        " cand AS MATERIALIZED (SELECT e.vec_id, ta.code,"
+        f" {_dot_duck('e.embedding', 'qv.embedding')} AS dot,"
+        f" {_dot_duck('e.embedding', 'e.embedding')} AS naa,"
+        f" {_dot_duck('qv.embedding', 'qv.embedding')} AS nqq"
+        " FROM embeddings e JOIN ta ON ta.vec_id = e.vec_id, qv"
+        " WHERE e.vec_id != qv.vec_id),"
+        f" ex AS MATERIALIZED (SELECT vec_id FROM ({exact_d})"
+        f" ORDER BY {_COS_RANK_DUCK} DESC, vec_id LIMIT 10),"
+        " curve AS (" + " UNION ALL ".join(rows) + ")"
+        " SELECT n_probe, n_list, hits,"
+        " CAST(hits * 10 AS BIGINT) AS recall_pct"
+        " FROM curve ORDER BY n_probe"
+    )

@@ -569,3 +569,42 @@ def test_staged_builders_plan_shapes(spark, sf_dir):
         assert "BroadcastNestedLoop" not in plan
         assert "CartesianProduct" not in plan
     release_caches()
+
+
+def test_drop_share_oracle_replays_builder(spark, sf_dir, duck):
+    """The drafted drop-share oracle must replay the Spark builder
+    row-for-row on the fixture (registration wiring becomes a pure
+    rename)."""
+    from smartbulkcopy_spark.pipeline.dedup import (
+        _drop_share_oracle,
+        winnow_drop_share,
+    )
+
+    got = [tuple(r) for r in winnow_drop_share(spark, sf_dir).collect()]
+    want = [tuple(r) for r in duck.execute(_drop_share_oracle()).fetchall()]
+    assert got == want
+
+
+def test_multiprobe_oracle_replays_builder(spark, sf_dir, duck):
+    """The drafted multiprobe recall-curve oracle must reproduce, per
+    n_probe in (1, 2, 4), exactly the (n_list, hits, recall) the staged
+    builder computes — the driver-side d2 leaf ranking and the SQL
+    window ranking must agree fold-for-fold, ties included."""
+    from smartbulkcopy_spark.pipeline.similarity import (
+        _min_vec_id,
+        _multiprobe_oracle,
+        q30,
+        tree_multiprobe_search,
+    )
+
+    qid = _min_vec_id(spark, sf_dir)
+    exact = {r["vec_id"] for r in q30(spark, sf_dir).collect()}
+    got = []
+    for p in (1, 2, 4):
+        cand, topk = tree_multiprobe_search(spark, sf_dir, qid, n_probe=p)
+        n_list = cand.count()
+        hits = sum(1 for r in topk.collect() if r["vec_id"] in exact)
+        got.append((p, n_list, hits, hits * 10))
+    release_caches()
+    want = [tuple(r) for r in duck.execute(_multiprobe_oracle()).fetchall()]
+    assert got == want
