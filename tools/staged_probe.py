@@ -59,6 +59,76 @@ def _builders():
     }
 
 
+def tail() -> None:
+    """--tail: winnow_drop_share at 16x/32x in both corpus modes (the
+    q180 precedent — measure the staged heavy operator's exponent
+    BEFORE registration). Appends a paragraph under the staged-builders
+    section."""
+    import math
+
+    from smartbulkcopy_spark.pipeline.dedup import winnow_drop_share
+    from smartbulkcopy_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="staged-tail-probe",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    base = "/root/testdata/sf0.1"
+    la1 = os.getloadavg()[0]
+    results: dict[tuple[str, int], float] = {}
+    tmp = tempfile.mkdtemp(prefix="sbc_staged_tail_")
+    try:
+        for mode in ("disjoint", "verbatim"):
+            for n in (16, 32):
+                d = f"{tmp}/{mode}_{n}"
+                inflate_documents(spark, base, d, n, mode)
+                time_one(spark, winnow_drop_share, d)  # warm
+                results[(mode, n)] = time_one(spark, winnow_drop_share, d)
+                print(
+                    f"winnow_drop_share {mode} {n}x:"
+                    f" {results[(mode, n)]:.2f}s",
+                    flush=True,
+                )
+                shutil.rmtree(d, ignore_errors=True)
+        rows = [
+            f"| winnow_drop_share | {mode} | {results[(mode, 16)]:.2f} |"
+            f" {results[(mode, 32)]:.2f} |"
+            f" {math.log2(results[(mode, 32)] / results[(mode, 16)]):.2f} |"
+            for mode in ("disjoint", "verbatim")
+        ]
+        note = "\n".join(
+            [
+                "",
+                f"16x/32x tail (`--tail`, loadavg {la1:.2f} at start;"
+                " same disjoint/verbatim inflation and exponent"
+                " convention as the winnowing tail probe):",
+                "",
+                "| builder | mode | t(16x) s | t(32x) s | exponent |",
+                "|---|---|---|---|---|",
+                *rows,
+            ]
+        ) + "\n"
+        scale = REPO / "SCALE.md"
+        text = scale.read_text()
+        marker = "## Staged builders"
+        if marker not in text:
+            raise SystemExit("run the main staged probe first")
+        head, rest = text.split(marker, 1)
+        nxt = rest.find("\n## ")
+        sect = rest[:nxt] if nxt != -1 else rest
+        tail_rest = rest[nxt:] if nxt != -1 else ""
+        # idempotent: drop a previous --tail block before appending
+        cut = sect.find("\n16x/32x tail (")
+        if cut != -1:
+            sect = sect[:cut].rstrip() + "\n"
+        text = head + marker + sect.rstrip() + "\n" + note + tail_rest
+        scale.write_text(text.rstrip() + "\n")
+        print(note)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def main() -> None:
     from smartbulkcopy_spark.queries import release_caches
     from smartbulkcopy_spark.session import get_spark
@@ -136,4 +206,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--tail" in sys.argv:
+        tail()
+    else:
+        main()
