@@ -3785,3 +3785,89 @@ def _bigram_lm_oracle() -> str:
         " FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id"
         " ORDER BY d.doc_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-12 stage: quality-score calibration audit — the q115/q187/q189
+# agreement pattern applied to the QUALITY family, which until now had
+# two scorers (q25 heuristic signals, q120 hashed-linear classifier)
+# and no audit tying them together. Fixed-width score bins (row-local;
+# no corpus-wide quantile sort) against mean heuristic signals per bin:
+# a learned gate whose high-score bins don't read cleaner on the cheap
+# heuristics is miscalibrated or mis-hashed.
+# ---------------------------------------------------------------------------
+
+CAL_BIN = 4096  # ~|tokens| x mean|w| per doc spans a handful of bins
+
+
+def quality_score_calibration(spark, sf_dir):
+    """Per q120-score bin: doc count and mean q25 heuristic signals.
+    Binning is floor(score / CAL_BIN) spelled as a double floor on BOTH
+    engines (scores go negative, and Spark's integer DIV truncates
+    toward zero while DuckDB's // floors — the one divergence the
+    integer-division convention allows, so it never touches integers
+    here). Means are integer DIV over non-negative sums.
+
+    Scale: both inputs are row-local projections (q120's token scoring
+    is a broadcast weight join + partial-agg rollup); the calibration
+    itself is one doc_id equi-join and a tiny bin-keyed aggregation."""
+    pred = q120(spark, sf_dir).select("doc_id", "score")
+    heur = q25(spark, sf_dir).select(
+        "doc_id", "alpha_pct", "space_pct", "n_tokens"
+    )
+    b = F.floor(F.col("score") / F.lit(float(CAL_BIN))).cast("long")
+    return (
+        pred.join(heur, "doc_id")
+        .select(
+            b.alias("bin"), "alpha_pct", "space_pct", "n_tokens"
+        )
+        .groupBy("bin")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.expr("sum(alpha_pct) DIV count(*)")
+            .cast("long")
+            .alias("mean_alpha_pct"),
+            F.expr("sum(space_pct) DIV count(*)")
+            .cast("long")
+            .alias("mean_space_pct"),
+            F.expr("sum(n_tokens) DIV count(*)")
+            .cast("long")
+            .alias("mean_tokens"),
+        )
+        .orderBy("bin")
+    )
+
+
+def _calibration_oracle() -> str:
+    """DuckDB replay of quality_score_calibration, drafted with the
+    builder (q70-precedent CTE duplication of the q120 chain — both
+    built from the same module constants, so they cannot drift
+    independently)."""
+    return (
+        "WITH wt AS (SELECT i AS bucket,"
+        f" (i * {_W_MULT}) % {_W_MOD} - {_W_OFF} AS w"
+        f" FROM (SELECT unnest(range(0, {VOCAB_BUCKETS})) AS i) t),"
+        " tok AS (SELECT doc_id, unnest(string_split(trim("
+        + NORM_SQL_DUCK + "), ' ')) AS t FROM documents"
+        f" WHERE trim({NORM_SQL_DUCK}) != ''),"
+        " bk AS (SELECT doc_id,"
+        f" CAST(('0x'||substr(md5(t),1,4)) AS INT) % {VOCAB_BUCKETS}"
+        " AS bucket FROM tok),"
+        " sc AS (SELECT doc_id, CAST(sum(w) AS BIGINT) AS score"
+        " FROM bk JOIN wt USING (bucket) GROUP BY doc_id),"
+        " j AS (SELECT CAST(floor(coalesce(sc.score, 0)"
+        f" / {CAL_BIN}.0) AS BIGINT) AS bin,"
+        " CAST(floor(100.0 * length(regexp_replace(d.text,"
+        " '[^A-Za-z]', '', 'g')) / greatest(length(d.text), 1))"
+        " AS BIGINT) AS alpha_pct,"
+        " CAST(floor(100.0 * (length(d.text)"
+        " - length(replace(d.text, ' ', '')))"
+        " / greatest(length(d.text), 1)) AS BIGINT) AS space_pct,"
+        " " + TOKENS_SQL_DUCK.replace("text", "d.text") + " AS n_tokens"
+        " FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id)"
+        " SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,"
+        " CAST(sum(alpha_pct) // count(*) AS BIGINT) AS mean_alpha_pct,"
+        " CAST(sum(space_pct) // count(*) AS BIGINT) AS mean_space_pct,"
+        " CAST(sum(n_tokens) // count(*) AS BIGINT) AS mean_tokens"
+        " FROM j GROUP BY bin ORDER BY bin"
+    )

@@ -3,7 +3,7 @@ MinHash-vs-winnowing agreement, q188 depth-3 tree assignment, q189
 tree-vs-flat agreement, q190 tree-probed recall, q191 posting
 histogram, plus the round-12 staged builders (multi-probe search,
 fingerprint drop-share, bigram-LM fit, embedding split leakage, soft
-dedup). The shared DuckDB oracle run in test_queries
+dedup, quality calibration). The shared DuckDB oracle run in test_queries
 covers the fixture corpus; these pin what the fixture can't prove —
 count conservation against the underlying q93 assignment, matrix
 marginals equal to the detectors' own pair sets, exact routing on
@@ -608,3 +608,41 @@ def test_multiprobe_oracle_replays_builder(spark, sf_dir, duck):
     release_caches()
     want = [tuple(r) for r in duck.execute(_multiprobe_oracle()).fetchall()]
     assert got == want
+
+
+def test_quality_calibration_reconciles(spark, sf_dir, duck):
+    """Round-12 stage (builder-only): the calibration curve must
+    conserve the corpus, its bin populations must equal a driver-side
+    rebinning of q120's own scores (floor semantics, negative bins
+    included), per-bin means must be bounded by the q25 signal ranges,
+    and the drafted oracle must replay it."""
+    from smartbulkcopy_spark.pipeline.text import (
+        CAL_BIN,
+        _calibration_oracle,
+        quality_score_calibration,
+    )
+
+    import math
+
+    scores = {
+        r["doc_id"]: r["score"]
+        for r in REGISTRY["q120_hashed_linear_quality"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    from collections import Counter
+
+    want_bins = Counter(
+        math.floor(s / CAL_BIN) for s in scores.values()
+    )
+
+    rows = quality_score_calibration(spark, sf_dir).collect()
+    assert sum(r["n_docs"] for r in rows) == len(scores)
+    assert {r["bin"]: r["n_docs"] for r in rows} == dict(want_bins)
+    for r in rows:
+        assert 0 <= r["mean_alpha_pct"] <= 100
+        assert 0 <= r["mean_space_pct"] <= 100
+        assert r["mean_tokens"] >= 0
+    assert [tuple(r) for r in rows] == [
+        tuple(r) for r in duck.execute(_calibration_oracle()).fetchall()
+    ]

@@ -44,8 +44,16 @@ def _builders():
         )
         return topk
 
+    from smartbulkcopy_spark.pipeline.text import (
+        quality_score_calibration,
+    )
+
     return {
         "bigram_lm_fit": (("documents",), bigram_lm_fit),
+        "quality_score_calibration": (
+            ("documents",),
+            quality_score_calibration,
+        ),
         "soft_dedup_weights": (("documents",), soft_dedup_weights),
         "winnow_drop_share": (("documents",), winnow_drop_share),
         "embedding_split_leakage": (
@@ -195,8 +203,13 @@ def main() -> None:
         if marker in text:
             head, rest = text.split(marker, 1)
             nxt = rest.find("\n## ")
-            tail = rest[nxt + 1 :] if nxt != -1 else ""
-            text = head.rstrip() + "\n" + note + "\n" + tail
+            sect = rest[:nxt] if nxt != -1 else rest
+            tail_sections = rest[nxt + 1 :] if nxt != -1 else ""
+            # keep an existing --tail block: its 16x/32x numbers stay
+            # valid when only the 1x/8x table refreshes
+            cut = sect.find("\n16x/32x tail (")
+            keep = sect[cut:].rstrip() + "\n" if cut != -1 else ""
+            text = head.rstrip() + "\n" + note + keep + "\n" + tail_sections
             scale.write_text(text.rstrip() + "\n")
         else:
             scale.write_text(text.rstrip() + "\n" + note)
