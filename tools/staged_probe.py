@@ -189,10 +189,9 @@ def main() -> None:
         lines += [
             "",
             "Reading: winnow_drop_share tracks its registered sibling",
-            "q191 (5.0x) exactly — both pay the shared fingerprint",
-            "build, whose 16x/32x tail probes (q164 disjoint exponent",
-            "0.87, verbatim negative) already show the cap dominating",
-            "at scale. The rest amortize fixed job cost (sub-2.5x at",
+            "q191 — both pay the shared fingerprint build — and its own",
+            "16x/32x exponents below stay sub-linear in both corpus",
+            "modes. The rest amortize fixed job cost (sub-2.5x at",
             "8x data). tree_multiprobe is corpus-size-flat by design:",
             "the probe set is an IN-list partition prune.",
         ]
