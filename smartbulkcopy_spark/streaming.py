@@ -636,3 +636,111 @@ def run_hourly_seasonality(
         .cast("long")
         .alias("share_ppm"),
     ).orderBy("event_type", "hod")
+
+
+# ---------------------------------------------------------------------------
+# Stream-stream interval join — the one Structured Streaming surface the
+# registry did not yet exercise (§2.9 had windows, watermarks, replay
+# dedup, stream-static enrichment, and two applyInPandasWithState
+# trackers). The q95 attribution twin: errors and clicks open as TWO
+# streams over the same feed and meet in a watermarked inner join with
+# the exact q95 time-range condition; the join is the stateful hard
+# part, and the converged matched pairs feed q95's batch LEFT-JOIN/count
+# assembly (the q182 recipe — stream does the stateful operator, batch
+# does the exact final rollup).
+#
+# INNER, not left-outer, by design: outer-side null emissions require
+# the watermark to pass the join window, and an availableNow drain's
+# watermark never advances past the last event — trailing unmatched
+# errors would be withheld forever. Inner pairs emit as both sides
+# arrive (the watermark only EVICTS state), so the drained sink is
+# complete over any finite feed whose disorder stays inside the delay.
+# ---------------------------------------------------------------------------
+
+ATTRIB_WINDOW_SECS = 600  # == queries.RANGE_WINDOW_US in seconds
+_ATTRIB_DELAY = "2 hours"  # state-eviction bound, not a correctness knob
+
+
+def click_attribution_join(
+    errs: DataFrame, clks: DataFrame
+) -> DataFrame:
+    """(event_id, cid) matched pairs: clicks by the same user strictly
+    after an error and within the 10-minute window — micro-exact (the
+    rebuilt ts carries the fixture's fractional seconds; interval
+    arithmetic is micro-precise, mirroring q95's epoch_us predicate).
+    Both sides carry watermarks so the join state is bounded: click
+    state lives only until the watermark passes its own window; error
+    state until the watermark passes ts + window."""
+    e = (
+        errs.withWatermark("ts", _ATTRIB_DELAY)
+        .select(
+            F.col("event_id"),
+            F.col("user_id").alias("e_uid"),
+            F.col("ts").alias("e_ts"),
+        )
+    )
+    c = (
+        clks.withWatermark("ts", _ATTRIB_DELAY)
+        .select(
+            F.col("event_id").alias("cid"),
+            F.col("user_id").alias("c_uid"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    return e.join(
+        c,
+        F.expr(
+            "e_uid = c_uid AND c_ts > e_ts"
+            f" AND c_ts <= e_ts + INTERVAL {ATTRIB_WINDOW_SECS} SECONDS"
+        ),
+    ).select("event_id", "cid")
+
+
+def run_click_attribution(
+    spark: SparkSession,
+    path: str,
+    query_name: str = "click_attrib",
+    max_files_per_trigger: int | None = None,
+    batch_src: str | None = None,
+) -> DataFrame:
+    """Drain the feed through the stream-stream interval join and
+    assemble q95's exact answer: per ERROR event (batch-read from
+    `batch_src`, default the feed itself — the left side of q95's final
+    LEFT JOIN is not a streaming concern), the count of matched clicks.
+    Bit-equal to batch q95 on any feed whose disorder stays inside the
+    watermark delay. Pass the durable events parquet as `batch_src`
+    when the feed is a temp symlink dir removed before the result is
+    consumed (the q182 cleanup pattern — only the memory sink must
+    outlive the drain)."""
+    errs = read_events_stream(spark, path, max_files_per_trigger).where(
+        F.col("event_type") == "error"
+    )
+    clks = read_events_stream(spark, path, max_files_per_trigger).where(
+        F.col("event_type") == "click"
+    )
+    q = (
+        click_attribution_join(errs, clks)
+        .writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    m = spark.table(query_name).groupBy("event_id").agg(
+        F.count("*").alias("n")
+    )
+    err = (
+        spark.read.parquet(batch_src or path)
+        .where(F.col("event_type") == "error")
+        .select("event_id", "user_id")
+    )
+    return (
+        err.join(m, "event_id", "left")
+        .select(
+            "event_id",
+            "user_id",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_clicks"),
+        )
+        .orderBy("event_id")
+    )

@@ -433,3 +433,50 @@ def test_streaming_seasonality_converges_to_batch(
     finally:
         spark.conf.set("spark.sql.session.timeZone", orig)
     assert [tuple(r) for r in got] == [tuple(r) for r in batch]
+
+
+def test_stream_stream_attribution_converges_to_batch(
+    spark, sf_dir, events_dir, tmp_path
+):
+    """Round-12 stage: the watermarked STREAM-STREAM interval join (the
+    one Structured Streaming surface the registry had not exercised)
+    must reproduce batch q95 bit-for-bit — from the single-file feed
+    under a hostile session timezone, and from three sequential time
+    chunks at one file per trigger (errors held in join state across
+    micro-batch boundaries until their click window closes)."""
+    batch = [
+        tuple(r)
+        for r in REGISTRY["q95_interval_click_attribution"]
+        .fn(spark, sf_dir)
+        .collect()
+    ]
+    assert any(r[2] > 0 for r in batch)  # the fixture attributes clicks
+
+    orig = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Kolkata")
+    try:
+        got = streaming.run_click_attribution(
+            spark, events_dir, query_name="attrib_conv_single"
+        ).collect()
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", orig)
+    assert [tuple(r) for r in got] == batch
+
+    src = spark.read.parquet(events_dir)
+    lo, hi = src.agg(F.min("ts"), F.max("ts")).first()
+    span = (hi - lo) / 3
+    d = tmp_path / "attrib_feed"
+    for k in range(3):
+        chunk = src.where(
+            (F.col("ts") >= lo + k * span)
+            & (F.col("ts") < (lo + (k + 1) * span if k < 2 else hi))
+            | (F.lit(k == 2) & (F.col("ts") == hi))
+        )
+        chunk.coalesce(1).write.mode("append").parquet(str(d))
+    got3 = streaming.run_click_attribution(
+        spark,
+        str(d),
+        query_name="attrib_conv_chunks",
+        max_files_per_trigger=1,
+    ).collect()
+    assert [tuple(r) for r in got3] == batch
