@@ -3720,7 +3720,10 @@ def bigram_lm_fit(spark, sf_dir):
     (vocab-squared-bounded, so AQE may still broadcast it when small)
     plus one doc_id rollup. No corpus-wide window, no text shuffle.
     Sums are integer so reduction order cannot perturb the result."""
-    bg = _bigram_stream(spark, sf_dir)
+    # three consumers (c12, c1, the scoring join) — eager() or the
+    # tokenize+zip+explode corpus pass runs once per consumer (the q33
+    # multi-consumer rule; released via queries.release_caches)
+    bg = eager(_bigram_stream(spark, sf_dir))
     toks = _tokens(spark, sf_dir)
     v_size = toks.select("token").distinct().count()  # bounded scalar
 
@@ -3863,7 +3866,7 @@ def _calibration_oracle() -> str:
         " CAST(floor(100.0 * (length(d.text)"
         " - length(replace(d.text, ' ', '')))"
         " / greatest(length(d.text), 1)) AS BIGINT) AS space_pct,"
-        " " + TOKENS_SQL_DUCK.replace("text", "d.text") + " AS n_tokens"
+        " " + TOKENS_SQL_DUCK + " AS n_tokens"
         " FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id)"
         " SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,"
         " CAST(sum(alpha_pct) // count(*) AS BIGINT) AS mean_alpha_pct,"

@@ -657,7 +657,17 @@ def run_hourly_seasonality(
 # complete over any finite feed whose disorder stays inside the delay.
 # ---------------------------------------------------------------------------
 
-ATTRIB_WINDOW_SECS = 600  # == queries.RANGE_WINDOW_US in seconds
+def _attrib_window_secs() -> int:
+    """Derived from the batch constant so a retune cannot silently
+    desynchronize the twin from q95 (the window is whole seconds by
+    construction: RANGE_WINDOW_US is minutes x 60e6)."""
+    from smartbulkcopy_spark.queries import RANGE_WINDOW_US
+
+    assert RANGE_WINDOW_US % 1_000_000 == 0
+    return RANGE_WINDOW_US // 1_000_000
+
+
+ATTRIB_WINDOW_SECS = _attrib_window_secs()
 _ATTRIB_DELAY = "2 hours"  # state-eviction bound, not a correctness knob
 
 

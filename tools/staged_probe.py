@@ -23,6 +23,23 @@ from winnow_tail_probe import inflate_documents, time_one  # noqa: E402
 
 INFLATE = 8
 
+_MARKER = "## Staged builders"
+_TAIL_MARK = "\n16x/32x tail ("
+
+
+def _split_section(text: str, marker: str):
+    """(head, section, rest) of SCALE.md at `marker`: section runs to
+    just before the next '\n## ' heading (rest keeps that newline).
+    ONE parser for every splice in this tool — the round-11 lesson was
+    a probe variant that truncated every manual section below its own
+    marker, and four hand-rolled copies of this logic is how that bug
+    comes back."""
+    head, after = text.split(marker, 1)
+    nxt = after.find("\n## ")
+    if nxt == -1:
+        return head, marker + after, ""
+    return head, marker + after[:nxt], after[nxt:]
+
 # builder name -> (input tables, fn(spark, d) -> DataFrame)
 
 
@@ -36,17 +53,16 @@ def _builders():
         embedding_split_leakage,
         tree_multiprobe_search,
     )
-    from smartbulkcopy_spark.pipeline.text import bigram_lm_fit
+    from smartbulkcopy_spark.pipeline.text import (
+        bigram_lm_fit,
+        quality_score_calibration,
+    )
 
     def multiprobe(spark, d):
         _cand, topk = tree_multiprobe_search(
             spark, d, _min_vec_id(spark, d), n_probe=2
         )
         return topk
-
-    from smartbulkcopy_spark.pipeline.text import (
-        quality_score_calibration,
-    )
 
     return {
         "bigram_lm_fit": (("documents",), bigram_lm_fit),
@@ -119,18 +135,13 @@ def tail() -> None:
         ) + "\n"
         scale = REPO / "SCALE.md"
         text = scale.read_text()
-        marker = "## Staged builders"
-        if marker not in text:
+        if _MARKER not in text:
             raise SystemExit("run the main staged probe first")
-        head, rest = text.split(marker, 1)
-        nxt = rest.find("\n## ")
-        sect = rest[:nxt] if nxt != -1 else rest
-        tail_rest = rest[nxt:] if nxt != -1 else ""
-        # idempotent: drop a previous --tail block before appending
-        cut = sect.find("\n16x/32x tail (")
+        head, sect, rest = _split_section(text, _MARKER)
+        cut = sect.find(_TAIL_MARK)  # idempotent: replace a prior block
         if cut != -1:
-            sect = sect[:cut].rstrip() + "\n"
-        text = head + marker + sect.rstrip() + "\n" + note + tail_rest
+            sect = sect[:cut]
+        text = head + sect.rstrip() + "\n" + note + rest
         scale.write_text(text.rstrip() + "\n")
         print(note)
     finally:
@@ -198,17 +209,13 @@ def main() -> None:
         note = "\n".join(lines) + "\n"
         scale = REPO / "SCALE.md"
         text = scale.read_text()
-        marker = "## Staged builders"
-        if marker in text:
-            head, rest = text.split(marker, 1)
-            nxt = rest.find("\n## ")
-            sect = rest[:nxt] if nxt != -1 else rest
-            tail_sections = rest[nxt + 1 :] if nxt != -1 else ""
+        if _MARKER in text:
+            head, sect, rest = _split_section(text, _MARKER)
             # keep an existing --tail block: its 16x/32x numbers stay
             # valid when only the 1x/8x table refreshes
-            cut = sect.find("\n16x/32x tail (")
+            cut = sect.find(_TAIL_MARK)
             keep = sect[cut:].rstrip() + "\n" if cut != -1 else ""
-            text = head.rstrip() + "\n" + note + keep + "\n" + tail_sections
+            text = head.rstrip() + "\n" + note + keep + rest
             scale.write_text(text.rstrip() + "\n")
         else:
             scale.write_text(text.rstrip() + "\n" + note)
