@@ -5,13 +5,23 @@ No reference analog — Phase-5 pipeline operators (SURVEY §7.2). The
 critical scale property: candidate generation is **banded LSH, never
 all-pairs**. The only shuffle keyed by anything document-sized is
 (band_key, doc_id); documents are never crossed with documents. Hot
-bands (boilerplate-heavy corpora produce them, and their pair count is
-quadratic in band size no matter how pairs are generated) are CAPPED at
-MAX_BAND_BUCKET members: an over-cap band is by construction a cluster
-of near-identical documents, which the exact-dedup/fingerprint operators
-handle at linear cost — quadratically enumerating its pairs adds no
-information. The cap is part of the operator's definition and the DuckDB
-oracle applies the same cap.
+bands (duplication-heavy corpora produce them, and their pair count is
+quadratic in band size no matter how pairs are generated) switch
+representation at MINHASH_CLIQUE_CAP members: bands up to the cap
+enumerate their pairs in full, hotter bands — by construction families
+of near-identical documents — collapse to a STAR around the band's
+minimum doc_id (one (rep, member) edge per member, each still
+exact-Jaccard-verified downstream). The star keeps the family CONNECTED
+for the cluster/keep/soft-dedup consumers at linear cost, where the old
+skip-the-band rule silently lost every over-cap family and the
+clique-only rule measured exponent 1.93 on a verbatim corpus at
+16x->32x and broadcast-OOM'd at 64x (SCALE.md staged tail). The cap and
+the star are part of the operator's definition and the DuckDB oracle
+applies them identically. SimHash/image bands keep the larger
+MAX_BAND_BUCKET skip-cap: a 16-bit band value is weak similarity
+evidence (sf0.1 buckets reach 291 by birthday collisions alone), so a
+star around its rep is not justified — a recall study is queued for
+round 12.
 
 Cross-engine determinism: both Spark and DuckDB compute signatures from
 the same md5-based definition, so the DuckDB oracle reproduces the
@@ -126,9 +136,17 @@ def _normed(spark, sf_dir):
     return docs.select("doc_id", F.expr(NORM_SPARK).alias("n"))
 
 
-# Bands larger than this are boilerplate clusters: skip their quadratic
-# pair enumeration (exact dedup handles them linearly). Applied
-# identically by both engines, so the candidate sets still hash-match.
+# Clique/star threshold for the TEXT minhash chain (see module
+# docstring): <= cap enumerates in full (<= C(16,2) = 120 pairs per
+# band, the WINNOW_MAX_POSTINGS/MOSS-aligned value), > cap emits star
+# edges around the band's min doc_id. Applied identically by both
+# engines, so the candidate sets still hash-match. Fixture buckets max
+# out at 6 members (sf0.1), so every registered result at every test
+# scale is identical to the clique-only definition.
+MINHASH_CLIQUE_CAP = 16
+
+# SimHash/image bands keep the legacy skip-cap (weak 16-bit band
+# evidence; see module docstring — round-12 recall study).
 MAX_BAND_BUCKET = 1024
 
 
@@ -150,14 +168,24 @@ def _banded_cte_duck() -> str:
 
 
 def _candidate_cte_duck() -> str:
+    """cand(a_id, b_id): clique pairs for bands <= MINHASH_CLIQUE_CAP,
+    star edges (band-min rep, member) above it — the single oracle
+    source for every banding consumer, in lockstep with
+    `candidate_pairs`."""
     return (
         _banded_cte_duck() + ","
         " bandsz AS (SELECT band, count(*) AS bc FROM expl GROUP BY band"
-        f" HAVING count(*) <= {MAX_BAND_BUCKET}),"
-        " cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id"
+        f" HAVING count(*) <= {MINHASH_CLIQUE_CAP}),"
+        " cliq AS (SELECT x.doc_id AS a_id, y.doc_id AS b_id"
         " FROM expl x JOIN bandsz s ON x.band = s.band"
         " JOIN expl y ON x.band = y.band"
-        " AND x.doc_id < y.doc_id)"
+        " AND x.doc_id < y.doc_id),"
+        " hot AS (SELECT band, min(doc_id) AS rep FROM expl GROUP BY band"
+        f" HAVING count(*) > {MINHASH_CLIQUE_CAP}),"
+        " star AS (SELECT h.rep AS a_id, e.doc_id AS b_id FROM expl e"
+        " JOIN hot h ON e.band = h.band AND e.doc_id > h.rep),"
+        " cand AS (SELECT DISTINCT a_id, b_id FROM (SELECT a_id, b_id"
+        " FROM cliq UNION ALL SELECT a_id, b_id FROM star) u)"
     )
 
 
@@ -216,18 +244,32 @@ def candidate_pairs(spark, sf_dir):
     Each bucket's sorted doc list explodes to its ordered pairs with a
     nested JVM-side transform; a bucket of size s yields s*(s-1)/2 pairs,
     exactly the candidate count a band join would produce. Buckets larger
-    than MAX_BAND_BUCKET are dropped BEFORE the collect_list (boilerplate
-    clusters — see module docstring), mirroring the oracle's `bandsz`
-    CTE: a count() window over the same band partitioning filters
-    over-cap bands first, so a hot band's members are never aggregated
-    into one giant array row. The window shares the groupBy's hash
-    partitioning (one shuffle total, no signature recompute), and its
-    row buffer spills to disk where a single collect_list row cannot."""
+    than MINHASH_CLIQUE_CAP switch to STAR edges around the band's min
+    doc_id BEFORE the collect_list (near-identical families — see module
+    docstring), mirroring the oracle's `hot`/`star` CTEs: count() and
+    min() windows over the same band partitioning classify each row, so
+    a hot band's members are never aggregated into one giant array row
+    and never pair-exploded — one row-local edge each. The windows share
+    the groupBy's hash partitioning (one shuffle total, no signature
+    recompute), and their row buffers spill to disk where a single
+    collect_list row cannot."""
     bnd = banded_rows(spark, sf_dir)
-    band_count = F.count("*").over(Window.partitionBy("band"))
+    w = Window.partitionBy("band")
+    marked = bnd.withColumn("bc", F.count("*").over(w)).withColumn(
+        "rep", F.min("doc_id").over(w)
+    )
+    # Both branches below must keep BOTH window columns referenced:
+    # column pruning would otherwise specialize the clique branch's
+    # Window node (count only), the subtrees stop being identical, and
+    # ReuseExchange can no longer dedupe the band shuffle — the whole
+    # signature pipeline would run twice (caught by the q27 plan test).
+    # rep is a min over non-null doc_ids, so isNotNull is a no-op.
     buckets = (
-        bnd.withColumn("bc", band_count)
-        .where((F.col("bc") > 1) & (F.col("bc") <= MAX_BAND_BUCKET))
+        marked.where(
+            (F.col("bc") > 1)
+            & (F.col("bc") <= MINHASH_CLIQUE_CAP)
+            & F.col("rep").isNotNull()
+        )
         .groupBy("band")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
     )
@@ -235,11 +277,16 @@ def candidate_pairs(spark, sf_dir):
         "flatten(transform(ds, (a, i) ->"
         " transform(slice(ds, i + 2, size(ds)), b -> struct(a, b))))"
     )
-    return (
-        buckets.select(F.explode(pairs).alias("p"))
-        .select(F.col("p.a").alias("a_id"), F.col("p.b").alias("b_id"))
-        .distinct()
+    clique = buckets.select(F.explode(pairs).alias("p")).select(
+        F.col("p.a").alias("a_id"), F.col("p.b").alias("b_id")
     )
+    # Star fallback: one row-local edge per hot-band member — never a
+    # collect_list of the hot bucket, never its quadratic explosion.
+    star = marked.where(
+        (F.col("bc") > MINHASH_CLIQUE_CAP)
+        & (F.col("doc_id") > F.col("rep"))
+    ).select(F.col("rep").alias("a_id"), F.col("doc_id").alias("b_id"))
+    return clique.union(star).distinct()
 
 
 @register(
@@ -702,10 +749,15 @@ def q66(spark, sf_dir):
     f" nw AS (SELECT doc_id, band FROM expl"
     f" WHERE doc_id >= {INCREMENTAL_SPLIT_ID}),"
     " osz AS (SELECT band FROM old GROUP BY band"
-    f" HAVING count(*) <= {MAX_BAND_BUCKET}),"
-    " cand2 AS (SELECT DISTINCT o.doc_id AS old_id, n.doc_id AS new_id"
+    f" HAVING count(*) <= {MINHASH_CLIQUE_CAP}),"
+    " ohot AS (SELECT band, min(doc_id) AS rep FROM old GROUP BY band"
+    f" HAVING count(*) > {MINHASH_CLIQUE_CAP}),"
+    " cand2 AS (SELECT DISTINCT old_id, new_id FROM"
+    " (SELECT o.doc_id AS old_id, n.doc_id AS new_id"
     " FROM nw n JOIN osz s ON n.band = s.band"
-    " JOIN old o ON o.band = n.band),"
+    " JOIN old o ON o.band = n.band"
+    " UNION ALL SELECT h.rep AS old_id, n.doc_id AS new_id"
+    " FROM nw n JOIN ohot h ON n.band = h.band) u),"
     f" sh AS MATERIALIZED (SELECT doc_id, {shingle_set_expr('duck')} AS s"
     " FROM documents),"
     " jac2 AS (SELECT c.new_id, c.old_id,"
@@ -720,8 +772,9 @@ def q66(spark, sf_dir):
     " GROUP BY new_id ORDER BY new_id",
     doc="Incremental-ingestion dedup: which documents of a NEW batch are"
     " near-duplicates of the EXISTING corpus. The batch bands against"
-    " the corpus's LSH index — a (band-key, id) join, capped on the"
-    " index's hot bands BEFORE joining — then exact-Jaccard verifies"
+    " the corpus's LSH index — a (band-key, id) join; the index's hot"
+    " bands contribute their band rep alone (the star rule) BEFORE"
+    " joining — then exact-Jaccard verifies"
     " only the cross-side candidates. The corpus is never re-self-"
     "joined: cost scales with batch x band-collision rate, not corpus"
     " squared — the property that lets a daily crawl dedup against"
@@ -731,20 +784,29 @@ def q63(spark, sf_dir):
     bnd = banded_rows(spark, sf_dir)
     old = bnd.where(F.col("doc_id") < INCREMENTAL_SPLIT_ID)
     new = bnd.where(F.col("doc_id") >= INCREMENTAL_SPLIT_ID)
-    osz = (
-        old.groupBy("band")
-        .agg(F.count("*").alias("bc"))
-        .where(F.col("bc") <= MAX_BAND_BUCKET)
-        .select("band")
+    # One pass over the old index sizes every band AND picks each hot
+    # band's rep; cold bands join all members, hot bands join the rep
+    # alone (the star rule of the main chain, applied cross-side: a new
+    # doc landing in a hot index band verifies against ONE canonical
+    # old member instead of the whole family).
+    obands = old.groupBy("band").agg(
+        F.count("*").alias("bc"), F.min("doc_id").alias("rep")
     )
-    cand = (
+    osz = obands.where(F.col("bc") <= MINHASH_CLIQUE_CAP).select("band")
+    ohot = obands.where(F.col("bc") > MINHASH_CLIQUE_CAP).select(
+        "band", F.col("rep").alias("old_id")
+    )
+    cold = (
         new.join(osz, "band", "left_semi")
         .join(
             old.select(F.col("doc_id").alias("old_id"), "band"), "band"
         )
         .select(F.col("doc_id").alias("new_id"), "old_id")
-        .distinct()
     )
+    hot = new.join(ohot, "band").select(
+        F.col("doc_id").alias("new_id"), "old_id"
+    )
+    cand = cold.union(hot).distinct()
     cand = eager(cand)  # probe + both id-thinning filters read it
     ids = (
         cand.select(F.col("old_id").alias("doc_id"))

@@ -60,26 +60,45 @@ def test_q27_band_cap_applied_before_collect_list(spark, sf_dir):
     """Hot-band cap must run BEFORE list aggregation: the window count +
     filter on `bc` precedes every collect_list in the plan, so an over-cap
     boilerplate band never materializes its member list as one giant row.
-    Also pins the single-shuffle property: exactly one exchange on the
-    band key feeds both the window and the aggregation.
+    Also pins the signatures-run-once property: exactly one band-key
+    exchange materializes at runtime; the star branch reads it through
+    a ReusedExchange.
 
     Cold-plan assertion: earlier pipeline tests leave persisted LSH
     signature tables in the session's cache manager, and Spark swaps
     matching subplans for InMemoryRelation, which would hide the
     exchange — clear the cache first."""
     spark.catalog.clearCache()
-    plan = explain_str(REGISTRY["q27_minhash_lsh_pairs"].fn(spark, sf_dir))
+    df = REGISTRY["q27_minhash_lsh_pairs"].fn(spark, sf_dir)
+    plan = explain_str(df)
     assert "Window" in plan
     filt = plan.find("bc#")
     coll = plan.find("collect_list")
     assert filt != -1 and coll != -1
     assert filt < coll, "band-size filter must precede collect_list"
-    band_exchanges = [
+    # The clique/star union gives the STATIC plan two band exchanges —
+    # AQE dedupes them at runtime (the branches share one canonical
+    # Window subtree; see candidate_pairs' no-op rep reference).
+    # Execute and assert on the FINAL adaptive plan: exactly one band
+    # shuffle materializes, the other branch reads a ReusedExchange —
+    # the signature pipeline runs once.
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert final.splitlines()[0].endswith("isFinalPlan=true")
+    final = final.split("== Initial Plan ==")[0]
+    real = [
         ln
-        for ln in plan.splitlines()
-        if "hashpartitioning(band" in ln
+        for ln in final.splitlines()
+        if "Exchange hashpartitioning(band" in ln
+        and "ReusedExchange" not in ln
     ]
-    assert len(band_exchanges) == 1, band_exchanges
+    reused = [
+        ln
+        for ln in final.splitlines()
+        if "ReusedExchange" in ln and "hashpartitioning(band" in ln
+    ]
+    assert len(real) == 1, real
+    assert len(reused) == 1, reused
 
 
 @pytest.mark.parametrize("name", sorted(REGISTRY))

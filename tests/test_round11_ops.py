@@ -646,3 +646,130 @@ def test_quality_calibration_reconciles(spark, sf_dir, duck):
     assert [tuple(r) for r in rows] == [
         tuple(r) for r in duck.execute(_calibration_oracle()).fetchall()
     ]
+
+
+def _hot_band_corpus(tmp_path, n_hot=20, n_cold=5, split=None):
+    """Hand corpus for the star-fallback regime: `n_hot` verbatim
+    copies of one text (every band bucket = n_hot > MINHASH_CLIQUE_CAP
+    -> star), `n_cold` copies of another (bucket = n_cold <= cap ->
+    clique), plus two distinct singletons. With `split`, ids >= split
+    become the q63 'new batch' instead."""
+    x = "the quick brown fox jumps over the lazy dog again and again"
+    y = "pack my box with five dozen liquor jugs before the dawn breaks"
+    texts = [x] * n_hot + [y] * n_cold + [
+        "completely unrelated content block one with many unique grams",
+        "another entirely distinct document with its own shingle space",
+    ]
+    ids = list(range(len(texts)))
+    if split is not None:
+        # place one hot-family copy and one cold copy in the new batch
+        ids = ids[:-2] + [split + 1, split + 2]
+        texts = texts[:-2] + [x, y]
+    _mini_docs_ids(tmp_path, ids, texts)
+    return ids
+
+
+def _mini_docs_ids(tmp_path, ids, texts):
+    pd.DataFrame(
+        {
+            "doc_id": ids,
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["src0"] * len(texts),
+            "n_chars": [len(t) for t in texts],
+        }
+    ).to_parquet(tmp_path / "documents.parquet", index=False)
+
+
+def test_hot_band_star_fallback_cross_engine(spark, tmp_path):
+    """The star regime, which no fixture scale reaches (all buckets
+    <= 6 < cap): 20 verbatim copies share every band, so the candidate
+    set must be exactly the 19 star edges (0, m) — never the 190-pair
+    clique — while the 5-copy family still enumerates its full 10-pair
+    clique. Spark and the oracle must agree pair-for-pair, and the
+    downstream cluster operator must keep both families CONNECTED
+    (the old skip-the-band rule lost the hot family entirely)."""
+    import duckdb
+
+    from smartbulkcopy_spark.pipeline.dedup import MINHASH_CLIQUE_CAP
+
+    assert MINHASH_CLIQUE_CAP == 16  # the corpus is sized around it
+    _hot_band_corpus(tmp_path)
+    got = [
+        tuple(r)
+        for r in REGISTRY["q27_minhash_lsh_pairs"]
+        .fn(spark, str(tmp_path))
+        .orderBy("a_id", "b_id")
+        .collect()
+    ]
+    star = [(0, m) for m in range(1, 20)]
+    clique = [
+        (a, b) for a in range(20, 25) for b in range(a + 1, 25)
+    ]
+    assert got == sorted(star + clique)
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM"
+        f" read_parquet('{tmp_path}/documents.parquet')"
+    )
+    want = [
+        tuple(r)
+        for r in con.execute(
+            REGISTRY["q27_minhash_lsh_pairs"].oracle
+        ).fetchall()
+    ]
+    assert got == want
+
+    clusters = {
+        r["doc_id"]: r["cluster_rep"]
+        for r in REGISTRY["q69_dedup_clusters"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+    assert clusters == {
+        **{m: 0 for m in range(20)},
+        **{m: 20 for m in range(20, 25)},
+    }
+    assert [
+        tuple(r)
+        for r in con.execute(
+            REGISTRY["q69_dedup_clusters"].oracle
+        ).fetchall()
+    ] == sorted(clusters.items())
+
+
+def test_hot_band_star_incremental_cross_engine(spark, tmp_path):
+    """q63's cross-side star rule: a new doc landing in a HOT old-index
+    band must verify against the band's rep alone and still be flagged
+    a duplicate of it; a new doc landing in a cold band keeps the full
+    old-candidate join. Spark and oracle agree row-for-row."""
+    import duckdb
+
+    from smartbulkcopy_spark.pipeline.dedup import INCREMENTAL_SPLIT_ID
+
+    _hot_band_corpus(tmp_path, split=INCREMENTAL_SPLIT_ID)
+    got = [
+        tuple(r)
+        for r in REGISTRY["q63_incremental_dedup"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    ]
+    release_caches()
+    # new hot-family copy dups the hot band's rep (doc 0); new cold
+    # copy dups the oldest cold member (doc 20); both exact -> j=1000
+    assert got == [
+        (INCREMENTAL_SPLIT_ID + 1, 0, 1000),
+        (INCREMENTAL_SPLIT_ID + 2, 20, 1000),
+    ]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM"
+        f" read_parquet('{tmp_path}/documents.parquet')"
+    )
+    assert got == [
+        tuple(r)
+        for r in con.execute(
+            REGISTRY["q63_incremental_dedup"].oracle
+        ).fetchall()
+    ]

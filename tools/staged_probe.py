@@ -84,15 +84,28 @@ def _builders():
 
 
 def tail() -> None:
-    """--tail: winnow_drop_share at 16x/32x in both corpus modes (the
-    q180 precedent — measure the staged heavy operator's exponent
-    BEFORE registration). Appends a paragraph under the staged-builders
-    section."""
+    """--tail: the heavy document-side staged builders at 16x/32x in
+    both corpus modes (the q180 precedent — measure exponents BEFORE
+    registration). `verbatim` matters for the pair-chain riders:
+    winnow_drop_share proves the posting cap bounds the dropped-mass
+    rollup, soft_dedup_weights proves the LSH band cap bounds the
+    CC+weights path when every copy is a near-dup. Appends a paragraph
+    under the staged-builders section."""
     import math
 
-    from smartbulkcopy_spark.pipeline.dedup import winnow_drop_share
+    from smartbulkcopy_spark.pipeline.dedup import (
+        soft_dedup_weights,
+        winnow_drop_share,
+    )
+    from smartbulkcopy_spark.pipeline.text import bigram_lm_fit
+    from smartbulkcopy_spark.queries import release_caches
     from smartbulkcopy_spark.session import get_spark
 
+    probes = [
+        ("winnow_drop_share", winnow_drop_share),
+        ("soft_dedup_weights", soft_dedup_weights),
+        ("bigram_lm_fit", bigram_lm_fit),
+    ]
     spark = get_spark(
         app_name="staged-tail-probe",
         extra_conf={"spark.ui.showConsoleProgress": "false"},
@@ -100,25 +113,28 @@ def tail() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     base = "/root/testdata/sf0.1"
     la1 = os.getloadavg()[0]
-    results: dict[tuple[str, int], float] = {}
+    results: dict[tuple[str, str, int], float] = {}
     tmp = tempfile.mkdtemp(prefix="sbc_staged_tail_")
     try:
         for mode in ("disjoint", "verbatim"):
             for n in (16, 32):
                 d = f"{tmp}/{mode}_{n}"
                 inflate_documents(spark, base, d, n, mode)
-                time_one(spark, winnow_drop_share, d)  # warm
-                results[(mode, n)] = time_one(spark, winnow_drop_share, d)
-                print(
-                    f"winnow_drop_share {mode} {n}x:"
-                    f" {results[(mode, n)]:.2f}s",
-                    flush=True,
-                )
+                for name, fn in probes:
+                    time_one(spark, fn, d)  # warm
+                    results[(name, mode, n)] = time_one(spark, fn, d)
+                    release_caches()
+                    print(
+                        f"{name} {mode} {n}x:"
+                        f" {results[(name, mode, n)]:.2f}s",
+                        flush=True,
+                    )
                 shutil.rmtree(d, ignore_errors=True)
         rows = [
-            f"| winnow_drop_share | {mode} | {results[(mode, 16)]:.2f} |"
-            f" {results[(mode, 32)]:.2f} |"
-            f" {math.log2(results[(mode, 32)] / results[(mode, 16)]):.2f} |"
+            f"| {name} | {mode} | {results[(name, mode, 16)]:.2f} |"
+            f" {results[(name, mode, 32)]:.2f} |"
+            f" {math.log2(results[(name, mode, 32)] / results[(name, mode, 16)]):.2f} |"
+            for name, _fn in probes
             for mode in ("disjoint", "verbatim")
         ]
         note = "\n".join(
