@@ -168,9 +168,12 @@ def _banded_cte_duck() -> str:
 
 
 def _candidate_cte_duck() -> str:
-    """cand(a_id, b_id): clique pairs for bands <= MINHASH_CLIQUE_CAP,
-    star edges (band-min rep, member) above it — the single oracle
-    source for every banding consumer, in lockstep with
+    """cand(a_id, b_id): clique pairs for bands <= MINHASH_CLIQUE_CAP;
+    above it, STAR edges (band-min rep, member) plus CHAIN edges
+    (consecutive members by doc_id) — two edges per member, so
+    co-located subfamilies of a mixed hot band still connect through
+    verified adjacent runs even when they fail the rep verify. The
+    single oracle source for every banding consumer, in lockstep with
     `candidate_pairs`."""
     return (
         _banded_cte_duck() + ","
@@ -184,8 +187,14 @@ def _candidate_cte_duck() -> str:
         f" HAVING count(*) > {MINHASH_CLIQUE_CAP}),"
         " star AS (SELECT h.rep AS a_id, e.doc_id AS b_id FROM expl e"
         " JOIN hot h ON e.band = h.band AND e.doc_id > h.rep),"
+        " chn AS (SELECT e.band, e.doc_id FROM expl e"
+        " JOIN hot h ON e.band = h.band),"
+        " chain AS (SELECT lag(doc_id) OVER (PARTITION BY band"
+        " ORDER BY doc_id) AS a_id, doc_id AS b_id FROM chn),"
         " cand AS (SELECT DISTINCT a_id, b_id FROM (SELECT a_id, b_id"
-        " FROM cliq UNION ALL SELECT a_id, b_id FROM star) u)"
+        " FROM cliq UNION ALL SELECT a_id, b_id FROM star"
+        " UNION ALL SELECT a_id, b_id FROM chain"
+        " WHERE a_id IS NOT NULL) u)"
     )
 
 
@@ -255,20 +264,28 @@ def candidate_pairs(spark, sf_dir):
     collect_list row cannot."""
     bnd = banded_rows(spark, sf_dir)
     w = Window.partitionBy("band")
-    marked = bnd.withColumn("bc", F.count("*").over(w)).withColumn(
-        "rep", F.min("doc_id").over(w)
+    wo = Window.partitionBy("band").orderBy("doc_id")
+    marked = (
+        bnd.withColumn("bc", F.count("*").over(w))
+        .withColumn("rep", F.min("doc_id").over(w))
+        .withColumn("prev", F.lag("doc_id").over(wo))
     )
-    # Both branches below must keep BOTH window columns referenced:
+    # Every branch below must keep ALL window columns referenced:
     # column pruning would otherwise specialize the clique branch's
-    # Window node (count only), the subtrees stop being identical, and
+    # Window nodes, the subtrees stop being identical, and
     # ReuseExchange can no longer dedupe the band shuffle — the whole
     # signature pipeline would run twice (caught by the q27 plan test).
-    # rep is a min over non-null doc_ids, so isNotNull is a no-op.
+    # rep is a min over non-null doc_ids so isNotNull is a no-op, and
+    # doc_ids are non-negative so the coalesced prev bound always
+    # holds — both predicates are runtime-true but not foldable.
+    noop = F.col("rep").isNotNull() & (
+        F.coalesce(F.col("prev"), F.lit(-1)) >= -1
+    )
     buckets = (
         marked.where(
             (F.col("bc") > 1)
             & (F.col("bc") <= MINHASH_CLIQUE_CAP)
-            & F.col("rep").isNotNull()
+            & noop
         )
         .groupBy("band")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
@@ -280,13 +297,18 @@ def candidate_pairs(spark, sf_dir):
     clique = buckets.select(F.explode(pairs).alias("p")).select(
         F.col("p.a").alias("a_id"), F.col("p.b").alias("b_id")
     )
-    # Star fallback: one row-local edge per hot-band member — never a
-    # collect_list of the hot bucket, never its quadratic explosion.
+    # Star + chain fallback: two row-local edges per hot-band member —
+    # never a collect_list of the hot bucket, never its quadratic
+    # explosion. The chain (consecutive members by doc_id) keeps
+    # co-located subfamilies connected when they fail the rep verify.
     star = marked.where(
         (F.col("bc") > MINHASH_CLIQUE_CAP)
         & (F.col("doc_id") > F.col("rep"))
     ).select(F.col("rep").alias("a_id"), F.col("doc_id").alias("b_id"))
-    return clique.union(star).distinct()
+    chain = marked.where(
+        (F.col("bc") > MINHASH_CLIQUE_CAP) & F.col("prev").isNotNull()
+    ).select(F.col("prev").alias("a_id"), F.col("doc_id").alias("b_id"))
+    return clique.union(star).union(chain).distinct()
 
 
 @register(
@@ -750,13 +772,16 @@ def q66(spark, sf_dir):
     f" WHERE doc_id >= {INCREMENTAL_SPLIT_ID}),"
     " osz AS (SELECT band FROM old GROUP BY band"
     f" HAVING count(*) <= {MINHASH_CLIQUE_CAP}),"
-    " ohot AS (SELECT band, min(doc_id) AS rep FROM old GROUP BY band"
-    f" HAVING count(*) > {MINHASH_CLIQUE_CAP}),"
+    " ohot AS (SELECT band, doc_id FROM"
+    " (SELECT band, doc_id, count(*) OVER (PARTITION BY band) AS bc,"
+    " row_number() OVER (PARTITION BY band ORDER BY doc_id) AS rn"
+    " FROM old) t"
+    f" WHERE bc > {MINHASH_CLIQUE_CAP} AND rn <= {MINHASH_CLIQUE_CAP}),"
     " cand2 AS (SELECT DISTINCT old_id, new_id FROM"
     " (SELECT o.doc_id AS old_id, n.doc_id AS new_id"
     " FROM nw n JOIN osz s ON n.band = s.band"
     " JOIN old o ON o.band = n.band"
-    " UNION ALL SELECT h.rep AS old_id, n.doc_id AS new_id"
+    " UNION ALL SELECT h.doc_id AS old_id, n.doc_id AS new_id"
     " FROM nw n JOIN ohot h ON n.band = h.band) u),"
     f" sh AS MATERIALIZED (SELECT doc_id, {shingle_set_expr('duck')} AS s"
     " FROM documents),"
@@ -773,8 +798,8 @@ def q66(spark, sf_dir):
     doc="Incremental-ingestion dedup: which documents of a NEW batch are"
     " near-duplicates of the EXISTING corpus. The batch bands against"
     " the corpus's LSH index — a (band-key, id) join; the index's hot"
-    " bands contribute their band rep alone (the star rule) BEFORE"
-    " joining — then exact-Jaccard verifies"
+    " bands contribute a bounded representative set (their cap lowest"
+    " doc_ids) BEFORE joining — then exact-Jaccard verifies"
     " only the cross-side candidates. The corpus is never re-self-"
     "joined: cost scales with batch x band-collision rate, not corpus"
     " squared — the property that lets a daily crawl dedup against"
@@ -784,18 +809,26 @@ def q63(spark, sf_dir):
     bnd = banded_rows(spark, sf_dir)
     old = bnd.where(F.col("doc_id") < INCREMENTAL_SPLIT_ID)
     new = bnd.where(F.col("doc_id") >= INCREMENTAL_SPLIT_ID)
-    # One pass over the old index sizes every band AND picks each hot
-    # band's rep; cold bands join all members, hot bands join the rep
-    # alone (the star rule of the main chain, applied cross-side: a new
-    # doc landing in a hot index band verifies against ONE canonical
-    # old member instead of the whole family).
-    obands = old.groupBy("band").agg(
-        F.count("*").alias("bc"), F.min("doc_id").alias("rep")
+    # Cold index bands join all their members; hot bands contribute a
+    # BOUNDED representative set — their MINHASH_CLIQUE_CAP lowest
+    # doc_ids — so a new doc landing in a hot band verifies against at
+    # most cap canonical old members (not the whole family, not only a
+    # single rep that might belong to a different subfamily of a mixed
+    # band). One window pass over the old index classifies every row.
+    ow = Window.partitionBy("band")
+    owo = Window.partitionBy("band").orderBy("doc_id")
+    old_marked = old.withColumn("bc", F.count("*").over(ow)).withColumn(
+        "rn", F.row_number().over(owo)
     )
-    osz = obands.where(F.col("bc") <= MINHASH_CLIQUE_CAP).select("band")
-    ohot = obands.where(F.col("bc") > MINHASH_CLIQUE_CAP).select(
-        "band", F.col("rep").alias("old_id")
+    osz = (
+        old_marked.where(F.col("bc") <= MINHASH_CLIQUE_CAP)
+        .select("band")
+        .distinct()
     )
+    ohot = old_marked.where(
+        (F.col("bc") > MINHASH_CLIQUE_CAP)
+        & (F.col("rn") <= MINHASH_CLIQUE_CAP)
+    ).select("band", F.col("doc_id").alias("old_id"))
     cold = (
         new.join(osz, "band", "left_semi")
         .join(

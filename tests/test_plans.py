@@ -98,7 +98,8 @@ def test_q27_band_cap_applied_before_collect_list(spark, sf_dir):
         if "ReusedExchange" in ln and "hashpartitioning(band" in ln
     ]
     assert len(real) == 1, real
-    assert len(reused) == 1, reused
+    # clique + star + chain: three branches, ONE materialized shuffle
+    assert len(reused) == 2, reused
 
 
 @pytest.mark.parametrize("name", sorted(REGISTRY))

@@ -375,9 +375,13 @@ def test_winnow_drop_share_consistency(spark, sf_dir):
 
 
 def _mini_docs(tmp_path, texts):
+    _mini_docs_ids(tmp_path, list(range(len(texts))), texts)
+
+
+def _mini_docs_ids(tmp_path, ids, texts):
     pd.DataFrame(
         {
-            "doc_id": list(range(len(texts))),
+            "doc_id": ids,
             "text": texts,
             "lang": ["en"] * len(texts),
             "source": ["src0"] * len(texts),
@@ -669,26 +673,17 @@ def _hot_band_corpus(tmp_path, n_hot=20, n_cold=5, split=None):
     return ids
 
 
-def _mini_docs_ids(tmp_path, ids, texts):
-    pd.DataFrame(
-        {
-            "doc_id": ids,
-            "text": texts,
-            "lang": ["en"] * len(texts),
-            "source": ["src0"] * len(texts),
-            "n_chars": [len(t) for t in texts],
-        }
-    ).to_parquet(tmp_path / "documents.parquet", index=False)
-
-
 def test_hot_band_star_fallback_cross_engine(spark, tmp_path):
-    """The star regime, which no fixture scale reaches (all buckets
-    <= 6 < cap): 20 verbatim copies share every band, so the candidate
-    set must be exactly the 19 star edges (0, m) — never the 190-pair
-    clique — while the 5-copy family still enumerates its full 10-pair
-    clique. Spark and the oracle must agree pair-for-pair, and the
-    downstream cluster operator must keep both families CONNECTED
-    (the old skip-the-band rule lost the hot family entirely)."""
+    """The star+chain regime, which no fixture scale reaches (all
+    buckets <= 6 < cap): 20 verbatim copies share every band, so the
+    candidate set must be exactly the 19 star edges (0, m) plus the 18
+    extra chain edges (m, m+1) — never the 190-pair clique — while the
+    5-copy family still enumerates its full 10-pair clique. Spark and
+    the oracle must agree pair-for-pair, and the downstream cluster
+    operator must keep both families CONNECTED (the old skip-the-band
+    rule lost the hot family entirely; the chain additionally keeps
+    co-located subfamilies of a MIXED hot band connected when they
+    fail the rep verify)."""
     import duckdb
 
     from smartbulkcopy_spark.pipeline.dedup import MINHASH_CLIQUE_CAP
@@ -703,10 +698,11 @@ def test_hot_band_star_fallback_cross_engine(spark, tmp_path):
         .collect()
     ]
     star = [(0, m) for m in range(1, 20)]
+    chain = [(m, m + 1) for m in range(0, 19)]
     clique = [
         (a, b) for a in range(20, 25) for b in range(a + 1, 25)
     ]
-    assert got == sorted(star + clique)
+    assert got == sorted(set(star + chain + clique))
 
     con = duckdb.connect()
     con.execute(
@@ -727,6 +723,7 @@ def test_hot_band_star_fallback_cross_engine(spark, tmp_path):
         .fn(spark, str(tmp_path))
         .collect()
     }
+    release_caches()
     assert clusters == {
         **{m: 0 for m in range(20)},
         **{m: 20 for m in range(20, 25)},

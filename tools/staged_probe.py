@@ -93,18 +93,19 @@ def tail() -> None:
     under the staged-builders section."""
     import math
 
-    from smartbulkcopy_spark.pipeline.dedup import (
-        soft_dedup_weights,
-        winnow_drop_share,
-    )
-    from smartbulkcopy_spark.pipeline.text import bigram_lm_fit
     from smartbulkcopy_spark.queries import release_caches
     from smartbulkcopy_spark.session import get_spark
 
+    # select from the ONE builder registry so both tables measure the
+    # same callables (a rename or wrapper change cannot desynchronize)
+    builders = _builders()
     probes = [
-        ("winnow_drop_share", winnow_drop_share),
-        ("soft_dedup_weights", soft_dedup_weights),
-        ("bigram_lm_fit", bigram_lm_fit),
+        (n, builders[n][1])
+        for n in (
+            "winnow_drop_share",
+            "soft_dedup_weights",
+            "bigram_lm_fit",
+        )
     ]
     spark = get_spark(
         app_name="staged-tail-probe",
