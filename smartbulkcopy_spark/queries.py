@@ -3423,15 +3423,15 @@ TIER1 = [
 # (rows_match & schema_match & hash_match). Absent = never driver-graded.
 # Generated by tools/ledger.py; keep in lockstep with SURVEY.md §2.12.
 LAST_GREEN = {
-    "q01_scan_project": 10,
-    "q02_logical_partition_bucket": 10,
-    "q03_range_partition_predicate": 10,
-    "q04_ordered_scan_desc": 10,
-    "q05_rowcount": 10,
-    "q06_bucket_counts": 10,
-    "q07_ident_current": 10,
-    "q08_table_size_agg": 10,
-    "q09_inner_join_agg": 10,
+    "q01_scan_project": 11,
+    "q02_logical_partition_bucket": 11,
+    "q03_range_partition_predicate": 11,
+    "q04_ordered_scan_desc": 11,
+    "q05_rowcount": 11,
+    "q06_bucket_counts": 11,
+    "q07_ident_current": 11,
+    "q08_table_size_agg": 11,
+    "q09_inner_join_agg": 11,
     "q100_gopher_rules": 7,
     "q101_hourly_cohort_retention": 7,
     "q102_conversion_latency": 7,
@@ -3442,7 +3442,7 @@ LAST_GREEN = {
     "q107_minhash_estimate_quality": 7,
     "q108_jaccard_distribution": 7,
     "q109_event_transitions": 7,
-    "q10_left_join_agg": 10,
+    "q10_left_join_agg": 11,
     "q110_image_ahash": 7,
     "q111_image_near_dup": 7,
     "q112_simhash_near_dup": 7,
@@ -3453,7 +3453,7 @@ LAST_GREEN = {
     "q117_image_dedup_keep": 8,
     "q118_pii_redaction": 8,
     "q119_crossdoc_repeated_spans": 8,
-    "q11_semi_join": 10,
+    "q11_semi_join": 11,
     "q120_hashed_linear_quality": 8,
     "q121_hll_distinct_tokens": 8,
     "q122_cms_heavy_hitters": 8,
@@ -3464,7 +3464,7 @@ LAST_GREEN = {
     "q127_kmv_source_overlap": 8,
     "q128_prefix_filter_join": 8,
     "q129_containment_join": 8,
-    "q12_except": 10,
+    "q12_except": 11,
     "q130_pps_token_sample": 8,
     "q131_vocab_growth": 8,
     "q132_cluster_separation": 8,
@@ -3475,7 +3475,7 @@ LAST_GREEN = {
     "q137_mad_length_outliers": 8,
     "q138_tokenizer_fertility": 8,
     "q139_gap_quantile_sketch": 8,
-    "q13_union_distinct": 10,
+    "q13_union_distinct": 11,
     "q140_regional_revenue_rollup": 8,
     "q141_pq_code_assignment": 8,
     "q142_encoding_anomaly_audit": 8,
@@ -3486,7 +3486,7 @@ LAST_GREEN = {
     "q147_temporal_split_audit": 9,
     "q148_stream_enrichment_rollup": 9,
     "q149_seqlen_truncation_frontier": 9,
-    "q14_topk": 10,
+    "q14_topk": 11,
     "q150_snapshot_diff_audit": 9,
     "q151_neyman_allocation": 9,
     "q152_corpus_rollup_totals": 9,
@@ -3497,7 +3497,7 @@ LAST_GREEN = {
     "q157_hourly_seasonality": 9,
     "q158_repeat_purchase_profile": 9,
     "q159_attribution_model_compare": 9,
-    "q15_case_when": 10,
+    "q15_case_when": 11,
     "q160_skeleton_template_dupes": 9,
     "q161_copurchase_lift": 9,
     "q162_rfm_segments": 9,
@@ -3508,7 +3508,7 @@ LAST_GREEN = {
     "q167_discount_elasticity": 9,
     "q168_scd2_version_profile": 9,
     "q169_zipf_coverage": 9,
-    "q16_quotename": 10,
+    "q16_quotename": 11,
     "q170_winnowing_contamination": 9,
     "q171_source_template_matrix": 10,
     "q172_peak_concurrency": 10,
@@ -3519,42 +3519,48 @@ LAST_GREEN = {
     "q177_incremental_contamination": 10,
     "q178_stream_seasonality": 10,
     "q179_bpe_vocab_budget": 10,
-    "q17_agg_sweep": 10,
+    "q17_agg_sweep": 11,
     "q180_exact_substring_verify": 10,
     "q181_pq_codebook_refresh": 10,
     "q182_stream_peak_concurrency": 10,
     "q183_ann_tree_assignment": 10,
     "q184_stream_session_funnel": 10,
     "q185_bpe_tokenize_apply": 10,
-    "q18_tumbling_window": 10,
-    "q19_rate_delta_lag": 10,
-    "q20_copy_roundtrip": 10,
-    "q21_exact_dedup": 5,
-    "q22_text_stats": 5,
-    "q23_token_counts": 5,
-    "q24_lang_id_confusion": 5,
-    "q25_quality_score": 5,
-    "q26_doc_fingerprint": 5,
-    "q27_minhash_lsh_pairs": 5,
-    "q28_simhash": 5,
-    "q29_ngram_jaccard": 5,
-    "q30_cosine_topk": 5,
-    "q31_lsh_bucket_histogram": 5,
-    "q32_binary_features": 5,
-    "q33_embedding_near_dup": 5,
-    "q34_near_dup_dedup": 5,
-    "q35_sessionization": 10,
-    "q36_ivf_assignment": 5,
-    "q37_scalar_funcs": 5,
-    "q38_bpe_token_counts": 5,
-    "q39_rolling_hash": 5,
-    "q40_image_decode": 5,
-    "q41_image_resize": 5,
-    "q42_audio_frame_sample": 5,
+    "q186_ivf_list_rebalance": 11,
+    "q187_lexical_detector_overlap": 11,
+    "q188_tree_depth3_assignment": 11,
+    "q189_tree_flat_agreement": 11,
+    "q18_tumbling_window": 11,
+    "q190_tree_probe_recall": 11,
+    "q191_winnow_posting_histogram": 11,
+    "q19_rate_delta_lag": 11,
+    "q20_copy_roundtrip": 11,
+    "q21_exact_dedup": 11,
+    "q22_text_stats": 11,
+    "q23_token_counts": 11,
+    "q24_lang_id_confusion": 11,
+    "q25_quality_score": 11,
+    "q26_doc_fingerprint": 11,
+    "q27_minhash_lsh_pairs": 11,
+    "q28_simhash": 11,
+    "q29_ngram_jaccard": 11,
+    "q30_cosine_topk": 11,
+    "q31_lsh_bucket_histogram": 11,
+    "q32_binary_features": 11,
+    "q33_embedding_near_dup": 11,
+    "q34_near_dup_dedup": 11,
+    "q35_sessionization": 11,
+    "q36_ivf_assignment": 11,
+    "q37_scalar_funcs": 11,
+    "q38_bpe_token_counts": 11,
+    "q39_rolling_hash": 11,
+    "q40_image_decode": 11,
+    "q41_image_resize": 11,
+    "q42_audio_frame_sample": 11,
     "q43_ann_bucketed_topk": 5,
     "q44_ivf_probe_topk": 5,
-    "q45_sliding_window": 10,
-    "q46_session_window": 10,
+    "q45_sliding_window": 11,
+    "q46_session_window": 11,
     "q47_ann_recall": 5,
     "q48_vocab_topk": 10,
     "q49_cross_source_neardups": 10,
