@@ -17,7 +17,11 @@ skip-the-band rule silently lost every over-cap family and the
 clique-only rule measured exponent 1.93 on a verbatim corpus at
 16x->32x and broadcast-OOM'd at 64x (SCALE.md staged tail). The cap and
 the star are part of the operator's definition and the DuckDB oracle
-applies them identically. SimHash/image bands keep the larger
+applies them identically. The no-recall-loss claim is REGISTERED and
+oracle-checked, not asserted: q199_star_fallback_recall builds families
+sized 6/14/22/30 (straddling the cap), labels both the clique/star and
+the clique-only candidate graphs with connected components, and pins
+family count + per-member agreement at 100%. SimHash/image bands keep the larger
 MAX_BAND_BUCKET skip-cap: a 16-bit band value is weak similarity
 evidence (sf0.1 buckets reach 291 by birthday collisions alone), so a
 star around its rep is not justified — a recall study is queued for
@@ -262,7 +266,15 @@ def candidate_pairs(spark, sf_dir):
     the groupBy's hash partitioning (one shuffle total, no signature
     recompute), and their row buffers spill to disk where a single
     collect_list row cannot."""
-    bnd = banded_rows(spark, sf_dir)
+    return _pairs_from_band_rows(banded_rows(spark, sf_dir))
+
+
+def _pairs_from_band_rows(bnd):
+    """Clique/star/chain candidate pairs from (doc_id, band) rows — the
+    body of `candidate_pairs`, factored so the q199 recall study can
+    apply the production rule to a synthetic hot-band corpus. See
+    `candidate_pairs` for the plan-shape constraints (the noop
+    predicate, window/groupBy partitioning reuse)."""
     w = Window.partitionBy("band")
     wo = Window.partitionBy("band").orderBy("doc_id")
     marked = (
@@ -989,7 +1001,9 @@ def _round_truncator(spark, reliable):
     return _local
 
 
-def connected_components(spark, pair_df, reliable=None, budget=None):
+def connected_components(
+    spark, pair_df, reliable=None, budget=None, shuffle_partitions=None
+):
     """Hash-min label propagation over an undirected edge list, with a
     pointer-doubling fallback for adversarial diameters.
 
@@ -1012,11 +1026,27 @@ def connected_components(spark, pair_df, reliable=None, budget=None):
     reliable: force fault-tolerant parquet rounds (True),
     localCheckpoint() (False), or auto-detect from the session's
     checkpoint dir (None). The reliable path deletes each superseded
-    round's file as the next materializes (see _ReliableRounds)."""
-    trunc = _round_truncator(spark, reliable)
+    round's file as the next materializes (see _ReliableRounds).
+    shuffle_partitions: scoped override of spark.sql.shuffle.partitions
+    for the iteration's own actions (each round checkpoints + counts
+    INSIDE this call, so the setting binds here, not at the caller's
+    later collect). Use it when the edge list is bounded by CONSTANTS
+    (q199's synthetic study graph): a 3-stage round over a few hundred
+    rows costs ~600 near-empty tasks at the session default, pure
+    scheduler overhead. Leave None for data-sized graphs — their width
+    must scale with the corpus. Restored in the finally, and safe in
+    the engine's one-query-at-a-time sessions."""
     # .select() wraps caller-provided pairs in a fresh plan node, so the
     # persist/unpersist below never touches the caller's own cache state.
+    # (Analysis happens HERE, before the conf override below — a bad
+    # edge frame must not leave the session at study width.)
     edges = pair_df.select("a_id", "b_id").persist()
+    if shuffle_partitions is not None:
+        _prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", str(shuffle_partitions)
+        )
+    trunc = _round_truncator(spark, reliable)
     try:
         edges.count()  # materialize: read twice per round (q33 pattern)
         sym = edges.select(
@@ -1100,6 +1130,8 @@ def connected_components(spark, pair_df, reliable=None, budget=None):
     finally:
         edges.unpersist()
         trunc.close()
+        if shuffle_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", _prev_sp)
     return labels
 
 
@@ -2664,3 +2696,221 @@ def _drop_share_oracle() -> str:
         " CAST(sum(dropped) * 1000000 // count(*) AS BIGINT) AS drop_ppm"
         " FROM mk GROUP BY doc_id ORDER BY doc_id"
     )
+
+
+@register(
+    "q194_soft_dedup_weights",
+    _soft_dedup_oracle(),
+    doc="Duplication-aware soft dedup: instead of dropping near-dups"
+    " (q70), every document gets its q69 cluster (singletons stay"
+    " clusters of 1), a resampling weight of 1e6 DIV cluster_size ppm,"
+    " and a deterministic salted-md5 keep coin (u < weight), so each"
+    " near-dup family contributes ~1 expected kept copy and"
+    " reprocessing never flips earlier decisions. Reuses q69's"
+    " verified-pair CC as-is (bucketed LSH candidates, clique/star"
+    " capped hot bands, label propagation on the tiny pair graph);"
+    " everything on top is one count over the label table, one id-keyed"
+    " join back, and a row-local coin — document text never shuffles."
+    " Probed 16x/32x BOTH corpus modes pre-registration (SCALE.md"
+    " staged tail): verbatim exponent 0.79 post-star-fallback.",
+)
+def q194(spark, sf_dir):
+    return soft_dedup_weights(spark, sf_dir)
+
+
+@register(
+    "q195_winnow_drop_share",
+    _drop_share_oracle(),
+    doc="Per-document winnowing drop-share audit — q191's histogram"
+    " viewed from the document: how much of each doc's fingerprint"
+    f" mass the WINNOW_MAX_POSTINGS={WINNOW_MAX_POSTINGS} boilerplate"
+    " cap removes (a boilerplate-heavy doc loses most fingerprints and"
+    " goes invisible to the q164/q180 pair chain — this finds those"
+    " blind spots). One fph-keyed partial agg sizes the lists, the"
+    " over-cap set marks each doc's dropped rows, per-doc rollup in"
+    " integer ppm. Probed 16x/32x both corpus modes pre-registration:"
+    " exponents 0.95 disjoint / 0.93 verbatim (SCALE.md staged tail).",
+)
+def q195(spark, sf_dir):
+    return winnow_drop_share(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# q199: the star-fallback recall study (round-12 verdict item 4). The
+# clique/star rule (MINHASH_CLIQUE_CAP) claims: collapsing over-cap
+# bands to star+chain edges loses NO families and NO members vs the
+# quadratic clique enumeration, because every member still connects to
+# the band rep. Fixture bands max out at 6 members, so no registered
+# query ever exercises the star path at test scale — this study builds
+# a synthetic hot-band corpus INSIDE the query (verbatim families of
+# sizes 6/14/22/30, straddling the cap from both sides), runs BOTH
+# candidate rules, labels both graphs with connected components, and
+# reports family-count + per-member label agreement. Verbatim copies
+# have identical minhash signatures BY DEFINITION (same text -> same
+# shingles -> same minima), so replicating each seed's band rows is
+# exactly what the full LSH chain would produce on the inflated text,
+# at seed cost. Both engines derive the same synthetic corpus.
+# ---------------------------------------------------------------------------
+
+STUDY_SEEDS = 24
+STUDY_ID_STRIDE = 32  # > max family size, so member ids never collide
+# family size = 6 + (seed % 4) * 8 in {6, 14, 22, 30}: two sizes under
+# the cap (clique path), two over it (star path)
+_STUDY_SIZE_SPARK = "5 + (doc_id % 4) * 8"  # sequence() upper bound, inclusive
+
+
+def star_fallback_recall(spark, sf_dir):
+    """One row: family-count and per-member CC-label agreement between
+    the production clique/star candidate rule and the clique-only rule
+    on the synthetic straddling-hot-band corpus (see block comment).
+    agree_pct = 100 means the star fallback loses nothing vs clique.
+
+    Scale: seeds are 24 docs (signatures LEFT-SEMI thinned before
+    shingling); both graphs are bounded (<= 24 families x 30 members);
+    both CCs iterate on (id, label) pairs of that bounded graph."""
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    seeds = docs.orderBy("doc_id").limit(STUDY_SEEDS)
+    sig = signatures(spark, sf_dir, member_ids=seeds)
+    bnd = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(*[F.expr(e) for e in _band_from_cols("spark")])
+        ).alias("band"),
+    )
+    members = bnd.select(
+        "doc_id",
+        "band",
+        F.explode(F.expr(f"sequence(0, {_STUDY_SIZE_SPARK})")).alias("k"),
+    ).select(
+        (F.col("doc_id") * STUDY_ID_STRIDE + F.col("k")).alias("doc_id"),
+        "band",
+    )
+    star_pairs = _pairs_from_band_rows(members)
+    buckets = members.groupBy("band").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("ds")
+    )
+    pairs = F.expr(
+        "flatten(transform(ds, (a, i) ->"
+        " transform(slice(ds, i + 2, size(ds)), b -> struct(a, b))))"
+    )
+    clique_pairs = (
+        buckets.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.a").alias("a_id"), F.col("p.b").alias("b_id"))
+        .distinct()
+    )
+    # both graphs are bounded by constants (<= STUDY_SEEDS x 30
+    # members), so the CC iterations run at study width, not corpus
+    # width — see connected_components.shuffle_partitions
+    sl = connected_components(
+        spark, star_pairs, shuffle_partitions=8
+    ).select(F.col("node").alias("doc_id"), F.col("lbl").alias("sl"))
+    cl = connected_components(
+        spark, clique_pairs, shuffle_partitions=8
+    ).select(F.col("node").alias("doc_id"), F.col("lbl").alias("cl"))
+    j = sl.join(cl, "doc_id", "full")
+    agree = F.sum(
+        F.coalesce((F.col("sl") == F.col("cl")).cast("long"), F.lit(0))
+    )
+    return j.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.countDistinct("sl").cast("long").alias("star_families"),
+        F.countDistinct("cl").cast("long").alias("clique_families"),
+        agree.cast("long").alias("agree_docs"),
+    ).select(
+        "n_docs",
+        "star_families",
+        "clique_families",
+        "agree_docs",
+        F.expr("agree_docs * 100 DIV n_docs").cast("long").alias(
+            "agree_pct"
+        ),
+    )
+
+
+def _star_recall_oracle() -> str:
+    """DuckDB replay of star_fallback_recall: same seed signatures
+    (shared minhash definition), same synthetic inflation, the
+    production rule's cliq/hot/star/chain CTEs over the inflated band
+    rows (mirroring `_candidate_cte_duck`), the clique-only pair set,
+    and two recursive-CTE reachability labelings."""
+    mhs = ", ".join(f"{minhash_duck(k)} AS mh{k}" for k in range(K_HASHES))
+    bands = ", ".join(
+        f"{e} AS b{i}" for i, e in enumerate(_band_from_cols("duck"))
+    )
+    unions = " UNION ALL ".join(
+        f"SELECT doc_id, b{i} AS band FROM bnd" for i in range(N_BANDS)
+    )
+    return (
+        "WITH RECURSIVE seeds AS MATERIALIZED (SELECT doc_id, text"
+        f" FROM documents ORDER BY doc_id LIMIT {STUDY_SEEDS}),"
+        f" sig AS (SELECT doc_id, {mhs} FROM seeds),"
+        f" bnd AS (SELECT doc_id, {bands} FROM sig),"
+        f" sexpl AS ({unions}),"
+        " mem AS MATERIALIZED (SELECT s.doc_id *"
+        f" {STUDY_ID_STRIDE} + u.k AS doc_id, s.band FROM sexpl s,"
+        " unnest(range(0, 6 + (s.doc_id % 4) * 8)) AS u(k)),"
+        " bandsz AS (SELECT band, count(*) AS bc FROM mem GROUP BY band"
+        f" HAVING count(*) <= {MINHASH_CLIQUE_CAP}),"
+        " cliq AS (SELECT x.doc_id AS a_id, y.doc_id AS b_id"
+        " FROM mem x JOIN bandsz s ON x.band = s.band"
+        " JOIN mem y ON x.band = y.band AND x.doc_id < y.doc_id),"
+        " hot AS (SELECT band, min(doc_id) AS rep FROM mem GROUP BY band"
+        f" HAVING count(*) > {MINHASH_CLIQUE_CAP}),"
+        " star AS (SELECT h.rep AS a_id, m.doc_id AS b_id FROM mem m"
+        " JOIN hot h ON m.band = h.band AND m.doc_id > h.rep),"
+        " chn AS (SELECT m.band, m.doc_id FROM mem m"
+        " JOIN hot h ON m.band = h.band),"
+        " chain AS (SELECT lag(doc_id) OVER (PARTITION BY band"
+        " ORDER BY doc_id) AS a_id, doc_id AS b_id FROM chn),"
+        " sp AS MATERIALIZED (SELECT DISTINCT a_id, b_id FROM"
+        " (SELECT a_id, b_id FROM cliq UNION ALL SELECT a_id, b_id"
+        " FROM star UNION ALL SELECT a_id, b_id FROM chain"
+        " WHERE a_id IS NOT NULL) u),"
+        " cp AS MATERIALIZED (SELECT DISTINCT x.doc_id AS a_id,"
+        " y.doc_id AS b_id FROM mem x JOIN mem y ON x.band = y.band"
+        " AND x.doc_id < y.doc_id),"
+        " ssym AS (SELECT a_id AS u, b_id AS v FROM sp"
+        " UNION ALL SELECT b_id, a_id FROM sp),"
+        " sreach(u, v) AS (SELECT u, v FROM ssym"
+        " UNION SELECT r.u, s.v FROM sreach r JOIN ssym s ON r.v = s.u),"
+        " slab AS MATERIALIZED (SELECT u AS doc_id,"
+        " least(u, min(v)) AS sl FROM sreach GROUP BY u),"
+        " csym AS (SELECT a_id AS u, b_id AS v FROM cp"
+        " UNION ALL SELECT b_id, a_id FROM cp),"
+        " creach(u, v) AS (SELECT u, v FROM csym"
+        " UNION SELECT r.u, s.v FROM creach r JOIN csym s ON r.v = s.u),"
+        " clab AS MATERIALIZED (SELECT u AS doc_id,"
+        " least(u, min(v)) AS cl FROM creach GROUP BY u),"
+        " j AS (SELECT coalesce(s.doc_id, c.doc_id) AS doc_id,"
+        " s.sl AS sl, c.cl AS cl FROM slab s"
+        " FULL JOIN clab c ON s.doc_id = c.doc_id)"
+        " SELECT CAST(count(*) AS BIGINT) AS n_docs,"
+        " CAST(count(DISTINCT sl) AS BIGINT) AS star_families,"
+        " CAST(count(DISTINCT cl) AS BIGINT) AS clique_families,"
+        " CAST(coalesce(sum(CASE WHEN sl = cl THEN 1 ELSE 0 END), 0)"
+        " AS BIGINT) AS agree_docs,"
+        " CAST(coalesce(sum(CASE WHEN sl = cl THEN 1 ELSE 0 END), 0)"
+        " * 100 // count(*) AS BIGINT) AS agree_pct"
+        " FROM j"
+    )
+
+
+@register(
+    "q199_star_fallback_recall",
+    _star_recall_oracle(),
+    doc="Star-fallback recall study: family-count and per-member"
+    " CC-label agreement between the production clique/star candidate"
+    f" rule (MINHASH_CLIQUE_CAP={MINHASH_CLIQUE_CAP}) and the"
+    " clique-only rule, on a synthetic corpus of verbatim families"
+    " sized 6/14/22/30 — straddling the cap from both sides, so the"
+    " star path actually executes (fixture bands never exceed 6"
+    " members). agree_pct = 100 is the registered, oracle-checked form"
+    " of the claim the round-11 scale fix asserted: collapsing hot"
+    " bands to star+chain edges loses no families and no members vs"
+    " the quadratic clique, while costing one edge per member."
+    " Verbatim copies share their seed's signature by definition, so"
+    " the band rows replicate at seed cost; both graphs stay bounded"
+    " and both CCs iterate on (id, label) pairs only.",
+)
+def q199(spark, sf_dir):
+    return star_fallback_recall(spark, sf_dir)

@@ -2691,3 +2691,72 @@ def _multiprobe_oracle(probes=(1, 2, 4)) -> str:
         " CAST(hits * 10 AS BIGINT) AS recall_pct"
         " FROM curve ORDER BY n_probe"
     )
+
+
+def tree_multiprobe_recall_curve(spark, sf_dir, probes=(1, 2, 4)):
+    """(n_probe, n_list, hits, recall_pct) recall curve of tree-routed
+    multiprobe search against the exact cosine top-10 — one row per
+    probe width. Recall is monotone non-decreasing in n_probe by
+    construction (each probe adds a list, never replaces one); the
+    curve prices the probe width: n_list is the scanned candidate mass,
+    recall_pct what it buys. Exact top-10 computes ONCE (eager; the
+    q33 multi-consumer rule) and every probe width intersects it."""
+    qid = _min_vec_id(spark, sf_dir)
+    exact = eager(q30(spark, sf_dir).select("vec_id"))
+    out = None
+    for p in probes:
+        cand, topk = tree_multiprobe_search(
+            spark, sf_dir, qid, k=10, n_probe=p
+        )
+        n_list = cand.count()  # bounded scalar: the persisted probe lists
+        row = (
+            exact.join(topk.select("vec_id"), "vec_id", "left_semi")
+            .agg(F.count("*").alias("hits"))
+            .select(
+                F.lit(int(p)).cast("long").alias("n_probe"),
+                F.lit(int(n_list)).cast("long").alias("n_list"),
+                "hits",
+                (F.col("hits") * 10).cast("long").alias("recall_pct"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("n_probe")
+
+
+@register(
+    "q196_embedding_split_leakage",
+    _split_leakage_oracle(),
+    doc="Semantic split-leakage audit — the embedding-space member of"
+    " the decontamination family (lexical: q68/q86/q170/q177): one row"
+    " per val/test vector with >= 1 train-split near-duplicate (its"
+    " train-dup count and strongest cosine, q33 e4 integer space)."
+    " An eval example whose paraphrase sits in train leaks — its"
+    " benchmark score measures memorization, and lexical detectors"
+    " miss what survives only in embedding space. Reuses q33's"
+    " hyperplane-bucketed pair generation AS-IS (never all-pairs) and"
+    " the q50 90/5/5 md5 split policy applied row-locally to both pair"
+    " sides — no split-table join; everything downstream of q33 is"
+    " arithmetic on the tiny verified pair set. Staged-probe 8x ratio"
+    " 1.7x (SCALE.md staged table).",
+)
+def q196(spark, sf_dir):
+    return embedding_split_leakage(spark, sf_dir)
+
+
+@register(
+    "q197_tree_multiprobe_recall",
+    _multiprobe_oracle(),
+    doc="Multiprobe recall curve for tree-routed ANN search: recall@10"
+    " against the exact cosine top-10 (q30) at n_probe in {1, 2, 4},"
+    " one row per probe width — q190's single-probe gate widened into"
+    " the n_probe/recall trade-off curve an index deployment tunes"
+    " against. The query's probe set is the n_probe nearest leaves"
+    " ranked driver-side over the K leaf vectors with the ivf_search"
+    " d2 fold (bit-replayable by the oracle); candidates are corpus"
+    " rows whose q183 tree-walk assignment lands in the probe set —"
+    " an IN-list of leaf codes, i.e. partition pruning at 100 TB."
+    " Recall is monotone in n_probe by construction; the oracle"
+    " replays every width. Staged-probe 8x ratio 1.2x (corpus-flat).",
+)
+def q197(spark, sf_dir):
+    return tree_multiprobe_recall_curve(spark, sf_dir)

@@ -3790,6 +3790,10 @@ def _bigram_lm_oracle() -> str:
     )
 
 
+# q192/q193 register at module end (q193's oracle reads builders
+# defined below this point).
+
+
 # ---------------------------------------------------------------------------
 # Round-12 stage: quality-score calibration audit — the q115/q187/q189
 # agreement pattern applied to the QUALITY family, which until now had
@@ -3874,3 +3878,41 @@ def _calibration_oracle() -> str:
         " CAST(sum(n_tokens) // count(*) AS BIGINT) AS mean_tokens"
         " FROM j GROUP BY bin ORDER BY bin"
     )
+
+
+@register(
+    "q192_bigram_lm_fit",
+    _bigram_lm_oracle(),
+    doc="Per-document bigram language-model fit score — the"
+    " perplexity-filter signal: an add-one-smoothed bigram LM trains"
+    " on the corpus itself, then every document reports the mean and"
+    " minimum smoothed transition probability of its adjacent token"
+    " pairs, in deterministic e6 integer space (ln() would float-drift"
+    " across engines; the monotone integer ratio ranks identically)."
+    " V attaches as a driver-side bounded scalar (the q52 pattern —"
+    " never a constant-key join). Bigram construction is row-local;"
+    " model tables shuffle on token keys with map-side combine;"
+    " scoring is one bigram-keyed join plus a doc_id rollup."
+    " Staged-probe exponents: 8x ratio 1.8x, 16x->32x disjoint -0.02,"
+    " verbatim 0.41 (SCALE.md staged tail).",
+)
+def q192(spark, sf_dir):
+    return bigram_lm_fit(spark, sf_dir)
+
+
+@register(
+    "q193_quality_calibration",
+    _calibration_oracle(),
+    doc="Quality-score calibration audit — the q115/q187/q189 agreement"
+    " pattern applied to the QUALITY family: per q120"
+    " hashed-linear-classifier score bin (fixed width, floor(score /"
+    f" {CAL_BIN}) as a double floor on both engines since scores go"
+    " negative and Spark DIV truncates toward zero while DuckDB //"
+    " floors), the doc count and mean q25 heuristic signals. A learned"
+    " gate whose high-score bins don't read cleaner on the cheap"
+    " heuristics is miscalibrated or mis-hashed. Both inputs are"
+    " row-local projections; the calibration is one doc_id equi-join"
+    " and a tiny bin-keyed aggregation. Staged-probe 8x ratio 1.0x.",
+)
+def q193(spark, sf_dir):
+    return quality_score_calibration(spark, sf_dir)

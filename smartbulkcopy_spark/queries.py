@@ -1104,9 +1104,10 @@ def q88(spark, sf_dir):
 RANGE_WINDOW_US = 600_000_000  # 10 minutes
 RANGE_BUCKET_US = 3_600_000_000  # 1 hour >= window, so <=2 buckets
 
-
-@register(
-    "q95_interval_click_attribution",
+# Shared by q95 and its stream-stream twin q198 (the q172/q182 and
+# q153/q184 twin-SQL pattern): one oracle string, two engines graded
+# against it.
+_Q95_SQL = (
     "WITH er AS (SELECT event_id, user_id, epoch_us(ts) AS t FROM events"
     " WHERE event_type = 'error'),"
     " cl AS (SELECT event_id AS cid, user_id, epoch_us(ts) AS tc"
@@ -1117,7 +1118,13 @@ RANGE_BUCKET_US = 3_600_000_000  # 1 hour >= window, so <=2 buckets
     " SELECT er.event_id, er.user_id,"
     " CAST(coalesce(m.n, 0) AS BIGINT) AS n_clicks"
     " FROM er LEFT JOIN m ON er.event_id = m.event_id"
-    " ORDER BY er.event_id",
+    " ORDER BY er.event_id"
+)
+
+
+@register(
+    "q95_interval_click_attribution",
+    _Q95_SQL,
     doc="Interval join via time-bucketing: for every error event, the"
     " number of clicks by the same user within the following 10"
     " minutes. Both sides bucket to the hour (>= the interval width);"
@@ -3375,6 +3382,53 @@ def q184(spark, sf_dir):
             shutil.rmtree(feed, ignore_errors=True)
 
 
+# ---------------------------------------------------------------------------
+# q198: the stream-STREAM interval join under the hash gate — the one
+# Structured Streaming surface §2.9 had not yet exercised (q178 graded
+# a JVM streaming agg, q182/q184 the two applyInPandasWithState
+# operators; all are single-stream). Errors and clicks open as two
+# streams over the same feed and meet in a watermarked inner join with
+# q95's exact micro-precise range condition; the drained matched pairs
+# feed q95's batch LEFT-JOIN/count assembly. Oracle = q95's SQL
+# verbatim, so the driver's hash compare grades the streaming join's
+# state handling bit-for-bit against the batch interval join.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q198_stream_click_attribution",
+    _Q95_SQL,
+    doc="Stream-stream interval join under the oracle gate: errors and"
+    " clicks read as two watermarked streams over the same event feed"
+    " and inner-join on user with q95's exact 10-minute range"
+    " condition (inner, not outer, by design — an availableNow drain's"
+    " watermark never passes the last event, so outer-side nulls would"
+    " be withheld forever, while inner pairs emit as both sides"
+    " arrive and the watermark only bounds state). The converged"
+    " matched pairs roll through q95's batch LEFT-JOIN/count assembly,"
+    " so the driver's hash grade covers the streaming join itself."
+    " Memory-sink names sequence-unique; join state bounded by the"
+    " 2-hour eviction delay on both sides.",
+)
+def q198(spark, sf_dir):
+    import shutil
+
+    from smartbulkcopy_spark import streaming as _streaming
+
+    src = f"{sf_dir}/events.parquet"
+    feed = _streaming.streamable_events_dir(src)
+    try:
+        return _streaming.run_click_attribution(
+            spark,
+            feed,
+            query_name=f"q198_attrib_{next(_STREAM_RUN_SEQ)}",
+            batch_src=src,
+        )
+    finally:
+        if feed != os.path.abspath(src):
+            shutil.rmtree(feed, ignore_errors=True)
+
+
 # Phase-5 pipeline operators (q21+) register themselves on import. The
 # import sits at the bottom because pipeline modules import `register`/
 # `table` from this module (deliberate one-way late binding, not a cycle
@@ -3775,6 +3829,20 @@ QUEUED_SINCE = {
     # audit; q43/q44 of the r05 block wait for round 12 behind these
     "q190_tree_probe_recall": 114,
     "q191_winnow_posting_histogram": 115,
+    # round 12: the seven pre-probed staged builders (SCALE.md staged
+    # tables — 8x ratios and 16x/32x both-mode exponents measured
+    # BEFORE registration) plus the q199 star-fallback recall study
+    # (verdict item 4) and the stream-stream interval join twin. Eight
+    # never-graded slots; the remaining rotation fills the r05 residue
+    # (q43/q44/q47/q51/q54/q55) then the r06 block by query number.
+    "q192_bigram_lm_fit": 120,
+    "q193_quality_calibration": 121,
+    "q194_soft_dedup_weights": 122,
+    "q195_winnow_drop_share": 123,
+    "q196_embedding_split_leakage": 124,
+    "q197_tree_multiprobe_recall": 125,
+    "q198_stream_click_attribution": 126,
+    "q199_star_fallback_recall": 127,
 }
 
 

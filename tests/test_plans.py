@@ -97,9 +97,14 @@ def test_q27_band_cap_applied_before_collect_list(spark, sf_dir):
         for ln in final.splitlines()
         if "ReusedExchange" in ln and "hashpartitioning(band" in ln
     ]
+    # The INVARIANT is one materialized band exchange (a second would
+    # be the 2x-signature-cost regression this test guards); the exact
+    # ReusedExchange count is optimizer behavior — clique + star +
+    # chain currently reuse it twice, but a Catalyst upgrade folding
+    # the no-op predicate could merge branches without any real
+    # regression, so pin >= 1 reuse, not the count (round-11 advice).
     assert len(real) == 1, real
-    # clique + star + chain: three branches, ONE materialized shuffle
-    assert len(reused) == 2, reused
+    assert len(reused) >= 1, reused
 
 
 @pytest.mark.parametrize("name", sorted(REGISTRY))

@@ -225,3 +225,50 @@ def test_r11_window_prediction():
     assert len(stale_r05) == 27
     expected = new_r11 + stale_r05[: DRIVER_WINDOW - len(TIER1) - 6]
     assert rotation == expected
+
+
+def test_r12_window_prediction():
+    """Round-11 verdict item 2: the round-12 rotation window must be
+    the eight round-12 registrations (q192..q199, never-graded sorts
+    first, seniority = registration batch = query number here),
+    followed by the r05-stale residue (q43/q44/q47/q51/q54/q55) and
+    then the r06 block in query-number order filling the remaining 13
+    slots (q57, q61, q62, q67, q69..q77). Guarded on the ledger state
+    so the pin retires itself once round 12 is folded."""
+    from smartbulkcopy_spark.queries import (
+        DRIVER_WINDOW,
+        LAST_GREEN,
+        QUEUED_SINCE,
+        TIER1,
+        ordered_names,
+    )
+
+    if max(LAST_GREEN.values()) != 11:
+        pytest.skip("ledger has moved past round 11; pin satisfied")
+    rotation = ordered_names()[len(TIER1) : DRIVER_WINDOW]
+
+    def qnum(n):
+        return int(n[1 : n.index("_")])
+
+    new_r12 = sorted(
+        (n for n, b in QUEUED_SINCE.items() if b >= 120), key=qnum
+    )
+    assert len(new_r12) == 8
+    stale_r05 = sorted(
+        (n for n in REGISTRY if LAST_GREEN.get(n) == 5), key=qnum
+    )
+    assert stale_r05 == [
+        "q43_ann_bucketed_topk",
+        "q44_ivf_probe_topk",
+        "q47_ann_recall",
+        "q51_pack_offsets",
+        "q54_embedding_norm_audit",
+        "q55_embedding_dim_stats",
+    ]
+    stale_r06 = sorted(
+        (n for n in REGISTRY if LAST_GREEN.get(n) == 6), key=qnum
+    )
+    expected = (new_r12 + stale_r05 + stale_r06)[
+        : DRIVER_WINDOW - len(TIER1)
+    ]
+    assert rotation == expected

@@ -738,8 +738,10 @@ def test_hot_band_star_fallback_cross_engine(spark, tmp_path):
 
 def test_hot_band_star_incremental_cross_engine(spark, tmp_path):
     """q63's cross-side star rule: a new doc landing in a HOT old-index
-    band must verify against the band's rep alone and still be flagged
-    a duplicate of it; a new doc landing in a cold band keeps the full
+    band verifies against the band's BOUNDED representative set — its
+    MINHASH_CLIQUE_CAP lowest doc_ids, not a single rep (dedup.py's
+    bounded-representative-set comment) — and is still flagged a
+    duplicate; a new doc landing in a cold band keeps the full
     old-candidate join. Spark and oracle agree row-for-row."""
     import duckdb
 

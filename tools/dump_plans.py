@@ -485,6 +485,43 @@ ANNOTATED = {
     " feeds two narrow partial-agg shuffles — (fph, count) then"
     " (sz, count); document text never shuffles; <= max-list-size"
     " output rows.",
+    "q192_bigram_lm_fit": "Row-local bigram construction over the"
+    " eager-persisted token-pair stream (three consumers); model"
+    " tables shuffle on token keys with map-side combine; V attaches"
+    " as a bounded driver scalar; scoring is one bigram-keyed join +"
+    " one doc_id rollup; LEFT join back to the corpus closes it.",
+    "q193_quality_calibration": "Two row-local scorers (q120 broadcast"
+    " weight join + rollup, q25 projections) meet in ONE doc_id"
+    " equi-join; fixed-width double-floor binning (no corpus quantile"
+    " sort); tiny bin-keyed aggregation output.",
+    "q194_soft_dedup_weights": "q69's verified-pair CC reused as-is"
+    " (bucketed LSH + clique/star cap + label propagation on the tiny"
+    " pair graph, eager-persisted); one count over the label table,"
+    " one id-keyed join back, row-local md5 coin — text never"
+    " shuffles; global sort on the narrow output only.",
+    "q195_winnow_drop_share": "One fph-keyed partial agg sizes posting"
+    " lists; over-cap set LEFT-joins back as a marker; per-doc rollup"
+    " in integer ppm — two narrow shuffles, text never shuffles.",
+    "q196_embedding_split_leakage": "q33's hyperplane-bucketed pair"
+    " generation as-is; split CASEs applied row-locally to both pair"
+    " sides (no split-table join); eval-side keyed rollup over the"
+    " tiny verified pair set.",
+    "q197_tree_multiprobe_recall": "Exact top-10 computes once"
+    " (eager); per probe width the corpus filters to an IN-list of"
+    " leaf codes (partition pruning at scale) + cosine-scores,"
+    " eager-persisted for count + rerank; broadcast semi-joins of"
+    " 10-row sets; 3-row union output.",
+    "q198_stream_click_attribution": "Two watermarked streams over the"
+    " same feed meet in a stateful inner interval join (state bounded"
+    " by the 2h eviction delay); drained pairs group to (event_id,"
+    " n); batch LEFT join against the error side closes q95's exact"
+    " assembly.",
+    "q199_star_fallback_recall": "Seed signatures LEFT-SEMI thinned to"
+    " 24 docs before shingling; synthetic band rows replicate"
+    " row-locally (verbatim copies share signatures by definition);"
+    " both candidate graphs bounded (<= 24 x 30 members); two CC"
+    " label propagations on (id, label) pairs; 1-row agreement"
+    " rollup.",
 }
 
 

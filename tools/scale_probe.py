@@ -145,6 +145,14 @@ PROBES = [
     "q189_tree_flat_agreement",
     "q190_tree_probe_recall",
     "q191_winnow_posting_histogram",
+    "q192_bigram_lm_fit",
+    "q193_quality_calibration",
+    "q194_soft_dedup_weights",
+    "q195_winnow_drop_share",
+    "q196_embedding_split_leakage",
+    "q197_tree_multiprobe_recall",
+    "q198_stream_click_attribution",
+    "q199_star_fallback_recall",
 ]
 
 
