@@ -21,11 +21,17 @@ applies them identically. The no-recall-loss claim is REGISTERED and
 oracle-checked, not asserted: q199_star_fallback_recall builds families
 sized 6/14/22/30 (straddling the cap), labels both the clique/star and
 the clique-only candidate graphs with connected components, and pins
-family count + per-member agreement at 100%. SimHash/image bands keep the larger
-MAX_BAND_BUCKET skip-cap: a 16-bit band value is weak similarity
-evidence (sf0.1 buckets reach 291 by birthday collisions alone), so a
-star around its rep is not justified — a recall study is queued for
-round 12.
+family count + per-member agreement at 100%. SimHash bands use a TWO-LEVEL rule
+(round 12): bucket members group by their full 64-bit signature,
+identical-signature members connect through hamming-0 stars around the
+group min, and MAX_BAND_BUCKET caps DISTINCT signatures per bucket —
+family connectivity provably matches the old member-clique rule
+wherever it applied, verbatim families of any size stay connected
+(the old skip-cap silently dropped them past 1024 copies), and the cap
+still kills ambient birthday-collision mass (sf0.1 buckets reach 291
+members by collisions alone), where a raw star WOULD be unjustified: a
+16-bit band match between DISTINCT signatures is weak evidence. Image
+ahash bands keep the plain skip-cap pending the same treatment.
 
 Cross-engine determinism: both Spark and DuckDB compute signatures from
 the same md5-based definition, so the DuckDB oracle reproduces the
@@ -501,24 +507,49 @@ def _simhash64_cte_duck(p: str = "") -> str:
 
 def simhash_pairs_cte_duck(p: str = "") -> str:
     """Full q112 chain ending in {p}ham(a_id, b_id, hamming): signature
-    -> 4x16-bit bands -> capped in-bucket candidates -> Hamming. The
-    single source for the q112 oracle and any composed consumer."""
+    -> 4x16-bit bands -> two-level capped candidates -> Hamming. The
+    single source for the q112 oracle and any composed consumer.
+
+    Two-level rule (round 12): bucket members GROUP BY their full
+    64-bit signature first. Identical-signature members connect through
+    a hamming-0 STAR around the group's min doc_id (costs one edge per
+    member, passes the Hamming verify by definition); the
+    MAX_BAND_BUCKET cap then counts DISTINCT SIGNATURES, and group
+    representatives clique within capped buckets. Family connectivity
+    is EXACTLY the old member-clique rule's wherever that rule applied
+    (a member pair verifies iff its rep pair does — identical
+    signatures), while verbatim mass no longer consumes the cap: under
+    the old rule every bucket of a >cap verbatim family was skipped
+    outright and the family silently lost (and at 100 TB ambient
+    bucket growth in a 16-bit band space eventually skipped EVERY
+    bucket). Ambient birthday-collision mass still caps out — a 16-bit
+    band match between DISTINCT signatures stays weak evidence."""
     return (
         _simhash64_cte_duck(p) + ","
-        f" {p}bands AS (SELECT doc_id, t.b AS band_idx,"
+        f" {p}bands AS (SELECT doc_id, sim_hi, sim_lo, t.b AS band_idx,"
         " CASE WHEN t.b = 0 THEN (sim_lo & 65535)"
         " WHEN t.b = 1 THEN ((sim_lo >> 16) & 65535)"
         " WHEN t.b = 2 THEN (sim_hi & 65535)"
         " ELSE ((sim_hi >> 16) & 65535) END AS band_val"
         f" FROM {p}sim CROSS JOIN (VALUES (0), (1), (2), (3)) AS t(b)),"
-        f" {p}bsz AS (SELECT band_idx, band_val FROM {p}bands"
+        f" {p}grp AS (SELECT band_idx, band_val, sim_hi, sim_lo,"
+        f" min(doc_id) AS gmin FROM {p}bands"
+        " GROUP BY band_idx, band_val, sim_hi, sim_lo),"
+        f" {p}star AS (SELECT g.gmin AS a_id, b.doc_id AS b_id"
+        f" FROM {p}bands b JOIN {p}grp g ON b.band_idx = g.band_idx"
+        " AND b.band_val = g.band_val AND b.sim_hi = g.sim_hi"
+        " AND b.sim_lo = g.sim_lo AND b.doc_id > g.gmin),"
+        f" {p}bsz AS (SELECT band_idx, band_val FROM {p}grp"
         " GROUP BY band_idx, band_val"
         f" HAVING count(*) > 1 AND count(*) <= {MAX_BAND_BUCKET}),"
-        f" {p}cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id"
-        f" FROM {p}bands x JOIN {p}bsz s"
+        f" {p}repp AS (SELECT x.gmin AS a_id, y.gmin AS b_id"
+        f" FROM {p}grp x JOIN {p}bsz s"
         " ON x.band_idx = s.band_idx AND x.band_val = s.band_val"
-        f" JOIN {p}bands y ON x.band_idx = y.band_idx"
-        " AND x.band_val = y.band_val AND x.doc_id < y.doc_id),"
+        f" JOIN {p}grp y ON x.band_idx = y.band_idx"
+        " AND x.band_val = y.band_val AND x.gmin < y.gmin),"
+        f" {p}cand AS (SELECT DISTINCT a_id, b_id FROM"
+        f" (SELECT a_id, b_id FROM {p}star UNION ALL"
+        f" SELECT a_id, b_id FROM {p}repp) {p}u),"
         f" {p}ham AS (SELECT c.a_id, c.b_id,"
         " CAST(bit_count(xor(a.sim_hi, b.sim_hi))"
         " + bit_count(xor(a.sim_lo, b.sim_lo)) AS BIGINT) AS hamming"
@@ -529,13 +560,36 @@ def simhash_pairs_cte_duck(p: str = "") -> str:
 
 def simhash_near_dup_pairs(spark, sf_dir):
     """(a_id, b_id, hamming) SimHash near-dup pairs: 64-bit signature ->
-    4x16-bit bands -> in-bucket candidate pairs (capped) -> Hamming
-    verify. Identical scale shape to q27/q111: after the signature
-    aggregation everything is (id, two longs); wide operations key on
-    (band_idx, band_val) and ids, hot buckets capped."""
+    4x16-bit bands -> TWO-LEVEL capped candidates -> Hamming verify.
+
+    Two-level rule (round 12; see `simhash_pairs_cte_duck` for the full
+    rationale): bucket members group by their full 64-bit signature —
+    identical-signature members connect through a hamming-0 star around
+    the group's min doc_id, and the MAX_BAND_BUCKET cap counts DISTINCT
+    SIGNATURES, whose representatives clique within capped buckets.
+    Family connectivity is provably identical to the old member-clique
+    rule wherever it applied, while a verbatim family of ANY size stays
+    connected (the old rule skipped its >cap buckets outright — a
+    silent recall hole the q199 minhash study pattern exposed) and the
+    cap keeps doing its one legitimate job: killing ambient
+    birthday-collision mass between DISTINCT signatures.
+
+    Scale shape: after the signature aggregation everything is (id, two
+    longs); within each branch the group-min and bucket-width windows
+    share one (band_idx, band_val) shuffle (coarse key first, the finer
+    window rides the same exchange via sort — never a 4-column
+    exchange); the star and rep-clique branches each shuffle the narrow
+    banded rows once (AQE exchange reuse doesn't fire across the
+    self-union's re-aliased cache scans; accepted — see the plan test),
+    while the EXPENSIVE md5 signature pipeline feeds both from cache;
+    star edges are row-local; only DISTINCT-signature reps enter the
+    collect_list, so no giant bucket row exists even on fully-verbatim
+    corpora."""
     sim = eager(simhash64(spark, sf_dir))
     bands = sim.select(
         "doc_id",
+        "sim_hi",
+        "sim_lo",
         F.posexplode(
             F.array(
                 F.expr("sim_lo & 65535"),
@@ -545,22 +599,44 @@ def simhash_near_dup_pairs(spark, sf_dir):
             )
         ).alias("band_idx", "band_val"),
     )
-    bc = F.count("*").over(Window.partitionBy("band_idx", "band_val"))
+    # Coarse window FIRST (its exchange hash-partitions on (band_idx,
+    # band_val)); the fine signature-group window rides the SAME
+    # exchange via sort, since hash(b, v) satisfies clustering over the
+    # superset key. bc = DISTINCT signatures in the bucket (the capped
+    # quantity), gmin = the member's signature-group representative.
+    wb = Window.partitionBy("band_idx", "band_val")
+    wg = Window.partitionBy("band_idx", "band_val", "sim_hi", "sim_lo")
+    marked = bands.withColumn(
+        "bc",
+        F.size(F.collect_set(F.struct("sim_hi", "sim_lo")).over(wb)),
+    ).withColumn("gmin", F.min("doc_id").over(wg))
+    # Both branches reference every window column (q27's noop trick) so
+    # the Window subtrees stay structurally identical — it keeps the
+    # two branches' plans in lockstep (and exchange-reuse-eligible if a
+    # future Catalyst canonicalizes the re-aliased cache scans equal).
+    # bc is a nonempty-set size so >= 1 is runtime-true, not foldable.
+    noop = (F.col("bc") >= 1) & F.col("gmin").isNotNull()
+    star = marked.where((F.col("doc_id") > F.col("gmin")) & noop).select(
+        F.col("gmin").alias("a_id"), F.col("doc_id").alias("b_id")
+    )
     buckets = (
-        bands.withColumn("bc", bc)
-        .where((F.col("bc") > 1) & (F.col("bc") <= MAX_BAND_BUCKET))
+        marked.where(
+            (F.col("doc_id") == F.col("gmin"))
+            & (F.col("bc") > 1)
+            & (F.col("bc") <= MAX_BAND_BUCKET)
+            & noop
+        )
         .groupBy("band_idx", "band_val")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .agg(F.sort_array(F.collect_list("gmin")).alias("ds"))
     )
     pairs = F.expr(
         "flatten(transform(ds, (a, i) ->"
         " transform(slice(ds, i + 2, size(ds)), b -> struct(a, b))))"
     )
-    cand = (
-        buckets.select(F.explode(pairs).alias("p"))
-        .select(F.col("p.a").alias("a_id"), F.col("p.b").alias("b_id"))
-        .distinct()
+    repp = buckets.select(F.explode(pairs).alias("p")).select(
+        F.col("p.a").alias("a_id"), F.col("p.b").alias("b_id")
     )
+    cand = star.union(repp).distinct()
     a = sim.select(
         F.col("doc_id").alias("a_id"),
         F.col("sim_hi").alias("hi_a"),
@@ -588,13 +664,17 @@ def simhash_near_dup_pairs(spark, sf_dir):
     doc="SimHash near-duplicate pairs — the banded consumer that turns"
     " the SimHash family (q28) into a third dedup detector beside"
     " MinHash-Jaccard (q27/q29) and embedding cosine (q33): 64-bit"
-    " per-bit-majority signature over token hashes, 4x16-bit bands"
-    " (q27/q111 pattern, hot buckets capped, never all-pairs), exact"
+    " per-bit-majority signature over token hashes, 4x16-bit bands,"
+    " TWO-LEVEL candidate rule (identical-signature members connect"
+    " via hamming-0 stars around the group min; MAX_BAND_BUCKET caps"
+    " DISTINCT signatures per bucket, whose reps clique — never"
+    " all-pairs, and verbatim mass can neither explode a bucket nor"
+    " blind it), exact"
     f" Hamming <= {SIMHASH64_HAMMING_MAX}/64 verify on the tiny"
     " candidate set. Catches token-multiset-preserving edits"
     " (reorderings, small substitutions) that shingle-Jaccard scores"
-    " low. Oracle re-derives signature, bands, cap, and Hamming"
-    " bit-for-bit.",
+    " low. Oracle re-derives signature, bands, grouping, cap, and"
+    " Hamming bit-for-bit.",
 )
 def q112(spark, sf_dir):
     return simhash_near_dup_pairs(spark, sf_dir).orderBy("a_id", "b_id")

@@ -549,21 +549,24 @@ def q110(spark, sf_dir):
 # candidate generation + Hamming verify that closes the image dedup
 # loop. Identical scale shape to the text side's MinHash-LSH (q27/q29):
 # the 64-bit ahash splits into 4 x 16-bit bands; two images sharing ANY
-# band become a candidate pair (generated per-bucket, never all-pairs,
-# hot buckets capped); candidates verify on exact Hamming distance,
-# which touches only the tiny (id, hash) pair set. A recompressed /
-# lightly-edited image under a real codec perturbs a few luminance
-# cells -> a few hash bits -> at least one band usually survives intact,
-# the textbook aHash banding trade-off.
+# band become a candidate pair (generated per-bucket, never all-pairs);
+# candidates verify on exact Hamming distance, which touches only the
+# tiny (id, hash) pair set. A recompressed / lightly-edited image under
+# a real codec perturbs a few luminance cells -> a few hash bits -> at
+# least one band usually survives intact, the textbook aHash banding
+# trade-off. Hot buckets use the q112 round-12 TWO-LEVEL rule
+# (hamming-0 stars within identical-hash groups; the cap counts
+# DISTINCT hashes, whose reps clique) — the q114 incremental cross-side
+# rule keeps the plain member cap pending the same treatment (r13).
 # ---------------------------------------------------------------------------
 
 AHASH_BAND_BITS = 16
 AHASH_BANDS = 4  # 64-bit hash = 2 bands per 32-bit half
 IMAGE_HAMMING_MAX = 12  # fixture: verified pairs at every SF, exact dups at 0
 
-# Same hot-bucket cap (and rationale) as the text LSH side: an over-cap
-# band bucket is a cluster of near-identical images that exact/grouped
-# dedup already handles linearly.
+# Same hot-bucket cap (and rationale) as the text LSH side: between
+# DISTINCT hashes a 16-bit band match is weak evidence and an over-cap
+# bucket is ambient collision mass.
 from smartbulkcopy_spark.pipeline.dedup import MAX_BAND_BUCKET  # noqa: E402
 
 
@@ -574,7 +577,17 @@ def _ahash_band_duck(b: int) -> str:
 
 def image_near_dup_pairs(spark, sf_dir):
     """(a_id, b_id, hamming) image near-dup pairs: ahash -> 4x16-bit
-    bands -> in-bucket candidate pairs (capped) -> Hamming verify.
+    bands -> TWO-LEVEL capped candidates -> Hamming verify (the q112
+    round-12 rule; see `dedup.simhash_pairs_cte_duck` for the full
+    rationale): bucket members group by the full 64-bit ahash —
+    byte-identical and recompressed-to-identical-ahash copies connect
+    through a hamming-0 star around the group's min doc_id, and
+    MAX_BAND_BUCKET caps DISTINCT hashes per bucket, whose reps clique.
+    Family connectivity provably matches the old member-clique rule
+    wherever it applied, while a verbatim image family of ANY size
+    stays connected (the old skip-cap silently dropped families past
+    1024 copies — and meme-grade duplication is exactly where image
+    dedup matters most).
 
     The fingerprint table is eager()-persisted: it feeds the banding AND
     both verify join sides, and it is the only stage that touches image
@@ -588,6 +601,8 @@ def image_near_dup_pairs(spark, sf_dir):
     )
     bands = ah.select(
         "doc_id",
+        "ahash_hi",
+        "ahash_lo",
         F.posexplode(
             F.array(
                 *[
@@ -602,22 +617,38 @@ def image_near_dup_pairs(spark, sf_dir):
     )
     from pyspark.sql.window import Window
 
-    bc = F.count("*").over(Window.partitionBy("band_idx", "band_val"))
+    wb = Window.partitionBy("band_idx", "band_val")
+    wg = Window.partitionBy(
+        "band_idx", "band_val", "ahash_hi", "ahash_lo"
+    )
+    marked = bands.withColumn(
+        "bc",
+        F.size(F.collect_set(F.struct("ahash_hi", "ahash_lo")).over(wb)),
+    ).withColumn("gmin", F.min("doc_id").over(wg))
+    # q112's noop trick: both branches reference every window column so
+    # the Window subtrees stay structurally identical.
+    noop = (F.col("bc") >= 1) & F.col("gmin").isNotNull()
+    star = marked.where((F.col("doc_id") > F.col("gmin")) & noop).select(
+        F.col("gmin").alias("a_id"), F.col("doc_id").alias("b_id")
+    )
     buckets = (
-        bands.withColumn("bc", bc)
-        .where((F.col("bc") > 1) & (F.col("bc") <= MAX_BAND_BUCKET))
+        marked.where(
+            (F.col("doc_id") == F.col("gmin"))
+            & (F.col("bc") > 1)
+            & (F.col("bc") <= MAX_BAND_BUCKET)
+            & noop
+        )
         .groupBy("band_idx", "band_val")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .agg(F.sort_array(F.collect_list("gmin")).alias("ds"))
     )
     pairs = F.expr(
         "flatten(transform(ds, (a, i) ->"
         " transform(slice(ds, i + 2, size(ds)), b -> struct(a, b))))"
     )
-    cand = (
-        buckets.select(F.explode(pairs).alias("p"))
-        .select(F.col("p.a").alias("a_id"), F.col("p.b").alias("b_id"))
-        .distinct()
+    repp = buckets.select(F.explode(pairs).alias("p")).select(
+        F.col("p.a").alias("a_id"), F.col("p.b").alias("b_id")
     )
+    cand = star.union(repp).distinct()
     a = ah.select(
         F.col("doc_id").alias("a_id"),
         F.col("ahash_hi").alias("hi_a"),
@@ -643,7 +674,7 @@ def _image_pairs_cte_duck() -> str:
     source for the q111 pair oracle and the q117 transitive consumer."""
     return (
         _ahash_cte_duck() + ","
-        " bands AS (SELECT doc_id, t.b AS band_idx,"
+        " bands AS (SELECT doc_id, ahash_hi, ahash_lo, t.b AS band_idx,"
         + " CASE "
         + " ".join(
             f"WHEN t.b = {b} THEN {_ahash_band_duck(b)}"
@@ -651,14 +682,24 @@ def _image_pairs_cte_duck() -> str:
         )
         + " END AS band_val"
         " FROM ah CROSS JOIN (VALUES (0), (1), (2), (3)) AS t(b)),"
-        " bsz AS (SELECT band_idx, band_val FROM bands"
+        " grp AS (SELECT band_idx, band_val, ahash_hi, ahash_lo,"
+        " min(doc_id) AS gmin FROM bands"
+        " GROUP BY band_idx, band_val, ahash_hi, ahash_lo),"
+        " star AS (SELECT g.gmin AS a_id, b.doc_id AS b_id"
+        " FROM bands b JOIN grp g ON b.band_idx = g.band_idx"
+        " AND b.band_val = g.band_val AND b.ahash_hi = g.ahash_hi"
+        " AND b.ahash_lo = g.ahash_lo AND b.doc_id > g.gmin),"
+        " bsz AS (SELECT band_idx, band_val FROM grp"
         " GROUP BY band_idx, band_val"
         f" HAVING count(*) > 1 AND count(*) <= {MAX_BAND_BUCKET}),"
-        " cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id"
-        " FROM bands x JOIN bsz s"
+        " repp AS (SELECT x.gmin AS a_id, y.gmin AS b_id"
+        " FROM grp x JOIN bsz s"
         " ON x.band_idx = s.band_idx AND x.band_val = s.band_val"
-        " JOIN bands y ON x.band_idx = y.band_idx"
-        " AND x.band_val = y.band_val AND x.doc_id < y.doc_id),"
+        " JOIN grp y ON x.band_idx = y.band_idx"
+        " AND x.band_val = y.band_val AND x.gmin < y.gmin),"
+        " cand AS (SELECT DISTINCT a_id, b_id FROM"
+        " (SELECT a_id, b_id FROM star UNION ALL"
+        " SELECT a_id, b_id FROM repp) u),"
         " ham AS (SELECT c.a_id, c.b_id,"
         " CAST(bit_count(xor(a.ahash_hi, b.ahash_hi))"
         " + bit_count(xor(a.ahash_lo, b.ahash_lo)) AS BIGINT) AS hamming"
@@ -674,14 +715,16 @@ def _image_pairs_cte_duck() -> str:
     f" WHERE hamming <= {IMAGE_HAMMING_MAX} ORDER BY a_id, b_id",
     doc="Image near-duplicate pairs over the q110 perceptual fingerprint:"
     " the 64-bit average-hash splits into 4 x 16-bit bands (the q27"
-    " LSH banding pattern), images sharing any band bucket become"
-    " candidates (per-bucket pair explosion, hot buckets capped, never"
-    " all-pairs), and candidates verify on exact Hamming distance <="
+    " LSH banding pattern) with the q112 TWO-LEVEL candidate rule"
+    " (identical-hash members star around the group min at hamming 0;"
+    " the cap counts DISTINCT hashes per bucket, whose reps clique —"
+    " never all-pairs, and a verbatim image family of any size stays"
+    " connected), and candidates verify on exact Hamming distance <="
     f" {IMAGE_HAMMING_MAX} of 64 bits — exact duplicates land at 0,"
     " recompressions/light edits at small distances. Closes the image"
     " dedup loop: the verified pairs feed the same keep-list /"
     " connected-component machinery as the text side. Oracle re-derives"
-    " bands, buckets, cap, and Hamming bit-for-bit from the decode"
+    " bands, grouping, cap, and Hamming bit-for-bit from the decode"
     " arithmetic.",
 )
 def q111(spark, sf_dir):

@@ -182,15 +182,29 @@ def test_q97_pair_space_thinned_before_join(spark, sf_dir):
 
 
 @pytest.mark.parametrize(
-    "name",
-    ["q111_image_near_dup", "q112_simhash_near_dup"],
+    "name, hashcols",
+    [
+        ("q111_image_near_dup", ("ahash_hi", "ahash_lo")),
+        ("q112_simhash_near_dup", ("sim_hi", "sim_lo")),
+    ],
 )
-def test_hash_banded_near_dup_cap_before_collect_list(spark, sf_dir, name):
-    """The q27 invariants, for the two hash-banded detectors: the
-    hot-bucket cap (window count filter on `bc`) precedes every
-    collect_list, exactly ONE exchange keys the (band_idx, band_val)
-    space, and the fingerprint table re-enters the verify joins from the
-    cache (InMemoryTableScan) instead of recomputing the signature."""
+def test_hash_banded_two_level_rule_plan_shape(spark, sf_dir, name, hashcols):
+    """The round-12 two-level rule, both hash-banded detectors: the
+    distinct-signature cap (window filter on `bc`) precedes the rep
+    collect_list; the star and rep-clique branches each shuffle the
+    banded table ONCE on the coarse (band_idx, band_val) key, with the
+    fine signature-group window riding the same exchange via sort (no
+    4-column exchange anywhere); the EXPENSIVE part — the fingerprint
+    pipeline — feeds both branches from cache (InMemoryTableScan), so
+    it runs once.
+
+    Two exchanges, not one: the branches' exchange subtrees don't
+    canonicalize equal across the self-union's re-aliased cache scans,
+    so AQE reuse (the q27 pattern) doesn't fire. Deliberately accepted:
+    a second shuffle of the NARROW banded rows (id + two longs + band
+    key) costs about what caching the data-sized band table would, and
+    the cap on this plan is that nothing recomputes fingerprints. A
+    third band exchange would flag a real regression."""
     spark.catalog.clearCache()
     from smartbulkcopy_spark.queries import release_caches
 
@@ -200,14 +214,18 @@ def test_hash_banded_near_dup_cap_before_collect_list(spark, sf_dir, name):
     filt = plan.find("bc#")
     coll = plan.find("collect_list")
     assert filt != -1 and coll != -1
-    assert filt < coll, "bucket-size filter must precede collect_list"
+    assert filt < coll, "signature-count filter must precede collect_list"
+    assert "InMemoryTableScan" in plan
     band_exchanges = [
         ln
         for ln in plan.splitlines()
         if "hashpartitioning(band_idx" in ln
     ]
-    assert len(band_exchanges) == 1, band_exchanges
-    assert "InMemoryTableScan" in plan
+    assert len(band_exchanges) == 2, band_exchanges
+    # the fine window must NOT demand its own 4-column exchange
+    assert not any(
+        c in ln for c in hashcols for ln in band_exchanges
+    )
     release_caches()
 
 

@@ -111,3 +111,129 @@ def test_round12_registrations_complete():
         assert n in REGISTRY
         # full DuckDB oracle, no rows-only fallback
         assert REGISTRY[n].oracle
+
+
+# ---------------------------------------------------------------------------
+# q112 two-level rule (round 12): signature-group stars + distinct-
+# signature rep cliques. The headline is the >cap verbatim family: the
+# old member-count skip-cap dropped EVERY bucket of a family past 1024
+# copies (and at 100 TB ambient bucket growth in a 16-bit band space
+# would eventually skip every bucket, period); the two-level rule keeps
+# it connected with one hamming-0 star edge per member while the cap
+# keeps killing ambient cross-signature collision mass.
+# ---------------------------------------------------------------------------
+
+
+def _simhash_corpus(tmp_path, n_hot, n_cold):
+    import pandas as pd
+
+    x = "the quick brown fox jumps over the lazy dog again and again"
+    xp = "again the lazy dog jumps over the quick brown fox and again"
+    y = "pack my box with five dozen liquor jugs before the dawn breaks"
+    # xp is a token permutation of x's multiset -> IDENTICAL simhash
+    # signature, so it lands in x's signature group (hamming 0).
+    texts = [x] * n_hot + [xp] + [y] * n_cold + [
+        "completely unrelated content block one with many unique grams",
+        "another entirely distinct document with its own shingle space",
+    ]
+    pd.DataFrame(
+        {
+            "doc_id": list(range(len(texts))),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["src0"] * len(texts),
+            "n_chars": [len(t) for t in texts],
+        }
+    ).to_parquet(tmp_path / "documents.parquet", index=False)
+    return len(texts)
+
+
+def test_q112_two_level_rule_survives_overcap_verbatim_family(
+    spark, tmp_path
+):
+    """1030 verbatim copies (plus one token-permuted twin — same
+    64-bit signature) exceed MAX_BAND_BUCKET=1024 in every band. Old
+    rule: every bucket skipped, family LOST. Two-level rule: the
+    signature group emits exactly one hamming-0 star edge per member
+    around doc 0; the 3-copy y family stars around its own min; no
+    cross-family pairs. Spark and the DuckDB oracle agree
+    pair-for-pair."""
+    import duckdb
+
+    from smartbulkcopy_spark.pipeline.dedup import MAX_BAND_BUCKET
+    from smartbulkcopy_spark.queries import REGISTRY, release_caches
+
+    assert MAX_BAND_BUCKET == 1024  # the corpus is sized around it
+    n_hot = 1030
+    n = _simhash_corpus(tmp_path, n_hot=n_hot, n_cold=3)
+    got = [
+        tuple(r)
+        for r in REGISTRY["q112_simhash_near_dup"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    ]
+    release_caches()
+    # x group = copies 0..1029 plus the permuted twin at id 1030
+    x_star = [(0, m, 0) for m in range(1, n_hot + 1)]
+    y_min = n_hot + 1
+    y_star = [(y_min, m, 0) for m in range(y_min + 1, y_min + 3)]
+    assert got == sorted(x_star + y_star)
+    assert n == y_min + 3 + 2
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM"
+        f" read_parquet('{tmp_path}/documents.parquet')"
+    )
+    want = [
+        tuple(r)
+        for r in con.execute(
+            REGISTRY["q112_simhash_near_dup"].oracle
+        ).fetchall()
+    ]
+    assert got == want
+
+
+def test_q111_two_level_rule_survives_overcap_verbatim_family(
+    spark, tmp_path
+):
+    """The image twin of the q112 over-cap test: 1030 byte-identical
+    blobs share the full 64-bit ahash, so every band bucket exceeds
+    MAX_BAND_BUCKET — the old member-count skip-cap dropped the family
+    entirely (meme-grade duplication is exactly where image dedup
+    matters); the two-level rule keeps one hamming-0 star edge per
+    member. Spark and the DuckDB oracle agree pair-for-pair."""
+    import duckdb
+
+    from smartbulkcopy_spark.pipeline.dedup import MAX_BAND_BUCKET
+    from smartbulkcopy_spark.queries import REGISTRY, release_caches
+
+    n_hot = MAX_BAND_BUCKET + 6
+    _simhash_corpus(tmp_path, n_hot=n_hot, n_cold=3)
+    got = [
+        tuple(r)
+        for r in REGISTRY["q111_image_near_dup"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    ]
+    release_caches()
+    # blobs are the text bytes, so the permuted twin (id n_hot) has its
+    # OWN ahash (unlike simhash) and stays a singleton; x stars span
+    # the verbatim copies only.
+    x_star = [(0, m, 0) for m in range(1, n_hot)]
+    y_min = n_hot + 1
+    y_star = [(y_min, m, 0) for m in range(y_min + 1, y_min + 3)]
+    assert got == sorted(x_star + y_star)
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM"
+        f" read_parquet('{tmp_path}/documents.parquet')"
+    )
+    want = [
+        tuple(r)
+        for r in con.execute(
+            REGISTRY["q111_image_near_dup"].oracle
+        ).fetchall()
+    ]
+    assert got == want

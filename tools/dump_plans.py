@@ -142,14 +142,17 @@ ANNOTATED = {
     " Python crossing per batch); zero shuffles, partitioning"
     " inherited from the scan.",
     "q111_image_near_dup": "Image near-dup: the ahash table persists"
-    " once (banding + both verify sides read the cache); banding"
-    " explodes to (band_idx, band_val, id), hot buckets capped BEFORE"
-    " the in-bucket pair explosion; Hamming verify joins ids only.",
+    " once (banding + both verify sides read the cache); two-level"
+    " rule — hamming-0 stars within identical-hash groups (row-local"
+    " after the coarse band window), DISTINCT-hash cap BEFORE the rep"
+    " collect_list; star/rep branches each shuffle the narrow banded"
+    " rows once; Hamming verify joins ids only.",
     "q112_simhash_near_dup": "SimHash near-dup: 64 per-bit majority"
     " counters partial-aggregate (map-side combine) before the one"
-    " (doc_id)-keyed shuffle; banding/cap/pair explosion and the"
+    " (doc_id)-keyed shuffle; two-level banding (signature-group"
+    " stars + distinct-signature rep cliques under the cap) and the"
     " Hamming verify run on (id, two longs) — token text never"
-    " shuffles.",
+    " shuffles; both branches read the signature cache.",
     "q113_cluster_size_histogram": "Family-size histogram: the CC"
     " label table (pair-graph-sized, never corpus-sized) feeds two"
     " tiny rollups; the corpus contributes only a count, and the"
