@@ -556,8 +556,9 @@ def q110(spark, sf_dir):
 # least one band usually survives intact, the textbook aHash banding
 # trade-off. Hot buckets use the q112 round-12 TWO-LEVEL rule
 # (hamming-0 stars within identical-hash groups; the cap counts
-# DISTINCT hashes, whose reps clique) — the q114 incremental cross-side
-# rule keeps the plain member cap pending the same treatment (r13).
+# DISTINCT hashes, whose reps clique); q114's incremental cross-side
+# join applies the same rule's rep-join form (provably
+# output-identical to the member join, and verbatim-hot-proof).
 # ---------------------------------------------------------------------------
 
 AHASH_BAND_BITS = 16
@@ -743,7 +744,7 @@ from smartbulkcopy_spark.pipeline.dedup import (  # noqa: E402
 @register(
     "q114_incremental_image_dedup",
     "WITH " + _ahash_cte_duck() + ","
-    " bands AS (SELECT doc_id, t.b AS band_idx,"
+    " bands AS (SELECT doc_id, ahash_hi, ahash_lo, t.b AS band_idx,"
     + " CASE "
     + " ".join(
         f"WHEN t.b = {b} THEN {_ahash_band_duck(b)}"
@@ -753,13 +754,16 @@ from smartbulkcopy_spark.pipeline.dedup import (  # noqa: E402
     " FROM ah CROSS JOIN (VALUES (0), (1), (2), (3)) AS t(b)),"
     f" old AS (SELECT * FROM bands WHERE doc_id < {INCREMENTAL_SPLIT_ID}),"
     f" nw AS (SELECT * FROM bands WHERE doc_id >= {INCREMENTAL_SPLIT_ID}),"
-    " osz AS (SELECT band_idx, band_val FROM old"
+    " og AS (SELECT band_idx, band_val, ahash_hi, ahash_lo,"
+    " min(doc_id) AS old_id FROM old"
+    " GROUP BY band_idx, band_val, ahash_hi, ahash_lo),"
+    " osz AS (SELECT band_idx, band_val FROM og"
     " GROUP BY band_idx, band_val"
     f" HAVING count(*) <= {MAX_BAND_BUCKET}),"
-    " cand2 AS (SELECT DISTINCT o.doc_id AS old_id, n.doc_id AS new_id"
+    " cand2 AS (SELECT DISTINCT o.old_id, n.doc_id AS new_id"
     " FROM nw n JOIN osz s"
     " ON n.band_idx = s.band_idx AND n.band_val = s.band_val"
-    " JOIN old o ON o.band_idx = n.band_idx"
+    " JOIN og o ON o.band_idx = n.band_idx"
     " AND o.band_val = n.band_val),"
     " ham2 AS (SELECT c.new_id, c.old_id,"
     " CAST(bit_count(xor(a.ahash_hi, b.ahash_hi))"
@@ -773,13 +777,17 @@ from smartbulkcopy_spark.pipeline.dedup import (  # noqa: E402
     doc="Incremental image-ingestion dedup (q63 for the image modality):"
     " which images of a NEW batch are perceptual near-duplicates of"
     " the EXISTING corpus. The batch bands against the corpus's ahash"
-    " index on (band_idx, band_val) — hot index buckets capped BEFORE"
-    " the join — and only cross-side candidates verify on Hamming"
-    f" distance <= {IMAGE_HAMMING_MAX}. Cost scales with batch x"
-    " band-collision rate, never corpus squared: a daily image crawl"
-    " dedups against 100 TB already ingested. dup_of (min matching"
-    " corpus id) and best_hamming (closest match) are independent"
-    " aggregates, mirroring q63's convention.",
+    " index on (band_idx, band_val), joining GROUP REPRESENTATIVES —"
+    " one per distinct 64-bit hash per bucket (the q111/q112 two-level"
+    " rule's cross-side form, and here provably OUTPUT-IDENTICAL to"
+    " joining all members: dup_of = min old id is each group's rep,"
+    " and Hamming to a rep equals Hamming to every member). The"
+    " MAX_BAND_BUCKET cap counts distinct hashes, so a verbatim corpus"
+    " family of any size stays matchable where the old member-count"
+    " skip-cap silently missed it. Only cross-side candidates verify"
+    f" on Hamming <= {IMAGE_HAMMING_MAX}; cost scales with batch x"
+    " distinct-hash collision rate, never corpus squared: a daily"
+    " image crawl dedups against 100 TB already ingested.",
 )
 def q114(spark, sf_dir):
     ah = eager(
@@ -789,6 +797,8 @@ def q114(spark, sf_dir):
     )
     bands = ah.select(
         "doc_id",
+        "ahash_hi",
+        "ahash_lo",
         F.posexplode(
             F.array(
                 *[
@@ -803,8 +813,14 @@ def q114(spark, sf_dir):
     )
     old = bands.where(F.col("doc_id") < INCREMENTAL_SPLIT_ID)
     new = bands.where(F.col("doc_id") >= INCREMENTAL_SPLIT_ID)
+    # cross-side two-level rule: the index joins GROUP REPRESENTATIVES
+    # (one per distinct hash per bucket — output-identical to joining
+    # all members, see the register doc), and the cap counts groups.
+    og = old.groupBy(
+        "band_idx", "band_val", "ahash_hi", "ahash_lo"
+    ).agg(F.min("doc_id").alias("old_id"))
     osz = (
-        old.groupBy("band_idx", "band_val")
+        og.groupBy("band_idx", "band_val")
         .agg(F.count("*").alias("bc"))
         .where(F.col("bc") <= MAX_BAND_BUCKET)
         .select("band_idx", "band_val")
@@ -812,9 +828,7 @@ def q114(spark, sf_dir):
     cand = (
         new.join(osz, ["band_idx", "band_val"], "left_semi")
         .join(
-            old.select(
-                F.col("doc_id").alias("old_id"), "band_idx", "band_val"
-            ),
+            og.select("old_id", "band_idx", "band_val"),
             ["band_idx", "band_val"],
         )
         .select(F.col("doc_id").alias("new_id"), "old_id")

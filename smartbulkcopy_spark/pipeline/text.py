@@ -3916,3 +3916,284 @@ def q192(spark, sf_dir):
 )
 def q193(spark, sf_dir):
     return quality_score_calibration(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Round-13 stage: DSIR-style hashed importance weights (Xie et al. 2023,
+# "Data Selection for Language Models via Importance Resampling" —
+# public). The practical recipe: hash n-gram features into B buckets,
+# fit target vs raw bucket distributions, and weight every document by
+# how much more target-like its features are. The paper's log-ratio sum
+# needs ln() (libm last-ulp drift across engines — the q192 lesson), so
+# the score is the integer-exact probability-DIFFERENCE sum instead:
+# score = sum over the doc's hashed-bigram occurrences of
+# (pt_e6(b) - pr_e6(b)), each side add-one smoothed ppm. Monotone in
+# the same direction for selection purposes, bit-identical anywhere.
+# Target domain = the alphabetically-first source (a driver-bounded
+# 1-row scalar, the q52 pattern) — the "select web data that looks like
+# wikipedia" shape.
+# ---------------------------------------------------------------------------
+
+
+def _bigram_bucket_expr(engine: str, w1: str = "w1", w2: str = "w2") -> str:
+    """Hashed bigram feature bucket, q120's md5 hashing convention."""
+    if engine == "spark":
+        return (
+            f"CAST(conv(substr(md5(concat({w1}, ' ', {w2})), 1, 4),"
+            f" 16, 10) AS INT) % {VOCAB_BUCKETS}"
+        )
+    return (
+        f"CAST(('0x' || substr(md5({w1} || ' ' || {w2}), 1, 4)) AS INT)"
+        f" % {VOCAB_BUCKETS}"
+    )
+
+
+def dsir_importance_weights(spark, sf_dir):
+    """(doc_id, n_bigrams, dsir_e6, target_like) — the importance-
+    resampling signal: per document, the sum over its hashed-bigram
+    occurrences of (target ppm - raw ppm), add-one smoothed; positive
+    means the doc's feature mass looks more like the target domain
+    than the rest of the corpus. Documents without bigrams score 0.
+
+    Scale: the bigram->bucket stream is row-local; ONE bucket-keyed
+    partial aggregation fits both distributions (conditional sums);
+    the <= VOCAB_BUCKETS model broadcasts back onto the stream; one
+    doc_id rollup. Corpus sizes Nt/Nr attach as driver-bounded 1-row
+    scalars; integer sums are order-free."""
+    docs = spread(spark, table(spark, sf_dir, "documents"))
+    tgt_src = (
+        table(spark, sf_dir, "documents")
+        .agg(F.min("source"))
+        .collect()[0][0]
+    )  # bounded scalar: the target-domain label
+    n = F.trim(norm_text())
+    t = F.split(n, " ")
+    tl = F.col("t")
+    m = F.greatest(F.size(tl) - 1, F.lit(0))
+    pairs = F.when(
+        F.size(tl) >= 2,
+        F.zip_with(
+            F.slice(tl, 1, m),
+            F.slice(tl, 2, m),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    bk = eager(
+        docs.where(n != "")
+        .select(
+            "doc_id",
+            (F.col("source") == F.lit(tgt_src)).alias("is_tgt"),
+            t.alias("t"),
+        )
+        .select("doc_id", "is_tgt", F.explode(pairs).alias("p"))
+        .select(
+            "doc_id",
+            "is_tgt",
+            F.expr(
+                _bigram_bucket_expr("spark", "p.w1", "p.w2")
+            ).alias("bucket"),
+        )
+    )
+    tot = bk.agg(
+        F.sum(F.col("is_tgt").cast("long")),
+        F.sum((~F.col("is_tgt")).cast("long")),
+    ).collect()[0]
+    nt, nr = int(tot[0] or 0), int(tot[1] or 0)
+    model = bk.groupBy("bucket").agg(
+        F.sum(F.col("is_tgt").cast("long")).alias("ct"),
+        F.sum((~F.col("is_tgt")).cast("long")).alias("cr"),
+    )
+    diff = model.select(
+        "bucket",
+        (
+            F.expr(f"(ct + 1) * 1000000 DIV {nt + VOCAB_BUCKETS}L")
+            - F.expr(f"(cr + 1) * 1000000 DIV {nr + VOCAB_BUCKETS}L")
+        ).alias("d_e6"),
+    )
+    pd_ = bk.join(diff, "bucket").groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        F.sum("d_e6").cast("long").alias("dsir_e6"),
+    )
+    base = table(spark, sf_dir, "documents").select("doc_id")
+    return (
+        base.join(pd_, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_bigrams"), F.lit(0))
+            .cast("long")
+            .alias("n_bigrams"),
+            F.coalesce(F.col("dsir_e6"), F.lit(0))
+            .cast("long")
+            .alias("dsir_e6"),
+            (F.coalesce(F.col("dsir_e6"), F.lit(0)) > 0).alias(
+                "target_like"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _dsir_oracle() -> str:
+    """DuckDB replay of dsir_importance_weights, drafted with the
+    builder (round-13 registration wires it up). The bucket stream CTE
+    is MATERIALIZED: the totals, the model, and the scoring join all
+    read it."""
+    bucket = _bigram_bucket_expr("duck", "w1", "w2")
+    return (
+        "WITH tgt AS (SELECT min(source) AS s FROM documents),"
+        " tk AS (SELECT doc_id, source,"
+        f" string_split(trim({NORM_SQL_DUCK}), ' ') AS t FROM documents"
+        f" WHERE trim({NORM_SQL_DUCK}) != ''),"
+        " bgw AS (SELECT doc_id, source, t[u.i] AS w1, t[u.i + 1] AS w2"
+        " FROM tk, unnest(range(1, len(t))) AS u(i)),"
+        " bk AS MATERIALIZED (SELECT doc_id,"
+        " source = (SELECT s FROM tgt) AS is_tgt,"
+        f" {bucket} AS bucket FROM bgw),"
+        " nn AS (SELECT sum(CASE WHEN is_tgt THEN 1 ELSE 0 END) AS nt,"
+        " sum(CASE WHEN is_tgt THEN 0 ELSE 1 END) AS nr FROM bk),"
+        " m AS (SELECT bucket,"
+        " sum(CASE WHEN is_tgt THEN 1 ELSE 0 END) AS ct,"
+        " sum(CASE WHEN is_tgt THEN 0 ELSE 1 END) AS cr"
+        " FROM bk GROUP BY bucket),"
+        " d AS (SELECT bucket,"
+        f" (ct + 1) * 1000000 // (nn.nt + {VOCAB_BUCKETS})"
+        f" - (cr + 1) * 1000000 // (nn.nr + {VOCAB_BUCKETS}) AS d_e6"
+        " FROM m, nn),"
+        " pd AS (SELECT doc_id, count(*) AS n_bigrams,"
+        " sum(d_e6) AS dsir FROM bk JOIN d USING (bucket)"
+        " GROUP BY doc_id)"
+        " SELECT doc.doc_id,"
+        " CAST(coalesce(pd.n_bigrams, 0) AS BIGINT) AS n_bigrams,"
+        " CAST(coalesce(pd.dsir, 0) AS BIGINT) AS dsir_e6,"
+        " coalesce(pd.dsir, 0) > 0 AS target_like"
+        " FROM documents doc LEFT JOIN pd ON doc.doc_id = pd.doc_id"
+        " ORDER BY doc.doc_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-13 stage: intra-document repetition-removal audit — the
+# RefinedWeb/Gopher "remove repeated spans" trimming signal, exactly
+# defined: a token is REMOVABLE iff it is covered by some 3-gram
+# occurrence whose gram already appeared EARLIER in the same document
+# (first occurrences always survive). The audit reports how much of
+# each document that rule would strip — chat boilerplate and lyrics
+# score high, prose near zero.
+# ---------------------------------------------------------------------------
+
+REP_GRAM = 3
+
+
+def repetition_removal_audit(spark, sf_dir):
+    """(doc_id, n_tokens, n_removed, removed_ppm): per document, the
+    token count, the number of token positions covered by REPEATED
+    3-gram occurrences (gram seen earlier in the same doc), and the
+    integer ppm share.
+
+    Scale: gram starts enumerate row-locally (one array transform per
+    doc); first-occurrence detection is a (doc_id, gram) window over
+    doc-bounded groups; interval-union length is the gaps-and-islands
+    running-max window per doc ordered by start (explicit ROWS frame on
+    both engines — starts are unique per doc so ordering is total).
+    Document text never shuffles; the wide keys are (doc_id, gram) and
+    doc_id."""
+    docs = spread(spark, table(spark, sf_dir, "documents"))
+    n = F.trim(norm_text())
+    t = F.split(n, " ")
+    grams = F.expr(
+        f"transform(sequence(1, greatest(size(t) - {REP_GRAM - 1}, 0)),"
+        " i -> struct(i AS s, concat_ws(' ', element_at(t, i),"
+        " element_at(t, i + 1), element_at(t, i + 2)) AS g))"
+    )
+    occ = (
+        docs.where(n != "")
+        .select("doc_id", F.size(t).alias("n_tokens"), t.alias("t"))
+        .select("doc_id", "n_tokens", F.explode(grams).alias("o"))
+        .select(
+            "doc_id", "n_tokens", F.col("o.s").alias("s"), F.col("o.g").alias("g")
+        )
+    )
+    wg = Window.partitionBy("doc_id", "g")
+    rep = occ.withColumn("fs", F.min("s").over(wg)).where(
+        F.col("s") > F.col("fs")
+    )
+    wd = (
+        Window.partitionBy("doc_id")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    add = F.greatest(
+        F.lit(0),
+        F.col("s")
+        + F.lit(REP_GRAM - 1)
+        - F.greatest(
+            F.col("s"),
+            F.coalesce(F.max(F.col("s") + REP_GRAM - 1).over(wd), F.lit(0))
+            + 1,
+        )
+        + 1,
+    )
+    pd_ = (
+        rep.select("doc_id", add.alias("add"))
+        .groupBy("doc_id")
+        .agg(F.sum("add").cast("long").alias("n_removed"))
+    )
+    base = docs.select(
+        "doc_id",
+        F.when(n != "", F.size(t)).otherwise(F.lit(0))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    return (
+        base.join(pd_, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("n_removed"), F.lit(0))
+            .cast("long")
+            .alias("n_removed"),
+            F.expr(
+                "coalesce(n_removed, 0) * 1000000"
+                " DIV greatest(n_tokens, 1)"
+            )
+            .cast("long")
+            .alias("removed_ppm"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _repetition_oracle() -> str:
+    """DuckDB replay of repetition_removal_audit, drafted with the
+    builder (round-13 registration wires it up): same 1-based gram
+    starts, same first-occurrence rule, same running-max interval
+    union with an explicit ROWS frame."""
+    return (
+        "WITH tk AS (SELECT doc_id,"
+        f" string_split(trim({NORM_SQL_DUCK}), ' ') AS t FROM documents"
+        f" WHERE trim({NORM_SQL_DUCK}) != ''),"
+        " occ AS MATERIALIZED (SELECT doc_id, len(t) AS n_tokens,"
+        " u.i AS s, t[u.i] || ' ' || t[u.i + 1] || ' ' || t[u.i + 2] AS g"
+        f" FROM tk, unnest(range(1, greatest(len(t) - {REP_GRAM - 1}, 0)"
+        " + 1)) AS u(i)),"
+        " rep AS (SELECT doc_id, n_tokens, s FROM (SELECT *,"
+        " min(s) OVER (PARTITION BY doc_id, g) AS fs FROM occ)"
+        " WHERE s > fs),"
+        " cov AS (SELECT doc_id, s,"
+        f" greatest(0, s + {REP_GRAM - 1} - greatest(s,"
+        f" coalesce(max(s + {REP_GRAM - 1}) OVER (PARTITION BY doc_id"
+        " ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),"
+        " 0) + 1) + 1) AS add FROM rep),"
+        " pd AS (SELECT doc_id,"
+        " CAST(sum(add) AS BIGINT) AS n_removed FROM cov GROUP BY doc_id),"
+        " base AS (SELECT doc_id,"
+        f" CASE WHEN trim({NORM_SQL_DUCK}) = '' THEN 0"
+        f" ELSE len(string_split(trim({NORM_SQL_DUCK}), ' ')) END"
+        " AS n_tokens FROM documents)"
+        " SELECT b.doc_id, CAST(b.n_tokens AS BIGINT) AS n_tokens,"
+        " CAST(coalesce(pd.n_removed, 0) AS BIGINT) AS n_removed,"
+        " CAST(coalesce(pd.n_removed, 0) * 1000000"
+        " // greatest(b.n_tokens, 1) AS BIGINT) AS removed_ppm"
+        " FROM base b LEFT JOIN pd ON b.doc_id = pd.doc_id"
+        " ORDER BY b.doc_id"
+    )

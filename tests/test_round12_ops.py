@@ -237,3 +237,178 @@ def test_q111_two_level_rule_survives_overcap_verbatim_family(
         ).fetchall()
     ]
     assert got == want
+
+
+def test_q114_rep_join_output_identity(spark, tmp_path):
+    """The incremental cross-side rep-join: a NEW image identical to a
+    390-copy verbatim corpus family must be flagged dup_of the family's
+    MIN id at hamming 0 — under the rep-join the index contributes ONE
+    row for those 390 members, and the output is provably identical to
+    the old all-members join (the docstring proof, pinned here). A
+    genuinely new image stays unmatched. The over-cap regime itself is
+    structurally the q111 grouping (tested there at 1030 copies); the
+    id-based INCREMENTAL_SPLIT_ID=400 bounds how large a hand-built
+    OLD family can be. Cross-engine pair-for-pair."""
+    import duckdb
+    import pandas as pd
+
+    from smartbulkcopy_spark.pipeline.dedup import INCREMENTAL_SPLIT_ID
+    from smartbulkcopy_spark.queries import REGISTRY, release_caches
+
+    x = "the quick brown fox jumps over the lazy dog again and again"
+    n_hot = 390
+    ids = list(range(n_hot)) + [
+        INCREMENTAL_SPLIT_ID + 1,
+        INCREMENTAL_SPLIT_ID + 2,
+    ]
+    texts = [x] * n_hot + [x, "a genuinely new never-seen image payload"]
+    pd.DataFrame(
+        {
+            "doc_id": ids,
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["src0"] * len(texts),
+            "n_chars": [len(t) for t in texts],
+        }
+    ).to_parquet(tmp_path / "documents.parquet", index=False)
+    got = [
+        tuple(r)
+        for r in REGISTRY["q114_incremental_image_dedup"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    ]
+    release_caches()
+    assert got == [(INCREMENTAL_SPLIT_ID + 1, 0, 0)]
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM"
+        f" read_parquet('{tmp_path}/documents.parquet')"
+    )
+    want = [
+        tuple(r)
+        for r in con.execute(
+            REGISTRY["q114_incremental_image_dedup"].oracle
+        ).fetchall()
+    ]
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Round-13 staged builders (builder-only this round): DSIR-style hashed
+# importance weights and the repetition-removal audit.
+# ---------------------------------------------------------------------------
+
+
+def _mini_docs(tmp_path, rows):
+    import pandas as pd
+
+    pd.DataFrame(
+        {
+            "doc_id": [r[0] for r in rows],
+            "text": [r[1] for r in rows],
+            "lang": ["en"] * len(rows),
+            "source": [r[2] if len(r) > 2 else "src0" for r in rows],
+            "n_chars": [len(r[1]) for r in rows],
+        }
+    ).to_parquet(tmp_path / "documents.parquet", index=False)
+
+
+def test_repetition_removal_hand_corpus(spark, tmp_path):
+    """Exact interval-union arithmetic on a corpus computable by eye:
+    'a b c' repeated 3x -> first window survives, repeats cover tokens
+    4..9 (6 removed of 9); 'p p p p p' -> repeats cover 2..5 (4 of 5);
+    a repeat-free doc and an empty doc report zero."""
+    from smartbulkcopy_spark.pipeline.text import (
+        _repetition_oracle,
+        repetition_removal_audit,
+    )
+    import duckdb
+
+    _mini_docs(
+        tmp_path,
+        [
+            (1, "a b c a b c a b c"),
+            (2, "x y z w"),
+            (3, "p p p p p"),
+            (4, ""),
+        ],
+    )
+    got = [
+        tuple(r)
+        for r in repetition_removal_audit(spark, str(tmp_path)).collect()
+    ]
+    assert got == [
+        (1, 9, 6, 666666),
+        (2, 4, 0, 0),
+        (3, 5, 4, 800000),
+        (4, 0, 0, 0),
+    ]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM"
+        f" read_parquet('{tmp_path}/documents.parquet')"
+    )
+    assert [tuple(r) for r in con.execute(_repetition_oracle()).fetchall()] == got
+
+
+def test_dsir_separates_target_from_raw(spark, tmp_path):
+    """Target-source docs built from a shared bigram vocabulary must
+    score positive (their buckets carry target mass), the raw-source
+    doc with disjoint bigrams negative; zero-bigram docs score 0 and
+    are not target_like. Spark and the oracle agree row-for-row."""
+    import duckdb
+
+    from smartbulkcopy_spark.pipeline.text import (
+        _dsir_oracle,
+        dsir_importance_weights,
+    )
+
+    _mini_docs(
+        tmp_path,
+        [
+            (1, "alpha beta alpha beta alpha", "a_tgt"),
+            (2, "alpha beta gamma", "a_tgt"),
+            (3, "delta epsilon zeta eta theta", "b_raw"),
+            (4, "solo", "b_raw"),
+        ],
+    )
+    got = {
+        r["doc_id"]: (r["dsir_e6"], r["target_like"])
+        for r in dsir_importance_weights(spark, str(tmp_path)).collect()
+    }
+    assert got[1][0] > 0 and got[1][1]
+    assert got[2][0] > 0 and got[2][1]
+    assert got[3][0] < 0 and not got[3][1]
+    assert got[4] == (0, False)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM"
+        f" read_parquet('{tmp_path}/documents.parquet')"
+    )
+    want = {
+        r[0]: (r[2], r[3])
+        for r in con.execute(_dsir_oracle()).fetchall()
+    }
+    assert want == got
+
+
+def test_r13_staged_builders_reconcile_on_fixture(spark, sf_dir, duck):
+    """Both staged oracles replay their builders row-for-row at
+    fixture scale (the pre-registration cross-engine gate)."""
+    from smartbulkcopy_spark.pipeline.text import (
+        _dsir_oracle,
+        _repetition_oracle,
+        dsir_importance_weights,
+        repetition_removal_audit,
+    )
+    from smartbulkcopy_spark.queries import release_caches
+
+    for fn, oracle in (
+        (dsir_importance_weights, _dsir_oracle()),
+        (repetition_removal_audit, _repetition_oracle()),
+    ):
+        got = [tuple(r) for r in fn(spark, sf_dir).collect()]
+        release_caches()
+        want = [tuple(r) for r in duck.execute(oracle).fetchall()]
+        assert got == want and len(got) > 0

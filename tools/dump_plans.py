@@ -158,9 +158,10 @@ ANNOTATED = {
     " tiny rollups; the corpus contributes only a count, and the"
     " singleton row unions in as a literal — no corpus shuffle.",
     "q114_incremental_image_dedup": "Incremental image dedup: batch"
-    " bands equi-join the capped corpus index (both split filters"
-    " pushed to the ahash cache scan), batch side LEFT-SEMI thinned"
-    " to surviving buckets — batch x collision cost, corpus never"
+    " bands equi-join the corpus index's GROUP REPRESENTATIVES (one"
+    " per distinct hash per bucket, distinct-hash cap; both split"
+    " filters pushed to the ahash cache scan), batch side LEFT-SEMI"
+    " thinned to surviving buckets — batch x collision cost, corpus never"
     " self-joins; the eager ahash table re-enters all three joins"
     " from cache.",
     "q115_detector_agreement": "Agreement matrix: each detector chain"

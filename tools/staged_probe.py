@@ -44,53 +44,34 @@ def _split_section(text: str, marker: str):
 
 
 def _builders():
-    from smartbulkcopy_spark.pipeline.dedup import (
-        soft_dedup_weights,
-        winnow_drop_share,
-    )
-    from smartbulkcopy_spark.pipeline.similarity import (
-        _min_vec_id,
-        embedding_split_leakage,
-        tree_multiprobe_search,
-    )
+    # round-13 staged queue (the round-12 seven registered as q192-q198
+    # and left this table; SCALE.md keeps their pre-registration rows
+    # in the main table under their qNN names)
     from smartbulkcopy_spark.pipeline.text import (
-        bigram_lm_fit,
-        quality_score_calibration,
+        dsir_importance_weights,
+        repetition_removal_audit,
     )
-
-    def multiprobe(spark, d):
-        _cand, topk = tree_multiprobe_search(
-            spark, d, _min_vec_id(spark, d), n_probe=2
-        )
-        return topk
 
     return {
-        "bigram_lm_fit": (("documents",), bigram_lm_fit),
-        "quality_score_calibration": (
+        "dsir_importance_weights": (
             ("documents",),
-            quality_score_calibration,
+            dsir_importance_weights,
         ),
-        "soft_dedup_weights": (("documents",), soft_dedup_weights),
-        "winnow_drop_share": (("documents",), winnow_drop_share),
-        "embedding_split_leakage": (
-            ("embeddings",),
-            embedding_split_leakage,
-        ),
-        "tree_multiprobe_search(n_probe=2)": (
-            ("embeddings",),
-            multiprobe,
+        "repetition_removal_audit": (
+            ("documents",),
+            repetition_removal_audit,
         ),
     }
 
 
 def tail() -> None:
-    """--tail: the heavy document-side staged builders at 16x/32x in
-    both corpus modes (the q180 precedent — measure exponents BEFORE
-    registration). `verbatim` matters for the pair-chain riders:
-    winnow_drop_share proves the posting cap bounds the dropped-mass
-    rollup, soft_dedup_weights proves the LSH band cap bounds the
-    CC+weights path when every copy is a near-dup. Appends a paragraph
-    under the staged-builders section."""
+    """--tail: the document-side staged builders at 16x/32x in both
+    corpus modes (the q180 precedent — measure exponents BEFORE
+    registration). `verbatim` matters even for row-local operators:
+    repetition_removal_audit's per-doc windows are doc-bounded either
+    way, but dsir's bucket distributions shift wholesale under
+    verbatim mass — the probe proves neither goes super-linear.
+    Appends a paragraph under the staged-builders section."""
     import math
 
     from smartbulkcopy_spark.queries import release_caches
@@ -102,9 +83,8 @@ def tail() -> None:
     probes = [
         (n, builders[n][1])
         for n in (
-            "winnow_drop_share",
-            "soft_dedup_weights",
-            "bigram_lm_fit",
+            "dsir_importance_weights",
+            "repetition_removal_audit",
         )
     ]
     spark = get_spark(
