@@ -351,13 +351,15 @@ def emit_payloads(
         assert k not in nums, "qNN prefixes must stay unique"
         nums[k] = round(v, 1)
     ks = sorted(nums)
-    # 1 decimal on the stdout line; BENCH_DETAIL.json keeps 4-decimal
-    # timings under full names. At 120+ registrations the per-query dict
-    # ("q118":1.2 x N) no longer fits the driver's ~2000-char tail, so
-    # contiguous query numbers emit as a dense array: "q1st" is the
-    # first query number, "t"[i] the timing of query q1st+i. A gap would
-    # silently fall back to explicit qNN keys and blow the 1900-char line
-    # cap (dropping the driver-visible per-query timings), so contiguity
+    # DECISECOND INTEGERS on the stdout line ("tu":"ds"; 1235 = 123.5 s);
+    # BENCH_DETAIL.json keeps 4-decimal float timings under full names.
+    # At 120+ registrations the per-query dict ("q118":1.2 x N) no longer
+    # fits the driver's ~2000-char tail, so contiguous query numbers emit
+    # as a dense array: "q1st" is the first query number, "t"[i] the
+    # timing of query q1st+i (the integer packing bought the 202-query
+    # registry its +40 headroom back — round 13). A gap would silently
+    # fall back to explicit qNN keys and blow the 1900-char line cap
+    # (dropping the driver-visible per-query timings), so contiguity
     # is asserted: deregistering a query must renumber or keep a stub.
     if not ks:
         compact_queries: dict[str, object] = {}
@@ -369,7 +371,8 @@ def emit_payloads(
         )
         compact_queries = {
             "q1st": ks[0],
-            "t": [nums[k] for k in ks],
+            "tu": "ds",
+            "t": [int(round(nums[k] * 10)) for k in ks],
         }
 
     compact_copy: dict[str, object] = {}

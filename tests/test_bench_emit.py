@@ -68,11 +68,12 @@ def test_line_is_parseable_json_with_dense_timings():
     assert doc["unit"] == "sec"
     assert doc["sf"] == 0.1
     # contiguous registration numbers pack as a dense array: t[i] is
-    # the timing of query number q1st + i
+    # the DECISECOND-integer timing of query number q1st + i ("tu":"ds")
     assert doc["queries"]["q1st"] == 1
+    assert doc["queries"]["tu"] == "ds"
     assert len(doc["queries"]["t"]) == len(REGISTRY)
-    assert doc["queries"]["t"][0] == round(
-        timings["q01_scan_project"], 1
+    assert doc["queries"]["t"][0] == int(
+        round(round(timings["q01_scan_project"], 1) * 10)
     )
     # the sum survives 2-decimal compaction to cent precision
     assert abs(doc["value"] - sum(timings.values())) < 0.01
