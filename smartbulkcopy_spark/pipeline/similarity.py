@@ -2699,28 +2699,97 @@ def tree_multiprobe_recall_curve(spark, sf_dir, probes=(1, 2, 4)):
     probe width. Recall is monotone non-decreasing in n_probe by
     construction (each probe adds a list, never replaces one); the
     curve prices the probe width: n_list is the scanned candidate mass,
-    recall_pct what it buys. Exact top-10 computes ONCE (eager; the
-    q33 multi-consumer rule) and every probe width intersects it."""
+    recall_pct what it buys.
+
+    ONE tree-walk pass (round-13 restructure of the per-width loop):
+    the query's leaf ranking computes driver-side once (the ivf_search
+    d2 fold, ties by code), the corpus walks the tree once filtered to
+    the max(probes) nearest leaves, each candidate carries its leaf's
+    probe RANK, and every width derives as `rank <= n_probe` from that
+    single lineage — width membership explodes row-locally, per-width
+    top-10 is one row_number window over the tiny candidate set, and
+    the exact top-10 joins in as a broadcast. The old shape re-planned
+    the walk + cosine per width (3x the work and three cache scans AQE
+    could not dedup across re-aliased InMemoryRelations)."""
     qid = _min_vec_id(spark, sf_dir)
-    exact = eager(q30(spark, sf_dir).select("vec_id"))
-    out = None
-    for p in probes:
-        cand, topk = tree_multiprobe_search(
-            spark, sf_dir, qid, k=10, n_probe=p
-        )
-        n_list = cand.count()  # bounded scalar: the persisted probe lists
-        row = (
-            exact.join(topk.select("vec_id"), "vec_id", "left_semi")
-            .agg(F.count("*").alias("hits"))
-            .select(
-                F.lit(int(p)).cast("long").alias("n_probe"),
-                F.lit(int(n_list)).cast("long").alias("n_list"),
-                "hits",
-                (F.col("hits") * 10).cast("long").alias("recall_pct"),
+    rows = (
+        table(spark, sf_dir, "embeddings")
+        .orderBy("vec_id")
+        .limit(TREE_LEAVES)
+        .collect()
+    )
+    leaves = [
+        (r["vec_id"], [float(v) for v in r["embedding"]]) for r in rows
+    ]
+    levels = _tree_levels(leaves, TREE_BRANCH)
+    emb = table(spark, sf_dir, "embeddings")
+    qrow = emb.where(F.col("vec_id") == qid).first()
+    qvec = [float(v) for v in qrow["embedding"]]
+
+    def d2(c):
+        dot = 0.0
+        for a, b in zip(qvec, c):
+            dot = dot + a * b
+        cc = 0.0
+        for b in c:
+            cc = cc + b * b
+        return -2.0 * dot + cc
+
+    ranked = [
+        int(code)
+        for code, vec in sorted(leaves, key=lambda c: (d2(c[1]), c[0]))
+    ][: max(int(p) for p in probes)]
+    rank_case = "CASE code " + " ".join(
+        f"WHEN {code}L THEN {i + 1}" for i, code in enumerate(ranked)
+    ) + " END"
+
+    nq = math.sqrt(sum(v * v for v in qvec))
+    qlit = F.array(*[F.lit(v) for v in qvec])
+    e = F.col("embedding")
+    cos = dot_fold(e, qlit) / (F.sqrt(dot_fold(e, e)) * F.lit(nq))
+    walk = _tree_walk_expr(levels)["jn"].cast("long")
+    cand = (
+        spread(spark, emb)
+        .where(walk.isin(ranked) & (F.col("vec_id") != qid))
+        .select("vec_id", cos.alias("cosine"), walk.alias("code"))
+        .select("vec_id", "cosine", F.expr(rank_case).alias("rnk"))
+    )
+    widths = F.expr(
+        "filter(array("
+        + ", ".join(str(int(p)) for p in sorted(probes))
+        + "), p -> p >= rnk)"
+    )
+    per = cand.select(
+        "vec_id", "cosine", F.explode(widths).alias("n_probe")
+    )
+    from pyspark.sql import Window
+
+    wk = Window.partitionBy("n_probe").orderBy(
+        F.col("cosine").desc(), "vec_id"
+    )
+    exact = q30(spark, sf_dir).select("vec_id", F.lit(1).alias("ex"))
+    return (
+        per.withColumn("rk", F.row_number().over(wk))
+        .join(F.broadcast(exact), "vec_id", "left")
+        .groupBy("n_probe")
+        .agg(
+            F.count("*").cast("long").alias("n_list"),
+            F.sum(
+                F.when(
+                    (F.col("rk") <= 10) & F.col("ex").isNotNull(), 1
+                ).otherwise(0)
             )
+            .cast("long")
+            .alias("hits"),
         )
-        out = row if out is None else out.unionByName(row)
-    return out.orderBy("n_probe")
+        .select(
+            F.col("n_probe").cast("long").alias("n_probe"),
+            "n_list",
+            "hits",
+            (F.col("hits") * 10).cast("long").alias("recall_pct"),
+        )
+        .orderBy("n_probe")
+    )
 
 
 @register(

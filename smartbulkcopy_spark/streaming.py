@@ -739,6 +739,7 @@ def run_click_attribution(
         spark.conf.set(
             "spark.sql.shuffle.partitions", str(state_partitions)
         )
+    q = None
     try:
         errs = read_events_stream(spark, path, max_files_per_trigger).where(
             F.col("event_type") == "error"
@@ -756,6 +757,13 @@ def run_click_attribution(
         )
         q.awaitTermination()
     finally:
+        # A drain that dies mid-awaitTermination must not leave the
+        # query running (it would keep the memory-sink name registered
+        # and poison later runs in a long-lived session) — stop it
+        # before restoring the session's shuffle width (round-13
+        # ADVICE). stop() on an already-terminated query is a no-op.
+        if q is not None and q.isActive:
+            q.stop()
         if state_partitions is not None:
             spark.conf.set("spark.sql.shuffle.partitions", _prev_sp)
     m = spark.table(query_name).groupBy("event_id").agg(
