@@ -576,9 +576,10 @@ def simhash_near_dup_pairs(spark, sf_dir):
 
     Scale shape: after the signature aggregation everything is (id, two
     longs); within each branch the group-min and bucket-width windows
-    share one (band_idx, band_val) shuffle (coarse key first, the finer
+    share one explicit (band_idx, band_val) repartition (the finer
     window rides the same exchange via sort — never a 4-column
-    exchange); the star and rep-clique branches each shuffle the narrow
+    exchange, and the width count carries O(1) per-row state, never a
+    per-row distinct set); the star and rep-clique branches each shuffle the narrow
     banded rows once (AQE exchange reuse doesn't fire across the
     self-union's re-aliased cache scans; accepted — see the plan test),
     while the EXPENSIVE md5 signature pipeline feeds both from cache;
@@ -599,22 +600,34 @@ def simhash_near_dup_pairs(spark, sf_dir):
             )
         ).alias("band_idx", "band_val"),
     )
-    # Coarse window FIRST (its exchange hash-partitions on (band_idx,
-    # band_val)); the fine signature-group window rides the SAME
-    # exchange via sort, since hash(b, v) satisfies clustering over the
-    # superset key. bc = DISTINCT signatures in the bucket (the capped
-    # quantity), gmin = the member's signature-group representative.
+    # One explicit coarse shuffle on (band_idx, band_val); BOTH windows
+    # ride it (hash over the 2-col key satisfies clustering for the
+    # 4-col signature-group key, and the fine sort prefix covers the
+    # coarse one). gmin — the signature-group representative — computes
+    # FIRST so bc can be an O(1)-state conditional count of rep rows
+    # (= DISTINCT signatures in the bucket, the capped quantity). A
+    # collect_set here would materialize each bucket's full distinct-
+    # signature set in executor memory PER ROW before the cap filter —
+    # ambient birthday-collision buckets grow linearly with the corpus,
+    # so that state is unbounded at 100 TB (round-13 ADVICE fix).
     wb = Window.partitionBy("band_idx", "band_val")
     wg = Window.partitionBy("band_idx", "band_val", "sim_hi", "sim_lo")
-    marked = bands.withColumn(
-        "bc",
-        F.size(F.collect_set(F.struct("sim_hi", "sim_lo")).over(wb)),
-    ).withColumn("gmin", F.min("doc_id").over(wg))
+    marked = (
+        bands.repartition("band_idx", "band_val")
+        .withColumn("gmin", F.min("doc_id").over(wg))
+        .withColumn(
+            "bc",
+            F.count(
+                F.when(F.col("doc_id") == F.col("gmin"), F.lit(1))
+            ).over(wb),
+        )
+    )
     # Both branches reference every window column (q27's noop trick) so
     # the Window subtrees stay structurally identical — it keeps the
     # two branches' plans in lockstep (and exchange-reuse-eligible if a
     # future Catalyst canonicalizes the re-aliased cache scans equal).
-    # bc is a nonempty-set size so >= 1 is runtime-true, not foldable.
+    # bc counts a nonempty bucket's reps so >= 1 is runtime-true, not
+    # foldable.
     noop = (F.col("bc") >= 1) & F.col("gmin").isNotNull()
     star = marked.where((F.col("doc_id") > F.col("gmin")) & noop).select(
         F.col("gmin").alias("a_id"), F.col("doc_id").alias("b_id")
@@ -1120,13 +1133,19 @@ def connected_components(
     # persist/unpersist below never touches the caller's own cache state.
     # (Analysis happens HERE, before the conf override below — a bad
     # edge frame must not leave the session at study width.)
-    edges = pair_df.select("a_id", "b_id").persist()
+    edges = pair_df.select("a_id", "b_id")
+    # The truncator probe (checkpoint-dir detection) can raise; build it
+    # BEFORE the persist and the conf override so a failure can't leak
+    # the study width into the session or strand a cached frame
+    # (round-13 ADVICE — it depends on the checkpoint config, not on
+    # shuffle width). The .select above still runs analysis first.
+    trunc = _round_truncator(spark, reliable)
+    edges = edges.persist()
     if shuffle_partitions is not None:
         _prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set(
             "spark.sql.shuffle.partitions", str(shuffle_partitions)
         )
-    trunc = _round_truncator(spark, reliable)
     try:
         edges.count()  # materialize: read twice per round (q33 pattern)
         sym = edges.select(
@@ -2147,7 +2166,14 @@ def containment_pairs(spark, sf_dir):
 WINNOW_K = 12  # gram length (chars)
 WINNOW_W = 6  # winnowing window (grams); detects matches >= 17 chars
 WINNOW_MOD = 2_147_483_648  # q39's modulus — shared hash definition
-WINNOW_MAX_POSTINGS = 16  # MOSS's "too common to be interesting" cap
+# MOSS's "too common to be interesting" cap — applies to the PAIR
+# chains (q164/q180/q187) only, never the contamination screens
+# (q170/q177 route through _contamination_rollup, which is cap-free by
+# design). q202 registers the split as an oracle-checked metric: on a
+# cap-straddling verbatim corpus the screen holds 100% recall while
+# the capped chain drops to 29% (it goes blind on every over-cap
+# family — q180's verbatim exponent -1.00 is the cost-side view).
+WINNOW_MAX_POSTINGS = 16
 
 _WINNOW_MIN_LEN = WINNOW_K + WINNOW_W - 1
 
@@ -2394,6 +2420,35 @@ def q164(spark, sf_dir):
 WINNOW_EVAL_SOURCE = "src0"  # q68's stand-in held-out eval source
 
 
+def _contamination_rollup(tr, ev):
+    """(doc_id, n_hits, n_fps, contamination_ppm) — the cap-FREE
+    contamination screen core shared by q170, q177, and the q202
+    recall study: the eval fingerprint index `ev` is deduped and the
+    training side `tr` joins 1:1 per (doc, fph). WINNOW_MAX_POSTINGS
+    is deliberately NOT applied on this path — a hot eval fingerprint
+    is the SIGNAL in a contamination screen, not boilerplate noise
+    (the cap's job is bounding the q164/q180/q187 pair chains, where
+    hot lists are quadratic). q202 registers that no-loss property as
+    an oracle-checked metric, so a refactor that routes the screens
+    through the capped chain turns the driver red."""
+    nf = tr.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_fps")
+    )
+    hit = (
+        tr.join(ev, "fph", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_hits"))
+    )
+    return hit.join(nf, "doc_id").select(
+        "doc_id",
+        "n_hits",
+        "n_fps",
+        F.expr("n_hits * 1000000 DIV n_fps")
+        .cast("long")
+        .alias("contamination_ppm"),
+    )
+
+
 @register(
     "q170_winnowing_contamination",
     f"WITH {_WINNOW_PK_CTES},"
@@ -2434,24 +2489,8 @@ def q170(spark, sf_dir):
             "doc_id", "fph"
         )
     )
-    nf = tr.groupBy("doc_id").agg(
-        F.count("*").cast("long").alias("n_fps")
-    )
-    hit = (
-        tr.join(ev, "fph", "left_semi")
-        .groupBy("doc_id")
-        .agg(F.count("*").cast("long").alias("n_hits"))
-    )
     return (
-        hit.join(nf, "doc_id")
-        .select(
-            "doc_id",
-            "n_hits",
-            "n_fps",
-            F.expr("n_hits * 1000000 DIV n_fps")
-            .cast("long")
-            .alias("contamination_ppm"),
-        )
+        _contamination_rollup(tr, ev)
         .orderBy(F.col("n_hits").desc(), "doc_id")
         .limit(20)
     )
@@ -2520,24 +2559,8 @@ def q177(spark, sf_dir):
         ),
     )
     tr = eager(winnow_fingerprints(spark, sf_dir, docs=batch))
-    nf = tr.groupBy("doc_id").agg(
-        F.count("*").cast("long").alias("n_fps")
-    )
-    hit = (
-        tr.join(ev, "fph", "left_semi")
-        .groupBy("doc_id")
-        .agg(F.count("*").cast("long").alias("n_hits"))
-    )
     return (
-        hit.join(nf, "doc_id")
-        .select(
-            "doc_id",
-            "n_hits",
-            "n_fps",
-            F.expr("n_hits * 1000000 DIV n_fps")
-            .cast("long")
-            .alias("contamination_ppm"),
-        )
+        _contamination_rollup(tr, ev)
         .orderBy(F.col("n_hits").desc(), "doc_id")
         .limit(20)
     )
@@ -2994,3 +3017,185 @@ def _star_recall_oracle() -> str:
 )
 def q199(spark, sf_dir):
     return star_fallback_recall(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# q202: the contamination-cap recall study (round-12 verdict item 3 —
+# the winnowing analog of q199). The claim under test: the q170/q177
+# contamination screens lose NOTHING to WINNOW_MAX_POSTINGS, because
+# the screen path never applies the cap (the deduped eval index joins
+# 1:1 per training fingerprint), while the q164/q180/q187 PAIR chain —
+# which does cap — goes blind on exactly the families whose
+# duplication mass matters most (q180's verbatim exponent -1.00 is the
+# cost-side view of the same collapse). Fixture posting lists never
+# straddle the cap, so this study builds the straddling corpus INSIDE
+# the query: the first WSTUDY_SEEDS documents play the eval source,
+# and each seed gets a verbatim TRAINING family of 10 or 24 copies —
+# posting lists of 11 and 25 around the cap of 16. Verbatim copies
+# share their seed's fingerprint set BY DEFINITION (same text -> same
+# gram hashes -> same window minima), so the copies replicate at
+# fingerprint rows, at seed cost — the q199 inflation trick. The
+# screen branch runs the PRODUCTION _contamination_rollup; the capped
+# branch applies the production keep rule to the combined posting
+# lists. Both engines derive the same synthetic corpus.
+# ---------------------------------------------------------------------------
+
+WSTUDY_SEEDS = 12
+WSTUDY_ID_STRIDE = 64  # > max family size; train ids never collide
+# family size = 10 + (seed % 2) * 14 in {10, 24}: with the seed itself
+# the posting list is 11 (under the cap -> pair chain sees it) or 25
+# (over -> pair chain drops every fingerprint of the family)
+_WSTUDY_SIZE_SPARK = "10 + (doc_id % 2) * 14"
+
+
+def winnow_cap_recall_study(spark, sf_dir):
+    """One row: training-copy recall of the cap-free contamination
+    screen vs the capped pair chain on the synthetic straddling
+    corpus (see block comment). screen_recall_pct = 100 is the
+    registered form of the no-loss claim; capped_recall_pct < 100 is
+    the measured blindness that justifies keeping the screens OFF the
+    capped chain.
+
+    Scale: seeds are 12 docs (fingerprinted once, eager — ev, tr, and
+    the posting sizing all read it); every downstream frame is bounded
+    by constants (<= 12 seeds x 24 copies x per-doc fingerprints)."""
+    docs = table(spark, sf_dir, "documents")
+    seeds = docs.orderBy("doc_id").limit(WSTUDY_SEEDS)
+    pk = eager(winnow_fingerprints(spark, sf_dir, docs=seeds))
+    ev = pk.select("fph").distinct()
+    # explode the family sizes: k in 1..size, train id = seed*stride+k
+    tr = pk.select(
+        "doc_id",
+        "fph",
+        F.explode(
+            F.expr(f"sequence(1, {_WSTUDY_SIZE_SPARK})")
+        ).alias("k"),
+    ).select(
+        (F.col("doc_id") * WSTUDY_ID_STRIDE + F.col("k")).alias(
+            "doc_id"
+        ),
+        "fph",
+    )
+    screen = _contamination_rollup(tr, ev)  # the PRODUCTION screen
+    # the capped pair chain's visibility rule: a training copy is
+    # findable iff >= 1 of its fingerprints survives the keep filter
+    # over the combined eval+train posting lists (every tr fingerprint
+    # is an eval fingerprint, so sharing-with-eval is automatic)
+    allr = pk.select("doc_id", "fph").unionByName(tr)
+    keep = (
+        allr.groupBy("fph")
+        .agg(F.count("*").alias("pc"))
+        .where(F.col("pc") <= WINNOW_MAX_POSTINGS)
+        .select("fph")
+    )
+    cap_vis = (
+        tr.join(keep, "fph", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("cv", F.lit(1))
+    )
+    base = tr.select("doc_id").distinct()
+    per = base.join(screen, "doc_id", "left").join(
+        cap_vis, "doc_id", "left"
+    )
+    return per.agg(
+        F.count("*").cast("long").alias("n_train"),
+        F.sum(F.col("n_hits").isNotNull().cast("long"))
+        .cast("long")
+        .alias("screen_docs"),
+        F.sum(
+            F.coalesce(
+                (F.col("n_hits") == F.col("n_fps")).cast("long"),
+                F.lit(0),
+            )
+        )
+        .cast("long")
+        .alias("screen_full"),
+        F.sum(F.coalesce(F.col("cv"), F.lit(0)))
+        .cast("long")
+        .alias("capped_docs"),
+    ).select(
+        "n_train",
+        "screen_docs",
+        "screen_full",
+        "capped_docs",
+        F.expr("screen_docs * 100 DIV n_train")
+        .cast("long")
+        .alias("screen_recall_pct"),
+        F.expr("capped_docs * 100 DIV n_train")
+        .cast("long")
+        .alias("capped_recall_pct"),
+    )
+
+
+def _cap_recall_oracle() -> str:
+    """DuckDB replay of winnow_cap_recall_study: same seed
+    fingerprints (shared winnowing chain), same synthetic family
+    inflation, the same cap-free screen and capped keep rule."""
+    return (
+        f"WITH nn AS (SELECT doc_id, {NORM_DUCK} AS n FROM"
+        " (SELECT * FROM documents ORDER BY doc_id"
+        f" LIMIT {WSTUDY_SEEDS})),"
+        f" lg AS (SELECT doc_id, n FROM nn"
+        f" WHERE length(n) >= {_WINNOW_MIN_LEN}),"
+        f" hh AS (SELECT doc_id, {_H_DUCK} AS H FROM lg),"
+        " pk AS MATERIALIZED (SELECT doc_id,"
+        " unnest(list_distinct(list_transform("
+        f"range(0, len(H) - {WINNOW_W} + 1),"
+        f" p -> list_min(list_slice(H, p + 1, p + {WINNOW_W})))))"
+        " AS fph FROM hh),"
+        " tr AS MATERIALIZED (SELECT pk.doc_id *"
+        f" {WSTUDY_ID_STRIDE} + u.k AS doc_id, pk.fph FROM pk,"
+        " unnest(range(1, 10 + (pk.doc_id % 2) * 14 + 1)) AS u(k)),"
+        " ev AS (SELECT DISTINCT fph FROM pk),"
+        " nf AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fps"
+        " FROM tr GROUP BY doc_id),"
+        " hit AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits"
+        " FROM tr JOIN ev USING (fph) GROUP BY doc_id),"
+        " allr AS (SELECT doc_id, fph FROM pk"
+        " UNION ALL SELECT doc_id, fph FROM tr),"
+        " keep AS (SELECT fph FROM allr GROUP BY fph"
+        f" HAVING count(*) <= {WINNOW_MAX_POSTINGS}),"
+        " cv AS (SELECT DISTINCT tr.doc_id FROM tr"
+        " JOIN keep USING (fph)),"
+        " base AS (SELECT DISTINCT doc_id FROM tr),"
+        " per AS (SELECT b.doc_id, h.n_hits, f.n_fps,"
+        " CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END AS cv"
+        " FROM base b LEFT JOIN hit h ON h.doc_id = b.doc_id"
+        " LEFT JOIN nf f ON f.doc_id = b.doc_id"
+        " LEFT JOIN cv c ON c.doc_id = b.doc_id)"
+        " SELECT CAST(count(*) AS BIGINT) AS n_train,"
+        " CAST(sum(CASE WHEN n_hits IS NOT NULL THEN 1 ELSE 0 END)"
+        " AS BIGINT) AS screen_docs,"
+        " CAST(sum(CASE WHEN n_hits = n_fps THEN 1 ELSE 0 END)"
+        " AS BIGINT) AS screen_full,"
+        " CAST(sum(cv) AS BIGINT) AS capped_docs,"
+        " CAST(sum(CASE WHEN n_hits IS NOT NULL THEN 1 ELSE 0 END)"
+        " * 100 // count(*) AS BIGINT) AS screen_recall_pct,"
+        " CAST(sum(cv) * 100 // count(*) AS BIGINT)"
+        " AS capped_recall_pct"
+        " FROM per"
+    )
+
+
+@register(
+    "q202_contamination_cap_recall",
+    _cap_recall_oracle(),
+    doc="Contamination-cap recall study — the winnowing analog of"
+    " q199: on a synthetic corpus whose eval posting lists straddle"
+    f" WINNOW_MAX_POSTINGS={WINNOW_MAX_POSTINGS} from both sides"
+    " (verbatim training families of 10 and 24 copies -> lists of 11"
+    " and 25), the PRODUCTION cap-free contamination screen"
+    " (_contamination_rollup, the exact code behind q170/q177) finds"
+    " every contaminated copy at full fingerprint coverage"
+    " (screen_recall_pct = 100, oracle-checked), while the capped"
+    " q164-style pair chain drops every over-cap family"
+    " (capped_recall_pct < 100 — the measured blindness that keeps"
+    " the screens OFF the capped chain; q180's verbatim exponent"
+    " -1.00 is the cost-side view of the same collapse). Verbatim"
+    " copies share their seed's fingerprints by definition, so the"
+    " families replicate at fingerprint-row cost; every frame is"
+    " bounded by study constants.",
+)
+def q202(spark, sf_dir):
+    return winnow_cap_recall_study(spark, sf_dir)

@@ -622,10 +622,20 @@ def image_near_dup_pairs(spark, sf_dir):
     wg = Window.partitionBy(
         "band_idx", "band_val", "ahash_hi", "ahash_lo"
     )
-    marked = bands.withColumn(
-        "bc",
-        F.size(F.collect_set(F.struct("ahash_hi", "ahash_lo")).over(wb)),
-    ).withColumn("gmin", F.min("doc_id").over(wg))
+    # q112's O(1)-state rule: one explicit coarse shuffle, gmin first,
+    # then bc as a conditional count of rep rows (= DISTINCT signatures
+    # per bucket) — never a per-row collect_set, whose state grows with
+    # ambient bucket width (round-13 ADVICE fix).
+    marked = (
+        bands.repartition("band_idx", "band_val")
+        .withColumn("gmin", F.min("doc_id").over(wg))
+        .withColumn(
+            "bc",
+            F.count(
+                F.when(F.col("doc_id") == F.col("gmin"), F.lit(1))
+            ).over(wb),
+        )
+    )
     # q112's noop trick: both branches reference every window column so
     # the Window subtrees stay structurally identical.
     noop = (F.col("bc") >= 1) & F.col("gmin").isNotNull()
@@ -916,4 +926,223 @@ def q117(spark, sf_dir):
             ),
         )
         .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-14 stage: image contamination screen — the q170/q177 shape for
+# the image modality, on the q110/q114 machinery. Which TRAINING images
+# are perceptual near-duplicates of the held-out eval source's images
+# (an eval benchmark's screenshots/figures leaking into a training
+# crawl are exactly as poisonous as its text). The eval fingerprint
+# index keeps one GROUP REPRESENTATIVE per distinct 64-bit hash per
+# band (verbatim eval mass collapses to one rep — Hamming to the rep
+# equals Hamming to every member, the q114 output-identity argument),
+# and per the q202 lesson this path applies NO bucket cap: a hot eval
+# fingerprint is the contamination signal, not boilerplate noise. The
+# fanout is bounded by DISTINCT eval hashes per band value and every
+# verify is two-longs Hamming arithmetic.
+# ---------------------------------------------------------------------------
+
+from smartbulkcopy_spark.pipeline.dedup import (  # noqa: E402
+    WINNOW_EVAL_SOURCE,
+)
+
+
+def image_contamination_screen(spark, sf_dir):
+    """(doc_id, dup_of, best_hamming, n_eval_dups) per CONTAMINATED
+    training image: the lowest-id eval near-duplicate, the closest
+    Hamming distance, and how many distinct eval images it matches
+    (Hamming <= IMAGE_HAMMING_MAX of 64 ahash bits).
+
+    Scale: the corpus fingerprints ONCE (eager — both sides and the
+    verify read it); candidates are a banded train x eval-rep equi-join
+    on (band_idx, band_val) — never all-pairs — with both sides' hashes
+    riding the join rows so the verify is row-local; the rollup keys
+    doc_id. Cost = batch bands x distinct-eval-hash collision rate,
+    the q114 incremental shape with the eval index as the static side."""
+    src = table(spark, sf_dir, "documents").select("doc_id", "source")
+    ah = eager(
+        image_ahash(_blobs(spark, sf_dir), "doc_id", "blob")
+        .select("doc_id", "ahash_hi", "ahash_lo")
+        .join(src, "doc_id")
+    )
+    bands = ah.select(
+        "doc_id",
+        "source",
+        "ahash_hi",
+        "ahash_lo",
+        F.posexplode(
+            F.array(
+                *[
+                    F.expr(
+                        f"shiftright({'ahash_hi' if b < 2 else 'ahash_lo'},"
+                        f" {AHASH_BAND_BITS * (b % 2)}) & 65535"
+                    )
+                    for b in range(AHASH_BANDS)
+                ]
+            )
+        ).alias("band_idx", "band_val"),
+    )
+    ev = (
+        bands.where(F.col("source") == WINNOW_EVAL_SOURCE)
+        .groupBy("band_idx", "band_val", "ahash_hi", "ahash_lo")
+        .agg(F.min("doc_id").alias("eval_id"))
+        .select(
+            "band_idx",
+            "band_val",
+            "eval_id",
+            F.col("ahash_hi").alias("hi_e"),
+            F.col("ahash_lo").alias("lo_e"),
+        )
+    )
+    tr = bands.where(F.col("source") != WINNOW_EVAL_SOURCE).select(
+        "doc_id", "band_idx", "band_val", "ahash_hi", "ahash_lo"
+    )
+    ham = F.expr(
+        "bit_count(ahash_hi ^ hi_e) + bit_count(ahash_lo ^ lo_e)"
+    )
+    cand = (
+        tr.join(ev, ["band_idx", "band_val"])
+        .select("doc_id", "eval_id", ham.cast("long").alias("hamming"))
+        .distinct()
+    )
+    return (
+        cand.where(F.col("hamming") <= IMAGE_HAMMING_MAX)
+        .groupBy("doc_id")
+        .agg(
+            F.min("eval_id").cast("long").alias("dup_of"),
+            F.min("hamming").cast("long").alias("best_hamming"),
+            F.countDistinct("eval_id").cast("long").alias("n_eval_dups"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _image_contamination_oracle() -> str:
+    """DuckDB replay of image_contamination_screen, drafted with the
+    builder (round-14 registration wires it up): same decode -> ahash
+    chain, same banded eval-rep index, same cap-free screen."""
+    return (
+        "WITH " + _ahash_cte_duck() + ","
+        " src AS (SELECT doc_id, source FROM documents),"
+        " bands AS (SELECT a.doc_id, s.source, a.ahash_hi, a.ahash_lo,"
+        " t.b AS band_idx,"
+        + " CASE "
+        + " ".join(
+            f"WHEN t.b = {b} THEN {_ahash_band_duck(b)}"
+            for b in range(AHASH_BANDS)
+        )
+        + " END AS band_val"
+        " FROM ah a JOIN src s ON s.doc_id = a.doc_id"
+        " CROSS JOIN (VALUES (0), (1), (2), (3)) AS t(b)),"
+        " ev AS (SELECT band_idx, band_val, ahash_hi, ahash_lo,"
+        " min(doc_id) AS eval_id FROM bands"
+        f" WHERE source = '{WINNOW_EVAL_SOURCE}'"
+        " GROUP BY band_idx, band_val, ahash_hi, ahash_lo),"
+        " tr AS (SELECT doc_id, band_idx, band_val, ahash_hi, ahash_lo"
+        f" FROM bands WHERE source != '{WINNOW_EVAL_SOURCE}'),"
+        " cand AS (SELECT DISTINCT t.doc_id, e.eval_id,"
+        " CAST(bit_count(xor(t.ahash_hi, e.ahash_hi))"
+        " + bit_count(xor(t.ahash_lo, e.ahash_lo)) AS BIGINT) AS hamming"
+        " FROM tr t JOIN ev e ON t.band_idx = e.band_idx"
+        " AND t.band_val = e.band_val)"
+        " SELECT doc_id, CAST(min(eval_id) AS BIGINT) AS dup_of,"
+        " min(hamming) AS best_hamming,"
+        " CAST(count(DISTINCT eval_id) AS BIGINT) AS n_eval_dups"
+        f" FROM cand WHERE hamming <= {IMAGE_HAMMING_MAX}"
+        " GROUP BY doc_id ORDER BY doc_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-14 stage: cross-modal coverage reconciliation — the q57 shape
+# widened across modalities. Every document should carry (a) a
+# NON-DEGENERATE image fingerprint (the decode succeeded and the ahash
+# has above-mean structure: 1 <= n_set <= 63 — an all-equal-luminance
+# image hashes to 0 or would need all 64 bits above mean, both
+# degenerate for near-dup work) and (b) an embedding row (vec_id =
+# doc_id, the q57 contract). The per-source rollup localizes WHICH
+# modality dropped rows for WHICH slice of the corpus — the keyed
+# cross-table twin of the reference's row-count reconciliation
+# (client/SmartBulkCopy.cs:1175-1238), one level up.
+# ---------------------------------------------------------------------------
+
+
+def cross_modal_coverage_audit(spark, sf_dir):
+    """(source, n_docs, n_imaged, n_embedded, n_complete, complete_ppm)
+    per source: document count, docs with a non-degenerate image
+    fingerprint, docs with an embedding row, docs with both, and the
+    integer ppm share of fully-covered docs.
+
+    Scale: the fingerprint side reuses the eager'd ahash table (one
+    mapInPandas pass); the embedding side is an id-only projection;
+    both attach to documents by LEFT joins on doc_id (ids and two
+    longs — payloads never shuffle); the rollup is a tiny per-source
+    aggregation."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source")
+    img = (
+        image_ahash(_blobs(spark, sf_dir), "doc_id", "blob")
+        .where((F.col("n_set") >= 1) & (F.col("n_set") <= 63))
+        .select("doc_id")
+        .withColumn("has_img", F.lit(1))
+    )
+    emb = (
+        table(spark, sf_dir, "embeddings")
+        .select(F.col("vec_id").alias("doc_id"))
+        .withColumn("has_emb", F.lit(1))
+    )
+    per = docs.join(img, "doc_id", "left").join(emb, "doc_id", "left")
+    return (
+        per.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.coalesce(F.col("has_img"), F.lit(0)))
+            .cast("long")
+            .alias("n_imaged"),
+            F.sum(F.coalesce(F.col("has_emb"), F.lit(0)))
+            .cast("long")
+            .alias("n_embedded"),
+            F.sum(
+                F.coalesce(F.col("has_img"), F.lit(0))
+                * F.coalesce(F.col("has_emb"), F.lit(0))
+            )
+            .cast("long")
+            .alias("n_complete"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_imaged",
+            "n_embedded",
+            "n_complete",
+            F.expr("n_complete * 1000000 DIV n_docs")
+            .cast("long")
+            .alias("complete_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+def _cross_modal_oracle() -> str:
+    """DuckDB replay of cross_modal_coverage_audit, drafted with the
+    builder (round-14 registration wires it up): same ahash chain, the
+    same n_set degeneracy bounds, the same id-keyed reconciliation."""
+    return (
+        "WITH " + _ahash_cte_duck() + ","
+        " img AS (SELECT doc_id FROM ah"
+        " WHERE n_set >= 1 AND n_set <= 63),"
+        " emb AS (SELECT vec_id AS doc_id FROM embeddings),"
+        " per AS (SELECT d.source,"
+        " CASE WHEN i.doc_id IS NOT NULL THEN 1 ELSE 0 END AS has_img,"
+        " CASE WHEN e.doc_id IS NOT NULL THEN 1 ELSE 0 END AS has_emb"
+        " FROM documents d LEFT JOIN img i ON i.doc_id = d.doc_id"
+        " LEFT JOIN emb e ON e.doc_id = d.doc_id)"
+        " SELECT source, CAST(count(*) AS BIGINT) AS n_docs,"
+        " CAST(sum(has_img) AS BIGINT) AS n_imaged,"
+        " CAST(sum(has_emb) AS BIGINT) AS n_embedded,"
+        " CAST(sum(has_img * has_emb) AS BIGINT) AS n_complete,"
+        " CAST(sum(has_img * has_emb) * 1000000 // count(*) AS BIGINT)"
+        " AS complete_ppm"
+        " FROM per GROUP BY source ORDER BY source"
     )

@@ -4100,10 +4100,16 @@ def repetition_removal_audit(spark, sf_dir):
     docs = spread(spark, table(spark, sf_dir, "documents"))
     n = F.trim(norm_text())
     t = F.split(n, " ")
+    # Guard the enumeration: sequence(1, 0) steps DOWN to [1, 0] (Spark
+    # defaults to step -1 when start > stop), so a <3-token doc would
+    # index element_at(t, 0) and throw. The oracle's range(1, ...) is
+    # empty for the same doc — the CASE keeps both engines at array().
     grams = F.expr(
-        f"transform(sequence(1, greatest(size(t) - {REP_GRAM - 1}, 0)),"
+        f"CASE WHEN size(t) >= {REP_GRAM} THEN"
+        f" transform(sequence(1, size(t) - {REP_GRAM - 1}),"
         " i -> struct(i AS s, concat_ws(' ', element_at(t, i),"
         " element_at(t, i + 1), element_at(t, i + 2)) AS g))"
+        " ELSE CAST(array() AS array<struct<s:int,g:string>>) END"
     )
     occ = (
         docs.where(n != "")
@@ -4197,3 +4203,46 @@ def _repetition_oracle() -> str:
         " FROM base b LEFT JOIN pd ON b.doc_id = pd.doc_id"
         " ORDER BY b.doc_id"
     )
+
+
+@register(
+    "q200_dsir_importance_weights",
+    _dsir_oracle(),
+    doc="DSIR-style hashed importance-resampling weights (Xie et al."
+    " 2023, public): hash every document's adjacent-token bigrams into"
+    f" {VOCAB_BUCKETS} md5 buckets, fit add-one-smoothed target vs raw"
+    " ppm distributions over ONE bucket-keyed partial aggregation, and"
+    " score each document by the integer-exact probability-DIFFERENCE"
+    " sum of its bucket stream (the paper's log-ratio needs ln() —"
+    " libm last-ulp drift across engines, the q192 lesson; the"
+    " difference is monotone for selection and bit-identical anywhere)."
+    " Target domain = the alphabetically-first source, attached as a"
+    " driver-bounded scalar (q52 pattern — never a constant-key join);"
+    " the <= bucket-count model broadcasts back onto the stream; corpus"
+    " text never shuffles. Staged-probe 8x ratio 1.2x, 16x->32x"
+    " disjoint -0.25 / verbatim -0.24 (SCALE.md staged tables).",
+)
+def q200(spark, sf_dir):
+    return dsir_importance_weights(spark, sf_dir)
+
+
+@register(
+    "q201_repetition_removal_audit",
+    _repetition_oracle(),
+    doc="Intra-document repetition-removal audit — the RefinedWeb/"
+    "Gopher repeated-span trimming signal, exactly defined: a token is"
+    f" REMOVABLE iff covered by a {REP_GRAM}-gram occurrence whose gram"
+    " already appeared earlier in the same document (first occurrences"
+    " survive); reports per-doc token count, removable-token count, and"
+    " integer ppm share. Gram starts enumerate row-locally behind a"
+    " size guard (a doc shorter than the gram width reports zero — the"
+    " round-13 ADVICE fix; Spark's sequence() steps DOWN when start >"
+    " stop); first-occurrence detection is a (doc_id, gram) window;"
+    " coverage is the gaps-and-islands running-max union per doc with"
+    " an explicit ROWS frame on both engines. Document text never"
+    " shuffles — the wide keys are (doc_id, gram) and doc_id."
+    " Staged-probe 8x ratio 1.1x, 16x->32x disjoint 0.43 / verbatim"
+    " -0.13 (SCALE.md staged tables).",
+)
+def q201(spark, sf_dir):
+    return repetition_removal_audit(spark, sf_dir)

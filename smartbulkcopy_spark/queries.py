@@ -3477,15 +3477,15 @@ TIER1 = [
 # (rows_match & schema_match & hash_match). Absent = never driver-graded.
 # Generated by tools/ledger.py; keep in lockstep with SURVEY.md §2.12.
 LAST_GREEN = {
-    "q01_scan_project": 11,
-    "q02_logical_partition_bucket": 11,
-    "q03_range_partition_predicate": 11,
-    "q04_ordered_scan_desc": 11,
-    "q05_rowcount": 11,
-    "q06_bucket_counts": 11,
-    "q07_ident_current": 11,
-    "q08_table_size_agg": 11,
-    "q09_inner_join_agg": 11,
+    "q01_scan_project": 12,
+    "q02_logical_partition_bucket": 12,
+    "q03_range_partition_predicate": 12,
+    "q04_ordered_scan_desc": 12,
+    "q05_rowcount": 12,
+    "q06_bucket_counts": 12,
+    "q07_ident_current": 12,
+    "q08_table_size_agg": 12,
+    "q09_inner_join_agg": 12,
     "q100_gopher_rules": 7,
     "q101_hourly_cohort_retention": 7,
     "q102_conversion_latency": 7,
@@ -3496,7 +3496,7 @@ LAST_GREEN = {
     "q107_minhash_estimate_quality": 7,
     "q108_jaccard_distribution": 7,
     "q109_event_transitions": 7,
-    "q10_left_join_agg": 11,
+    "q10_left_join_agg": 12,
     "q110_image_ahash": 7,
     "q111_image_near_dup": 7,
     "q112_simhash_near_dup": 7,
@@ -3507,7 +3507,7 @@ LAST_GREEN = {
     "q117_image_dedup_keep": 8,
     "q118_pii_redaction": 8,
     "q119_crossdoc_repeated_spans": 8,
-    "q11_semi_join": 11,
+    "q11_semi_join": 12,
     "q120_hashed_linear_quality": 8,
     "q121_hll_distinct_tokens": 8,
     "q122_cms_heavy_hitters": 8,
@@ -3518,7 +3518,7 @@ LAST_GREEN = {
     "q127_kmv_source_overlap": 8,
     "q128_prefix_filter_join": 8,
     "q129_containment_join": 8,
-    "q12_except": 11,
+    "q12_except": 12,
     "q130_pps_token_sample": 8,
     "q131_vocab_growth": 8,
     "q132_cluster_separation": 8,
@@ -3529,7 +3529,7 @@ LAST_GREEN = {
     "q137_mad_length_outliers": 8,
     "q138_tokenizer_fertility": 8,
     "q139_gap_quantile_sketch": 8,
-    "q13_union_distinct": 11,
+    "q13_union_distinct": 12,
     "q140_regional_revenue_rollup": 8,
     "q141_pq_code_assignment": 8,
     "q142_encoding_anomaly_audit": 8,
@@ -3540,7 +3540,7 @@ LAST_GREEN = {
     "q147_temporal_split_audit": 9,
     "q148_stream_enrichment_rollup": 9,
     "q149_seqlen_truncation_frontier": 9,
-    "q14_topk": 11,
+    "q14_topk": 12,
     "q150_snapshot_diff_audit": 9,
     "q151_neyman_allocation": 9,
     "q152_corpus_rollup_totals": 9,
@@ -3551,7 +3551,7 @@ LAST_GREEN = {
     "q157_hourly_seasonality": 9,
     "q158_repeat_purchase_profile": 9,
     "q159_attribution_model_compare": 9,
-    "q15_case_when": 11,
+    "q15_case_when": 12,
     "q160_skeleton_template_dupes": 9,
     "q161_copurchase_lift": 9,
     "q162_rfm_segments": 9,
@@ -3562,7 +3562,7 @@ LAST_GREEN = {
     "q167_discount_elasticity": 9,
     "q168_scd2_version_profile": 9,
     "q169_zipf_coverage": 9,
-    "q16_quotename": 11,
+    "q16_quotename": 12,
     "q170_winnowing_contamination": 9,
     "q171_source_template_matrix": 10,
     "q172_peak_concurrency": 10,
@@ -3573,7 +3573,7 @@ LAST_GREEN = {
     "q177_incremental_contamination": 10,
     "q178_stream_seasonality": 10,
     "q179_bpe_vocab_budget": 10,
-    "q17_agg_sweep": 11,
+    "q17_agg_sweep": 12,
     "q180_exact_substring_verify": 10,
     "q181_pq_codebook_refresh": 10,
     "q182_stream_peak_concurrency": 10,
@@ -3584,11 +3584,19 @@ LAST_GREEN = {
     "q187_lexical_detector_overlap": 11,
     "q188_tree_depth3_assignment": 11,
     "q189_tree_flat_agreement": 11,
-    "q18_tumbling_window": 11,
+    "q18_tumbling_window": 12,
     "q190_tree_probe_recall": 11,
     "q191_winnow_posting_histogram": 11,
-    "q19_rate_delta_lag": 11,
-    "q20_copy_roundtrip": 11,
+    "q192_bigram_lm_fit": 12,
+    "q193_quality_calibration": 12,
+    "q194_soft_dedup_weights": 12,
+    "q195_winnow_drop_share": 12,
+    "q196_embedding_split_leakage": 12,
+    "q197_tree_multiprobe_recall": 12,
+    "q198_stream_click_attribution": 12,
+    "q199_star_fallback_recall": 12,
+    "q19_rate_delta_lag": 12,
+    "q20_copy_roundtrip": 12,
     "q21_exact_dedup": 11,
     "q22_text_stats": 11,
     "q23_token_counts": 11,
@@ -3603,7 +3611,7 @@ LAST_GREEN = {
     "q32_binary_features": 11,
     "q33_embedding_near_dup": 11,
     "q34_near_dup_dedup": 11,
-    "q35_sessionization": 11,
+    "q35_sessionization": 12,
     "q36_ivf_assignment": 11,
     "q37_scalar_funcs": 11,
     "q38_bpe_token_counts": 11,
@@ -3611,41 +3619,41 @@ LAST_GREEN = {
     "q40_image_decode": 11,
     "q41_image_resize": 11,
     "q42_audio_frame_sample": 11,
-    "q43_ann_bucketed_topk": 5,
-    "q44_ivf_probe_topk": 5,
-    "q45_sliding_window": 11,
-    "q46_session_window": 11,
-    "q47_ann_recall": 5,
+    "q43_ann_bucketed_topk": 12,
+    "q44_ivf_probe_topk": 12,
+    "q45_sliding_window": 12,
+    "q46_session_window": 12,
+    "q47_ann_recall": 12,
     "q48_vocab_topk": 10,
     "q49_cross_source_neardups": 10,
     "q50_split_assignment": 10,
-    "q51_pack_offsets": 5,
+    "q51_pack_offsets": 12,
     "q52_tfidf_top_terms": 10,
     "q53_blocklist_redaction": 10,
-    "q54_embedding_norm_audit": 5,
-    "q55_embedding_dim_stats": 5,
+    "q54_embedding_norm_audit": 12,
+    "q55_embedding_dim_stats": 12,
     "q56_mixture_resample": 10,
-    "q57_embedding_coverage": 6,
+    "q57_embedding_coverage": 12,
     "q58_event_funnel": 7,
     "q59_key_skew_histogram": 7,
     "q60_event_enrichment": 10,
-    "q61_curation_stats": 6,
-    "q62_pack_fill": 6,
+    "q61_curation_stats": 12,
+    "q62_pack_fill": 12,
     "q63_incremental_dedup": 10,
     "q64_json_props": 10,
     "q65_exact_length_quantiles": 10,
     "q66_intra_doc_repetition": 10,
-    "q67_bucket_label_purity": 6,
+    "q67_bucket_label_purity": 12,
     "q68_eval_decontamination": 10,
-    "q69_dedup_clusters": 6,
-    "q70_cluster_dedup_keep": 6,
-    "q71_trigram_novelty": 6,
-    "q72_salted_skew_join": 6,
-    "q73_doc_chunking": 6,
-    "q74_embedding_quantize": 6,
-    "q75_group_sample": 6,
-    "q76_stratified_split_audit": 6,
-    "q77_kmeans_lite": 6,
+    "q69_dedup_clusters": 12,
+    "q70_cluster_dedup_keep": 12,
+    "q71_trigram_novelty": 12,
+    "q72_salted_skew_join": 12,
+    "q73_doc_chunking": 12,
+    "q74_embedding_quantize": 12,
+    "q75_group_sample": 12,
+    "q76_stratified_split_audit": 12,
+    "q77_kmeans_lite": 12,
     "q78_burst_detection": 6,
     "q79_video_frame_sample": 6,
     "q80_decontaminated_redact": 6,
@@ -3843,6 +3851,17 @@ QUEUED_SINCE = {
     "q197_tree_multiprobe_recall": 125,
     "q198_stream_click_attribution": 126,
     "q199_star_fallback_recall": 127,
+    # round 13: the two pre-probed staged builders from the round-12
+    # queue (SCALE.md staged tables — 8x ratios and dual-mode 16x/32x
+    # exponents measured BEFORE registration) plus the q202
+    # contamination-cap recall study (round-12 verdict item 3, the
+    # q199 pattern). Three never-graded slots; the remaining 24
+    # rotation slots fill with the r06-stale q78-q91 block then the
+    # r07 block by (QUEUED_SINCE, query number): q92-q101 (q58/q59
+    # have no QUEUED_SINCE entry and sort last in their class).
+    "q200_dsir_importance_weights": 130,
+    "q201_repetition_removal_audit": 131,
+    "q202_contamination_cap_recall": 132,
 }
 
 

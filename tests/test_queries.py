@@ -272,3 +272,51 @@ def test_r12_window_prediction():
         : DRIVER_WINDOW - len(TIER1)
     ]
     assert rotation == expected
+
+
+def test_r13_window_prediction():
+    """Round-12 verdict items 2/3: the round-13 rotation window must
+    be the three round-13 registrations (q200/q201 staged builders +
+    the q202 cap-recall study; never-graded sorts first), followed by
+    the r06-stale block (q78..q91, 14 rows) and then the r07 block in
+    (QUEUED_SINCE, query-number) order filling the remaining 10 slots
+    (q92..q101 — q58/q59 carry no QUEUED_SINCE entry and sort last in
+    their LAST_GREEN class, exactly as ordered_names() does).
+    Guarded on the ledger state so the pin retires itself once round
+    13 is folded."""
+    from smartbulkcopy_spark.queries import (
+        DRIVER_WINDOW,
+        LAST_GREEN,
+        QUEUED_SINCE,
+        TIER1,
+        ordered_names,
+    )
+
+    if max(LAST_GREEN.values()) != 12:
+        pytest.skip("ledger has moved past round 12; pin satisfied")
+    rotation = ordered_names()[len(TIER1) : DRIVER_WINDOW]
+
+    def qnum(n):
+        return int(n[1 : n.index("_")])
+
+    new_r13 = sorted(
+        (n for n, b in QUEUED_SINCE.items() if b >= 130), key=qnum
+    )
+    assert new_r13 == [
+        "q200_dsir_importance_weights",
+        "q201_repetition_removal_audit",
+        "q202_contamination_cap_recall",
+    ]
+    stale_r06 = sorted(
+        (n for n in REGISTRY if LAST_GREEN.get(n) == 6), key=qnum
+    )
+    assert len(stale_r06) == 14 and stale_r06[0] == "q78_burst_detection"
+    stale_r07 = sorted(
+        (n for n in REGISTRY if LAST_GREEN.get(n) == 7),
+        key=lambda n: (QUEUED_SINCE.get(n, 99), qnum(n)),
+    )
+    expected = (new_r13 + stale_r06 + stale_r07)[
+        : DRIVER_WINDOW - len(TIER1)
+    ]
+    assert expected[-1] == "q101_hourly_cohort_retention"
+    assert rotation == expected

@@ -96,7 +96,7 @@ def test_round12_registrations_complete():
     silently-dropped registration cannot pass."""
     from smartbulkcopy_spark.queries import QUEUED_SINCE, REGISTRY
 
-    new = sorted(n for n, b in QUEUED_SINCE.items() if b >= 120)
+    new = sorted(n for n, b in QUEUED_SINCE.items() if 120 <= b < 130)
     assert new == [
         "q192_bigram_lm_fit",
         "q193_quality_calibration",
@@ -318,7 +318,10 @@ def test_repetition_removal_hand_corpus(spark, tmp_path):
     """Exact interval-union arithmetic on a corpus computable by eye:
     'a b c' repeated 3x -> first window survives, repeats cover tokens
     4..9 (6 removed of 9); 'p p p p p' -> repeats cover 2..5 (4 of 5);
-    a repeat-free doc and an empty doc report zero."""
+    a repeat-free doc and an empty doc report zero. Docs 5/6 pin the
+    round-13 ADVICE fix: a non-empty doc SHORTER than the gram width
+    must report zero, not throw (Spark's sequence(1, 0) steps DOWN to
+    [1, 0] and element_at(t, 0) raised before the CASE guard)."""
     from smartbulkcopy_spark.pipeline.text import (
         _repetition_oracle,
         repetition_removal_audit,
@@ -332,6 +335,8 @@ def test_repetition_removal_hand_corpus(spark, tmp_path):
             (2, "x y z w"),
             (3, "p p p p p"),
             (4, ""),
+            (5, "hi there"),
+            (6, "one"),
         ],
     )
     got = [
@@ -343,6 +348,8 @@ def test_repetition_removal_hand_corpus(spark, tmp_path):
         (2, 4, 0, 0),
         (3, 5, 4, 800000),
         (4, 0, 0, 0),
+        (5, 2, 0, 0),
+        (6, 1, 0, 0),
     ]
     con = duckdb.connect()
     con.execute(

@@ -510,11 +510,13 @@ ANNOTATED = {
     " generation as-is; split CASEs applied row-locally to both pair"
     " sides (no split-table join); eval-side keyed rollup over the"
     " tiny verified pair set.",
-    "q197_tree_multiprobe_recall": "Exact top-10 computes once"
-    " (eager); per probe width the corpus filters to an IN-list of"
-    " leaf codes (partition pruning at scale) + cosine-scores,"
-    " eager-persisted for count + rerank; broadcast semi-joins of"
-    " 10-row sets; 3-row union output.",
+    "q197_tree_multiprobe_recall": "ONE tree-walk pass (round-13"
+    " restructure): corpus filters to the IN-list of the max-width"
+    " probe leaves (partition pruning at scale) and cosine-scores"
+    " once; each candidate carries its leaf's probe rank, width"
+    " membership explodes row-locally, per-width top-10 is one"
+    " row_number window over the tiny candidate set; exact top-10"
+    " joins as a 10-row broadcast; 3-row output.",
     "q198_stream_click_attribution": "Two watermarked streams over the"
     " same feed meet in a stateful inner interval join (state bounded"
     " by the 2h eviction delay); drained pairs group to (event_id,"
@@ -526,6 +528,23 @@ ANNOTATED = {
     " both candidate graphs bounded (<= 24 x 30 members); two CC"
     " label propagations on (id, label) pairs; 1-row agreement"
     " rollup.",
+    "q200_dsir_importance_weights": "Row-local bigram->md5-bucket"
+    " stream (text never shuffles); ONE bucket-keyed partial agg fits"
+    " both smoothed distributions (conditional sums, map-side"
+    " combine); the <= bucket-count model broadcasts back; doc_id"
+    " rollup; corpus sizes attach as driver-bounded scalars (q52"
+    " pattern, no constant-key join).",
+    "q201_repetition_removal_audit": "Gram starts enumerate row-locally"
+    " behind a size>=gram CASE guard (short docs emit array(), never"
+    " a descending sequence); first-occurrence min over (doc_id, gram);"
+    " gaps-and-islands running-max union per doc (explicit ROWS"
+    " frame); doc_id rollup joins back id-keyed — wide keys are"
+    " (doc_id, gram) and doc_id only.",
+    "q202_contamination_cap_recall": "12 seed docs fingerprint once"
+    " (eager; ev/tr/posting-sizing all read it); verbatim families"
+    " replicate as fingerprint rows row-locally (q199 inflation"
+    " trick); the production cap-free screen and the capped keep rule"
+    " both run over constant-bounded frames; 1-row recall rollup.",
 }
 
 

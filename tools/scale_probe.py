@@ -153,6 +153,9 @@ PROBES = [
     "q197_tree_multiprobe_recall",
     "q198_stream_click_attribution",
     "q199_star_fallback_recall",
+    "q200_dsir_importance_weights",
+    "q201_repetition_removal_audit",
+    "q202_contamination_cap_recall",
 ]
 
 
