@@ -1,4 +1,4 @@
-"""8x pre-probe for the round-12 STAGED builders (not yet registered):
+"""8x pre-probe for the round-14 STAGED builders (not yet registered):
 time each at sf0.1 and on the content-disjoint 8x inflation, and splice
 a manual section into SCALE.md — so registration day inherits measured
 ratios instead of promising them. Splices IN PLACE (never truncates
@@ -44,22 +44,24 @@ def _split_section(text: str, marker: str):
 
 
 def _builders():
-    # round-13 staged queue (the round-12 seven registered as q192-q198
-    # and left this table; SCALE.md keeps their pre-registration rows
-    # in the main table under their qNN names)
-    from smartbulkcopy_spark.pipeline.text import (
-        dsir_importance_weights,
-        repetition_removal_audit,
+    # round-14 staged queue (the round-13 pair registered as q200/q201
+    # and left this table; their pre-registration dual-mode exponents
+    # — dsir -0.25/-0.24, repetition 0.43/-0.13 — are recorded in the
+    # section prose below since the main table now carries their qNN
+    # rows)
+    from smartbulkcopy_spark.pipeline.multimodal import (
+        cross_modal_coverage_audit,
+        image_contamination_screen,
     )
 
     return {
-        "dsir_importance_weights": (
+        "image_contamination_screen": (
             ("documents",),
-            dsir_importance_weights,
+            image_contamination_screen,
         ),
-        "repetition_removal_audit": (
-            ("documents",),
-            repetition_removal_audit,
+        "cross_modal_coverage_audit": (
+            ("documents", "embeddings"),
+            cross_modal_coverage_audit,
         ),
     }
 
@@ -67,11 +69,14 @@ def _builders():
 def tail() -> None:
     """--tail: the document-side staged builders at 16x/32x in both
     corpus modes (the q180 precedent — measure exponents BEFORE
-    registration). `verbatim` matters even for row-local operators:
-    repetition_removal_audit's per-doc windows are doc-bounded either
-    way, but dsir's bucket distributions shift wholesale under
-    verbatim mass — the probe proves neither goes super-linear.
-    Appends a paragraph under the staged-builders section."""
+    registration). `verbatim` is the axis that matters for the image
+    screen: verbatim copies share their ahash, so the eval rep index
+    COLLAPSES while the train side grows — the probe proves the banded
+    join stays linear, the failure class member-count caps hid.
+    cross_modal_coverage_audit is documents+embeddings and has no
+    pair-generating stage (id-keyed LEFT joins only), so only the 8x
+    main probe applies to it. Appends a paragraph under the
+    staged-builders section."""
     import math
 
     from smartbulkcopy_spark.queries import release_caches
@@ -82,10 +87,7 @@ def tail() -> None:
     builders = _builders()
     probes = [
         (n, builders[n][1])
-        for n in (
-            "dsir_importance_weights",
-            "repetition_removal_audit",
-        )
+        for n in ("image_contamination_screen",)
     ]
     spark = get_spark(
         app_name="staged-tail-probe",
@@ -177,12 +179,12 @@ def main() -> None:
                 )
         lines = [
             "",
-            "## Staged builders (round-12 queue, pre-registration)",
+            "## Staged builders (round-14 queue, pre-registration)",
             "",
             f"`tools/staged_probe.py`, loadavg {la1:.2f} at start."
             " Same content-disjoint inflation and noop-write timing as"
             " the main table; these operators are builder-only until"
-            " the round-12 window opens, so the ratios here are the"
+            " the round-14 window opens, so the ratios here are the"
             " registration gate, not a rotation artifact.",
             "",
             f"| builder | t(1x) s | t({INFLATE}x) s | ratio |",
@@ -196,22 +198,30 @@ def main() -> None:
             )
         lines += [
             "",
-            "Reading: winnow_drop_share tracks its registered sibling",
-            "q191 — both pay the shared fingerprint build — and its own",
-            "16x/32x exponents below stay sub-linear in both corpus",
-            "modes. The rest amortize fixed job cost (sub-2.5x at",
-            "8x data). tree_multiprobe is corpus-size-flat by design:",
-            "the probe set is an IN-list partition prune.",
+            "Reading: both audits pay one mapInPandas ahash pass over",
+            "the corpus (the dominant, linear term); the screen's",
+            "banded train x eval-rep join and the coverage joins are",
+            "id-and-two-longs narrow. Registration gate for the round-",
+            "14 window. The round-13 queue's pre-registration dual-mode",
+            "exponents (superseded here by their main-table qNN rows):",
+            "dsir_importance_weights 16x->32x disjoint -0.25 / verbatim",
+            "-0.24; repetition_removal_audit disjoint 0.43 / verbatim",
+            "-0.13.",
         ]
         note = "\n".join(lines) + "\n"
         scale = REPO / "SCALE.md"
         text = scale.read_text()
         if _MARKER in text:
             head, sect, rest = _split_section(text, _MARKER)
-            # keep an existing --tail block: its 16x/32x numbers stay
-            # valid when only the 1x/8x table refreshes
+            # a prior --tail block is kept ONLY if it measures the same
+            # builder set (a requeue replaces the whole section — stale
+            # tail rows under a new table misattribute the numbers)
             cut = sect.find(_TAIL_MARK)
-            keep = sect[cut:].rstrip() + "\n" if cut != -1 else ""
+            keep = ""
+            if cut != -1 and any(
+                name in sect[cut:] for name in builders
+            ):
+                keep = sect[cut:].rstrip() + "\n"
             text = head.rstrip() + "\n" + note + keep + rest
             scale.write_text(text.rstrip() + "\n")
         else:
