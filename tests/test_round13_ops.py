@@ -161,3 +161,226 @@ def test_two_level_bc_counts_distinct_signatures(spark, tmp_path):
     assert not any(
         a in (1, 2, 3) and b in (4, 5) for a, b in got
     )
+
+
+# ---------------------------------------------------------------------------
+# Hypothesis: the q200/q201/q202 oracles vs straight-line Python
+# references (the r9 lesson — hand corpora miss tie- and edge-dense
+# inputs; the fixture tests already pin Spark == oracle, so oracle ==
+# reference closes the triangle).
+# ---------------------------------------------------------------------------
+
+import hashlib as _hashlib
+import re as _re
+from collections import Counter as _Counter
+
+import pandas as _pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from smartbulkcopy_spark.pipeline.dedup import (
+    WINNOW_K,
+    WINNOW_MAX_POSTINGS,
+    WINNOW_MOD,
+    WINNOW_W,
+    WSTUDY_ID_STRIDE,
+    WSTUDY_SEEDS,
+)
+from smartbulkcopy_spark.pipeline.text import REP_GRAM, VOCAB_BUCKETS
+from smartbulkcopy_spark.queries import REGISTRY
+
+
+def _norm(t):
+    return _re.sub(r"\s+", " ", t or "").lower().strip()
+
+
+def _docs_frame(texts, sources=None):
+    return _pd.DataFrame(
+        {
+            "doc_id": range(1, len(texts) + 1),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": sources or ["src0"] * len(texts),
+            "n_chars": [len(t or "") for t in texts],
+        }
+    )
+
+
+_tok = st.sampled_from(["a", "b", "ab", "ba", "xy", "q"])
+_doc = st.lists(_tok, min_size=0, max_size=14).map(" ".join)
+
+
+def _ref_repetition(texts):
+    rows = []
+    for i, t in enumerate(texts, start=1):
+        n = _norm(t)
+        if not n:
+            rows.append((i, 0, 0, 0))
+            continue
+        toks = n.split(" ")
+        nt = len(toks)
+        grams = [
+            (s, " ".join(toks[s - 1 : s + REP_GRAM - 1]))
+            for s in range(1, nt - REP_GRAM + 2)
+        ]
+        first = {}
+        for s, g in grams:
+            first.setdefault(g, s)
+        covered = set()
+        for s, g in grams:
+            if s > first[g]:
+                covered.update(range(s, s + REP_GRAM))
+        nr = len(covered)
+        rows.append((i, nt, nr, nr * 1_000_000 // max(nt, 1)))
+    return rows
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(_doc | st.none(), min_size=1, max_size=8))
+def test_q201_oracle_matches_reference(texts):
+    import duckdb
+
+    con = duckdb.connect()
+    con.register("documents", _docs_frame(texts))
+    got = [
+        tuple(r)
+        for r in con.execute(
+            REGISTRY["q201_repetition_removal_audit"].oracle
+        ).fetchall()
+    ]
+    con.close()
+    assert got == _ref_repetition(texts)
+
+
+def _bucket(w1, w2):
+    return (
+        int(_hashlib.md5(f"{w1} {w2}".encode()).hexdigest()[:4], 16)
+        % VOCAB_BUCKETS
+    )
+
+
+def _ref_dsir(texts, sources):
+    tgt = min(sources)
+    occ = []  # (doc_id, is_tgt, bucket)
+    for i, (t, src) in enumerate(zip(texts, sources), start=1):
+        n = _norm(t)
+        if not n:
+            continue
+        toks = n.split(" ")
+        for w1, w2 in zip(toks, toks[1:]):
+            occ.append((i, src == tgt, _bucket(w1, w2)))
+    nt = sum(1 for _, it, _b in occ if it)
+    nr = len(occ) - nt
+    ct: _Counter = _Counter()
+    cr: _Counter = _Counter()
+    for _i, it, b in occ:
+        (ct if it else cr)[b] += 1
+    d = {
+        b: (ct[b] + 1) * 1_000_000 // (nt + VOCAB_BUCKETS)
+        - (cr[b] + 1) * 1_000_000 // (nr + VOCAB_BUCKETS)
+        for b in set(ct) | set(cr)
+    }
+    agg = {}
+    for i, _it, b in occ:
+        nb, sd = agg.get(i, (0, 0))
+        agg[i] = (nb + 1, sd + d[b])
+    return [
+        (i, *agg.get(i, (0, 0)), agg.get(i, (0, 0))[1] > 0)
+        for i in range(1, len(texts) + 1)
+    ]
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.tuples(_doc | st.none(), st.sampled_from(["s0", "s1"])),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_q200_oracle_matches_reference(rows):
+    import duckdb
+
+    texts = [t for t, _ in rows]
+    sources = [s for _, s in rows]
+    con = duckdb.connect()
+    con.register("documents", _docs_frame(texts, sources))
+    got = [
+        tuple(r)
+        for r in con.execute(
+            REGISTRY["q200_dsir_importance_weights"].oracle
+        ).fetchall()
+    ]
+    con.close()
+    assert got == _ref_dsir(texts, sources)
+
+
+def _ref_cap_recall(texts):
+    # seed fingerprints (first WSTUDY_SEEDS docs by id; all here)
+    fps = {}
+    for i, t in enumerate(texts[:WSTUDY_SEEDS], start=1):
+        n = _norm(t)
+        if len(n) < WINNOW_K + WINNOW_W - 1:
+            continue
+        H = []
+        for p in range(len(n) - WINNOW_K + 1):
+            h = 0
+            for ch in n[p : p + WINNOW_K]:
+                h = (h * 31 + ord(ch)) % WINNOW_MOD
+            H.append(h)
+        s = {
+            min(H[p : p + WINNOW_W])
+            for p in range(len(H) - WINNOW_W + 1)
+        }
+        if s:
+            fps[i] = s
+    ev = set().union(*fps.values()) if fps else set()
+    tr = {}  # train doc -> fp multiset (set: fps are distinct per doc)
+    for i, s in fps.items():
+        size = 10 + (i % 2) * 14
+        for k in range(1, size + 1):
+            tr[i * WSTUDY_ID_STRIDE + k] = s
+    postings: _Counter = _Counter()
+    for i, s in fps.items():
+        for f in s:
+            postings[f] += 1
+    for d, s in tr.items():
+        for f in s:
+            postings[f] += 1
+    keep = {f for f, c in postings.items() if c <= WINNOW_MAX_POSTINGS}
+    n_train = len(tr)
+    screen_docs = sum(1 for s in tr.values() if s & ev)
+    screen_full = sum(1 for s in tr.values() if len(s & ev) == len(s))
+    capped_docs = sum(1 for s in tr.values() if s & keep)
+    if n_train == 0:
+        return [(0, None, None, None, None, None)]
+    return [
+        (
+            n_train,
+            screen_docs,
+            screen_full,
+            capped_docs,
+            screen_docs * 100 // n_train,
+            capped_docs * 100 // n_train,
+        )
+    ]
+
+
+_long_doc = st.lists(_tok, min_size=8, max_size=20).map(" ".join)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(_long_doc | _doc | st.none(), min_size=1, max_size=6))
+def test_q202_oracle_matches_reference(texts):
+    import duckdb
+
+    con = duckdb.connect()
+    con.register("documents", _docs_frame(texts))
+    got = [
+        tuple(r)
+        for r in con.execute(
+            REGISTRY["q202_contamination_cap_recall"].oracle
+        ).fetchall()
+    ]
+    con.close()
+    assert got == _ref_cap_recall(texts)
