@@ -2477,6 +2477,18 @@ def _contamination_rollup(tr, ev):
     " hits.",
 )
 def q170(spark, sf_dir):
+    return (
+        winnow_contamination_screen_full(spark, sf_dir)
+        .orderBy(F.col("n_hits").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+def winnow_contamination_screen_full(spark, sf_dir):
+    """q170's screen WITHOUT the top-20 cut: every contaminated
+    training doc's (n_hits, n_fps, contamination_ppm). The registered
+    q170 ranks it; the round-14 staged contamination ensemble consumes
+    the full flag set."""
     src = table(spark, sf_dir, "documents").select("doc_id", "source")
     pks = winnow_fingerprints(spark, sf_dir).join(src, "doc_id")
     ev = (
@@ -2489,11 +2501,7 @@ def q170(spark, sf_dir):
             "doc_id", "fph"
         )
     )
-    return (
-        _contamination_rollup(tr, ev)
-        .orderBy(F.col("n_hits").desc(), "doc_id")
-        .limit(20)
-    )
+    return _contamination_rollup(tr, ev)
 
 
 # ---------------------------------------------------------------------------

@@ -428,3 +428,123 @@ def q135(spark, sf_dir):
         .alias("rrf_e6"),
     )
     return fused.orderBy(F.col("rrf_e6").desc(), "doc_id").limit(RRF_TOPK)
+
+
+# ---------------------------------------------------------------------------
+# Round-14 stage: contamination ensemble matrix — the q115/q187
+# agreement pattern applied to the DECONTAMINATION family. Three
+# detectors flag training documents against the held-out eval source
+# at three granularities: exact 5-token grams (q68 — verbatim spans),
+# winnowing fingerprints (q170 — near-verbatim runs surviving light
+# edits), and whole-document verified near-dups whose partner is an
+# eval doc (the q49/q69 LSH+Jaccard chain — rewraps). A production
+# decontamination pass runs all three and reviews the disagreement
+# set: gram-only = short verbatim quotes, winnow-only = edited
+# passages below the 5-gram floor, lsh-only = whole-doc rewraps with
+# few shared shingles... and docs all three flag are the hard leaks.
+# Scale: each flag set comes from its existing bucketed/deduped-index
+# generator; this matrix adds only id-keyed joins on tiny doc-id sets.
+# ---------------------------------------------------------------------------
+
+
+def contamination_ensemble_matrix(spark, sf_dir):
+    """(gram5, winnow, lshdup, n_docs): over the union of training
+    docs any detector flags, the per-combination doc counts. Callers
+    get the audit that prices each detector's marginal coverage."""
+    from smartbulkcopy_spark.pipeline.dedup import (
+        WINNOW_EVAL_SOURCE,
+        verified_pairs,
+        winnow_contamination_screen_full,
+    )
+    from smartbulkcopy_spark.pipeline.text import q68
+    from smartbulkcopy_spark.queries import table
+
+    g5 = eager(q68(spark, sf_dir).select("doc_id"))
+    wn = eager(
+        winnow_contamination_screen_full(spark, sf_dir).select("doc_id")
+    )
+    src = table(spark, sf_dir, "documents").select("doc_id", "source")
+    sa = src.select(
+        F.col("doc_id").alias("a_id"),
+        (F.col("source") == WINNOW_EVAL_SOURCE).alias("ea"),
+    )
+    sb = src.select(
+        F.col("doc_id").alias("b_id"),
+        (F.col("source") == WINNOW_EVAL_SOURCE).alias("eb"),
+    )
+    ld = eager(
+        verified_pairs(spark, sf_dir)
+        .select("a_id", "b_id")
+        .join(sa, "a_id")
+        .join(sb, "b_id")
+        .where(F.col("ea") != F.col("eb"))
+        .select(
+            F.when(F.col("ea"), F.col("b_id"))
+            .otherwise(F.col("a_id"))
+            .alias("doc_id")
+        )
+        .distinct()
+    )
+    u = g5.union(wn).union(ld).distinct()
+    gm = g5.withColumn("g", F.lit(True))
+    wm = wn.withColumn("w", F.lit(True))
+    lm = ld.withColumn("l", F.lit(True))
+    return (
+        u.join(gm, "doc_id", "left")
+        .join(wm, "doc_id", "left")
+        .join(lm, "doc_id", "left")
+        .select(
+            F.coalesce(F.col("g"), F.lit(False)).alias("gram5"),
+            F.coalesce(F.col("w"), F.lit(False)).alias("winnow"),
+            F.coalesce(F.col("l"), F.lit(False)).alias("lshdup"),
+        )
+        .groupBy("gram5", "winnow", "lshdup")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .orderBy("gram5", "winnow", "lshdup")
+    )
+
+
+def _contamination_ensemble_oracle() -> str:
+    """DuckDB replay of contamination_ensemble_matrix, drafted with
+    the builder (round-14 registration wires it up): the q68 gram
+    chain, the q170 winnow-screen chain (prefix 'w'), and the q69
+    verified-pair chain, each reduced to a distinct flagged-doc set
+    and rolled up by combination."""
+    from smartbulkcopy_spark.pipeline.dedup import (
+        WINNOW_EVAL_SOURCE,
+        _winnow_pk_ctes,
+    )
+    from smartbulkcopy_spark.pipeline.sketch import _grams_duck
+
+    ev = WINNOW_EVAL_SOURCE
+    return (
+        "WITH " + _grams_duck() + ","
+        + _winnow_pk_ctes("w") + ","
+        + _lex_pairs_cte_duck() + ","
+        " srcx AS (SELECT doc_id, source FROM documents),"
+        " ev5 AS (SELECT DISTINCT gh FROM gd"
+        f" WHERE source = '{ev}'),"
+        " g5 AS MATERIALIZED (SELECT DISTINCT doc_id FROM gd"
+        f" WHERE source != '{ev}' AND gh IN (SELECT gh FROM ev5)),"
+        " pksw AS (SELECT p.doc_id, s.source, p.fph FROM pkw p"
+        " JOIN srcx s ON s.doc_id = p.doc_id),"
+        " evw AS (SELECT DISTINCT fph FROM pksw"
+        f" WHERE source = '{ev}'),"
+        " wn AS MATERIALIZED (SELECT DISTINCT doc_id FROM pksw"
+        f" WHERE source != '{ev}' AND fph IN (SELECT fph FROM evw)),"
+        " lsd AS MATERIALIZED (SELECT DISTINCT CASE WHEN"
+        f" xa.source = '{ev}' THEN vp.b_id ELSE vp.a_id END AS doc_id"
+        " FROM vp JOIN srcx xa ON xa.doc_id = vp.a_id"
+        " JOIN srcx xb ON xb.doc_id = vp.b_id"
+        f" WHERE (xa.source = '{ev}') != (xb.source = '{ev}')),"
+        " u AS (SELECT doc_id FROM g5 UNION SELECT doc_id FROM wn"
+        " UNION SELECT doc_id FROM lsd)"
+        " SELECT (g5.doc_id IS NOT NULL) AS gram5,"
+        " (wn.doc_id IS NOT NULL) AS winnow,"
+        " (lsd.doc_id IS NOT NULL) AS lshdup,"
+        " CAST(count(*) AS BIGINT) AS n_docs"
+        " FROM u LEFT JOIN g5 ON g5.doc_id = u.doc_id"
+        " LEFT JOIN wn ON wn.doc_id = u.doc_id"
+        " LEFT JOIN lsd ON lsd.doc_id = u.doc_id"
+        " GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"
+    )

@@ -384,3 +384,74 @@ def test_q202_oracle_matches_reference(texts):
     ]
     con.close()
     assert got == _ref_cap_recall(texts)
+
+
+# ---------------------------------------------------------------------------
+# Round-14 staged builder: contamination ensemble matrix
+# ---------------------------------------------------------------------------
+
+
+def test_contamination_ensemble_hand_corpus(spark, tmp_path):
+    """A corpus built so each detector has a distinguishable verdict:
+    doc 11 shares a verbatim 12-token run with eval doc 1 (all three
+    detectors must flag it); doc 12 is clean. Spark and the oracle
+    agree row-for-row and the all-three row is present."""
+    from smartbulkcopy_spark.pipeline.ensemble import (
+        _contamination_ensemble_oracle,
+        contamination_ensemble_matrix,
+    )
+    from smartbulkcopy_spark.queries import release_caches
+
+    leak = "the quick brown fox jumps over the lazy dog again and again"
+    _mini_docs(
+        tmp_path,
+        [
+            (1, leak, "src0"),
+            (2, "an unrelated evaluation benchmark prompt entirely", "src0"),
+            (11, leak, "crawl"),
+            (12, "training text with no overlap whatsoever here", "crawl"),
+        ],
+    )
+    got = [
+        tuple(r)
+        for r in contamination_ensemble_matrix(
+            spark, str(tmp_path)
+        ).collect()
+    ]
+    release_caches()
+    assert (True, True, True) in {(g, w, l) for g, w, l, _n in got}
+    flagged = {n for g, w, l, n in got}
+    assert all(n >= 1 for n in flagged)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM"
+        f" read_parquet('{tmp_path}/documents.parquet')"
+    )
+    want = [
+        tuple(r)
+        for r in con.execute(_contamination_ensemble_oracle()).fetchall()
+    ]
+    assert got == want
+
+
+def test_contamination_ensemble_reconciles_on_fixture(spark, sf_dir, duck):
+    """The staged ensemble's oracle replays the builder row-for-row at
+    fixture scale, and the union is non-trivial (the fixture has known
+    gram and winnow contamination: q68/q170 emit rows there)."""
+    from smartbulkcopy_spark.pipeline.ensemble import (
+        _contamination_ensemble_oracle,
+        contamination_ensemble_matrix,
+    )
+    from smartbulkcopy_spark.queries import release_caches
+
+    got = [
+        tuple(r)
+        for r in contamination_ensemble_matrix(spark, sf_dir).collect()
+    ]
+    release_caches()
+    want = [
+        tuple(r)
+        for r in duck.execute(_contamination_ensemble_oracle()).fetchall()
+    ]
+    assert got == want and len(got) >= 1
+    assert sum(n for *_f, n in got) >= 1

@@ -49,6 +49,9 @@ def _builders():
     # — dsir -0.25/-0.24, repetition 0.43/-0.13 — are recorded in the
     # section prose below since the main table now carries their qNN
     # rows)
+    from smartbulkcopy_spark.pipeline.ensemble import (
+        contamination_ensemble_matrix,
+    )
     from smartbulkcopy_spark.pipeline.multimodal import (
         cross_modal_coverage_audit,
         image_contamination_screen,
@@ -62,6 +65,10 @@ def _builders():
         "cross_modal_coverage_audit": (
             ("documents", "embeddings"),
             cross_modal_coverage_audit,
+        ),
+        "contamination_ensemble_matrix": (
+            ("documents",),
+            contamination_ensemble_matrix,
         ),
     }
 
@@ -87,7 +94,10 @@ def tail() -> None:
     builders = _builders()
     probes = [
         (n, builders[n][1])
-        for n in ("image_contamination_screen",)
+        for n in (
+            "image_contamination_screen",
+            "contamination_ensemble_matrix",
+        )
     ]
     spark = get_spark(
         app_name="staged-tail-probe",
