@@ -66,6 +66,8 @@ from smartbulkcopy_spark.queries import eager, register, spread, table
 # QUEUED_SINCE batch never changes window membership).
 from smartbulkcopy_spark.pipeline.text import (  # noqa: E402
     TOKENS_SQL_DUCK as _TEXT_TOKENS_SQL_DUCK,
+    gram_key_duck,
+    gram_key_spark,
     split_case_sql as _text_split_case_sql,
 )
 
@@ -1644,8 +1646,9 @@ CROSSDOC_L = 40  # span granularity: repeated runs of >= 40 normalized chars
     f" lg AS (SELECT doc_id, n FROM nn WHERE length(n) >= {CROSSDOC_L}),"
     " g0 AS (SELECT doc_id, n,"
     f" unnest(range(1, length(n) - {CROSSDOC_L} + 2)) AS pos FROM lg),"
-    " g AS (SELECT doc_id, pos,"
-    f" md5(substr(n, CAST(pos AS INT), {CROSSDOC_L})) AS h FROM g0),"
+    " g AS (SELECT doc_id, pos, "
+    + gram_key_duck(f"substr(n, CAST(pos AS INT), {CROSSDOC_L})")
+    + " AS h FROM g0),"
     " dup AS (SELECT h FROM g GROUP BY h"
     " HAVING count(DISTINCT doc_id) >= 2),"
     " hit AS (SELECT doc_id, pos FROM g JOIN dup USING (h)),"
@@ -1663,13 +1666,16 @@ CROSSDOC_L = 40  # span granularity: repeated runs of >= 40 normalized chars
     " ORDER BY doc_id, span_start",
     doc="Cross-document repeated-substring spans (distributed exact-"
     f"substring dedup): every {CROSSDOC_L}-char window of the"
-    " normalized text is hashed; hashes occurring in >= 2 distinct"
-    " documents mark their positions, and per-document positions merge"
-    " into maximal overlapping spans (interval-union gaps-and-islands)."
-    " The sub-document artifact that document-level dedup cannot emit:"
-    " shared boilerplate is excised, unique remainders survive. One"
-    " gram-hash shuffle (singletons die map-side), doc-length-bounded"
-    " windows; linear in corpus size.",
+    " normalized text is hashed to the 60-bit integer gram key"
+    " (gram_key_spark — the per-CHAR gram stream is the repo's"
+    " heaviest shuffle, and the 8-byte long key avoids the measured"
+    " hex-string sort cliff at high verbatim mass); keys occurring in"
+    " >= 2 distinct documents mark their positions, and per-document"
+    " positions merge into maximal overlapping spans (interval-union"
+    " gaps-and-islands). The sub-document artifact that document-level"
+    " dedup cannot emit: shared boilerplate is excised, unique"
+    " remainders survive. One gram-key shuffle (singletons die"
+    " map-side), doc-length-bounded windows; linear in corpus size.",
 )
 def q119(spark, sf_dir):
     docs = table(spark, sf_dir, "documents")
@@ -1684,7 +1690,9 @@ def q119(spark, sf_dir):
         F.posexplode(
             F.expr(
                 f"transform(sequence(1, length(n) - {L - 1}),"
-                f" i -> md5(substr(n, i, {L})))"
+                " i -> "
+                + gram_key_spark(f"substr(n, i, {L})")
+                + ")"
             )
         ).alias("i0", "h"),
     ).select("doc_id", (F.col("i0") + 1).cast("long").alias("pos"), "h")
@@ -2606,8 +2614,9 @@ Q180_L2 = 2 * _WINNOW_MIN_LEN  # 34-char windows: 2x the winnow span
     f" nn2 AS (SELECT d.doc_id, {NORM_DUCK} AS n"
     " FROM documents d JOIN mem USING (doc_id)),"
     f" lg2 AS (SELECT doc_id, n FROM nn2 WHERE length(n) >= {Q180_L2}),"
-    " g2 AS MATERIALIZED (SELECT DISTINCT doc_id,"
-    f" md5(substr(n, CAST(pos AS INT), {Q180_L2})) AS h2"
+    " g2 AS MATERIALIZED (SELECT DISTINCT doc_id, "
+    + gram_key_duck(f"substr(n, CAST(pos AS INT), {Q180_L2})")
+    + " AS h2"
     " FROM (SELECT doc_id, n,"
     f" unnest(range(1, length(n) - {Q180_L2} + 2)) AS pos FROM lg2)),"
     " hit AS (SELECT c.a_id, c.b_id,"
@@ -2632,8 +2641,9 @@ Q180_L2 = 2 * _WINNOW_MIN_LEN  # 34-char windows: 2x the winnow span
     " suffix-automaton-free containment proof; zero demotes the pair"
     " to reworded-only. Verify discipline: eager-persisted candidate"
     " set, LEFT-SEMI member thinning before gram work, row-local"
-    " md5 explode (q119 spelling); the only corpus-sized stages are"
-    " the shared fingerprint pass and its fph-keyed pair join.",
+    " explode to the 60-bit integer gram key (q119 spelling — 8-byte"
+    " long join keys, never hex strings); the only corpus-sized stages"
+    " are the shared fingerprint pass and its fph-keyed pair join.",
 )
 def q180(spark, sf_dir):
     _pkf, pr = winnow_capped_pairs(spark, sf_dir)
@@ -2660,7 +2670,9 @@ def q180(spark, sf_dir):
                 F.expr(
                     f"array_distinct(transform("
                     f"sequence(1, length(n) - {Q180_L2 - 1}),"
-                    f" i -> md5(substr(n, i, {Q180_L2}))))"
+                    " i -> "
+                    + gram_key_spark(f"substr(n, i, {Q180_L2})")
+                    + "))"
                 )
             ).alias("h2"),
         )

@@ -611,6 +611,29 @@ def q26(spark, sf_dir):
 DECON_N = 5
 DECON_EVAL_SOURCE = "src0"  # the fixture's stand-in held-out eval set
 
+# 60-bit INTEGER gram key: the first 15 hex chars of the gram md5,
+# parsed to BIGINT identically on both engines. Every gram-stream
+# shuffle in the repo keys on this (q68/q80 per-token decontamination,
+# q119/q180 per-char substring spans): shuffling an 8-byte long
+# instead of a 32-char hex string removed a measured resource cliff at
+# high verbatim mass (round 13: q68's hex shuffle read 18.1 s /
+# exponent 1.68 at verbatim 16x->32x of sf0.1, the integer key 5.9 s /
+# 0.45 — flat-then-cliff, width-insensitive, i.e. string sort/join
+# memory, not the plan). Collision risk is negligible (n^2/2^61:
+# ~0.06 expected collisions at 3x10^8 distinct grams) and a collision
+# only ADDS a flagged doc / merges one span pair — the conservative
+# direction for contamination screens and dedup alike (q123's bloom
+# variant embraces false positives outright; it keeps the hex string
+# because its k bit probes salt it).
+
+
+def gram_key_spark(gram: str) -> str:
+    return f"CAST(conv(substr(md5({gram}), 1, 15), 16, 10) AS BIGINT)"
+
+
+def gram_key_duck(gram: str) -> str:
+    return f"CAST(('0x' || substr(md5({gram}), 1, 15)) AS BIGINT)"
+
 
 @register(
     "q68_eval_decontamination",
@@ -619,8 +642,10 @@ DECON_EVAL_SOURCE = "src0"  # the fixture's stand-in held-out eval set
     f" WHERE trim({NORM_SQL_DUCK}) != ''),"
     f" g AS (SELECT doc_id, source, unnest(list_transform("
     f"range(1, len(t) - {DECON_N - 1} + 1),"
-    f" i -> md5(array_to_string(list_slice(t, i, i + {DECON_N - 1}),"
-    f" ' ')))) AS gh FROM tok WHERE len(t) >= {DECON_N}),"
+    " i -> " + gram_key_duck(
+        f"array_to_string(list_slice(t, i, i + {DECON_N - 1}), ' ')"
+    )
+    + f")) AS gh FROM tok WHERE len(t) >= {DECON_N}),"
     f" ev AS (SELECT DISTINCT gh FROM g"
     f" WHERE source = '{DECON_EVAL_SOURCE}'),"
     f" tr AS (SELECT doc_id, gh FROM g"
@@ -631,10 +656,13 @@ DECON_EVAL_SOURCE = "src0"  # the fixture's stand-in held-out eval set
     doc="Exact 5-token-gram decontamination against the held-out eval"
     " source: training documents sharing any verbatim 5-gram with an"
     " eval document, with hit counts. An inverted-index join on the"
-    " 16-byte gram hash — the eval side is DEDUPED before the join, so"
-    " a boilerplate gram fans out 1:1 per training instance, never"
-    " quadratically; the shuffle carries (16-byte hash, doc_id), never"
-    " text. Per-doc aggregation groups are document-sized.",
+    " 60-bit integer gram key (md5-derived — see gram_key_spark: the"
+    " 8-byte long shuffle removed a measured string-sort resource"
+    " cliff at high verbatim mass) — the eval side is DEDUPED before"
+    " the join, so a boilerplate gram fans out 1:1 per training"
+    " instance, never quadratically; the shuffle carries (8-byte key,"
+    " doc_id), never text. Per-doc aggregation groups are"
+    " document-sized.",
 )
 def q68(spark, sf_dir):
     docs = spread(spark, table(spark, sf_dir, "documents"))
@@ -653,7 +681,11 @@ def q68(spark, sf_dir):
         F.explode(
             F.expr(
                 f"transform(sequence(1, size(t) - {DECON_N - 1}),"
-                f" i -> md5(array_join(slice(t, i, {DECON_N}), ' ')))"
+                " i -> "
+                + gram_key_spark(
+                    f"array_join(slice(t, i, {DECON_N}), ' ')"
+                )
+                + ")"
             )
         ).alias("gh"),
     )
@@ -701,17 +733,20 @@ def _covered(j: str) -> str:
     f" WHERE trim({NORM_SQL_DUCK}) != ''),"
     f" ev AS (SELECT DISTINCT unnest(list_transform("
     f"range(1, len(t) - {DECON_N - 1} + 1),"
-    f" i -> md5(array_to_string(list_slice(t, i, i + {DECON_N - 1}),"
-    f" ' ')))) AS gh FROM tok"
+    " i -> " + gram_key_duck(
+        f"array_to_string(list_slice(t, i, i + {DECON_N - 1}), ' ')"
+    )
+    + ")) AS gh FROM tok"
     f" WHERE source = '{DECON_EVAL_SOURCE}' AND len(t) >= {DECON_N}),"
     f" trn AS (SELECT doc_id, t FROM tok"
     f" WHERE source != '{DECON_EVAL_SOURCE}'),"
     f" tg0 AS (SELECT doc_id, t,"
     f" unnest(range(1, len(t) - {DECON_N - 1} + 1)) AS i FROM trn"
     f" WHERE len(t) >= {DECON_N}),"
-    " tg AS (SELECT doc_id, i,"
-    f" md5(array_to_string(list_slice(t, i, i + {DECON_N - 1}), ' '))"
-    " AS gh FROM tg0),"
+    " tg AS (SELECT doc_id, i, " + gram_key_duck(
+        f"array_to_string(list_slice(t, i, i + {DECON_N - 1}), ' ')"
+    )
+    + " AS gh FROM tg0),"
     " hit AS (SELECT doc_id, list(i) AS hits FROM tg"
     " JOIN ev USING (gh) GROUP BY doc_id),"
     " red AS (SELECT trn.doc_id, trn.t,"
@@ -738,8 +773,9 @@ def _covered(j: str) -> str:
     " removed runs collapsed to one sentinel token, plus removal counts."
     " Residual leakage is zero by construction (see module comment)."
     " Scale shape: the hit positions come from the same inverted-index"
-    " gram-hash join as q68 (eval side deduped, shuffle carries 16-byte"
-    " hash + doc_id + int position, never text); per-doc hit lists are"
+    " gram-key join as q68 (eval side deduped, shuffle carries the"
+    " 60-bit integer key + doc_id + int position, never text); per-doc"
+    " hit lists are"
     " collected once (bounded by doc length) and the rewrite itself is"
     " row-local array arithmetic — no second corpus shuffle.",
 )
@@ -753,8 +789,9 @@ def q80(spark, sf_dir):
     )
     gram_struct = F.expr(
         f"transform(sequence(1, size(t) - {DECON_N - 1}),"
-        f" i -> struct(i AS i, md5(array_join(slice(t, i, {DECON_N}), ' '))"
-        " AS gh))"
+        " i -> struct(i AS i, "
+        + gram_key_spark(f"array_join(slice(t, i, {DECON_N}), ' ')")
+        + " AS gh))"
     )
     ev = (
         tok.where(

@@ -181,9 +181,10 @@ ANNOTATED = {
     " order.",
     "q119_crossdoc_repeated_spans": "Exact-substring dedup: per-"
     " position gram hashing is map-side codegen; ONE shuffle keys the"
-    " gram-hash space (singleton hashes die in the partial aggregate),"
-    " the hit semi-join reuses the same key, and the span merge is a"
-    " per-document window bounded by document length.",
+    " 60-bit INTEGER gram-key space (8-byte longs, never hex strings —"
+    " the round-13 gram-key rule; singleton keys die in the partial"
+    " aggregate), the hit semi-join reuses the same key, and the span"
+    " merge is a per-document window bounded by document length.",
     "q120_hashed_linear_quality": "Learned quality gate shape: the"
     " bucketed weight table enters as a BroadcastExchange (a few MB at"
     " any corpus size), exploded tokens join it map-side, and partial"
@@ -435,8 +436,9 @@ ANNOTATED = {
     "q180_exact_substring_verify": "Winnowing fingerprint pass + fph-"
     "keyed pair join (q164 chain) feeds an eager-persisted candidate"
     " set; the corpus is LEFT-SEMI thinned to candidate MEMBERS before"
-    " the row-local 34-char md5 gram explode; verify joins key member"
-    " id + gram hash; final left join keeps unverified pairs at 0.",
+    " the row-local 34-char gram explode to the 60-bit integer key;"
+    " verify joins key member id + 8-byte gram key (round-13 gram-key"
+    " rule); final left join keeps unverified pairs at 0.",
     "q181_pq_codebook_refresh": "Zero-join broadcast-literal argmin"
     " (q141 shape) + row-local floor-scaled subvector explode; per-dim"
     " sums shuffle on (m, code, d) = 512 groups (map-side partial agg"
