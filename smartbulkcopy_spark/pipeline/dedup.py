@@ -122,11 +122,18 @@ def minhash_duck(k: int) -> str:
 
 
 def _band_from_cols(engine: str) -> list[str]:
-    """Band key = md5 of the band's minhash columns + band tag."""
+    """Band key = 60-bit integer gram key of the band's minhash columns
+    + band tag (md5-derived; see text.gram_key_spark). The band key is
+    pure join/group identity — no query outputs it — so the 8-byte long
+    replaces the old 32-char hex everywhere the LSH index shuffles
+    (band explode, clique/star windows, incremental batchxindex joins):
+    the round-13 gram-key rule, motivated by the measured hex-string
+    sort cliff at high verbatim mass (SCALE.md round-13 probes)."""
+    key = gram_key_spark if engine == "spark" else gram_key_duck
     out = []
     for b in range(N_BANDS):
         parts = ", ".join(f"mh{b * R_ROWS + j}" for j in range(R_ROWS))
-        out.append(f"md5(concat({parts}, ':{b}'))")
+        out.append(key(f"concat({parts}, ':{b}')"))
     return out
 
 
@@ -261,7 +268,7 @@ def candidate_pairs(spark, sf_dir):
     The signature pipeline runs ONCE (a self-join formulation reads it
     from both sides, forcing either a recompute or a cache); the only
     shuffles carry (doc_id, 8 x 8-char minima) after map-side combine and
-    then (16-byte band key, doc_id) — document bodies never shuffle.
+    then (8-byte band key, doc_id) — document bodies never shuffle.
     Each bucket's sorted doc list explodes to its ordered pairs with a
     nested JVM-side transform; a bucket of size s yields s*(s-1)/2 pairs,
     exactly the candidate count a band join would produce. Buckets larger
@@ -826,7 +833,7 @@ def q34(spark, sf_dir):
 # corpus side is the persisted LSH index (here recomputed from the same
 # table for oracle-checkability; in production it is read back from its
 # parquet form); the NEW batch bands against it, so the join is
-# new-batch x index on the 16-byte band key — the whole corpus is never
+# new-batch x index on the 8-byte band key — the whole corpus is never
 # self-joined again. The fixture batch boundary is by doc_id, mirroring
 # an id-ordered append-only corpus.
 INCREMENTAL_SPLIT_ID = 400
