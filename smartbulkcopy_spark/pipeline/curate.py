@@ -39,6 +39,7 @@ from smartbulkcopy_spark.pipeline.text import (
     NORM_SQL_DUCK,
     SPLIT_CASE_DUCK,
     TOKENS_SQL_DUCK,
+    exact_key_cols,
     mix_keep_col,
     norm_text,
     split_col,
@@ -65,7 +66,8 @@ def curated_docs(spark, sf_dir, pairs=None):
     docs = table(spark, sf_dir, "documents")
 
     keep_exact = (
-        docs.groupBy(F.md5(norm_text()).alias("h"))
+        docs.select("doc_id", F.md5(norm_text()).alias("hx"))
+        .groupBy(*exact_key_cols())
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
@@ -119,8 +121,9 @@ def curate(spark, sf_dir: str, out_dir: str):
 @register(
     "q61_curation_stats",
     "WITH " + _jac_cte_duck() + ","
-    f" keepx AS (SELECT min(doc_id) AS doc_id FROM documents"
-    f" GROUP BY md5({NORM_SQL_DUCK})),"
+    f" keepx AS (SELECT min(doc_id) AS doc_id FROM"
+    f" (SELECT doc_id, md5({NORM_SQL_DUCK}) AS hx FROM documents)"
+    " GROUP BY substr(hx, 1, 15), substr(hx, 16, 15)),"
     " base AS (SELECT doc_id,"
     f" CAST({TOKENS_SQL_DUCK} AS BIGINT) AS n_tokens,"
     " CAST(substr(source, 4) AS INT) AS si,"
@@ -168,8 +171,9 @@ _FUNNEL_STAGES = [
 @register(
     "q105_curation_funnel",
     "WITH " + _jac_cte_duck() + ","
-    f" keepx AS (SELECT min(doc_id) AS doc_id FROM documents"
-    f" GROUP BY md5({NORM_SQL_DUCK})),"
+    f" keepx AS (SELECT min(doc_id) AS doc_id FROM"
+    f" (SELECT doc_id, md5({NORM_SQL_DUCK}) AS hx FROM documents)"
+    " GROUP BY substr(hx, 1, 15), substr(hx, 16, 15)),"
     " base AS (SELECT doc_id,"
     f" CAST({TOKENS_SQL_DUCK} AS BIGINT) AS n_tokens,"
     " CAST(substr(source, 4) AS INT) AS si,"
@@ -225,7 +229,8 @@ def curation_funnel(spark, sf_dir, pairs=None):
         mix_keep_col().alias("mk"),
     )
     keep_exact = (
-        docs.groupBy(F.md5(norm_text()).alias("h"))
+        docs.select("doc_id", F.md5(norm_text()).alias("hx"))
+        .groupBy(*exact_key_cols())
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id", F.lit(True).alias("kx"))
     )

@@ -50,16 +50,21 @@ TOKENS_SQL_DUCK = (
 
 @register(
     "q21_exact_dedup",
-    "SELECT md5(" + NORM_SQL_DUCK + ") AS content_hash,"
+    "SELECT CAST(('0x' || substr(hx, 1, 15)) AS BIGINT) AS h_hi,"
+    " CAST(('0x' || substr(hx, 16, 15)) AS BIGINT) AS h_lo,"
     " min(doc_id) AS keep_doc_id, count(*) AS dup_count"
-    " FROM documents GROUP BY content_hash ORDER BY keep_doc_id",
+    " FROM (SELECT md5(" + NORM_SQL_DUCK + ") AS hx, doc_id"
+    " FROM documents) GROUP BY h_hi, h_lo ORDER BY keep_doc_id",
     doc="Exact deduplication by normalized-content hash, keep-first"
-    " semantics. Groups on the 128-bit md5, not the text, so the shuffle"
-    " carries 16-byte keys at any corpus size.",
+    " semantics. Groups on the md5 split into two 60-bit BIGINT halves"
+    " (120 bits — exact-dedup-grade; the round-13 integer-key rule), so"
+    " the corpus-wide shuffle carries two 8-byte longs, never the text"
+    " and never a 32-char hex string.",
 )
 def q21(spark, sf_dir):
     docs = spread(spark, table(spark, sf_dir, "documents"))
-    return docs.groupBy(F.md5(norm_text()).alias("content_hash")).agg(
+    hx = docs.select(F.md5(norm_text()).alias("hx"), "doc_id")
+    return hx.groupBy(*exact_key_cols()).agg(
         F.min("doc_id").alias("keep_doc_id"),
         F.count("*").alias("dup_count"),
     )
@@ -633,6 +638,25 @@ def gram_key_spark(gram: str) -> str:
 
 def gram_key_duck(gram: str) -> str:
     return f"CAST(('0x' || substr(md5({gram}), 1, 15)) AS BIGINT)"
+
+
+# EXACT-dedup grade 120-bit variant: the md5 split into two 60-bit
+# BIGINT halves (conv() of 16 hex chars would overflow BIGINT, so 15+15
+# of the 32). Collision risk n^2/2^121 — zero at any corpus size worth
+# naming — while the corpus-wide groupBy shuffles two 8-byte longs
+# instead of a 32-char hex string. Consumers: q21 and the curate
+# keep_exact stages.
+
+
+def exact_key_cols(hx: str = "hx"):
+    return [
+        F.expr(f"CAST(conv(substr({hx}, 1, 15), 16, 10) AS BIGINT)").alias(
+            "h_hi"
+        ),
+        F.expr(f"CAST(conv(substr({hx}, 16, 15), 16, 10) AS BIGINT)").alias(
+            "h_lo"
+        ),
+    ]
 
 
 @register(
