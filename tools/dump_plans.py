@@ -22,7 +22,7 @@ ANNOTATED = {
     "q17_agg_sweep": "Partial aggregation (partial_sum) before the"
     " exchange: only (group, partial) rows shuffle.",
     "q27_minhash_lsh_pairs": "LSH banding: signature fold is row-local;"
-    " the only wide operation is the self-join on the 16-byte band key.",
+    " the only wide operation is the self-join on the 8-byte integer band key.",
     "q30_cosine_topk": "Exact ANN baseline: fold dot product in the scan"
     " stage, TakeOrderedAndProject — no global sort.",
     "q31_lsh_bucket_histogram": "Row-local bucket signature; only"
@@ -50,7 +50,7 @@ ANNOTATED = {
     " materialization is the candidate id set feeding the thinned"
     " verify stage.",
     "q63_incremental_dedup": "Batch-vs-index dedup: the new batch joins"
-    " the corpus's banded index on the 16-byte band key (hot index"
+    " the corpus's banded index on the 8-byte integer band key (hot index"
     " bands filtered before the join); exact-Jaccard verify touches"
     " only cross-side candidates.",
     "q69_dedup_clusters": "Iterative hash-min connected components: the"
