@@ -955,66 +955,100 @@ def image_contamination_screen(spark, sf_dir):
     Hamming distance, and how many distinct eval images it matches
     (Hamming <= IMAGE_HAMMING_MAX of 64 ahash bits).
 
-    Scale: the corpus fingerprints ONCE (eager — both sides and the
-    verify read it); candidates are a banded train x eval-rep equi-join
-    on (band_idx, band_val) — never all-pairs — with both sides' hashes
-    riding the join rows so the verify is row-local; the rollup keys
-    doc_id. Cost = batch bands x distinct-eval-hash collision rate,
-    the q114 incremental shape with the eval index as the static side."""
+    Scale (two-level, the round-12 q111/q112 rule applied to a SCREEN):
+    Hamming is a pure function of the signature pair, so the banded
+    train x eval-rep equi-join runs over DISTINCT train signatures, and
+    member docs fan back in by signature afterwards — one id-keyed
+    join. Verbatim duplication mass therefore never widens the pair
+    join on either side (both sides collapse to distinct sigs), the
+    failure axis the round-13 tail probe measured on the row-level
+    spelling (verbatim exponent 1.35 solo). The screen stays CAP-FREE
+    per the q202 lesson — a hot eval fingerprint is the signal — and
+    the residual ambient cost is distinct-sig x distinct-sig bucket
+    collisions in the 4x16-bit MIH band space (exact recall to Hamming
+    3, probabilistic above), killed map-side by the hamming filter
+    BEFORE any candidate dedup shuffle. Corpus fingerprints ONCE
+    (eager — the sig dedup and the member fan-back read it)."""
     src = table(spark, sf_dir, "documents").select("doc_id", "source")
     ah = eager(
         image_ahash(_blobs(spark, sf_dir), "doc_id", "blob")
         .select("doc_id", "ahash_hi", "ahash_lo")
         .join(src, "doc_id")
     )
-    bands = ah.select(
-        "doc_id",
-        "source",
-        "ahash_hi",
-        "ahash_lo",
-        F.posexplode(
-            F.array(
-                *[
-                    F.expr(
-                        f"shiftright({'ahash_hi' if b < 2 else 'ahash_lo'},"
-                        f" {AHASH_BAND_BITS * (b % 2)}) & 65535"
-                    )
-                    for b in range(AHASH_BANDS)
-                ]
-            )
-        ).alias("band_idx", "band_val"),
-    )
-    ev = (
-        bands.where(F.col("source") == WINNOW_EVAL_SOURCE)
-        .groupBy("band_idx", "band_val", "ahash_hi", "ahash_lo")
+    is_ev = F.col("source") == WINNOW_EVAL_SOURCE
+    # level 1: distinct signatures per side (eval reps keep min doc_id
+    # as the reported partner; train sigs are pure join identity)
+    esig = (
+        ah.where(is_ev)
+        .groupBy("ahash_hi", "ahash_lo")
         .agg(F.min("doc_id").alias("eval_id"))
+    )
+    tsig = (
+        ah.where(~is_ev)
+        .select("ahash_hi", "ahash_lo")
+        .distinct()
         .select(
-            "band_idx",
-            "band_val",
+            F.col("ahash_hi").alias("hi_t"), F.col("ahash_lo").alias("lo_t")
+        )
+    )
+
+    def _bands(df, hi, lo):
+        return df.select(
+            "*",
+            F.posexplode(
+                F.array(
+                    *[
+                        F.expr(
+                            f"shiftright({hi if b < 2 else lo},"
+                            f" {AHASH_BAND_BITS * (b % 2)}) & 65535"
+                        )
+                        for b in range(AHASH_BANDS)
+                    ]
+                )
+            ).alias("band_idx", "band_val"),
+        )
+
+    ev = _bands(
+        esig.select(
             "eval_id",
             F.col("ahash_hi").alias("hi_e"),
             F.col("ahash_lo").alias("lo_e"),
-        )
+        ),
+        "hi_e",
+        "lo_e",
     )
-    tr = bands.where(F.col("source") != WINNOW_EVAL_SOURCE).select(
-        "doc_id", "band_idx", "band_val", "ahash_hi", "ahash_lo"
-    )
-    ham = F.expr(
-        "bit_count(ahash_hi ^ hi_e) + bit_count(ahash_lo ^ lo_e)"
-    )
-    cand = (
-        tr.join(ev, ["band_idx", "band_val"])
-        .select("doc_id", "eval_id", ham.cast("long").alias("hamming"))
+    tb = _bands(tsig, "hi_t", "lo_t")
+    ham = F.expr("bit_count(hi_t ^ hi_e) + bit_count(lo_t ^ lo_e)")
+    # hamming filter BEFORE the distinct: ambient bucket collisions die
+    # map-side in the join stage; only real near-dup sig pairs shuffle.
+    # The eval index is BROADCAST pinned: a held-out eval suite is
+    # corpus-independent (fixed MBs at any training scale — the fixture
+    # src0 stand-in is the only side that inflates with the probe), and
+    # AQE left to its own stats flips this borderline join between BHJ
+    # and SMJ run-to-run (measured 4-22 s at disjoint 32x). Broadcast
+    # makes the band probe a map-side hash lookup, so the train side
+    # never shuffles at all.
+    sig_hits = (
+        tb.join(F.broadcast(ev), ["band_idx", "band_val"])
+        .select("hi_t", "lo_t", "eval_id", ham.cast("long").alias("hamming"))
+        .where(F.col("hamming") <= IMAGE_HAMMING_MAX)
         .distinct()
-    )
-    return (
-        cand.where(F.col("hamming") <= IMAGE_HAMMING_MAX)
-        .groupBy("doc_id")
+        .groupBy("hi_t", "lo_t")
         .agg(
             F.min("eval_id").cast("long").alias("dup_of"),
             F.min("hamming").cast("long").alias("best_hamming"),
             F.countDistinct("eval_id").cast("long").alias("n_eval_dups"),
         )
+    )
+    # level 2: members fan back in by signature (id-keyed equi-join)
+    members = ah.where(~is_ev).select(
+        "doc_id",
+        F.col("ahash_hi").alias("hi_t"),
+        F.col("ahash_lo").alias("lo_t"),
+    )
+    return (
+        members.join(sig_hits, ["hi_t", "lo_t"])
+        .select("doc_id", "dup_of", "best_hamming", "n_eval_dups")
         .orderBy("doc_id")
     )
 
@@ -1022,36 +1056,53 @@ def image_contamination_screen(spark, sf_dir):
 def _image_contamination_oracle() -> str:
     """DuckDB replay of image_contamination_screen, drafted with the
     builder (round-14 registration wires it up): same decode -> ahash
-    chain, same banded eval-rep index, same cap-free screen."""
+    chain, same TWO-LEVEL distinct-signature screen (banded eval-rep
+    index x distinct train sigs, member fan-back by signature), same
+    cap-free semantics."""
+    band_case = " CASE " + " ".join(
+        f"WHEN t.b = {b} THEN {_ahash_band_duck(b)}"
+        for b in range(AHASH_BANDS)
+    ) + " END"
     return (
         "WITH " + _ahash_cte_duck() + ","
-        " src AS (SELECT doc_id, source FROM documents),"
-        " bands AS (SELECT a.doc_id, s.source, a.ahash_hi, a.ahash_lo,"
-        " t.b AS band_idx,"
-        + " CASE "
-        + " ".join(
-            f"WHEN t.b = {b} THEN {_ahash_band_duck(b)}"
-            for b in range(AHASH_BANDS)
+        " sa AS (SELECT a.doc_id, s.source, a.ahash_hi, a.ahash_lo"
+        " FROM ah a JOIN (SELECT doc_id, source FROM documents) s"
+        " ON s.doc_id = a.doc_id),"
+        " esig AS (SELECT ahash_hi, ahash_lo, min(doc_id) AS eval_id"
+        f" FROM sa WHERE source = '{WINNOW_EVAL_SOURCE}'"
+        " GROUP BY ahash_hi, ahash_lo),"
+        " tsig AS (SELECT DISTINCT ahash_hi AS hi_t, ahash_lo AS lo_t"
+        f" FROM sa WHERE source != '{WINNOW_EVAL_SOURCE}'),"
+        " ev AS (SELECT e.eval_id, e.ahash_hi AS hi_e,"
+        " e.ahash_lo AS lo_e, t.b AS band_idx,"
+        + band_case.replace("ahash_hi", "e.ahash_hi").replace(
+            "ahash_lo", "e.ahash_lo"
         )
-        + " END AS band_val"
-        " FROM ah a JOIN src s ON s.doc_id = a.doc_id"
+        + " AS band_val FROM esig e"
         " CROSS JOIN (VALUES (0), (1), (2), (3)) AS t(b)),"
-        " ev AS (SELECT band_idx, band_val, ahash_hi, ahash_lo,"
-        " min(doc_id) AS eval_id FROM bands"
-        f" WHERE source = '{WINNOW_EVAL_SOURCE}'"
-        " GROUP BY band_idx, band_val, ahash_hi, ahash_lo),"
-        " tr AS (SELECT doc_id, band_idx, band_val, ahash_hi, ahash_lo"
-        f" FROM bands WHERE source != '{WINNOW_EVAL_SOURCE}'),"
-        " cand AS (SELECT DISTINCT t.doc_id, e.eval_id,"
-        " CAST(bit_count(xor(t.ahash_hi, e.ahash_hi))"
-        " + bit_count(xor(t.ahash_lo, e.ahash_lo)) AS BIGINT) AS hamming"
-        " FROM tr t JOIN ev e ON t.band_idx = e.band_idx"
-        " AND t.band_val = e.band_val)"
-        " SELECT doc_id, CAST(min(eval_id) AS BIGINT) AS dup_of,"
+        " tb AS (SELECT hi_t, lo_t, t.b AS band_idx,"
+        + band_case.replace("ahash_hi", "hi_t").replace(
+            "ahash_lo", "lo_t"
+        )
+        + " AS band_val FROM tsig"
+        " CROSS JOIN (VALUES (0), (1), (2), (3)) AS t(b)),"
+        " sig_hits AS (SELECT hi_t, lo_t,"
+        " CAST(min(eval_id) AS BIGINT) AS dup_of,"
         " min(hamming) AS best_hamming,"
         " CAST(count(DISTINCT eval_id) AS BIGINT) AS n_eval_dups"
-        f" FROM cand WHERE hamming <= {IMAGE_HAMMING_MAX}"
-        " GROUP BY doc_id ORDER BY doc_id"
+        " FROM (SELECT DISTINCT x.hi_t, x.lo_t, e.eval_id,"
+        " CAST(bit_count(xor(x.hi_t, e.hi_e))"
+        " + bit_count(xor(x.lo_t, e.lo_e)) AS BIGINT) AS hamming"
+        " FROM tb x JOIN ev e ON x.band_idx = e.band_idx"
+        " AND x.band_val = e.band_val"
+        f" WHERE bit_count(xor(x.hi_t, e.hi_e))"
+        f" + bit_count(xor(x.lo_t, e.lo_e)) <= {IMAGE_HAMMING_MAX})"
+        " GROUP BY hi_t, lo_t)"
+        " SELECT m.doc_id, h.dup_of, h.best_hamming, h.n_eval_dups"
+        " FROM sa m JOIN sig_hits h"
+        " ON m.ahash_hi = h.hi_t AND m.ahash_lo = h.lo_t"
+        f" WHERE m.source != '{WINNOW_EVAL_SOURCE}'"
+        " ORDER BY m.doc_id"
     )
 
 
