@@ -113,11 +113,17 @@ SHINGLES_DUCK = (
 
 
 def minhash_duck(k: int) -> str:
-    """The k-th MinHash in the DuckDB spelling of the shared definition."""
+    """The k-th MinHash in the DuckDB spelling of the shared definition.
+    Minima are 32-bit INTEGERS (the md5 slice parsed to BIGINT before
+    the min — fixed-width lowercase hex is order-isomorphic to its
+    numeric value, so min-of-parse == parse-of-min and the signature
+    shuffle carries 8 longs per doc, never 8 hex strings: the round-13
+    integer-key rule)."""
     salt, off = k // 4, 1 + 8 * (k % 4)
     return (
         f"list_min(list_transform({SHINGLES_DUCK},"
-        f" s -> substr(md5(concat('{salt}:', s)), {off}, 8)))"
+        f" s -> CAST(('0x' || substr(md5(concat('{salt}:', s)),"
+        f" {off}, 8)) AS BIGINT)))"
     )
 
 
@@ -130,9 +136,14 @@ def _band_from_cols(engine: str) -> list[str]:
     the round-13 gram-key rule, motivated by the measured hex-string
     sort cliff at high verbatim mass (SCALE.md round-13 probes)."""
     key = gram_key_spark if engine == "spark" else gram_key_duck
+    cast_t = "STRING" if engine == "spark" else "VARCHAR"
     out = []
     for b in range(N_BANDS):
-        parts = ", ".join(f"mh{b * R_ROWS + j}" for j in range(R_ROWS))
+        # ':' separators keep the decimal concat injective (variable-
+        # width ints, unlike the old fixed-width hex slices)
+        parts = ", ':', ".join(
+            f"CAST(mh{b * R_ROWS + j} AS {cast_t})" for j in range(R_ROWS)
+        )
         out.append(key(f"concat({parts}, ':{b}')"))
     return out
 
@@ -219,9 +230,12 @@ def _candidate_cte_duck() -> str:
 
 def signatures(spark, sf_dir, member_ids=None):
     """(doc_id, mh0..mh7) MinHash signatures: explode shingles ->
-    codegen md5 -> partial-aggregated MIN per hash slice. Shuffles carry
-    (doc_id, 8 x 8-char minima) after map-side combine — document
-    bodies never shuffle.
+    codegen md5 -> slice parsed to a 32-bit INTEGER -> partial-
+    aggregated MIN per hash slice (fixed-width lowercase hex is
+    order-isomorphic to its numeric value, so min-of-parse ==
+    parse-of-min). Shuffles carry (doc_id, 8 long minima) after
+    map-side combine — document bodies never shuffle, and neither do
+    hex strings (the round-13 integer-key rule).
 
     member_ids: optional (doc_id) DataFrame — when given, the corpus is
     LEFT-SEMI thinned to those ids BEFORE shingles are built (the
@@ -240,9 +254,12 @@ def signatures(spark, sf_dir, member_ids=None):
     )
     return hashed.groupBy("doc_id").agg(
         *[
-            F.min(F.substring(f"h{k // 4}", 1 + 8 * (k % 4), 8)).alias(
-                f"mh{k}"
-            )
+            F.min(
+                F.expr(
+                    f"CAST(conv(substr(h{k // 4}, {1 + 8 * (k % 4)}, 8),"
+                    " 16, 10) AS BIGINT)"
+                )
+            ).alias(f"mh{k}")
             for k in range(K_HASHES)
         ]
     )
@@ -267,7 +284,7 @@ def candidate_pairs(spark, sf_dir):
 
     The signature pipeline runs ONCE (a self-join formulation reads it
     from both sides, forcing either a recompute or a cache); the only
-    shuffles carry (doc_id, 8 x 8-char minima) after map-side combine and
+    shuffles carry (doc_id, 8 long minima) after map-side combine and
     then (8-byte band key, doc_id) — document bodies never shuffle.
     Each bucket's sorted doc list explodes to its ordered pairs with a
     nested JVM-side transform; a bucket of size s yields s*(s-1)/2 pairs,
