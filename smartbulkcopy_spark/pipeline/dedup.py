@@ -1041,6 +1041,22 @@ def q63(spark, sf_dir):
 # chains, worth failing loudly over rather than looping forever.
 MAX_CC_ROUNDS = 50
 
+# Propagate steps fused into each checkpointed CC round: the per-round
+# cost at local scale is almost entirely FIXED materialization latency
+# (q117's 21-step image chain measured ~0.27 s/checkpoint), so two
+# steps share one checkpoint — long chains converge in half the
+# checkpoints for the same certified fixpoint. Kept small: each step
+# deepens the uncheckpointed plan by a join + agg.
+CC_UNROLL = 2
+
+# Adaptive iteration width (guide §2): target label rows per reduce
+# partition when the caller did not pass an explicit width. The label
+# table is bounded by 2 x edges, so width = clamp(2*edges / this, 4,
+# session width) — a 100 TB pair graph derives the session width and
+# behaves exactly as before; the common tiny graph stops paying
+# session-width near-empty tasks per round.
+CC_ROWS_PER_PARTITION = 4_000_000
+
 
 def verified_pairs(spark, sf_dir):
     """The verified near-dup edge set: LSH candidates whose exact
@@ -1132,16 +1148,23 @@ def connected_components(
     cosine-verified embedding pairs, ...) — orders of magnitude smaller
     than the corpus, so the iteration runs on (id, label) pairs only.
 
-    budget: hash-min rounds before switching to the doubling phase
-    (default MAX_CC_ROUNDS). Hash-min converges in O(diameter) rounds —
-    right for the shallow components dedup graphs produce; a corpus of
-    chained boilerplate can exceed any fixed budget, so past it each
-    round additionally shortcuts lbl(v) <- lbl(lbl(v)) (pointer
-    doubling, one extra id-keyed self-join per round), which halves
+    budget: hash-min propagate steps before switching to the doubling
+    phase (default MAX_CC_ROUNDS). Hash-min converges in O(diameter)
+    steps — right for the shallow components dedup graphs produce; a
+    corpus of chained boilerplate can exceed any fixed budget, so past
+    it each step additionally shortcuts lbl(v) <- lbl(lbl(v)) (pointer
+    doubling, one extra id-keyed self-join per step), which halves
     remaining path lengths and settles ANY diameter in O(log d) extra
-    rounds. Convergence is still certified by a full propagate round
+    steps. Convergence is still certified by a full propagate step
     reporting zero changes, so the exit state is a hash-min fixpoint
     (= exact component minima) regardless of which phase reached it.
+    Steps run CC_UNROLL at a time between checkpoints (round-13: the
+    iteration cost at local scale is per-checkpoint FIXED latency —
+    q117's 21-step image chain measured ~0.27 s/checkpoint of pure
+    overhead — so two propagate steps share one materialization; zero
+    changes in the LAST unrolled step still certifies the fixpoint,
+    because propagate is deterministic: unchanged output means the
+    step's input already was the fixpoint).
     reliable: force fault-tolerant parquet rounds (True),
     localCheckpoint() (False), or auto-detect from the session's
     checkpoint dir (None). The reliable path deletes each superseded
@@ -1149,12 +1172,22 @@ def connected_components(
     shuffle_partitions: scoped override of spark.sql.shuffle.partitions
     for the iteration's own actions (each round checkpoints + counts
     INSIDE this call, so the setting binds here, not at the caller's
-    later collect). Use it when the edge list is bounded by CONSTANTS
-    (q199's synthetic study graph): a 3-stage round over a few hundred
-    rows costs ~600 near-empty tasks at the session default, pure
-    scheduler overhead. Leave None for data-sized graphs — their width
-    must scale with the corpus. Restored in the finally, and safe in
-    the engine's one-query-at-a-time sessions."""
+    later collect). Pass an explicit width when the edge list is
+    bounded by CONSTANTS (q199's synthetic study graph). Default None
+    derives a SCALE-ADAPTIVE width from the materialized edge count
+    (guide §2: size shuffles to the data, never a constant — the label
+    table is <= 2 x edges rows, so CC_ROWS_PER_PARTITION label rows
+    per reduce partition, floored at 4 and capped at the session
+    width; a 100 TB-scale pair graph derives the session width and
+    iterates exactly as before, while the common tiny verified-pair
+    graph stops paying ~session-width near-empty tasks per round).
+    When the iteration runs NARROWER than the session width, AQE is
+    also scoped OFF for the loop: its per-job replanning is pure
+    latency on kilobyte rounds (measured ~25% of q117's CC wall), and
+    the skew/coalesce protections it buys only matter at data-sized
+    widths, where the derived width equals the session width and AQE
+    stays on. Both confs restore in the finally, safe in the engine's
+    one-query-at-a-time sessions."""
     # .select() wraps caller-provided pairs in a fresh plan node, so the
     # persist/unpersist below never touches the caller's own cache state.
     # (Analysis happens HERE, before the conf override below — a bad
@@ -1167,13 +1200,25 @@ def connected_components(
     # shuffle width). The .select above still runs analysis first.
     trunc = _round_truncator(spark, reliable)
     edges = edges.persist()
-    if shuffle_partitions is not None:
-        _prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set(
-            "spark.sql.shuffle.partitions", str(shuffle_partitions)
+    # Materialize BEFORE the scoped conf: the caller's pair chain (the
+    # expensive part) must run at full session width; only the tiny
+    # (id, label) iteration below runs at the derived width.
+    n_edges = edges.count()
+    _sess_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions is None:
+        shuffle_partitions = min(
+            int(_sess_sp),
+            max(4, -(-2 * n_edges // CC_ROWS_PER_PARTITION)),
         )
+    _prev_sp = _sess_sp
+    _narrowed = int(shuffle_partitions) < int(_sess_sp)
+    _prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(shuffle_partitions)
+    )
+    if _narrowed:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
-        edges.count()  # materialize: read twice per round (q33 pattern)
         sym = edges.select(
             F.col("a_id").alias("u"), F.col("b_id").alias("v")
         ).union(edges.select(F.col("b_id").alias("u"), F.col("a_id").alias("v")))
@@ -1191,49 +1236,68 @@ def connected_components(
         )
         if budget is None:
             budget = MAX_CC_ROUNDS
-        # Doubling rounds halve the longest remaining chain, so 64 more
-        # rounds settle any graph addressable by 64-bit ids.
-        for rnd in range(budget + 64):
+        # Doubling steps halve the longest remaining chain, so 64 more
+        # steps settle any graph addressable by 64-bit ids. Each outer
+        # iteration checkpoints once and runs CC_UNROLL propagate steps
+        # (>= 1 step each), so budget + 64 outer rounds always cover
+        # budget + 64 steps.
+        steps = 0
+        for _ in range(budget + 64):
             base = labels
-            if rnd >= budget:
-                # Doubling phase: shortcut each node's label through its
-                # label's own label. Every label value IS a node id of
-                # the same component (init and every round take minima
-                # of node ids), so the left join hits except at roots.
-                par = labels.select(
-                    F.col("node").alias("pn"), F.col("lbl").alias("plbl")
-                )
-                base = trunc(
-                    labels.join(par, labels["lbl"] == par["pn"], "left")
-                    .select(
+            for k in range(CC_UNROLL):
+                if steps >= budget:
+                    # Doubling phase: shortcut each node's label through
+                    # its label's own label. Every label value IS a node
+                    # id of the same component (init and every step take
+                    # minima of node ids), so the left join hits except
+                    # at roots. Composes lazily into this round's single
+                    # checkpoint — the doubling join never materializes
+                    # on its own.
+                    par = base.select(
+                        F.col("node").alias("pn"),
+                        F.col("lbl").alias("plbl"),
+                    )
+                    base = base.join(
+                        par, base["lbl"] == par["pn"], "left"
+                    ).select(
                         "node",
                         F.least(
                             F.col("lbl"),
                             F.coalesce(F.col("plbl"), F.col("lbl")),
                         ).alias("lbl"),
                     )
+                # candidate label for v: the smallest current label among
+                # its neighbors u; labels only ever decrease, so min(old,
+                # candidates) is monotone and the fixpoint is exactly
+                # min-id-in-component. The per-node OLD label rides the
+                # same aggregation (each node contributes exactly one
+                # own=true row) on the LAST unrolled step, so convergence
+                # is a filter-count on the checkpointed result — no
+                # per-round join. ("old" is that step's input label:
+                # zero changes certifies a propagate fixpoint, which is
+                # the exact component minima no matter how we got there —
+                # earlier unrolled steps need no check, because an
+                # unchanged final step proves its input was already the
+                # fixpoint.)
+                cand = sym.join(
+                    base, sym["u"] == base["node"]
+                ).select(F.col("v").alias("node"), F.col("lbl"))
+                aggs = [F.min("lbl").alias("lbl")]
+                if k == CC_UNROLL - 1:
+                    aggs.append(
+                        F.min(
+                            F.when(F.col("own"), F.col("lbl"))
+                        ).alias("old")
+                    )
+                base = (
+                    base.select("node", "lbl")
+                    .withColumn("own", F.lit(True))
+                    .union(cand.withColumn("own", F.lit(False)))
+                    .groupBy("node")
+                    .agg(*aggs)
                 )
-            # candidate label for v: the smallest current label among its
-            # neighbors u; labels only ever decrease, so min(old,
-            # candidates) is monotone and the fixpoint is exactly
-            # min-id-in-component. The per-node OLD label rides the same
-            # aggregation (each node contributes exactly one own=true
-            # row), so convergence is a filter-count on the checkpointed
-            # result — no per-round join. ("old" is the post-doubling
-            # label: zero changes certifies a propagate fixpoint, which
-            # is the exact component minima no matter how we got there.)
-            cand = sym.join(
-                base, sym["u"] == base["node"]
-            ).select(F.col("v").alias("node"), F.col("lbl"))
-            new_labels = trunc(
-                base.withColumn("own", F.lit(True))
-                .union(cand.withColumn("own", F.lit(False)))
-                .groupBy("node")
-                .agg(
-                    F.min("lbl").alias("lbl"),
-                    F.min(F.when(F.col("own"), F.col("lbl"))).alias("old"),
-                )
-            )
+                steps += 1
+            new_labels = trunc(base)
             changed = new_labels.where(F.col("lbl") < F.col("old")).count()
             labels = new_labels.select("node", "lbl")
             if changed == 0:
@@ -1255,8 +1319,9 @@ def connected_components(
     finally:
         edges.unpersist()
         trunc.close()
-        if shuffle_partitions is not None:
-            spark.conf.set("spark.sql.shuffle.partitions", _prev_sp)
+        spark.conf.set("spark.sql.shuffle.partitions", _prev_sp)
+        if _narrowed:
+            spark.conf.set("spark.sql.adaptive.enabled", _prev_aqe)
     return labels
 
 

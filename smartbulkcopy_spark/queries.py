@@ -2963,10 +2963,16 @@ def peak_from_intervals(spark: SparkSession, iv: DataFrame) -> DataFrame:
             "t", (F.col("band_prev") + F.col("local_cum")).alias("cc")
         )
     )
-    n_sessions = iv.count()
-    mx = int(c.agg(F.max("cc")).first()[0] or 0)
-    peak_at = c.where(F.col("cc") == mx).agg(F.min("t")).first()[0]
-    row = [(int(n_sessions), mx, int(peak_at))]
+    # Both driver scalars read the eager()'d edge table only (round-13:
+    # the old spelling re-ran the caller's interval pipeline for
+    # n_sessions and paid two more full-plan actions for max + argmin —
+    # half of q182's wall clock was this assembly, not the drain):
+    # every interval contributes exactly one +1 and one -1 edge, so
+    # n_sessions = edge rows / 2; and TakeOrdered on (cc DESC, t) is
+    # the single-action spelling of "max cc, earliest t at that cc".
+    n_sessions = c.count() // 2
+    top = c.orderBy(F.col("cc").desc(), "t").first()
+    row = [(int(n_sessions), int(top["cc"]), int(top["t"]))]
     import pyspark.sql.types as _T
 
     schema = _T.StructType(

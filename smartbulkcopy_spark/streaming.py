@@ -417,22 +417,50 @@ def run_peak_concurrency(
     path: str,
     query_name: str = "peak_conc",
     max_files_per_trigger: int | None = None,
+    state_partitions: int | None = 8,
 ) -> DataFrame:
     """Drain `path` through the stateful interval tracker and return the
     converged (n_sessions, peak_concurrency, peak_at_us) row — must be
-    bit-equal to batch q172 when chunks arrive in time order."""
+    bit-equal to batch q172 when chunks arrive in time order.
+
+    state_partitions: scoped shuffle-partition override for the DRAIN —
+    the q198 rule (round 13: applied to every stateful drain).
+    Streaming state width binds at query START, each partition carries
+    its own state store + per-batch checkpoint fixed cost, and the
+    in-flight state here is one small struct per user inside the
+    session-gap horizon — never the corpus. Size to that;
+    None keeps the session default (a deployment with deep state wants
+    width). Restored before the batch assembly below, which runs at
+    session width. Partitioning cannot change the converged values
+    (state is keyed per user)."""
     from smartbulkcopy_spark.queries import peak_from_intervals
 
-    stream = read_events_stream(spark, path, max_files_per_trigger)
-    q = (
-        session_intervals(stream)
-        .writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    if state_partitions is not None:
+        _prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", str(state_partitions)
+        )
+    q = None
+    try:
+        stream = read_events_stream(spark, path, max_files_per_trigger)
+        q = (
+            session_intervals(stream)
+            .writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        # A drain that dies mid-awaitTermination must not leave the
+        # query running — stop it before restoring the session width
+        # (the run_click_attribution pattern; stop() on a terminated
+        # query is a no-op).
+        if q is not None and q.isActive:
+            q.stop()
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", _prev_sp)
     iv = (
         spark.table(query_name)
         .groupBy("user_id", "sid")
@@ -537,25 +565,42 @@ def run_session_funnel(
     path: str,
     query_name: str = "sess_funnel",
     max_files_per_trigger: int | None = None,
+    state_partitions: int | None = 8,
 ) -> DataFrame:
     """Drain `path` through the stateful funnel tracker and return the
     converged (funnel_stage, n_sessions) rollup — must be bit-equal to
-    batch q153 when chunks arrive in time order."""
+    batch q153 when chunks arrive in time order.
+
+    state_partitions: the q198/q182 scoped drain width — state here is
+    six longs per user inside the session-gap horizon (see
+    run_peak_concurrency). Restored before the batch assembly."""
     from smartbulkcopy_spark.queries import (
         _FUNNEL_STAGE_SQL,
         _FUNNEL_STAGES,
     )
 
-    stream = read_events_stream(spark, path, max_files_per_trigger)
-    q = (
-        session_funnel_stages(stream)
-        .writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    if state_partitions is not None:
+        _prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", str(state_partitions)
+        )
+    q = None
+    try:
+        stream = read_events_stream(spark, path, max_files_per_trigger)
+        q = (
+            session_funnel_stages(stream)
+            .writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if q is not None and q.isActive:
+            q.stop()
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", _prev_sp)
     conv = (
         spark.table(query_name)
         .groupBy("user_id", "sid")
@@ -614,19 +659,38 @@ def run_hourly_seasonality(
     path: str,
     query_name: str = "hourly_seasonality",
     max_files_per_trigger: int | None = None,
+    state_partitions: int | None = 8,
 ) -> DataFrame:
     """Drain `path` through the seasonality aggregation and return the
-    converged profile — must be bit-equal to batch q157."""
-    stream = read_events_stream(spark, path, max_files_per_trigger)
-    q = (
-        hourly_seasonality_stream(stream)
-        .writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    converged profile — must be bit-equal to batch q157.
+
+    state_partitions: the q198/q182 scoped drain width — complete-mode
+    aggregation state here is one counter per (event_type, hour), a
+    key space bounded by 24 x types, yet every shuffle partition
+    instantiates its own state store + per-batch checkpoint (see
+    run_peak_concurrency). Restored before the share_ppm assembly."""
+    if state_partitions is not None:
+        _prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", str(state_partitions)
+        )
+    q = None
+    try:
+        stream = read_events_stream(spark, path, max_files_per_trigger)
+        q = (
+            hourly_seasonality_stream(stream)
+            .writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if q is not None and q.isActive:
+            q.stop()
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", _prev_sp)
     h = spark.table(query_name)
     return h.select(
         "event_type",
