@@ -1769,8 +1769,11 @@ CROSSDOC_L = 40  # span granularity: repeated runs of >= 40 normalized chars
 def q119(spark, sf_dir):
     docs = table(spark, sf_dir, "documents")
     L = CROSSDOC_L
-    base = docs.select("doc_id", F.expr(NORM_SPARK).alias("n")).where(
-        F.length("n") >= L
+    base = spread(
+        spark,
+        docs.select("doc_id", F.expr(NORM_SPARK).alias("n")).where(
+            F.length("n") >= L
+        ),
     )
     # length(n) >= L guarantees sequence() is ascending and non-empty
     # (Spark's sequence DESCENDS when stop < start — never feed it one).
@@ -1785,13 +1788,17 @@ def q119(spark, sf_dir):
             )
         ).alias("i0", "h"),
     ).select("doc_id", (F.col("i0") + 1).cast("long").alias("pos"), "h")
+    # One hash exchange on h feeds BOTH consumers (the dup aggregate and
+    # the semi-join probe) — without it each branch re-runs the per-char
+    # md5 Generate, the module's heaviest map work.
+    gstream = grams.repartition("h")
     dup = (
-        grams.groupBy("h")
+        gstream.groupBy("h")
         .agg(F.countDistinct("doc_id").alias("nd"))
         .where(F.col("nd") >= 2)
         .select("h")
     )
-    hits = grams.join(dup, "h", "left_semi").select("doc_id", "pos")
+    hits = gstream.join(dup, "h", "left_semi").select("doc_id", "pos")
     w = Window.partitionBy("doc_id").orderBy("pos")
     brk = F.when(F.col("pos") > F.lag("pos").over(w) + L, 1).otherwise(0)
     isl = hits.withColumn("brk", brk).withColumn(
@@ -2396,8 +2403,10 @@ def winnow_drop_share(spark, sf_dir):
     is the audit that finds those blind spots. One fph-keyed partial
     agg sizes the lists; a broadcast-sized over-cap set LEFT-SEMI marks
     each doc's dropped rows; per-doc rollup. Integer ppm
-    (non-negative: Spark DIV == DuckDB //)."""
-    pk = winnow_fingerprints(spark, sf_dir)
+    (non-negative: Spark DIV == DuckDB //). One shared fph exchange
+    feeds both the list-size aggregate and the mark join (q119 rule:
+    never re-run the fingerprint HOF per consumer)."""
+    pk = winnow_fingerprints(spark, sf_dir).repartition("fph")
     over = (
         pk.groupBy("fph")
         .agg(F.count("*").alias("pc"))
@@ -2432,8 +2441,12 @@ def winnow_capped_pairs(spark, sf_dir):
     fph-keyed pair frame (a_id, b_id, shared_fps) — the Spark twin of
     the `_winnow_pair_ctes` oracle chain, shared by q164/q180/q187 so
     the three detectors cannot drift. Callers own the persisted pkf
-    (released via queries.release_caches())."""
-    pk = winnow_fingerprints(spark, sf_dir)
+    (released via queries.release_caches()).
+
+    One fph exchange feeds BOTH the posting-size aggregate and the
+    semi-join side of pkf — unshared, each branch re-runs the rolling-
+    hash fingerprint HOF over the corpus (the q119 lesson)."""
+    pk = winnow_fingerprints(spark, sf_dir).repartition("fph")
     keep = (
         pk.groupBy("fph")
         .agg(F.count("*").alias("pc"))
@@ -2586,16 +2599,30 @@ def winnow_contamination_screen_full(spark, sf_dir):
     training doc's (n_hits, n_fps, contamination_ppm). The registered
     q170 ranks it; the round-14 staged contamination ensemble consumes
     the full flag set."""
-    src = table(spark, sf_dir, "documents").select("doc_id", "source")
-    pks = winnow_fingerprints(spark, sf_dir).join(src, "doc_id")
+    docs = table(spark, sf_dir, "documents")
+    # Source split BELOW the fingerprint HOF (the q177 spelling): the
+    # old shape fingerprinted the WHOLE corpus once per branch and
+    # joined source back on doc_id — two full rolling-hash passes for
+    # one corpus. Fingerprints are row-local, so filtering docs first
+    # computes the identical (doc_id, fph) sets.
     ev = (
-        pks.where(F.col("source") == WINNOW_EVAL_SOURCE)
+        winnow_fingerprints(
+            spark,
+            sf_dir,
+            docs=spread(
+                spark, docs.where(F.col("source") == WINNOW_EVAL_SOURCE)
+            ),
+        )
         .select("fph")
         .distinct()
     )
     tr = eager(
-        pks.where(F.col("source") != WINNOW_EVAL_SOURCE).select(
-            "doc_id", "fph"
+        winnow_fingerprints(
+            spark,
+            sf_dir,
+            docs=spread(
+                spark, docs.where(F.col("source") != WINNOW_EVAL_SOURCE)
+            ),
         )
     )
     return _contamination_rollup(tr, ev)
