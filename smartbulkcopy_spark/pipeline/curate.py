@@ -353,19 +353,26 @@ def detector_report(spark, sf_dir):
         ensemble_pairs,
     )
     from smartbulkcopy_spark.pipeline.similarity import q33
-    from smartbulkcopy_spark.queries import eager
+    from smartbulkcopy_spark.queries import eager, eager_parallel
 
-    jac = eager(jaccard_pairs(spark, sf_dir))
-    # vp feeds five consumers (funnel drops + two unions + two marker
-    # joins) — persist the thinned id pairs, not just the jac table.
-    vp = eager(
-        jac.where(
-            F.col("jaccard_millis") >= NEAR_DUP_JACCARD_MILLIS
-        ).select("a_id", "b_id")
-    )
-    sem = eager(q33(spark, sf_dir).select("a_id", "b_id"))
-    shx = eager(
-        simhash_near_dup_pairs(spark, sf_dir).select("a_id", "b_id")
+    def _lex_chain():
+        jac = eager(jaccard_pairs(spark, sf_dir))
+        # vp feeds five consumers (funnel drops + two unions + two
+        # marker joins) — persist the thinned id pairs, not just the
+        # jac table. vp depends on jac, so both share this builder.
+        vp = eager(
+            jac.where(
+                F.col("jaccard_millis") >= NEAR_DUP_JACCARD_MILLIS
+            ).select("a_id", "b_id")
+        )
+        return jac, vp
+
+    (jac, vp), sem, shx = eager_parallel(
+        _lex_chain,
+        lambda: eager(q33(spark, sf_dir).select("a_id", "b_id")),
+        lambda: eager(
+            simhash_near_dup_pairs(spark, sf_dir).select("a_id", "b_id")
+        ),
     )
     return {
         "funnel": curation_funnel(spark, sf_dir, pairs=vp),

@@ -23,7 +23,7 @@ from smartbulkcopy_spark.pipeline.dedup import (
     SIMHASH64_HAMMING_MAX,
     simhash_pairs_cte_duck,
 )
-from smartbulkcopy_spark.queries import eager, register
+from smartbulkcopy_spark.queries import eager, eager_parallel, register
 
 
 def _sem_pairs_cte_duck() -> str:
@@ -100,8 +100,11 @@ def q94(spark, sf_dir):
     # join); eager() so the expensive verify chains run once (q33/q69
     # pattern — a lazy persist would let the consumers race) and the
     # cache is tracked for queries.release_caches() in long sessions.
-    lex = eager(verified_pairs(spark, sf_dir).select("a_id", "b_id"))
-    sem = eager(q33(spark, sf_dir).select("a_id", "b_id"))
+    # The two chains are independent, so they materialize concurrently.
+    lex, sem = eager_parallel(
+        lambda: eager(verified_pairs(spark, sf_dir).select("a_id", "b_id")),
+        lambda: eager(q33(spark, sf_dir).select("a_id", "b_id")),
+    )
     return ensemble_pairs(lex, sem)
 
 
@@ -162,10 +165,14 @@ def q115(spark, sf_dir):
     )
     from smartbulkcopy_spark.pipeline.similarity import q33
 
-    lex = eager(verified_pairs(spark, sf_dir).select("a_id", "b_id"))
-    sem = eager(q33(spark, sf_dir).select("a_id", "b_id"))
-    shp = eager(
-        simhash_near_dup_pairs(spark, sf_dir).select("a_id", "b_id")
+    # Three independent chains -> concurrent materialization
+    # (eager_parallel: 10.1s -> 5.6s at sf0.1).
+    lex, sem, shp = eager_parallel(
+        lambda: eager(verified_pairs(spark, sf_dir).select("a_id", "b_id")),
+        lambda: eager(q33(spark, sf_dir).select("a_id", "b_id")),
+        lambda: eager(
+            simhash_near_dup_pairs(spark, sf_dir).select("a_id", "b_id")
+        ),
     )
     return detector_agreement(lex, sem, shp)
 
@@ -259,12 +266,20 @@ def q187(spark, sf_dir):
         winnow_capped_pairs,
     )
 
-    lex = eager(verified_pairs(spark, sf_dir).select("a_id", "b_id"))
-    _pkf, pr = winnow_capped_pairs(spark, sf_dir)
-    win = eager(
-        pr.where(F.col("shared_fps") >= Q180_MIN_SHARED_FPS).select(
-            "a_id", "b_id"
+    def _win_chain():
+        _pkf, pr = winnow_capped_pairs(spark, sf_dir)
+        return eager(
+            pr.where(F.col("shared_fps") >= Q180_MIN_SHARED_FPS).select(
+                "a_id", "b_id"
+            )
         )
+
+    # MinHash and winnowing chains are independent -> concurrent
+    # materialization (eager_parallel; the winnow side's internal pkf
+    # eager stays inside its builder thread).
+    lex, win = eager_parallel(
+        lambda: eager(verified_pairs(spark, sf_dir).select("a_id", "b_id")),
+        _win_chain,
     )
     u = lex.union(win).distinct()
     lm = lex.withColumn("mh", F.lit(True))
@@ -459,10 +474,6 @@ def contamination_ensemble_matrix(spark, sf_dir):
     from smartbulkcopy_spark.pipeline.text import q68
     from smartbulkcopy_spark.queries import table
 
-    g5 = eager(q68(spark, sf_dir).select("doc_id"))
-    wn = eager(
-        winnow_contamination_screen_full(spark, sf_dir).select("doc_id")
-    )
     src = table(spark, sf_dir, "documents").select("doc_id", "source")
     sa = src.select(
         F.col("doc_id").alias("a_id"),
@@ -472,18 +483,26 @@ def contamination_ensemble_matrix(spark, sf_dir):
         F.col("doc_id").alias("b_id"),
         (F.col("source") == WINNOW_EVAL_SOURCE).alias("eb"),
     )
-    ld = eager(
-        verified_pairs(spark, sf_dir)
-        .select("a_id", "b_id")
-        .join(sa, "a_id")
-        .join(sb, "b_id")
-        .where(F.col("ea") != F.col("eb"))
-        .select(
-            F.when(F.col("ea"), F.col("b_id"))
-            .otherwise(F.col("a_id"))
-            .alias("doc_id")
-        )
-        .distinct()
+    # Three independent detector chains -> concurrent materialization
+    # (eager_parallel; the q115 pattern).
+    g5, wn, ld = eager_parallel(
+        lambda: eager(q68(spark, sf_dir).select("doc_id")),
+        lambda: eager(
+            winnow_contamination_screen_full(spark, sf_dir).select("doc_id")
+        ),
+        lambda: eager(
+            verified_pairs(spark, sf_dir)
+            .select("a_id", "b_id")
+            .join(sa, "a_id")
+            .join(sb, "b_id")
+            .where(F.col("ea") != F.col("eb"))
+            .select(
+                F.when(F.col("ea"), F.col("b_id"))
+                .otherwise(F.col("a_id"))
+                .alias("doc_id")
+            )
+            .distinct()
+        ),
     )
     u = g5.union(wn).union(ld).distinct()
     gm = g5.withColumn("g", F.lit(True))

@@ -109,6 +109,24 @@ def eager(df: DataFrame) -> DataFrame:
     return df
 
 
+def eager_parallel(*builders):
+    """Materialize INDEPENDENT detector/feature chains concurrently:
+    each builder (a zero-arg callable whose body ends in eager()) runs
+    in its own thread — Spark job submission is thread-safe, and none
+    of these chains saturates local[N] on its own, so overlapping their
+    stages cuts wall time to ~the slowest chain instead of the sum
+    (q115 measured 10.1s -> 5.6s at sf0.1). Results return in builder
+    order; exceptions propagate. Only for builders with no data
+    dependency on one another — a dependent pair must share a thread."""
+    if len(builders) == 1:
+        return [builders[0]()]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(len(builders)) as ex:
+        futures = [ex.submit(b) for b in builders]
+    return [f.result() for f in futures]
+
+
 def release_caches() -> int:
     """Unpersist every eager() intermediate still cached; returns how
     many were released. Safe to call at any point after the consuming
