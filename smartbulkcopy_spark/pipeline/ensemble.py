@@ -23,7 +23,7 @@ from smartbulkcopy_spark.pipeline.dedup import (
     SIMHASH64_HAMMING_MAX,
     simhash_pairs_cte_duck,
 )
-from smartbulkcopy_spark.queries import eager, eager_parallel, register
+from smartbulkcopy_spark.queries import eager, eager_parallel, register, sql_darr
 
 
 def _sem_pairs_cte_duck() -> str:
@@ -410,7 +410,7 @@ def q135(spark, sf_dir):
         "doc_id", "bm25_rank"
     )
 
-    qlit = F.array(*[F.lit(v) for v in qvec])
+    qlit = F.expr(sql_darr(qvec))
     e = F.col("embedding")
     ce4 = F.floor(
         10000.0 * dot_fold(e, qlit) / (F.sqrt(dot_fold(e, e)) * F.lit(nq))

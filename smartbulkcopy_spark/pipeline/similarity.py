@@ -29,7 +29,14 @@ import math
 
 import pyspark.sql.functions as F
 
-from smartbulkcopy_spark.queries import eager, register, spread, table
+from smartbulkcopy_spark.queries import (
+    eager,
+    register,
+    spread,
+    sql_darr,
+    sql_dot,
+    table,
+)
 
 N_PLANES = 8  # 8-bit bucket space
 NEAR_DUP_COS = 0.3  # tuned to the fixture: 22 in-bucket pairs at sf0.01
@@ -84,7 +91,7 @@ def q30(spark, sf_dir):
     # both engines' folds over the same values.
     nq = math.sqrt(sum(v * v for v in qvec))
 
-    qlit = F.array(*[F.lit(v) for v in qvec])
+    qlit = F.expr(sql_darr(qvec))
     e = F.col("embedding")
     cos = dot_fold(e, qlit) / (F.sqrt(dot_fold(e, e)) * F.lit(nq))
     return (
@@ -159,11 +166,14 @@ def bucket_col():
     per row. The weight literals are EMBED_DIM wide; a row with any other
     dimension fails loudly (zip_with would otherwise NULL-pad and
     silently collapse every off-dimension vector into bucket 0)."""
-    e = F.col("embedding")
     sig = None
     for j, row in enumerate(_plane_weights()):
-        w = F.array(*[F.lit(v) for v in row])
-        bit = F.when(dot_fold(e, w) > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        # one SQL string per plane (the q188 build-cost rule); CASE WHEN
+        # is the parsed form of F.when(...).otherwise(0)
+        bit = F.expr(
+            f"CASE WHEN {sql_dot('embedding', sql_darr(row))} > 0"
+            f" THEN {1 << j} ELSE 0 END"
+        )
         sig = bit if sig is None else sig + bit
     guard = F.expr(
         f"assert_true(size(embedding) = {EMBED_DIM},"
@@ -466,18 +476,20 @@ def _assign_expr(cents):
     the row-constant e.e term of the squared L2 distance cancels out of
     the argmin, saving 8 redundant fold evaluations per row. Ties go to
     the lower centroid id (array_min over (d, id) structs compares
-    lexicographically)."""
-    e = F.col("embedding")
+    lexicographically). Generated as one SQL string (the q188 rule:
+    per-element Column literals are py4j round-trips and pure driver
+    build cost)."""
     candidates = []
     for cid, vec in cents:
-        clit = F.array(*[F.lit(v) for v in vec])
         # c.c folded in Python (same left-to-right IEEE fold as the engines)
         cc = 0.0
         for v in vec:
             cc = cc + v * v
-        d2 = -2.0 * dot_fold(e, clit) + F.lit(cc)
-        candidates.append(F.struct(d2.alias("d"), F.lit(cid).alias("cid")))
-    return F.array_min(F.array(*candidates))["cid"]
+        candidates.append(
+            f"named_struct('d', -2.0D * {sql_dot('embedding', sql_darr(vec))}"
+            f" + {float(cc)!r}D, 'cid', {int(cid)})"
+        )
+    return F.expr(f"array_min(array({','.join(candidates)})).cid")
 
 
 def _ivf_duck_cte() -> str:
@@ -543,7 +555,7 @@ def ivf_search(spark, sf_dir, query_vec_id: int = 0, k: int = 10,
     probe = [cid for cid, vec in sorted(cents, key=lambda c: (d2(c[1]), c[0]))][:n_probe]
 
     nq = math.sqrt(sum(v * v for v in qvec))
-    qlit = F.array(*[F.lit(v) for v in qvec])
+    qlit = F.expr(sql_darr(qvec))
     e = F.col("embedding")
     cos = dot_fold(e, qlit) / (F.sqrt(dot_fold(e, e)) * F.lit(nq))
     return (
@@ -573,7 +585,7 @@ def ann_topk_bucketed(spark, sf_dir, query_vec_id: int = 0, k: int = 10):
     qrow = bucketed.where(F.col("vec_id") == query_vec_id).first()
     qvec = [float(v) for v in qrow["embedding"]]
     nq = math.sqrt(sum(v * v for v in qvec))
-    qlit = F.array(*[F.lit(v) for v in qvec])
+    qlit = F.expr(sql_darr(qvec))
     e = F.col("embedding")
     cos = dot_fold(e, qlit) / (F.sqrt(dot_fold(e, e)) * F.lit(nq))
     qb = int(qrow["bucket"])
@@ -1476,7 +1488,7 @@ def q141(spark, sf_dir):
                         # c.c folded in Python left-to-right — the same
                         # IEEE fold the engines use (q36 precedent)
                         (
-                            -2.0 * dot_fold(ev, F.array(*[F.lit(v) for v in cv]))
+                            -2.0 * dot_fold(ev, F.expr(sql_darr(cv)))
                             + F.lit(_py_fold_dot(cv))
                         ).alias("d"),
                         F.lit(code).cast("long").alias("code"),
@@ -1682,7 +1694,7 @@ def q145(spark, sf_dir):
                     F.struct(
                         (
                             -2.0
-                            * dot_fold(ev, F.array(*[F.lit(v) for v in cv]))
+                            * dot_fold(ev, F.expr(sql_darr(cv)))
                             + F.lit(_py_fold_dot(cv))
                         ).alias("d"),
                         F.lit(code).cast("long").alias("code"),
@@ -1714,7 +1726,7 @@ def q145(spark, sf_dir):
     )
 
     qq_full = fold_dot(qvec, qvec)
-    qlit = F.array(*[F.lit(v) for v in qvec])
+    qlit = F.expr(sql_darr(qvec))
     e = F.col("embedding")
     d_exact = (F.lit(qq_full) - 2.0 * dot_fold(qlit, e)) + dot_fold(e, e)
     exact = (
@@ -1819,7 +1831,7 @@ def q181(spark, sf_dir):
                         (
                             -2.0
                             * dot_fold(
-                                ev, F.array(*[F.lit(v) for v in cv])
+                                ev, F.expr(sql_darr(cv))
                             )
                             + F.lit(_py_fold_dot(cv))
                         ).alias("d"),
@@ -1967,35 +1979,42 @@ def _tree_levels(leaves, branch):
 def _tree_walk_expr(levels):
     """The assignment walk as one column expression: returns a struct
     (d, jn) where jn is the chosen leaf code and d its distance
-    surrogate (-2 e.c + c.c, the q141 spelling)."""
-    e = F.col("embedding")
+    surrogate (-2 e.c + c.c, the q141 spelling).
+
+    Generated as ONE SQL string + a single F.expr — the per-node Column
+    API spelling cost 3.5-4.0 s of py4j round-trips per build on the
+    depth-3 tree (~5,400 expression nodes) vs 0.3-0.6 s of execution
+    (guide §1: the q188 bench number was driver build time, not
+    compute). Same tree: named_struct fields, map lookup, transform,
+    array_min tie-breaking and the dot fold are the identical
+    expressions the Column spelling produced."""
 
     def child_struct(idx, vec):
-        return F.struct(
-            F.lit(int(idx)).alias("jn"),
-            F.array(*[F.lit(float(v)) for v in vec]).alias("v"),
-            F.lit(_py_fold_dot(vec)).alias("c2"),
+        return (
+            f"named_struct('jn', {int(idx)}, 'v', {sql_darr(vec)},"
+            f" 'c2', {float(_py_fold_dot(vec))!r}D)"
         )
 
-    cur = F.lit(0)
+    cur = "0"
     pick = None
     for groups in levels:
         entries = []
         for c in sorted(groups):
-            arr = F.array(
-                *[child_struct(j, vec) for j, vec in groups[c]]
+            arr = (
+                "array("
+                + ",".join(child_struct(j, vec) for j, vec in groups[c])
+                + ")"
             )
-            entries.extend([F.lit(c), arr])
-        cands = F.transform(
-            F.element_at(F.create_map(*entries), cur),
-            lambda x: F.struct(
-                (-2.0 * dot_fold(e, x["v"]) + x["c2"]).alias("d"),
-                x["jn"].alias("jn"),
-            ),
+            entries.append(f"{int(c)}, {arr}")
+        mp = "map(" + ", ".join(entries) + ")"
+        cands = (
+            f"transform(element_at({mp}, {cur}), x -> named_struct("
+            f"'d', -2.0D * {sql_dot('embedding', 'x.v')} + x.c2,"
+            " 'jn', x.jn))"
         )
-        pick = F.array_min(cands)  # ties -> lower child index/code
-        cur = pick["jn"]
-    return pick
+        pick = f"array_min({cands})"  # ties -> lower child index/code
+        cur = f"({pick}).jn"
+    return F.expr(pick)
 
 
 def tree_assignment(spark, sf_dir, k=TREE_LEAVES, branch=TREE_BRANCH):
@@ -2426,7 +2445,7 @@ def tree_probe_search(spark, sf_dir, query_vec_id: int, k: int = 10):
     qrow = emb.where(F.col("vec_id") == query_vec_id).first()
     qvec = [float(v) for v in qrow["embedding"]]
     nq = math.sqrt(sum(v * v for v in qvec))
-    qlit = F.array(*[F.lit(v) for v in qvec])
+    qlit = F.expr(sql_darr(qvec))
     e = F.col("embedding")
     cos = dot_fold(e, qlit) / (F.sqrt(dot_fold(e, e)) * F.lit(nq))
     walk = _tree_walk_expr(levels)["jn"].cast("long")
@@ -2551,7 +2570,7 @@ def tree_multiprobe_search(
     ][:n_probe]
 
     nq = math.sqrt(sum(v * v for v in qvec))
-    qlit = F.array(*[F.lit(v) for v in qvec])
+    qlit = F.expr(sql_darr(qvec))
     e = F.col("embedding")
     cos = dot_fold(e, qlit) / (F.sqrt(dot_fold(e, e)) * F.lit(nq))
     walk = _tree_walk_expr(levels)["jn"].cast("long")
@@ -2744,7 +2763,7 @@ def tree_multiprobe_recall_curve(spark, sf_dir, probes=(1, 2, 4)):
     ) + " END"
 
     nq = math.sqrt(sum(v * v for v in qvec))
-    qlit = F.array(*[F.lit(v) for v in qvec])
+    qlit = F.expr(sql_darr(qvec))
     e = F.col("embedding")
     cos = dot_fold(e, qlit) / (F.sqrt(dot_fold(e, e)) * F.lit(nq))
     walk = _tree_walk_expr(levels)["jn"].cast("long")

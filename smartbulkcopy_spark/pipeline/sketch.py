@@ -22,7 +22,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 
 from smartbulkcopy_spark.pipeline.text import NORM_SQL_DUCK, norm_text
-from smartbulkcopy_spark.queries import register, table
+from smartbulkcopy_spark.queries import register, sql_iarr, table
 
 # ---------------------------------------------------------------------------
 # HyperLogLog distinct-token estimate (m = 256 registers). Register
@@ -157,7 +157,7 @@ def q121(spark, sf_dir):
         F.lit(exact).cast("long").alias("exact_distinct"),
     )
     lin = F.element_at(
-        F.array(*[F.lit(x) for x in HLL_LIN]),
+        F.expr(sql_iarr(HLL_LIN)),
         F.col("n_zero_registers").cast("int"),
     ).cast("long")
     out = staged.select(
@@ -524,7 +524,7 @@ def q126(spark, sf_dir):
         .select(
             "w",
             F.explode(
-                F.array(*[F.lit(i) for i in range(HLL_M)])
+                F.expr(f"sequence(0, {HLL_M - 1})")
             ).alias("reg"),
         )
     )
@@ -551,7 +551,7 @@ def q126(spark, sf_dir):
         raw.alias("raw"),
     )
     lin = F.element_at(
-        F.array(*[F.lit(x) for x in HLL_LIN]),
+        F.expr(sql_iarr(HLL_LIN)),
         F.col("n_zero_registers").cast("int"),
     ).cast("long")
     est = staged.select(
@@ -1139,7 +1139,7 @@ def q146(spark, sf_dir):
         .groupBy("h", "reg")
         .agg(F.max("rank").alias("mr"))
     )
-    off = F.explode(F.array(*[F.lit(i) for i in range(ROLL_H)])).alias(
+    off = F.explode(F.expr(f"sequence(0, {ROLL_H - 1})")).alias(
         "off"
     )
     con = (
@@ -1152,7 +1152,7 @@ def q146(spark, sf_dir):
     grid = obs.select(
         "h",
         "w",
-        F.explode(F.array(*[F.lit(i) for i in range(HLL_M)])).alias(
+        F.explode(F.expr(f"sequence(0, {HLL_M - 1})")).alias(
             "reg"
         ),
     )
@@ -1184,7 +1184,7 @@ def q146(spark, sf_dir):
         raw.alias("raw"),
     )
     lin = F.element_at(
-        F.array(*[F.lit(x) for x in HLL_LIN]),
+        F.expr(sql_iarr(HLL_LIN)),
         F.col("n_zero_registers").cast("int"),
     ).cast("long")
     est = staged.select(

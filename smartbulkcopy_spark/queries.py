@@ -150,6 +150,37 @@ def spread(spark: SparkSession, df: DataFrame) -> DataFrame:
     return df
 
 
+def sql_darr(vec) -> str:
+    """Spark SQL array literal of doubles, bit-identical to
+    F.array(*[F.lit(float(v)) ...]) — Python repr round-trips IEEE
+    doubles exactly and the SQL `D` suffix parses to the same bits
+    (verified over the full fixture embedding value set). The point is
+    the BUILD cost: every F.lit/F.struct/F.array is a py4j round-trip
+    (~0.65 ms each), so a wide literal vector embedded per-element costs
+    seconds of pure driver time before Spark sees the plan — q188's
+    5,400-node tree walk spent 3.5-4.0 s building vs 0.3-0.6 s
+    executing. One F.expr over this string is a single round-trip."""
+    return "array(" + ",".join(f"{float(v)!r}D" for v in vec) + ")"
+
+
+def sql_iarr(vals) -> str:
+    """Spark SQL array literal of ints (same build-cost rationale as
+    sql_darr; int literals type as INT/BIGINT exactly like F.lit)."""
+    return "array(" + ",".join(str(int(v)) for v in vals) + ")"
+
+
+def sql_dot(a: str, b: str) -> str:
+    """similarity.dot_fold (the engine's canonical left fold of
+    elementwise products in the double domain) as a SQL string, for
+    embedding inside generated single-expr plans. Identical op order =
+    identical IEEE results."""
+    return (
+        f"aggregate(zip_with(transform({a}, x -> CAST(x AS DOUBLE)),"
+        f" transform({b}, x -> CAST(x AS DOUBLE)),"
+        " (x, y) -> x * y), 0.0D, (acc, v) -> acc + v)"
+    )
+
+
 @dataclass(frozen=True)
 class QuerySpec:
     name: str
