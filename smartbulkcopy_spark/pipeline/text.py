@@ -3495,28 +3495,34 @@ _Q176_SQL = (
     " pair counts — all doc-length-bounded windows, scale-safe.",
 )
 def q176(spark, sf_dir):
+    # Each round's winner already comes from a bounded 1-row collect
+    # (the q52/q102 scalar rule — it parameterizes the next rewrite);
+    # emit THOSE rows as the result (the q179 spelling) instead of
+    # keeping lazy top-1 branches that re-ran every round's pair count
+    # a second time at action time.
+    import pyspark.sql.types as _T
+
     tok = eager(_bpe_tok0(spark, sf_dir))
-    branches = []
+    minted: list[tuple[int, str, int, int]] = []
     for rnd in range(1, BPE_MERGE_ROUNDS + 1):
-        pairs = _bpe_pair_counts(tok)
-        branches.append(
-            _bpe_top1(pairs).select(
-                F.lit(rnd).cast("long").alias("merge_round"),
-                "pair",
-                "tf",
-                "df",
-            )
+        rows = _bpe_top1(_bpe_pair_counts(tok)).collect()  # limit(1)
+        if not rows:
+            break
+        minted.append(
+            (rnd, rows[0]["pair"], int(rows[0]["tf"]), int(rows[0]["df"]))
         )
         if rnd < BPE_MERGE_ROUNDS:
-            rows = _bpe_top1(pairs).collect()  # bounded: limit(1) first
-            if not rows:
-                break
             a, b = rows[0]["pair"].split(" ", 1)
             tok = eager(_bpe_apply(tok, a, b))
-    res = branches[0]
-    for br in branches[1:]:
-        res = res.unionByName(br)
-    return res.orderBy("merge_round")
+    schema = _T.StructType(
+        [
+            _T.StructField("merge_round", _T.LongType()),
+            _T.StructField("pair", _T.StringType()),
+            _T.StructField("tf", _T.LongType()),
+            _T.StructField("df", _T.LongType()),
+        ]
+    )
+    return spark.createDataFrame(minted, schema).orderBy("merge_round")
 
 
 # ---------------------------------------------------------------------------

@@ -77,7 +77,7 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # foreign sessions (e.g. the driver's own) that didn't go through it.
         if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
+        df = _read_parquet(spark, path)
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn(
                 "ts",
@@ -87,7 +87,30 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 ),
             )
         return df
-    return spark.read.parquet(path)
+    return _read_parquet(spark, path)
+
+
+# Schema METADATA memo (never data, never results): schema inference
+# re-reads parquet footers as a small job on EVERY spark.read.parquet —
+# measured 80-120 ms per table() call vs 15-35 ms with an explicit
+# schema, across hundreds of table() calls per bench sweep. Keyed on
+# (path, mtime, size) so a rewritten file re-infers; equivalent to what
+# a production metastore provides.
+_SCHEMA_MEMO: dict[tuple, object] = {}
+
+
+def _read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    try:
+        st = os.stat(path)
+        key = (path, st.st_mtime_ns, st.st_size)
+    except OSError:
+        return spark.read.parquet(path)
+    schema = _SCHEMA_MEMO.get(key)
+    if schema is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_MEMO[key] = df.schema
+        return df
+    return spark.read.schema(schema).parquet(path)
 
 
 # Eagerly-persisted intermediates (tiny pair/signature sets feeding
@@ -145,9 +168,35 @@ def spread(spark: SparkSession, df: DataFrame) -> DataFrame:
     thousands of splits and this must NOT add a shuffle — so it only
     repartitions when the scan is materially under-parallel."""
     target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() * 2 <= target:
+    if _scan_width_estimate(spark, df) * 2 <= target:
         return df.repartition(target)
     return df
+
+
+def _scan_width_estimate(spark: SparkSession, df: DataFrame) -> int:
+    """Estimated scan parallelism from the leaf files' sizes — the
+    df.rdd.getNumPartitions() spelling translated the WHOLE plan to an
+    RDD first, ~170 ms of driver time per spread() call (~43 call
+    sites). spread()'s inputs are scans or narrow ops over scans, so
+    Spark's own file-split arithmetic (size/maxPartitionBytes, one
+    split minimum per file) estimates the same answer for a fraction
+    of the cost; any plan without file leaves falls back to the exact
+    spelling."""
+    try:
+        files = [f for f in df.inputFiles() if f.startswith("file:")]
+        if not files:
+            return df.rdd.getNumPartitions()
+        total = sum(
+            os.path.getsize(f.removeprefix("file:")) for f in files
+        )
+        max_split = int(
+            spark._jvm.org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+                spark.conf.get("spark.sql.files.maxPartitionBytes", "128MB")
+            )
+        )
+        return max(len(files), -(-total // max(max_split, 1)))
+    except Exception:
+        return df.rdd.getNumPartitions()
 
 
 def sql_darr(vec) -> str:
