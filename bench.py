@@ -374,6 +374,14 @@ def emit_payloads(
             "tu": "ds",
             "t": [int(round(nums[k] * 10)) for k in ks],
         }
+        # Top-8 slowest ALSO as explicit "qNNN": decisecond keys
+        # (additive; same budget): the driver's per-query comparator
+        # reads literal JSON keys and cannot expand the dense array —
+        # PERF_r13 lost all per-query visibility (n_common: 1). The
+        # hottest queries are exactly the ones a regression table must
+        # see (round-13 verdict item 7).
+        for k in sorted(ks, key=lambda k: (-nums[k], k))[:8]:
+            compact_queries[f"q{k}"] = int(round(nums[k] * 10))
 
     compact_copy: dict[str, object] = {}
     for key, val in copies.items():

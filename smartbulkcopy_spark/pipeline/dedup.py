@@ -1202,8 +1202,16 @@ def connected_components(
     edges = edges.persist()
     # Materialize BEFORE the scoped conf: the caller's pair chain (the
     # expensive part) must run at full session width; only the tiny
-    # (id, label) iteration below runs at the derived width.
-    n_edges = edges.count()
+    # (id, label) iteration below runs at the derived width. A runtime
+    # failure HERE (post-analysis: assert_true guard, executor error)
+    # must not strand the persisted frame or the truncator — the main
+    # try/finally below only guards the iteration (round-13 ADVICE).
+    try:
+        n_edges = edges.count()
+    except Exception:
+        edges.unpersist()
+        trunc.close()
+        raise
     _sess_sp = spark.conf.get("spark.sql.shuffle.partitions")
     if shuffle_partitions is None:
         shuffle_partitions = min(
@@ -2400,27 +2408,26 @@ def winnow_drop_share(spark, sf_dir):
     winnowing fingerprints the WINNOW_MAX_POSTINGS cap removes. A
     boilerplate-heavy document loses most of its fingerprint mass to
     the cap and becomes invisible to the q164/q180 pair chain — this
-    is the audit that finds those blind spots. One fph-keyed partial
-    agg sizes the lists; a broadcast-sized over-cap set LEFT-SEMI marks
-    each doc's dropped rows; per-doc rollup. Integer ppm
-    (non-negative: Spark DIV == DuckDB //). One shared fph exchange
-    feeds both the list-size aggregate and the mark join (q119 rule:
-    never re-run the fingerprint HOF per consumer)."""
-    pk = winnow_fingerprints(spark, sf_dir).repartition("fph")
-    over = (
-        pk.groupBy("fph")
-        .agg(F.count("*").alias("pc"))
-        .where(F.col("pc") > WINNOW_MAX_POSTINGS)
-        .select("fph")
-    )
-    marked = pk.join(
-        over.withColumn("dropped", F.lit(1)), "fph", "left"
-    )
+    is the audit that finds those blind spots. Round-14 shape: the
+    posting-size mark is a window count over the SAME fph partitioning
+    the fingerprint stream shuffles into — the whole cap + mark
+    happens inside ONE exchange and the corpus-sized fingerprint HOF
+    runs exactly once by construction (the r13 repartition +
+    aggregate/join fan-out needed runtime exchange reuse to avoid a
+    second HOF pass, and reuse never fired). Integer ppm
+    (non-negative: Spark DIV == DuckDB //)."""
+    pk = winnow_fingerprints(spark, sf_dir)
+    pc = F.count("*").over(Window.partitionBy("fph")).alias("pc")
+    marked = pk.select("doc_id", "fph", pc)
     return (
         marked.groupBy("doc_id")
         .agg(
             F.count("*").cast("long").alias("n_fps"),
-            F.sum(F.coalesce(F.col("dropped"), F.lit(0)))
+            F.sum(
+                F.when(
+                    F.col("pc") > WINNOW_MAX_POSTINGS, 1
+                ).otherwise(0)
+            )
             .cast("long")
             .alias("n_dropped"),
         )
@@ -2443,27 +2450,37 @@ def winnow_capped_pairs(spark, sf_dir):
     the three detectors cannot drift. Callers own the persisted pkf
     (released via queries.release_caches()).
 
-    One fph exchange feeds BOTH the posting-size aggregate and the
-    semi-join side of pkf — unshared, each branch re-runs the rolling-
-    hash fingerprint HOF over the corpus (the q119 lesson)."""
-    pk = winnow_fingerprints(spark, sf_dir).repartition("fph")
-    keep = (
-        pk.groupBy("fph")
-        .agg(F.count("*").alias("pc"))
+    Round-14 shape (the r13 `repartition("fph")` one-exchange bet is
+    resolved): the corpus-sized rolling-hash fingerprint HOF runs
+    EXACTLY ONCE by construction — the posting-size cap is a window
+    count over the SAME fph partitioning the fingerprint stream
+    shuffles into, so cap + filter happen inside one exchange instead
+    of a groupBy/semi-join fan-out whose runtime exchange reuse never
+    fired (the r12 re-aliased-cache-scan lesson; the r13 repartition
+    was pure cost when reuse missed). Pairs come from the q27 bucket
+    pattern — sorted collect_list per fph + row-local nested
+    transform — whose lists are provably <= WINNOW_MAX_POSTINGS after
+    the cap, instead of a pkf x pkf self-join that shuffled the capped
+    table twice more; the groupBy reads the persisted pkf on the
+    partitioning it was cached with."""
+    pk = winnow_fingerprints(spark, sf_dir)
+    pc = F.count("*").over(Window.partitionBy("fph")).alias("pc")
+    pkf = eager(
+        pk.select("doc_id", "fph", pc)
         .where(F.col("pc") <= WINNOW_MAX_POSTINGS)
-        .select("fph")
+        .select("doc_id", "fph")
     )
-    pkf = eager(pk.join(keep, "fph", "left_semi"))
-    a = pkf.select(F.col("doc_id").alias("a_id"), "fph")
-    b = pkf.select(
-        F.col("doc_id").alias("b_id"), F.col("fph").alias("fph2")
+    buckets = pkf.groupBy("fph").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("ds")
+    )
+    pair_expr = F.expr(
+        "flatten(transform(ds, (a, i) ->"
+        " transform(slice(ds, i + 2, size(ds)),"
+        " b -> named_struct('a_id', a, 'b_id', b))))"
     )
     pr = (
-        a.join(
-            b,
-            (F.col("fph") == F.col("fph2"))
-            & (F.col("a_id") < F.col("b_id")),
-        )
+        buckets.select(F.explode(pair_expr).alias("p"))
+        .select("p.a_id", "p.b_id")
         .groupBy("a_id", "b_id")
         .agg(F.count("*").cast("long").alias("shared_fps"))
     )

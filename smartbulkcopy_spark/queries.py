@@ -17,6 +17,7 @@ Scale notes (100 TB):
 from __future__ import annotations
 
 import itertools
+import math
 import os
 import re
 from collections.abc import Callable
@@ -102,7 +103,18 @@ _SCHEMA_MEMO: dict[tuple, object] = {}
 def _read_parquet(spark: SparkSession, path: str) -> DataFrame:
     try:
         st = os.stat(path)
-        key = (path, st.st_mtime_ns, st.st_size)
+        key: tuple = (path, st.st_mtime_ns, st.st_size)
+        if not os.path.isfile(path):
+            # Directory dataset: rewriting a part file IN PLACE changes
+            # neither the directory's mtime nor its size, so key on the
+            # max child (mtime, size) too (round-13 ADVICE).
+            with os.scandir(path) as it:
+                kids = [e.stat() for e in it if e.is_file()]
+            key += (
+                max((k.st_mtime_ns for k in kids), default=0),
+                max((k.st_size for k in kids), default=0),
+                len(kids),
+            )
     except OSError:
         return spark.read.parquet(path)
     schema = _SCHEMA_MEMO.get(key)
@@ -140,7 +152,15 @@ def eager_parallel(*builders):
     stages cuts wall time to ~the slowest chain instead of the sum
     (q115 measured 10.1s -> 5.6s at sf0.1). Results return in builder
     order; exceptions propagate. Only for builders with no data
-    dependency on one another — a dependent pair must share a thread."""
+    dependency on one another — a dependent pair must share a thread.
+
+    HARD CONTRACT (round-13 ADVICE): builders run concurrently against
+    the session-GLOBAL SQL conf, so no builder may reach a conf-scoping
+    section — connected_components (which narrows
+    spark.sql.shuffle.partitions and can disable AQE mid-flight) or a
+    streaming drain (state_partitions override). A threaded builder
+    that mutates session conf silently re-plans its SIBLINGS at the
+    narrowed width. Keep CC/streaming chains on the caller's thread."""
     if len(builders) == 1:
         return [builders[0]()]
     from concurrent.futures import ThreadPoolExecutor
@@ -208,8 +228,21 @@ def sql_darr(vec) -> str:
     (~0.65 ms each), so a wide literal vector embedded per-element costs
     seconds of pure driver time before Spark sees the plan — q188's
     5,400-node tree walk spent 3.5-4.0 s building vs 0.3-0.6 s
-    executing. One F.expr over this string is a single round-trip."""
-    return "array(" + ",".join(f"{float(v)!r}D" for v in vec) + ")"
+    executing. One F.expr over this string is a single round-trip.
+
+    Non-finite values would emit 'infD'/'nanD', which do NOT parse as
+    Spark SQL double literals (F.lit handled them) — raise a named
+    error instead of an opaque ParseException deep in a generated
+    expression (round-13 ADVICE; fixture embeddings are finite, this
+    helper is literal-vector-only)."""
+    vals = [float(v) for v in vec]
+    for v in vals:
+        if not math.isfinite(v):
+            raise ValueError(
+                f"sql_darr: non-finite element {v!r} cannot be emitted"
+                " as a SQL double literal; filter or F.lit it instead"
+            )
+    return "array(" + ",".join(f"{v!r}D" for v in vals) + ")"
 
 
 def sql_iarr(vals) -> str:
@@ -3581,17 +3614,17 @@ TIER1 = [
 # (rows_match & schema_match & hash_match). Absent = never driver-graded.
 # Generated by tools/ledger.py; keep in lockstep with SURVEY.md §2.12.
 LAST_GREEN = {
-    "q01_scan_project": 12,
-    "q02_logical_partition_bucket": 12,
-    "q03_range_partition_predicate": 12,
-    "q04_ordered_scan_desc": 12,
-    "q05_rowcount": 12,
-    "q06_bucket_counts": 12,
-    "q07_ident_current": 12,
-    "q08_table_size_agg": 12,
-    "q09_inner_join_agg": 12,
-    "q100_gopher_rules": 7,
-    "q101_hourly_cohort_retention": 7,
+    "q01_scan_project": 13,
+    "q02_logical_partition_bucket": 13,
+    "q03_range_partition_predicate": 13,
+    "q04_ordered_scan_desc": 13,
+    "q05_rowcount": 13,
+    "q06_bucket_counts": 13,
+    "q07_ident_current": 13,
+    "q08_table_size_agg": 13,
+    "q09_inner_join_agg": 13,
+    "q100_gopher_rules": 13,
+    "q101_hourly_cohort_retention": 13,
     "q102_conversion_latency": 7,
     "q103_embedding_drift": 7,
     "q104_orc_corpus_roundtrip": 7,
@@ -3600,7 +3633,7 @@ LAST_GREEN = {
     "q107_minhash_estimate_quality": 7,
     "q108_jaccard_distribution": 7,
     "q109_event_transitions": 7,
-    "q10_left_join_agg": 12,
+    "q10_left_join_agg": 13,
     "q110_image_ahash": 7,
     "q111_image_near_dup": 7,
     "q112_simhash_near_dup": 7,
@@ -3611,7 +3644,7 @@ LAST_GREEN = {
     "q117_image_dedup_keep": 8,
     "q118_pii_redaction": 8,
     "q119_crossdoc_repeated_spans": 8,
-    "q11_semi_join": 12,
+    "q11_semi_join": 13,
     "q120_hashed_linear_quality": 8,
     "q121_hll_distinct_tokens": 8,
     "q122_cms_heavy_hitters": 8,
@@ -3622,7 +3655,7 @@ LAST_GREEN = {
     "q127_kmv_source_overlap": 8,
     "q128_prefix_filter_join": 8,
     "q129_containment_join": 8,
-    "q12_except": 12,
+    "q12_except": 13,
     "q130_pps_token_sample": 8,
     "q131_vocab_growth": 8,
     "q132_cluster_separation": 8,
@@ -3633,7 +3666,7 @@ LAST_GREEN = {
     "q137_mad_length_outliers": 8,
     "q138_tokenizer_fertility": 8,
     "q139_gap_quantile_sketch": 8,
-    "q13_union_distinct": 12,
+    "q13_union_distinct": 13,
     "q140_regional_revenue_rollup": 8,
     "q141_pq_code_assignment": 8,
     "q142_encoding_anomaly_audit": 8,
@@ -3644,7 +3677,7 @@ LAST_GREEN = {
     "q147_temporal_split_audit": 9,
     "q148_stream_enrichment_rollup": 9,
     "q149_seqlen_truncation_frontier": 9,
-    "q14_topk": 12,
+    "q14_topk": 13,
     "q150_snapshot_diff_audit": 9,
     "q151_neyman_allocation": 9,
     "q152_corpus_rollup_totals": 9,
@@ -3655,7 +3688,7 @@ LAST_GREEN = {
     "q157_hourly_seasonality": 9,
     "q158_repeat_purchase_profile": 9,
     "q159_attribution_model_compare": 9,
-    "q15_case_when": 12,
+    "q15_case_when": 13,
     "q160_skeleton_template_dupes": 9,
     "q161_copurchase_lift": 9,
     "q162_rfm_segments": 9,
@@ -3666,7 +3699,7 @@ LAST_GREEN = {
     "q167_discount_elasticity": 9,
     "q168_scd2_version_profile": 9,
     "q169_zipf_coverage": 9,
-    "q16_quotename": 12,
+    "q16_quotename": 13,
     "q170_winnowing_contamination": 9,
     "q171_source_template_matrix": 10,
     "q172_peak_concurrency": 10,
@@ -3677,7 +3710,7 @@ LAST_GREEN = {
     "q177_incremental_contamination": 10,
     "q178_stream_seasonality": 10,
     "q179_bpe_vocab_budget": 10,
-    "q17_agg_sweep": 12,
+    "q17_agg_sweep": 13,
     "q180_exact_substring_verify": 10,
     "q181_pq_codebook_refresh": 10,
     "q182_stream_peak_concurrency": 10,
@@ -3688,7 +3721,7 @@ LAST_GREEN = {
     "q187_lexical_detector_overlap": 11,
     "q188_tree_depth3_assignment": 11,
     "q189_tree_flat_agreement": 11,
-    "q18_tumbling_window": 12,
+    "q18_tumbling_window": 13,
     "q190_tree_probe_recall": 11,
     "q191_winnow_posting_histogram": 11,
     "q192_bigram_lm_fit": 12,
@@ -3699,8 +3732,11 @@ LAST_GREEN = {
     "q197_tree_multiprobe_recall": 12,
     "q198_stream_click_attribution": 12,
     "q199_star_fallback_recall": 12,
-    "q19_rate_delta_lag": 12,
-    "q20_copy_roundtrip": 12,
+    "q19_rate_delta_lag": 13,
+    "q200_dsir_importance_weights": 13,
+    "q201_repetition_removal_audit": 13,
+    "q202_contamination_cap_recall": 13,
+    "q20_copy_roundtrip": 13,
     "q21_exact_dedup": 11,
     "q22_text_stats": 11,
     "q23_token_counts": 11,
@@ -3715,7 +3751,7 @@ LAST_GREEN = {
     "q32_binary_features": 11,
     "q33_embedding_near_dup": 11,
     "q34_near_dup_dedup": 11,
-    "q35_sessionization": 12,
+    "q35_sessionization": 13,
     "q36_ivf_assignment": 11,
     "q37_scalar_funcs": 11,
     "q38_bpe_token_counts": 11,
@@ -3725,8 +3761,8 @@ LAST_GREEN = {
     "q42_audio_frame_sample": 11,
     "q43_ann_bucketed_topk": 12,
     "q44_ivf_probe_topk": 12,
-    "q45_sliding_window": 12,
-    "q46_session_window": 12,
+    "q45_sliding_window": 13,
+    "q46_session_window": 13,
     "q47_ann_recall": 12,
     "q48_vocab_topk": 10,
     "q49_cross_source_neardups": 10,
@@ -3758,28 +3794,28 @@ LAST_GREEN = {
     "q75_group_sample": 12,
     "q76_stratified_split_audit": 12,
     "q77_kmeans_lite": 12,
-    "q78_burst_detection": 6,
-    "q79_video_frame_sample": 6,
-    "q80_decontaminated_redact": 6,
-    "q81_embedding_dedup_clusters": 6,
-    "q82_jsonl_ingest_audit": 6,
-    "q83_cluster_pruned_sample": 6,
-    "q84_mixture_weights": 6,
-    "q85_oov_rate": 6,
-    "q86_split_leakage_audit": 6,
-    "q87_rarity_score": 6,
-    "q88_asof_last_touch": 6,
-    "q89_curriculum_stages": 6,
-    "q90_seqlen_histogram": 6,
-    "q91_bpe_merge_candidates": 6,
-    "q92_shard_balance": 7,
-    "q93_incremental_ann_ingest": 7,
-    "q94_ensemble_dedup": 7,
-    "q95_interval_click_attribution": 7,
-    "q96_template_prefix_detection": 7,
-    "q97_token_cooccurrence": 7,
-    "q98_split_label_balance": 7,
-    "q99_stopword_ratio": 7,
+    "q78_burst_detection": 13,
+    "q79_video_frame_sample": 13,
+    "q80_decontaminated_redact": 13,
+    "q81_embedding_dedup_clusters": 13,
+    "q82_jsonl_ingest_audit": 13,
+    "q83_cluster_pruned_sample": 13,
+    "q84_mixture_weights": 13,
+    "q85_oov_rate": 13,
+    "q86_split_leakage_audit": 13,
+    "q87_rarity_score": 13,
+    "q88_asof_last_touch": 13,
+    "q89_curriculum_stages": 13,
+    "q90_seqlen_histogram": 13,
+    "q91_bpe_merge_candidates": 13,
+    "q92_shard_balance": 13,
+    "q93_incremental_ann_ingest": 13,
+    "q94_ensemble_dedup": 13,
+    "q95_interval_click_attribution": 13,
+    "q96_template_prefix_detection": 13,
+    "q97_token_cooccurrence": 13,
+    "q98_split_label_balance": 13,
+    "q99_stopword_ratio": 13,
 }
 
 

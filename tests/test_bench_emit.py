@@ -99,6 +99,28 @@ def test_line_is_parseable_json_with_dense_timings():
     assert shape_bad["false"] == ["part_beats_heap_8x"]
 
 
+def test_top8_explicit_keys_on_line():
+    """Round-13 verdict item 7: the top-8 slowest queries must ALSO
+    emit as explicit "qNNN": decisecond keys (the driver's per-query
+    comparator reads literal JSON keys and cannot expand the dense
+    array — PERF_r13's regression table was degenerate)."""
+    timings, copies = worst_case_payloads()
+    timings["q180_exact_substring_verify"] = 200.0
+    timings["q107_minhash_estimate_quality"] = 150.0
+    line, _ = bench.emit_payloads(timings, copies, 0.1)
+    doc = json.loads(line)
+    assert doc["queries"]["q180"] == 2000
+    assert doc["queries"]["q107"] == 1500
+    explicit = [
+        k for k in doc["queries"] if k not in ("q1st", "tu", "t")
+    ]
+    assert len(explicit) == 8
+    # explicit keys agree with the dense array (t[i] = q1st + i)
+    for k in explicit:
+        i = int(k[1:]) - doc["queries"]["q1st"]
+        assert doc["queries"][k] == doc["queries"]["t"][i]
+
+
 def test_detail_keeps_full_names_and_note():
     timings, copies = worst_case_payloads()
     _, detail = bench.emit_payloads(timings, copies, 0.1)
