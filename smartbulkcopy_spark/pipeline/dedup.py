@@ -2024,11 +2024,15 @@ def prefix_filter_pairs(spark, sf_dir):
     collect_list + row-local nested transform, never an inequality
     self-join); the exact verify LEFT-SEMI thins the corpus to
     candidate members first (q29 rule). Document bodies never shuffle —
-    only (token, doc_id, n) prefix rows and id pairs."""
+    only (token, doc_id, n) prefix rows and id pairs. Per-doc token
+    dedup is ROW-LOCAL (array_distinct before the explode): the old
+    explode + global .distinct() paid a full (doc_id, token) exchange
+    for a dedup that never crosses rows (round-14, guide §2.4)."""
     base = _normed(spark, sf_dir).where(F.trim("n") != "")
     tok = base.select(
-        "doc_id", F.explode(F.split(F.trim("n"), " ")).alias("t")
-    ).distinct()
+        "doc_id",
+        F.explode(F.array_distinct(F.split(F.trim("n"), " "))).alias("t"),
+    )
     dfq = tok.groupBy("t").agg(F.count("*").alias("dfreq"))
     per_doc = (
         tok.join(dfq, "t")
@@ -2173,11 +2177,14 @@ def containment_pairs(spark, sf_dir):
     token-table self-join, which would recompute or cache the whole
     chain). The count window shares the groupBy's token partitioning;
     over-cap stopword lists drop BEFORE any array is collected. The
-    exact verify LEFT-SEMI thins the corpus to candidate members."""
+    exact verify LEFT-SEMI thins the corpus to candidate members.
+    Per-doc token dedup is ROW-LOCAL (array_distinct before the
+    explode, the q128 spelling) — no global distinct exchange."""
     base = _normed(spark, sf_dir).where(F.trim("n") != "")
     tok = base.select(
-        "doc_id", F.explode(F.split(F.trim("n"), " ")).alias("t")
-    ).distinct()
+        "doc_id",
+        F.explode(F.array_distinct(F.split(F.trim("n"), " "))).alias("t"),
+    )
     dfq = tok.groupBy("t").agg(F.count("*").alias("dfreq"))
     arrs = (
         tok.join(dfq, "t")

@@ -138,6 +138,24 @@ def eager(df: DataFrame) -> DataFrame:
     """persist + materialize-before-fan-out (the q33 pattern: a lazy
     persist lets multiple consumers race to materialize it
     independently), tracked for later release_caches()."""
+    spark = df.sparkSession
+    # Our session factory sets this globally; guard-set it here only
+    # for foreign sessions (the driver's own: 200 shuffle partitions,
+    # flag off by default) — without it every cached materialization
+    # runs at the raw session width with NO AQE coalescing, ~200
+    # near-empty tasks per eager() (round-13 flag, round-14 guard;
+    # the nanosAsLong precedent in table()).
+    if (
+        spark.conf.get(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            "false",
+        )
+        != "true"
+    ):
+        spark.conf.set(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            "true",
+        )
     df = df.persist()
     df.count()
     _LIVE_CACHES.append(df)
