@@ -265,6 +265,32 @@ def signatures(spark, sf_dir, member_ids=None):
     )
 
 
+def _signatures_from_shingle_sets(sh):
+    """(doc_id, mh0..mh7) from an (already thinned, usually cached)
+    (doc_id, s: array<string>) DISTINCT-shingle table — the q107 reuse
+    path: MinHash minima are duplicate-insensitive, so minima over the
+    verify stage's distinct shingle sets are IDENTICAL to `signatures`'
+    minima over the raw shingle stream, for free from the cached sh."""
+    hashed = sh.select(
+        "doc_id", F.explode("s").alias("shg")
+    ).select(
+        "doc_id",
+        F.md5(F.concat(F.lit("0:"), F.col("shg"))).alias("h0"),
+        F.md5(F.concat(F.lit("1:"), F.col("shg"))).alias("h1"),
+    )
+    return hashed.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.expr(
+                    f"CAST(conv(substr(h{k // 4}, {1 + 8 * (k % 4)}, 8),"
+                    " 16, 10) AS BIGINT)"
+                )
+            ).alias(f"mh{k}")
+            for k in range(K_HASHES)
+        ]
+    )
+
+
 def banded_rows(spark, sf_dir):
     """(doc_id, band) rows of the MinHash-LSH index: the signature
     pipeline (see `signatures`) runs ONCE, then band keys derive
@@ -740,6 +766,13 @@ def q29(spark, sf_dir):
 
 def jaccard_pairs(spark, sf_dir):
     """Exact-Jaccard verify stage, computed ONLY for candidate members.
+    See `_jaccard_pairs_with_shingles` for the plan shape."""
+    return _jaccard_pairs_with_shingles(spark, sf_dir)[0]
+
+
+def _jaccard_pairs_with_shingles(spark, sf_dir):
+    """(jac, sh): the exact-Jaccard pair frame plus the EAGER-persisted
+    member shingle-set table it verifies from.
 
     The candidate set (id pairs — tiny relative to the corpus) is
     persisted EAGERLY so the banded-LSH pipeline runs once even though
@@ -750,7 +783,16 @@ def jaccard_pairs(spark, sf_dir):
     stage touches |candidates| documents, not the whole corpus — the
     point of having an LSH filter stage at all. The semi-join key side
     is id-only and broadcast-sized (AQE converts it at runtime), so no
-    document bodies shuffle to apply the thinning."""
+    document bodies shuffle to apply the thinning.
+
+    The member shingle table `sh` is ALSO persisted (round 14): both
+    verify-join sides read it under different aliases, and ReuseExchange
+    cannot dedupe re-aliased subtrees (the r12 lesson) — unpersisted,
+    the member NORM + shingle build ran twice in every verify consumer.
+    `sh` is member-sized, so the persist is candidate-scale, never
+    corpus-scale; q107 additionally derives its MinHash signatures from
+    the same cached shingles (minima over distinct shingles equal
+    minima over the raw shingle stream)."""
     # eager: materialize before fan-out (q33 pattern), tracked so a
     # long-lived session can queries.release_caches() afterwards
     cand = eager(candidate_pairs(spark, sf_dir))
@@ -764,14 +806,16 @@ def jaccard_pairs(spark, sf_dir):
         .join(ids, "doc_id", "left_semi")
         .select("doc_id", F.expr(NORM_SPARK).alias("n"))
     )
-    sh = members.select(
-        "doc_id", F.expr(shingle_set_expr("spark")).alias("s")
+    sh = eager(
+        members.select(
+            "doc_id", F.expr(shingle_set_expr("spark")).alias("s")
+        )
     )
     a = sh.select(F.col("doc_id").alias("a_id"), F.col("s").alias("sa"))
     b = sh.select(F.col("doc_id").alias("b_id"), F.col("s").alias("sb"))
     inter = F.size(F.array_intersect("sa", "sb"))
     union = F.size("sa") + F.size("sb") - inter
-    return (
+    jac = (
         cand.join(a, "a_id")
         .join(b, "b_id")
         .select(
@@ -782,6 +826,7 @@ def jaccard_pairs(spark, sf_dir):
             .alias("jaccard_millis"),
         )
     )
+    return jac, sh
 
 
 @register(
@@ -1599,13 +1644,20 @@ def minhash_estimate_quality(spark, sf_dir, jac=None):
     if jac is None:
         # eager pair set: it feeds the member-id derivation AND the
         # final join (q33 pattern; release via queries.release_caches())
-        jac = eager(jaccard_pairs(spark, sf_dir))
-    ids = (
-        jac.select(F.col("a_id").alias("doc_id"))
-        .union(jac.select(F.col("b_id").alias("doc_id")))
-        .distinct()
-    )
-    sig = eager(signatures(spark, sf_dir, member_ids=ids))  # 2 join sides
+        # — and the signatures derive from the SAME cached member
+        # shingle table the verify stage built (round 14): MinHash
+        # minima over distinct shingles equal minima over the raw
+        # shingle stream, so no second member NORM + shingle pass.
+        jac, sh = _jaccard_pairs_with_shingles(spark, sf_dir)
+        jac = eager(jac)
+        sig = eager(_signatures_from_shingle_sets(sh))  # 2 join sides
+    else:
+        ids = (
+            jac.select(F.col("a_id").alias("doc_id"))
+            .union(jac.select(F.col("b_id").alias("doc_id")))
+            .distinct()
+        )
+        sig = eager(signatures(spark, sf_dir, member_ids=ids))  # 2 sides
     sa = sig.select(
         F.col("doc_id").alias("a_id"),
         *[F.col(f"mh{k}").alias(f"a{k}") for k in range(K_HASHES)],
