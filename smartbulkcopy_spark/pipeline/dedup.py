@@ -1848,17 +1848,22 @@ def q119(spark, sf_dir):
             )
         ).alias("i0", "h"),
     ).select("doc_id", (F.col("i0") + 1).cast("long").alias("pos"), "h")
-    # One hash exchange on h feeds BOTH consumers (the dup aggregate and
-    # the semi-join probe) — without it each branch re-runs the per-char
-    # md5 Generate, the module's heaviest map work.
-    gstream = grams.repartition("h")
-    dup = (
-        gstream.groupBy("h")
-        .agg(F.countDistinct("doc_id").alias("nd"))
+    # ONE hash exchange on h, BY CONSTRUCTION (round 14): the r13
+    # repartition("h") + aggregate/semi-join fan-out needed runtime
+    # exchange reuse to run the per-char md5 Generate once, and a
+    # runtime probe showed ReusedExchange never fired (2 exchanges,
+    # 2 scans — the winnow lesson generalizes). The distinct-doc count
+    # per gram is max(dense_rank) over the SAME h partitioning the
+    # stream shuffles into — window semantics make the cap and the
+    # stream share one exchange and one sort.
+    wh = Window.partitionBy("h")
+    who = Window.partitionBy("h").orderBy("doc_id")
+    hits = (
+        grams.withColumn("dr", F.dense_rank().over(who))
+        .withColumn("nd", F.max("dr").over(wh))
         .where(F.col("nd") >= 2)
-        .select("h")
+        .select("doc_id", "pos")
     )
-    hits = gstream.join(dup, "h", "left_semi").select("doc_id", "pos")
     w = Window.partitionBy("doc_id").orderBy("pos")
     brk = F.when(F.col("pos") > F.lag("pos").over(w) + L, 1).otherwise(0)
     isl = hits.withColumn("brk", brk).withColumn(
@@ -2131,9 +2136,12 @@ def prefix_filter_pairs(spark, sf_dir):
         .union(cand.select(F.col("b_id").alias("doc_id")))
         .distinct()
     )
-    sets = (
-        base.join(ids, "doc_id", "left_semi")
-        .select(
+    # eager: BOTH verify-join sides read the member token-set table
+    # under different aliases, and ReuseExchange cannot dedupe
+    # re-aliased subtrees (r12/r14 rule) — unpersisted, the member
+    # NORM + tokenize ran once per side.
+    sets = eager(
+        base.join(ids, "doc_id", "left_semi").select(
             "doc_id",
             F.array_distinct(F.split(F.trim("n"), " ")).alias("s"),
         )
@@ -2291,8 +2299,15 @@ def containment_pairs(spark, sf_dir):
         .union(cand.select(F.col("container_id").alias("doc_id")))
         .distinct()
     )
-    sets = base.join(ids, "doc_id", "left_semi").select(
-        "doc_id", F.array_distinct(F.split(F.trim("n"), " ")).alias("s")
+    # eager: two re-aliased verify sides (the q128 rationale) — local
+    # steady state is a wash (2.50 vs 2.64 s) but the foreign-session
+    # mimic halves (9.2 vs 16.1 s: the cached half of the plan
+    # materializes narrow under the eager() AQE guard).
+    sets = eager(
+        base.join(ids, "doc_id", "left_semi").select(
+            "doc_id",
+            F.array_distinct(F.split(F.trim("n"), " ")).alias("s"),
+        )
     )
     a = sets.select(
         F.col("doc_id").alias("contained_id"), F.col("s").alias("sa")
