@@ -1848,14 +1848,14 @@ def q119(spark, sf_dir):
             )
         ).alias("i0", "h"),
     ).select("doc_id", (F.col("i0") + 1).cast("long").alias("pos"), "h")
-    # ONE hash exchange on h, BY CONSTRUCTION (round 14): the r13
-    # repartition("h") + aggregate/semi-join fan-out needed runtime
-    # exchange reuse to run the per-char md5 Generate once, and a
-    # runtime probe showed ReusedExchange never fired (2 exchanges,
-    # 2 scans — the winnow lesson generalizes). The distinct-doc count
-    # per gram is max(dense_rank) over the SAME h partitioning the
-    # stream shuffles into — window semantics make the cap and the
-    # stream share one exchange and one sort.
+    # ONE hash exchange on h, BY CONSTRUCTION (round 14). The r13
+    # repartition("h") fan-out DID get runtime exchange reuse here
+    # (executed-plan probe: 1 ReusedExchange — identically-shaped
+    # branches reuse, unlike the column-pruned winnow keep branch),
+    # so the md5 Generate already ran once; the win is structural:
+    # max(dense_rank) over the SAME h partitioning replaces the
+    # countDistinct aggregate + left-semi join, dropping two shuffle
+    # stages (executed final plan 6 -> 4 stages; 1.89 -> 1.51 s).
     wh = Window.partitionBy("h")
     who = Window.partitionBy("h").orderBy("doc_id")
     hits = (
