@@ -381,10 +381,16 @@ def q55(spark, sf_dir):
 )
 def q33(spark, sf_dir):
     emb = spread(spark, table(spark, sf_dir, "embeddings"))
+    e = F.col("embedding")
     bucketed = emb.select(
         "vec_id",
         "embedding",
         bucket_col().cast("bigint").alias("bk"),
+        # norm per VECTOR, inside the cached frame — the per-pair
+        # denominator used to re-fold both self-dots for every bucket
+        # pair (3 dim-length folds per pair -> 1). sqrt of the same
+        # row-local fold is IEEE-identical wherever it is computed.
+        F.sqrt(dot_fold(e, e)).alias("nrm"),
     )  # both self-join sides read it; signature computed once
     # Materialize EAGERLY: a lazy persist lets both join sides race to
     # fill the cache, each paying the full signature fold (same failure
@@ -392,15 +398,19 @@ def q33(spark, sf_dir):
     # cache for queries.release_caches() in long-lived sessions.
     bucketed = eager(bucketed)
     x = bucketed.select(
-        F.col("vec_id").alias("a_id"), F.col("embedding").alias("ea"), "bk"
+        F.col("vec_id").alias("a_id"),
+        F.col("embedding").alias("ea"),
+        "bk",
+        F.col("nrm").alias("na"),
     )
     y = bucketed.select(
-        F.col("vec_id").alias("b_id"), F.col("embedding").alias("eb"), "bk"
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").alias("eb"),
+        "bk",
+        F.col("nrm").alias("nb"),
     )
     ea, eb = F.col("ea"), F.col("eb")
-    cos = dot_fold(ea, eb) / (
-        F.sqrt(dot_fold(ea, ea)) * F.sqrt(dot_fold(eb, eb))
-    )
+    cos = dot_fold(ea, eb) / (F.col("na") * F.col("nb"))
     return (
         x.join(y, "bk")
         .where(F.col("a_id") < F.col("b_id"))
@@ -1140,19 +1150,25 @@ def incremental_ann_ingest(spark, sf_dir, k=N_CENTROIDS):
     rows = idx.orderBy("vec_id").limit(k).collect()
     cents = [(r["vec_id"], [float(v) for v in r["embedding"]]) for r in rows]
 
+    e = F.col("embedding")
+    # norms projected per ROW below the cid join (q33 rule): the
+    # batch x list fan-out used to re-fold both self-dots per PAIR.
+    # sqrt of the same row-local fold is IEEE-identical either side
+    # of the join, and the extra 8 bytes/row are nothing next to the
+    # two dim-length folds each pair no longer pays.
     bi = bat.select(
         "vec_id",
         F.col("embedding").alias("b_emb"),
         _assign_expr(cents).alias("cid"),
+        F.sqrt(dot_fold(e, e)).alias("bn"),
     )
     ii = idx.select(
         F.col("embedding").alias("i_emb"),
         _assign_expr(cents).alias("cid"),
+        F.sqrt(dot_fold(e, e)).alias("inrm"),
     )
     be, ie = F.col("b_emb"), F.col("i_emb")
-    cos = dot_fold(be, ie) / (
-        F.sqrt(dot_fold(be, be)) * F.sqrt(dot_fold(ie, ie))
-    )
+    cos = dot_fold(be, ie) / (F.col("bn") * F.col("inrm"))
     m = (
         bi.join(ii, "cid")
         .where(cos >= NEAR_DUP_COS)
@@ -1565,12 +1581,17 @@ def q143(spark, sf_dir):
     from pyspark.sql import Window
 
     emb = spread(spark, table(spark, sf_dir, "embeddings"))
+    e = F.col("embedding")
     bucketed = eager(
         emb.select(
             "vec_id",
             F.col("label").cast("long").alias("label"),
             "embedding",
             bucket_col().cast("bigint").alias("bk"),
+            # per-vector norm in the cache (q33 rule): 1 fold per pair
+            # instead of 3; sqrt of the same row-local fold is
+            # IEEE-identical wherever computed.
+            F.sqrt(dot_fold(e, e)).alias("nrm"),
         )
     )
     x = bucketed.select(
@@ -1578,17 +1599,17 @@ def q143(spark, sf_dir):
         F.col("label").alias("a_label"),
         F.col("embedding").alias("ea"),
         "bk",
+        F.col("nrm").alias("na"),
     )
     y = bucketed.select(
         F.col("vec_id").alias("neg_id"),
         F.col("label").alias("neg_label"),
         F.col("embedding").alias("eb"),
         "bk",
+        F.col("nrm").alias("nb"),
     )
     ea, eb = F.col("ea"), F.col("eb")
-    cos = dot_fold(ea, eb) / (
-        F.sqrt(dot_fold(ea, ea)) * F.sqrt(dot_fold(eb, eb))
-    )
+    cos = dot_fold(ea, eb) / (F.col("na") * F.col("nb"))
     w = Window.partitionBy("a_id").orderBy(F.col("cos").desc(), "neg_id")
     return (
         x.join(y, "bk")

@@ -2310,13 +2310,15 @@ def q159(spark, sf_dir):
 
 # ---------------------------------------------------------------------------
 # Market-basket co-purchase lift. The "customers who bought A also
-# bought B" table behind every recommender baseline. The pair space is
-# generated by a SELF-JOIN KEYED ON THE ORDER KEY, so fanout per order
-# is bounded by lines-per-order (TPC-H caps at 7) — candidate pairs
-# grow linearly with orders, never quadratically with parts. Lift is a
-# per-row double chain (deterministic IEEE, the q30 per-row-fold rule),
-# floored to ppm; the order universe is a bounded driver scalar (q52/
-# q102 pattern — a constant-key join would plan as BNLJ).
+# bought B" table behind every recommender baseline. The pair space
+# explodes ROW-LOCALLY from each order's sorted distinct part list
+# (bounded by lines-per-order — TPC-H caps at 7), so candidate pairs
+# grow linearly with orders, never quadratically with parts, and ONE
+# order-keyed exchange replaces the old distinct + re-aliased
+# self-join (three exchanges). Lift is a per-row double chain
+# (deterministic IEEE, the q30 per-row-fold rule), floored to ppm; the
+# order universe is a bounded driver scalar (q52/q102 pattern — a
+# constant-key join would plan as BNLJ).
 # ---------------------------------------------------------------------------
 
 
@@ -2338,9 +2340,9 @@ def q159(spark, sf_dir):
     " JOIN pf fb ON fb.l_partkey = part_b"
     " ORDER BY support DESC, part_a, part_b LIMIT 20",
     doc="Market-basket lift: top-20 co-purchased part pairs by support"
-    " with lift in ppm. Pairs come from a self-join KEYED on"
-    " l_orderkey over the distinct (order, part) projection — per-key"
-    " fanout is bounded by lines-per-order, so candidates grow"
+    " with lift in ppm. Pairs explode row-locally from each order's"
+    " sorted distinct part list (q27 bucket pattern) — fanout is"
+    " bounded by lines-per-order, so candidates grow"
     " linearly with orders (never parts^2). Lift is a per-row"
     " double chain (1e6*support/na)*n_orders/nb floored — per-row"
     " IEEE arithmetic is order-fixed on both engines (q30 rule) and"
@@ -2349,27 +2351,32 @@ def q159(spark, sf_dir):
     " pattern, BNLJ avoided).",
 )
 def q161(spark, sf_dir):
-    op = eager(
+    # One exchange builds the per-order DISTINCT part list directly
+    # (collect_set absorbs the old `.distinct()` exchange), n_orders is
+    # the cached frame's row count, and pairs explode ROW-LOCALLY from
+    # the sorted bounded list (<= 7 lines/order in TPC-H) — the q27/
+    # q112 bucket pattern. The old spelling self-joined the (order,
+    # part) projection under two aliases: two more order-keyed
+    # exchanges that ReuseExchange never dedupes across re-aliased
+    # cache scans (r12 lesson), plus the join itself.
+    orders = eager(
         table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
     )
-    n_orders = op.select("l_orderkey").distinct().count()
-    pf = op.groupBy("l_partkey").agg(
-        F.count("*").cast("long").alias("n_ord")
+    n_orders = orders.count()
+    pf = (
+        orders.select(F.explode("ps").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count("*").cast("long").alias("n_ord"))
     )
-    a = op.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
-    )
-    b = op.select(
-        F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("part_b")
+    pairs = F.expr(
+        "flatten(transform(ps, (a, i) ->"
+        " transform(slice(ps, i + 2, size(ps)), b -> struct(a, b))))"
     )
     pr = (
-        a.join(
-            b,
-            (F.col("ok") == F.col("ok2"))
-            & (F.col("part_a") < F.col("part_b")),
-        )
+        orders.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.a").alias("part_a"), F.col("p.b").alias("part_b"))
         .groupBy("part_a", "part_b")
         .agg(F.count("*").cast("long").alias("support"))
     )
