@@ -35,6 +35,7 @@ from smartbulkcopy_spark.queries import (
     spread,
     sql_darr,
     sql_dot,
+    sql_iarr,
     table,
 )
 
@@ -871,16 +872,21 @@ def q74(spark, sf_dir):
 # components: squared distances are BIGINT sums (64 dims x (1e6)^2 ~
 # 6.4e13, well inside BIGINT), argmin is the PACKED spelling
 # min(d2*K + cid) % K with ties breaking on centroid id (identical in
-# both engines — struct-min has no DuckDB spelling; see _km_assign and
-# the packed-argmin property test), and centroid updates use the q55
+# both engines — struct-min has no DuckDB spelling; see _km_packed_sql
+# and the packed-argmin property test), and centroid updates use the q55
 # mean spelling
 # floor(CAST(sum AS DOUBLE)/count). Init is deterministic: the vectors
-# with vec_id 0..K-1. The iterations are LAZY — no driver loop: each
-# assignment joins the element table against the previous (tiny)
-# centroid table as a broadcast, so the unrolled plan is
-# scan -> [broadcast-assign -> 512-group recenter] x 2 -> rollup, and
-# the element table is persisted once instead of recomputed per stage.
-# At 100 TB each iteration is one corpus pass; K*D stays driver-free.
+# with vec_id 0..K-1. Round 14 (guide §8 "decide with small rows"):
+# each assignment is a ROW-LOCAL packed argmin over K*D centroid
+# literals collected between iterations (bounded: 512 ints,
+# corpus-independent — the q176 bounded-collect pattern; integer
+# arithmetic replays engine-exactly). The old broadcast-join spelling
+# shuffled corpus x K (vec_id, cid, d2) rows through the assign
+# aggregation TWICE and joined the corpus back per recenter; now the
+# only corpus-wide exchanges are the two recenter groupBys, whose
+# map-side partial aggregation caps each task's exchange payload at
+# K*D rows. At 100 TB each iteration is one corpus pass and nothing
+# corpus-sized ever crosses the network.
 # ---------------------------------------------------------------------------
 
 KMEANS_K = 8
@@ -930,33 +936,82 @@ def _km_el(spark, sf_dir):
     ).select("vec_id", F.col("dim").cast("long").alias("dim"), "v_e6")
 
 
-def _km_assign(el, cent):
-    """Nearest-centroid id per vector: broadcast the K*D centroid table,
-    join on dim, sum squared diffs per (vec, cid), then a PACKED argmin —
-    min(d2 * K + cid) % K is the lexicographic (d2, cid) minimum because
-    cid < K, and unlike struct-min it has an identical spelling on both
-    engines (DuckDB's min_by takes no composite comparator). No overflow:
+def _km_varr():
+    """Per-row 1e-6 floor-scaled integer embedding vector (the el
+    explode's v_e6 values kept as one array column, so assignment can
+    run row-locally). Always pre-project it as a column: the packed
+    argmin references it K times, which also keeps CollapseProject
+    from inlining the transform back (non-cheap + multi-referenced)."""
+    return F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * 1000000.0).cast("long"),
+    )
+
+
+def _km_base(spark, sf_dir):
+    """(vec_id, varr): the corpus with its scaled-int vector, persisted
+    once per chain (same bytes as the old exploded element table, 1/D
+    the rows)."""
+    emb = spread(spark, table(spark, sf_dir, "embeddings"))
+    return eager(emb.select("vec_id", _km_varr().alias("varr")))
+
+
+def _km_init_cents(base):
+    """Deterministic init: the vec_id < K rows, collected as
+    [(cid, [v_e6...])] — K*D = 512 bounded input values."""
+    return sorted(
+        (int(r["vec_id"]), [int(v) for v in r["varr"]])
+        for r in base.where(F.col("vec_id") < KMEANS_K).collect()
+    )
+
+
+def _km_collect_cents(cdf):
+    """[(cid, [c_e6...])] sorted by cid from a (cid, dim, c_e6) frame.
+    BOUNDED collect: <= K*D = 512 rows independent of corpus size — the
+    q176 pattern (a computed per-round aggregate parameterizes the next
+    round's row-local expressions; integer values replay engine-exactly
+    in the oracle's identical CTE chain)."""
+    byc: dict[int, dict[int, int]] = {}
+    for r in cdf.collect():
+        byc.setdefault(int(r["cid"]), {})[int(r["dim"])] = int(r["c_e6"])
+    return sorted(
+        (cid, [dims[d] for d in sorted(dims)]) for cid, dims in byc.items()
+    )
+
+
+def _km_packed_sql(cents) -> str:
+    """Packed argmin over centroid literals as ONE generated SQL expr
+    (the q188 single-string rule): least over cid of d2 * K + cid,
+    where d2 is the integer sum of squared diffs — integer adds are
+    order-free, so the row-local fold is bit-identical to the old
+    broadcast-join aggregation, and min(d2*K + cid) % K stays the
+    lexicographic (d2, cid) minimum because cid < K. No overflow:
     d2 <= D * (2e6)^2 ~ 2.6e14, * K ~ 2e15, inside BIGINT."""
-    j = el.join(F.broadcast(cent), "dim")
-    d2 = (
-        j.groupBy("vec_id", "cid")
-        .agg(
-            F.sum(
-                (F.col("v_e6") - F.col("c_e6"))
-                * (F.col("v_e6") - F.col("c_e6"))
-            ).alias("d2")
+    terms = []
+    for cid, cv in cents:
+        d2 = (
+            f"aggregate(zip_with(varr, {sql_iarr(cv)},"
+            " (x, y) -> (x - y) * (x - y)), 0L, (acc, e) -> acc + e)"
         )
-    )
-    return d2.groupBy("vec_id").agg(
-        (F.min(F.col("d2") * KMEANS_K + F.col("cid")) % KMEANS_K).alias(
-            "cid"
-        )
+        terms.append(f"{d2} * {KMEANS_K} + {int(cid)}")
+    return "least(" + ", ".join(terms) + ")"
+
+
+def _km_assigned(base, cents):
+    """(vec_id, varr, cid): the row-local packed argmin vs `cents` —
+    no join, nothing corpus-sized shuffles."""
+    return base.withColumn(
+        "cid", F.expr(_km_packed_sql(cents)) % KMEANS_K
     )
 
 
-def _km_recenter(el, assign):
+def _km_recenter_local(asg):
+    """(cid, dim, c_e6) from an assigned frame: the explode rides the
+    row-local cid and the groupBy partial-aggregates map-side, so the
+    exchange carries <= K*D rows per task."""
     return (
-        el.join(assign, "vec_id")
+        asg.select("cid", F.posexplode("varr").alias("dim", "v_e6"))
+        .select("cid", F.col("dim").cast("long").alias("dim"), "v_e6")
         .groupBy("cid", "dim")
         .agg(
             F.floor(
@@ -979,19 +1034,18 @@ def _km_recenter(el, assign):
     doc="Two unrolled Lloyd k-means iterations (K=8, deterministic"
     " vec_id<K init) with bit-exact integer arithmetic: scaled-int"
     " squared distances, packed argmin (min(d2*K + cid) % K) with cid"
-    " tie-break, q55-rule centroid means. Lazy iteration DAG — broadcast"
-    " centroid joins, no driver loop; output is per-cluster size +"
-    " centroid checksums the DuckDB CTE chain reproduces exactly.",
+    " tie-break, q55-rule centroid means. Assignment is a row-local"
+    " argmin over K*D centroid literals (bounded 512-int collect per"
+    " round, q176 pattern) — nothing corpus-sized shuffles; output is"
+    " per-cluster size + centroid checksums the DuckDB CTE chain"
+    " reproduces exactly.",
 )
 def q77(spark, sf_dir):
-    el = eager(_km_el(spark, sf_dir))  # 4 consumers (2 assigns, 2 recenters)
-    c0 = el.where(F.col("vec_id") < KMEANS_K).select(
-        F.col("vec_id").alias("cid"), "dim", F.col("v_e6").alias("c_e6")
-    )
-    a1 = _km_assign(el, c0)
-    c1 = _km_recenter(el, a1)
-    a2 = _km_assign(el, c1)
-    c2 = _km_recenter(el, a2)
+    base = _km_base(spark, sf_dir)  # read by c0, a1-recenter, a2
+    c0 = _km_init_cents(base)
+    c1 = _km_collect_cents(_km_recenter_local(_km_assigned(base, c0)))
+    a2 = _km_assigned(base, c1)
+    c2 = _km_recenter_local(a2)
     sizes = a2.groupBy("cid").agg(F.count("*").alias("n_vecs"))
     sums = c2.groupBy("cid").agg(
         F.sum("c_e6").alias("centroid_sum_e6"),
@@ -1029,32 +1083,16 @@ def q77(spark, sf_dir):
 def q83(spark, sf_dir):
     from pyspark.sql import Window
 
-    el = eager(_km_el(spark, sf_dir))  # 6 consumers: 3 assigns + 2 recenters
-    c0 = el.where(F.col("vec_id") < KMEANS_K).select(
-        F.col("vec_id").alias("cid"), "dim", F.col("v_e6").alias("c_e6")
-    )
-    a1 = _km_assign(el, c0)
-    c1 = _km_recenter(el, a1)
-    a2 = _km_assign(el, c1)
-    c2 = _km_recenter(el, a2)
-    d3 = (
-        el.join(F.broadcast(c2), "dim")
-        .groupBy("vec_id", "cid")
-        .agg(
-            F.sum(
-                (F.col("v_e6") - F.col("c_e6"))
-                * (F.col("v_e6") - F.col("c_e6"))
-            ).alias("d2")
-        )
-    )
-    a3 = (
-        d3.groupBy("vec_id")
-        .agg(F.min(F.col("d2") * KMEANS_K + F.col("cid")).alias("pk"))
-        .select(
-            "vec_id",
-            (F.col("pk") % KMEANS_K).alias("cid"),
-            F.expr(f"pk DIV {KMEANS_K}").alias("d2"),
-        )
+    base = _km_base(spark, sf_dir)  # read by c0, a1/a2 recenters, a3
+    c0 = _km_init_cents(base)
+    c1 = _km_collect_cents(_km_recenter_local(_km_assigned(base, c0)))
+    c2 = _km_collect_cents(_km_recenter_local(_km_assigned(base, c1)))
+    a3 = base.select(
+        "vec_id", F.expr(_km_packed_sql(c2)).alias("pk")
+    ).select(
+        "vec_id",
+        (F.col("pk") % KMEANS_K).alias("cid"),
+        F.expr(f"pk DIV {KMEANS_K}").alias("d2"),
     )
     wr = Window.partitionBy("cid").orderBy("d2", "vec_id")
     wc = Window.partitionBy("cid")
@@ -1340,25 +1378,31 @@ def q103(spark, sf_dir):
     " centroid join + per-(vec,dim) integer sums.",
 )
 def q132(spark, sf_dir):
-    el = eager(_km_el(spark, sf_dir))  # 5 consumers across the chain
-    c0 = el.where(F.col("vec_id") < KMEANS_K).select(
-        F.col("vec_id").alias("cid"), "dim", F.col("v_e6").alias("c_e6")
-    )
-    a1 = _km_assign(el, c0)
-    c1 = _km_recenter(el, a1)
-    a2 = _km_assign(el, c1)
-    c2 = eager(_km_recenter(el, a2))  # consumed by wd, cd
+    base = _km_base(spark, sf_dir)  # read by c0, recenters, nv, wd
+    c0 = _km_init_cents(base)
+    c1 = _km_collect_cents(_km_recenter_local(_km_assigned(base, c0)))
+    a2 = _km_assigned(base, c1)
+    c2 = eager(_km_recenter_local(a2))  # consumed by cd (and collected)
+    cvals = _km_collect_cents(c2)  # bounded 512-int read of the cache
     nv = a2.groupBy("cid").agg(F.count("*").alias("n_vecs"))
-    wd = (
-        el.join(a2, "vec_id")
-        .join(F.broadcast(c2), ["cid", "dim"])
-        .groupBy("cid")
-        .agg(
-            F.sum(
-                (F.col("v_e6") - F.col("c_e6"))
-                * (F.col("v_e6") - F.col("c_e6"))
-            ).alias("wsum")
+    # within-cluster distance ROW-LOCALLY against the member's own
+    # assigned centroid (CASE on cid selects the literal vector; only
+    # the matched branch's fold evaluates) — the old spelling joined
+    # the exploded corpus back through a2 and c2. Integer adds are
+    # order-free: per-row fold + per-cid sum == the old flat sum.
+    d2own = F.expr(
+        "CASE cid "
+        + " ".join(
+            f"WHEN {cid} THEN aggregate(zip_with(varr, {sql_iarr(cv)},"
+            " (x, y) -> (x - y) * (x - y)), 0L, (acc, e) -> acc + e)"
+            for cid, cv in cvals
         )
+        + " END"
+    )
+    wd = (
+        a2.select("cid", d2own.alias("dd"))
+        .groupBy("cid")
+        .agg(F.sum("dd").alias("wsum"))
     )
     cent_rows = c2.groupBy("cid").agg(
         F.sort_array(F.collect_list(F.struct("dim", "c_e6"))).alias("v")
