@@ -1538,35 +1538,23 @@ def _pq_duck_cte() -> str:
 def q141(spark, sf_dir):
     books = _pq_codebooks(spark, sf_dir)
     emb = spread(spark, table(spark, sf_dir, "embeddings"))
-    per_m = []
+    # whole per-row pipeline emitted as ONE SQL string (q188 rule);
+    # codegen's subexpression elimination dedupes the two `best`
+    # references exactly as it did the Column spelling's.
+    structs = []
     for m, book in enumerate(books):
-        ev = F.slice("embedding", m * PQ_SUB + 1, PQ_SUB)
-        best = F.array_min(
-            F.array(
-                *[
-                    F.struct(
-                        # c.c folded in Python left-to-right — the same
-                        # IEEE fold the engines use (q36 precedent)
-                        (
-                            -2.0 * dot_fold(ev, F.expr(sql_darr(cv)))
-                            + F.lit(_py_fold_dot(cv))
-                        ).alias("d"),
-                        F.lit(code).cast("long").alias("code"),
-                    )
-                    for code, cv in book
-                ]
-            )
-        )
-        err = F.greatest(dot_fold(ev, ev) + best["d"], F.lit(0.0))
-        per_m.append(
-            F.struct(
-                F.lit(m).cast("long").alias("m"),
-                best["code"].alias("code"),
-                F.floor(err * F.lit(1000000.0)).cast("long").alias("err_e6"),
-            )
+        ev = _pq_ev_sql(m)
+        best = _pq_best_sql(m, book)
+        structs.append(
+            f"named_struct('m', CAST({m} AS BIGINT),"
+            f" 'code', ({best}).code,"
+            f" 'err_e6', CAST(floor(greatest({sql_dot(ev, ev)}"
+            f" + ({best}).d, 0.0D) * 1000000.0D) AS BIGINT))"
         )
     return (
-        emb.select(F.explode(F.array(*per_m)).alias("a"))
+        emb.select(
+            F.expr("explode(array(" + ",".join(structs) + "))").alias("a")
+        )
         .select("a.m", "a.code", "a.err_e6")
         .groupBy("m", "code")
         .agg(
@@ -1584,6 +1572,35 @@ def _py_fold_dot(vec) -> float:
     for v in vec:
         acc = acc + v * v
     return acc
+
+
+def _pq_ev_sql(m: int) -> str:
+    """The m-th subvector slice as SQL (1-based, the F.slice twin)."""
+    return f"slice(embedding, {m * PQ_SUB + 1}, {PQ_SUB})"
+
+
+def _pq_best_sql(m: int, book, extra=None) -> str:
+    """q141's per-subspace argmin struct — array_min over
+    named_struct('d', -2*e.c + c.c, 'code', code[, extra]) — generated
+    as ONE SQL string (the q188 rule: the per-codeword Column spelling
+    cost ~3 s of py4j round-trips per query build at PQ_M x PQ_K = 32
+    codewords, vs ~1 s of execution). sql_dot reproduces dot_fold and
+    the Python c.c fold is _py_fold_dot, so the emitted expression is
+    the identical IEEE chain; array_min tie-breaks on the code field
+    exactly as the struct Column did. extra: (code, cv) -> additional
+    named_struct fields (q145's ADC lookup literal)."""
+    ev = _pq_ev_sql(m)
+    cands = []
+    for code, cv in book:
+        fields = (
+            f"'d', -2.0D * {sql_dot(ev, sql_darr(cv))}"
+            f" + {float(_py_fold_dot(cv))!r}D,"
+            f" 'code', CAST({int(code)} AS BIGINT)"
+        )
+        if extra is not None:
+            fields += ", " + extra(code, cv)
+        cands.append(f"named_struct({fields})")
+    return "array_min(array(" + ",".join(cands) + "))"
 
 
 # ---------------------------------------------------------------------------
@@ -1748,35 +1765,22 @@ def q145(spark, sf_dir):
         return acc
 
     emb = spread(spark, emb0).where(F.col("vec_id") != qid)
+    # per-subspace argmin with the ADC table entry riding as a struct
+    # field, emitted as ONE SQL string (q188 rule); the + chain stays
+    # left-associative exactly like the old Column fold.
     terms = []
     for m, book in enumerate(books):
         qm = qvec[m * PQ_SUB : (m + 1) * PQ_SUB]
         qq = fold_dot(qm, qm)
-        ev = F.slice("embedding", m * PQ_SUB + 1, PQ_SUB)
-        best = F.array_min(
-            F.array(
-                *[
-                    F.struct(
-                        (
-                            -2.0
-                            * dot_fold(ev, F.expr(sql_darr(cv)))
-                            + F.lit(_py_fold_dot(cv))
-                        ).alias("d"),
-                        F.lit(code).cast("long").alias("code"),
-                        # the ADC table entry for this codeword — picked
-                        # up for free when the argmin selects the struct
-                        F.lit(
-                            (qq - 2.0 * fold_dot(qm, cv)) + _py_fold_dot(cv)
-                        ).alias("qd"),
-                    )
-                    for code, cv in book
-                ]
-            )
-        )
-        terms.append(best["qd"])
-    adc = terms[0]
-    for t in terms[1:]:
-        adc = adc + t
+
+        def _qd(code, cv, qm=qm, qq=qq):
+            # the ADC table entry for this codeword — picked up for
+            # free when the argmin selects the struct
+            v = (qq - 2.0 * fold_dot(qm, cv)) + _py_fold_dot(cv)
+            return f"'qd', {float(v)!r}D"
+
+        terms.append(f"({_pq_best_sql(m, book, _qd)}).qd")
+    adc = F.expr(" + ".join(f"({t})" for t in terms))
     approx = (
         emb.select(
             "vec_id",
@@ -1886,39 +1890,19 @@ def q181(spark, sf_dir):
 
     books = _pq_codebooks(spark, sf_dir)
     emb = spread(spark, table(spark, sf_dir, "embeddings"))
-    per_m = []
-    for m, book in enumerate(books):
-        ev = F.slice("embedding", m * PQ_SUB + 1, PQ_SUB)
-        best = F.array_min(
-            F.array(
-                *[
-                    F.struct(
-                        (
-                            -2.0
-                            * dot_fold(
-                                ev, F.expr(sql_darr(cv))
-                            )
-                            + F.lit(_py_fold_dot(cv))
-                        ).alias("d"),
-                        F.lit(code).cast("long").alias("code"),
-                    )
-                    for code, cv in book
-                ]
-            )
-        )
-        xs = F.expr(
-            f"transform(slice(embedding, {m * PQ_SUB + 1}, {PQ_SUB}),"
-            " x -> CAST(floor(x * 1000000.0) AS BIGINT))"
-        )
-        per_m.append(
-            F.struct(
-                F.lit(m).cast("long").alias("m"),
-                best["code"].alias("code"),
-                xs.alias("xs"),
-            )
-        )
+    # per-subspace argmin + scaled subvector as ONE SQL string (q188
+    # rule — the Column spelling was ~3 s of py4j build per run)
+    structs = [
+        f"named_struct('m', CAST({m} AS BIGINT),"
+        f" 'code', ({_pq_best_sql(m, book)}).code,"
+        f" 'xs', transform({_pq_ev_sql(m)},"
+        " x -> CAST(floor(x * 1000000.0) AS BIGINT)))"
+        for m, book in enumerate(books)
+    ]
     rows = (
-        emb.select(F.explode(F.array(*per_m)).alias("a"))
+        emb.select(
+            F.expr("explode(array(" + ",".join(structs) + "))").alias("a")
+        )
         .select("a.m", "a.code", F.posexplode("a.xs").alias("d0", "xs"))
         .select(
             "m", "code", (F.col("d0") + 1).cast("long").alias("d"), "xs"
