@@ -3097,7 +3097,8 @@ def star_fallback_recall(spark, sf_dir):
 
     Scale: seeds are 24 docs (signatures LEFT-SEMI thinned before
     shingling); both graphs are bounded (<= 24 families x 30 members);
-    both CCs iterate on (id, label) pairs of that bounded graph."""
+    ONE fused CC labels both parity-tagged graphs at once, iterating on
+    (id, label) pairs of that bounded union."""
     docs = table(spark, sf_dir, "documents").select("doc_id")
     seeds = docs.orderBy("doc_id").limit(STUDY_SEEDS)
     sig = signatures(spark, sf_dir, member_ids=seeds)
@@ -3130,13 +3131,34 @@ def star_fallback_recall(spark, sf_dir):
     )
     # both graphs are bounded by constants (<= STUDY_SEEDS x 30
     # members), so the CC iterations run at study width, not corpus
-    # width — see connected_components.shuffle_partitions
-    sl = connected_components(
-        spark, star_pairs, shuffle_partitions=8
-    ).select(F.col("node").alias("doc_id"), F.col("lbl").alias("sl"))
-    cl = connected_components(
-        spark, clique_pairs, shuffle_partitions=8
-    ).select(F.col("node").alias("doc_id"), F.col("lbl").alias("cl"))
+    # width — see connected_components.shuffle_partitions.
+    # ONE fused CC labels BOTH graphs (round 14): parity-tagging the
+    # node ids (star nodes 2*id, clique nodes 2*id+1) makes the two
+    # graphs disjoint inside a single edge list, so one label
+    # propagation converges both at once — the per-round checkpoint
+    # latency is paid max(rounds) times instead of sum(rounds), and the
+    # edge persist/count setup once. Labels transform exactly:
+    # min(2*id + g) over a component = 2*min(id) + g (the parity g is
+    # constant within a component), so lbl DIV 2 recovers each side's
+    # original component minimum bit-for-bit.
+    tagged = star_pairs.select(
+        (F.col("a_id") * 2).alias("a_id"),
+        (F.col("b_id") * 2).alias("b_id"),
+    ).union(
+        clique_pairs.select(
+            (F.col("a_id") * 2 + 1).alias("a_id"),
+            (F.col("b_id") * 2 + 1).alias("b_id"),
+        )
+    )
+    lab = connected_components(spark, tagged, shuffle_partitions=8)
+    sl = lab.where(F.col("node") % 2 == 0).select(
+        F.expr("node DIV 2").alias("doc_id"),
+        F.expr("lbl DIV 2").alias("sl"),
+    )
+    cl = lab.where(F.col("node") % 2 == 1).select(
+        F.expr("node DIV 2").alias("doc_id"),
+        F.expr("lbl DIV 2").alias("cl"),
+    )
     j = sl.join(cl, "doc_id", "full")
     agree = F.sum(
         F.coalesce((F.col("sl") == F.col("cl")).cast("long"), F.lit(0))
@@ -3240,7 +3262,7 @@ def _star_recall_oracle() -> str:
     " the quadratic clique, while costing one edge per member."
     " Verbatim copies share their seed's signature by definition, so"
     " the band rows replicate at seed cost; both graphs stay bounded"
-    " and both CCs iterate on (id, label) pairs only.",
+    " and one fused CC labels both parity-tagged graphs at once.",
 )
 def q199(spark, sf_dir):
     return star_fallback_recall(spark, sf_dir)

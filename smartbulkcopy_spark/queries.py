@@ -2411,8 +2411,8 @@ def q161(spark, sf_dir):
 # are the oldest segmentation scheme in commerce analytics; the output
 # is the segment-size table a campaign planner reads. Quartiles come
 # from ntile(4) with a (metric, custkey) total order, so assignment is
-# deterministic on both engines; the corpus max order date is a
-# bounded driver scalar.
+# deterministic on both engines; the corpus max order date rides the
+# same single-partition window pass the ntiles already pay.
 # ---------------------------------------------------------------------------
 
 _ORD_MICROS = (
@@ -2450,7 +2450,9 @@ DAY_US = 86_400_000_000
     " assignment is engine-independent — rolled up to the 64-segment"
     " size table. The three ntile windows are global but run over the"
     " customer DIMENSION (one row per customer, not per order); the"
-    " corpus max date is a bounded driver scalar (q52/q102 pattern).",
+    " corpus max date rides the same single-partition window pass"
+    " (max over customers' last_us = max over orders), so no separate"
+    " scan or driver action attaches the scalar.",
 )
 def q162(spark, sf_dir):
     orders = table(spark, sf_dir, "orders").select(
@@ -2460,15 +2462,20 @@ def q162(spark, sf_dir):
         .cast("long")
         .alias("price_c"),
     )
-    mx = orders.agg(F.max("ous")).first()[0]
     c = orders.groupBy("o_custkey").agg(
         F.max("ous").alias("last_us"),
         F.count("*").cast("long").alias("freq"),
         F.sum("price_c").cast("long").alias("mon_cents"),
     )
+    # The corpus max date rides the SAME single-partition window pass
+    # the three ntiles already pay (max over customers' last_us equals
+    # max over orders) — no separate orders scan + driver action for
+    # the scalar (round 14, guide §5: fewer jobs in the timed region).
     s = c.select(
         "o_custkey",
-        F.expr(f"({mx} - last_us) DIV {DAY_US}").alias("rec_days"),
+        F.expr(
+            f"(max(last_us) OVER () - last_us) DIV {DAY_US}"
+        ).alias("rec_days"),
         "freq",
         "mon_cents",
     )
@@ -2561,8 +2568,16 @@ def q163(spark, sf_dir):
         # // (floor) would diverge on non-day-aligned negatives — spell
         # mathematical floor over an IEEE double quotient on BOTH sides
         # (numerator < 2^53 and the fractional step 1/DAY_US is far above
-        # the quotient's ulp, so the double floor is exact).
-        F.floor(F.expr(f"(sus - ous) / {DAY_US}.0"))
+        # the quotient's ulp, so the double floor is exact). The casts
+        # must be EXPLICIT: a bare `{DAY_US}.0` literal is DecimalType in
+        # Spark SQL, which planned this as per-row decimal(38,_) division
+        # over the fact table (round 14; DuckDB's .0 literal is already
+        # DOUBLE, so this also aligns the two engines' arithmetic).
+        F.floor(
+            F.expr(
+                f"CAST(sus - ous AS DOUBLE) / CAST({DAY_US} AS DOUBLE)"
+            )
+        )
         .cast("long")
         .alias("gap_d"),
     )

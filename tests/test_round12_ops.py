@@ -74,6 +74,42 @@ def test_cc_shuffle_partitions_scoped_and_restored(spark):
     assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
 
 
+def test_fused_parity_cc_matches_per_graph_cc(spark):
+    """q199's round-14 fusion invariant: ONE CC over the parity-tagged
+    disjoint union (graph-0 nodes 2*id, graph-1 nodes 2*id+1) recovers
+    each graph's own component minima exactly via lbl DIV 2 — parity
+    partitions the union, so min(2*id + g) = 2*min(id) + g within every
+    component."""
+    import pyspark.sql.functions as F
+
+    from smartbulkcopy_spark.pipeline.dedup import connected_components
+
+    g0 = [(1, 2), (2, 3), (10, 11)]  # components {1,2,3}, {10,11}
+    g1 = [(1, 5), (20, 21), (21, 22)]  # components {1,5}, {20,21,22}
+    sep = {}
+    for gi, edges in enumerate([g0, g1]):
+        pairs = spark.createDataFrame(edges, ["a_id", "b_id"])
+        lab = connected_components(spark, pairs, shuffle_partitions=4)
+        sep[gi] = {(r["node"], r["lbl"]) for r in lab.collect()}
+    tagged = spark.createDataFrame(
+        [(a * 2, b * 2) for a, b in g0]
+        + [(a * 2 + 1, b * 2 + 1) for a, b in g1],
+        ["a_id", "b_id"],
+    )
+    lab = connected_components(spark, tagged, shuffle_partitions=4)
+    for gi in (0, 1):
+        got = {
+            (r["doc_id"], r["l"])
+            for r in lab.where(F.col("node") % 2 == gi)
+            .select(
+                F.expr("node DIV 2").alias("doc_id"),
+                F.expr("lbl DIV 2").alias("l"),
+            )
+            .collect()
+        }
+        assert got == sep[gi]
+
+
 def test_cc_shuffle_partitions_restored_on_error(spark):
     """A bad edge frame must not leave the session at study width:
     analysis runs BEFORE the override binds, and any later failure
